@@ -1,38 +1,50 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query; ``queries()`` /``oracle_sql()``
+expose every implemented operator (SURVEY.md §2 + extensions) with DuckDB
+oracle twins.  Column names are aliased identically on both sides; double
+aggregates use deterministic fixed-point sums (see
+``datalake2anomali_spark/functions/exact.py``) so value hashes match bit-for-
+bit regardless of partitioning.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datalake2anomali_spark.session import configure_session  # noqa: E402
+from datalake2anomali_spark.plans import relational  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    configure_session(spark)
+    return relational.q5_local_supplier(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update({name: _wrap(fn) for name, fn in relational.QUERIES.items()})
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each queries() entry."""
+    out: dict[str, str] = {}
+    out.update(relational.ORACLES)
+    return out
+
+
+def _wrap(fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        configure_session(spark)
+        return fn(spark, sf_dir)
+
+    return run

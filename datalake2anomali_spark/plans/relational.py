@@ -1,0 +1,165 @@
+"""Relational breadth queries over the driver's TPC-H-ish star schema.
+
+The reference connector's local dataflow is a map-only pipeline (SURVEY §3
+EP-A); these queries prove the *generalized* relational capability the engine
+exposes on top of it — multi-way equi joins, grouped aggregation, sort/limit —
+exactly the shapes a 100-TB analytics workload is made of.
+
+Scale design notes (local[32] correctness ≠ the goal; the plan shape is):
+
+- Dimension joins (region, nation, supplier) are explicitly ``F.broadcast`` —
+  at any scale those sides stay KB-MB, so the fact table never shuffles for
+  them.  ``customer ⋈ orders`` and ``orders ⋈ lineitem`` are left to
+  Catalyst/AQE: at small SF they auto-broadcast; at 100 TB AQE picks
+  sort-merge with skew splitting, which is correct.
+- Filters are expressed on base columns before joins so Catalyst pushes them
+  into the parquet scan (``PushedFilters`` in ``explain``), and only the
+  referenced columns are read (``ReadSchema``).
+- Aggregates use :mod:`..functions.exact` fixed-point sums: deterministic
+  across partitioning *and* exact (integer-cents semantics), so results are
+  reproducible on 1 partition or 10 000.
+
+Every query aliases its output columns identically to its oracle SQL twin
+(driver hash-compares by sorted column name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import DAVG_SQL, DSUM_SQL, davg, dsum
+from ..io.tables import load_table
+
+# -- q1_pricing_summary: scan + filter + 8-agg groupBy (TPC-H Q1 shape) -------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", 2).alias("sum_qty"),
+            dsum("l_extendedprice", 2).alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 4).alias("sum_charge"),
+            davg("l_quantity", 2).alias("avg_qty"),
+            davg("l_extendedprice", 2).alias("avg_price"),
+            davg("l_discount", 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {DSUM_SQL('l_quantity', 2)} AS sum_qty,
+       {DSUM_SQL('l_extendedprice', 2)} AS sum_base_price,
+       {DSUM_SQL('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+       {DSUM_SQL('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 4)} AS sum_charge,
+       {DAVG_SQL('l_quantity', 2)} AS avg_qty,
+       {DAVG_SQL('l_extendedprice', 2)} AS avg_price,
+       {DAVG_SQL('l_discount', 2)} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+# -- q3_shipping_priority: 3-way join + agg + deterministic top-10 ------------
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = "1998-03-15"
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit(cutoff))
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit(cutoff))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey,
+       {DSUM_SQL('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+# -- q5_local_supplier: 6-way join, broadcast dims, agg + sort (flagship) -----
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str, region: str = "EUROPE") -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1999-01-01"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name,
+       {DSUM_SQL('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_local_supplier": Q5_SQL,
+}

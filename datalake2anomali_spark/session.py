@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+Local testing runs on ``local[N]`` (one JVM); the configs below are chosen so
+the same logical plans scale to a real multi-executor cluster:
+
+- AQE on (runtime coalescing, skew-join splitting) — at 100 TB the static
+  shuffle-partition guess is always wrong; AQE re-plans from actual map output.
+- shuffle.partitions sized to cores locally; on a cluster this should be
+  ~2-3x total executor cores (AQE coalesces the excess).
+- UTC session timezone so timestamp semantics match the DuckDB oracle and are
+  deployment-independent.
+- Arrow enabled: every pandas_udf / mapInPandas boundary is Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "datalake2anomali-spark", cpus: int | str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults."""
+    if cpus is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    configure_session(spark)
+    return spark
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an externally-provided session.
+
+    The driver harness hands us its own SparkSession; anything the engine
+    depends on at query time (not builder time) is (re)applied here.
+    ``nanosAsLong`` is required to scan the driver's ``events.parquet``
+    (TIMESTAMP(NANOS) — Spark has no nanosecond timestamp type); the loader in
+    :mod:`datalake2anomali_spark.io.tables` converts the raw long to a proper
+    microsecond TimestampType column.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:  # pragma: no cover - static conf in some deployments
+        pass
+    return spark

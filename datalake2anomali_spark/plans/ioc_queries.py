@@ -1,0 +1,254 @@
+"""Oracle-checked IOC pipeline queries (SURVEY §2 EP-A / EP-B).
+
+Each query derives IOC-shaped inputs from the driver tables (see
+``ioc/derive.py``), runs the REAL pipeline transforms, and has a DuckDB twin
+that repeats the identical derivation + relational semantics in ANSI SQL.
+A hash match therefore verifies: positional JSON parse (P1/P2), type dim
+join + discard (J1/F2), md5 filter (F3), spec enrichment (J2), itype
+coalesce (J3), union-all no-dedup (O2), array-max confidence (A1), tag
+assembly (P5/P6), type-keyed JSON pivot (P4/P8), upsert routing (J4) and the
+incremental high-watermark cursor (A2/SRC4/SRC7/T2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ioc.derive import (
+    derive_advisories,
+    derive_bulk_raw,
+    derive_existing_tipreports,
+    derived_specs_df,
+)
+from ..ioc.payload import objects_json, payload_meta, prepare_objects
+from ..ioc.specs import validate_specs
+from ..ioc.transforms import generate_indicators
+from ..ioc.upsert import incremental_advisories, route_upserts
+
+# Shared CTE prefix: the deterministic derivation + the EP-A relational chain,
+# written once and reused by every IOC oracle.
+_IOC_CTES = """
+WITH raws AS (
+  SELECT c_custkey AS k,
+    '["' ||
+    CASE c_custkey % 8 WHEN 0 THEN 'fqdn' WHEN 1 THEN 'domain' WHEN 2 THEN 'ip'
+         WHEN 3 THEN 'url' WHEN 4 THEN 'email' WHEN 5 THEN 'file'
+         WHEN 6 THEN 'cve' ELSE 'asn' END ||
+    '","atom-' || CAST(c_custkey AS VARCHAR) || '",' ||
+    COALESCE('"' || CASE WHEN c_custkey % 8 = 5 AND c_custkey % 3 <> 0
+                         THEN md5('h' || CAST(c_custkey AS VARCHAR)) END || '"',
+             'null') ||
+    ',[' || CAST(c_custkey % 101 AS VARCHAR) || ',' ||
+            CAST((c_custkey * 7) % 101 AS VARCHAR) || ',' ||
+            CAST((c_custkey * 13) % 101 AS VARCHAR) || ']' ||
+    COALESCE(',' || CASE WHEN c_custkey % 4 = 0 THEN NULL
+                         WHEN c_custkey % 4 = 1 THEN 'null'
+                         ELSE '["tag-' || CAST(c_custkey % 5 AS VARCHAR) ||
+                              '","seg-' || lower(c_mktsegment) || '"]' END,
+             '') ||
+    ']' AS raw
+  FROM customer
+),
+bulk AS (
+  SELECT 'qh-' || CAST(k % 3 AS VARCHAR) AS query_hash, raw FROM raws
+  UNION ALL
+  SELECT 'qh-' || CAST((k + 1) % 3 AS VARCHAR) AS query_hash, raw
+  FROM raws WHERE k % 10 = 0
+),
+parsed AS (
+  SELECT query_hash,
+    json_extract_string(raw, '$[0]') AS atom_type,
+    json_extract_string(raw, '$[1]') AS atom_value,
+    json_extract_string(raw, '$[2]') AS hashes_md5,
+    CAST(raw -> '$[3]' AS INTEGER[]) AS threat_scores,
+    CAST(raw -> '$[4]' AS VARCHAR[]) AS threat_tags
+  FROM bulk
+),
+typed AS (
+  SELECT parsed.*,
+    CASE atom_type WHEN 'fqdn' THEN 'domain' WHEN 'domain' THEN 'domain'
+         WHEN 'ip' THEN 'srcip' WHEN 'url' THEN 'url' WHEN 'email' THEN 'email'
+         WHEN 'file' THEN 'md5' END AS anomali_type
+  FROM parsed
+),
+kept AS (
+  SELECT * FROM typed
+  WHERE anomali_type IS NOT NULL
+    AND NOT (anomali_type = 'md5' AND hashes_md5 IS NULL)
+),
+specs(query_hash, dataset_name, anomali_severity) AS (
+  SELECT * FROM (VALUES ('qh-0', 'dataset_alpha', 'medium'),
+                        ('qh-1', 'dataset_beta', 'high'),
+                        ('qh-2', 'dataset_gamma', 'low')) v
+),
+enriched AS (
+  SELECT kept.*, dataset_name, anomali_severity,
+    COALESCE(
+      CASE WHEN kept.query_hash = 'qh-0' AND anomali_type = 'domain' THEN 'custom_dom_itype'
+           WHEN kept.query_hash = 'qh-0' AND anomali_type = 'md5' THEN 'custom_md5_itype'
+           WHEN kept.query_hash = 'qh-2' AND anomali_type = 'srcip' THEN 'custom_ip_itype' END,
+      CASE anomali_type WHEN 'domain' THEN 'suspicious_domain' WHEN 'srcip' THEN 'actor_ip'
+           WHEN 'url' THEN 'suspicious_url' WHEN 'email' THEN 'suspicious_email'
+           WHEN 'md5' THEN 'mal_md5' END
+    ) AS anomali_itype
+  FROM kept JOIN specs ON kept.query_hash = specs.query_hash
+)
+"""
+
+
+def _indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bulk = derive_bulk_raw(spark, sf_dir)
+    valid, _rejected = validate_specs(derived_specs_df(spark))
+    return generate_indicators(bulk, valid)
+
+
+def ioc_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP-A end-to-end: bulk rows → normalized indicator relation."""
+    return _indicators(spark, sf_dir).select(
+        "dataset_name",
+        "anomali_type",
+        "anomali_itype",
+        "anomali_severity",
+        "atom_type",
+        "atom_value",
+        "hashes_md5",
+        F.array_max("threat_scores").cast("int").alias("confidence"),
+        F.array_join("threat_tags", ",").alias("threat_tags_csv"),
+    )
+
+
+IOC_INDICATORS_SQL = (
+    _IOC_CTES
+    + """
+SELECT dataset_name, anomali_type, anomali_itype, anomali_severity,
+       atom_type, atom_value, hashes_md5,
+       CAST(list_aggregate(threat_scores, 'max') AS INTEGER) AS confidence,
+       array_to_string(threat_tags, ',') AS threat_tags_csv
+FROM enriched
+"""
+)
+
+
+def ioc_payload_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 + P4 prep + P5/P6 tag assembly, pre-JSON typed form."""
+    objs = prepare_objects(_indicators(spark, sf_dir), tags_tlp="white", add_dtl_tags=True)
+    return objs.select(
+        "value_key",
+        "value",
+        "confidence",
+        "itype",
+        "severity",
+        F.to_json("tags").alias("tags_json"),
+    )
+
+
+IOC_PAYLOAD_OBJECTS_SQL = (
+    _IOC_CTES
+    + """
+SELECT anomali_type AS value_key,
+       CASE WHEN anomali_type = 'md5' THEN hashes_md5 ELSE atom_value END AS value,
+       CAST(list_aggregate(threat_scores, 'max') AS INTEGER) AS confidence,
+       anomali_itype AS itype,
+       anomali_severity AS severity,
+       '[{"name":"' || dataset_name || '","tlp":"white"}' ||
+       COALESCE(array_to_string(
+           list_transform(threat_tags, x -> ',{"name":"' || x || '","tlp":"white"}'), ''), '') ||
+       ']' AS tags_json
+FROM enriched
+"""
+)
+
+
+def ioc_payload_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P7/P8: full type-keyed object JSON + deterministic payload meta."""
+    objs = prepare_objects(_indicators(spark, sf_dir), tags_tlp="white", add_dtl_tags=True)
+    rendered = objects_json(objs)
+    meta = payload_meta(
+        classification="private",
+        expiration_hours=1,
+        now=F.lit("2026-01-01 00:00:00").cast("timestamp"),
+    )
+    return rendered.select("object_json", F.to_json(meta).alias("meta_json"))
+
+
+IOC_PAYLOAD_JSON_SQL = (
+    _IOC_CTES
+    + """
+SELECT '{"' || anomali_type || '":"' ||
+       CASE WHEN anomali_type = 'md5' THEN hashes_md5 ELSE atom_value END ||
+       '","confidence":' || CAST(CAST(list_aggregate(threat_scores, 'max') AS INTEGER) AS VARCHAR) ||
+       ',"itype":"' || anomali_itype ||
+       '","severity":"' || anomali_severity ||
+       '","tags":[{"name":"' || dataset_name || '","tlp":"white"}' ||
+       COALESCE(array_to_string(
+           list_transform(threat_tags, x -> ',{"name":"' || x || '","tlp":"white"}'), ''), '') ||
+       ']}' AS object_json,
+       '{"allow_update":true,"enrich":true,"classification":"private","expiration_ts":"2026-01-01T01:00:00"}' AS meta_json
+FROM enriched
+"""
+)
+
+
+def ioc_upsert_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP-B J4: batch MERGE routing against sink state."""
+    adv = derive_advisories(spark, sf_dir)
+    existing = derive_existing_tipreports(spark, sf_dir)
+    routed = route_upserts(adv, existing)
+    return routed.select("id", "action", "tipreport_id")
+
+
+IOC_UPSERT_ROUTING_SQL = """
+WITH adv AS (
+  SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 7 = 0
+),
+ex AS (
+  SELECT o_orderkey AS aid, o_orderkey + 1000000 AS tid
+  FROM orders WHERE o_orderkey % 14 = 0
+)
+SELECT id,
+       CASE WHEN tid IS NULL THEN 'insert' ELSE 'update' END AS action,
+       tid AS tipreport_id
+FROM adv LEFT JOIN ex ON adv.id = ex.aid
+"""
+
+
+def ioc_incremental_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC4/A2/T2: advisories newer than the sink-side high-watermark."""
+    adv = derive_advisories(spark, sf_dir)
+    existing = derive_existing_tipreports(spark, sf_dir)
+    fresh = incremental_advisories(adv, existing, "timestamp_updated")
+    return fresh.select(
+        "id",
+        F.date_format("timestamp_updated", "yyyy-MM-dd HH:mm:ss").alias("updated_ts"),
+    )
+
+
+IOC_INCREMENTAL_CURSOR_SQL = """
+WITH ex AS (
+  SELECT o_orderdate - INTERVAL 2 YEAR AS m FROM orders WHERE o_orderkey % 14 = 0
+  UNION ALL
+  SELECT o_orderdate - INTERVAL 2 YEAR FROM orders WHERE o_orderkey % 11 = 0
+),
+adv AS (
+  SELECT o_orderkey AS id, o_orderdate AS tu FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT id, strftime(tu, '%Y-%m-%d %H:%M:%S') AS updated_ts
+FROM adv WHERE tu > (SELECT max(m) FROM ex)
+"""
+
+QUERIES = {
+    "ioc_indicators": ioc_indicators,
+    "ioc_payload_objects": ioc_payload_objects,
+    "ioc_payload_json": ioc_payload_json,
+    "ioc_upsert_routing": ioc_upsert_routing,
+    "ioc_incremental_cursor": ioc_incremental_cursor,
+}
+
+ORACLES = {
+    "ioc_indicators": IOC_INDICATORS_SQL,
+    "ioc_payload_objects": IOC_PAYLOAD_OBJECTS_SQL,
+    "ioc_payload_json": IOC_PAYLOAD_JSON_SQL,
+    "ioc_upsert_routing": IOC_UPSERT_ROUTING_SQL,
+    "ioc_incremental_cursor": IOC_INCREMENTAL_CURSOR_SQL,
+}

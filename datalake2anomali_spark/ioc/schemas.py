@@ -69,26 +69,23 @@ DEFAULT_ITYPE: dict[str, str] = {
 }
 
 
+def _values_relation(spark: SparkSession, rows: list[tuple[str, str]], cols: tuple[str, str]) -> DataFrame:
+    # SQL VALUES builds a JVM-side LocalRelation: evaluating (and broadcasting)
+    # it never touches Python workers, unlike createDataFrame over a Python
+    # list, which pickles rows into an RDD and spins a Python worker per
+    # partition on EVERY evaluation (~10s of overhead per join at local[32]).
+    values = ", ".join(f"('{a}', '{b}')" for a, b in rows)
+    return spark.sql(f"SELECT * FROM VALUES {values} AS t({cols[0]}, {cols[1]})")
+
+
 def atom_type_dim(spark: SparkSession) -> DataFrame:
     """The J1 dimension as a DataFrame (broadcast at join sites)."""
-    return spark.createDataFrame(
-        [(k, v) for k, v in DTL_TO_ANOMALI_TYPE.items()],
-        T.StructType(
-            [
-                T.StructField("atom_type", T.StringType(), False),
-                T.StructField("anomali_type", T.StringType(), False),
-            ]
-        ),
+    return _values_relation(
+        spark, list(DTL_TO_ANOMALI_TYPE.items()), ("atom_type", "anomali_type")
     )
 
 
 def default_itype_dim(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        [(k, v) for k, v in DEFAULT_ITYPE.items()],
-        T.StructType(
-            [
-                T.StructField("anomali_type", T.StringType(), False),
-                T.StructField("default_itype", T.StringType(), False),
-            ]
-        ),
+    return _values_relation(
+        spark, list(DEFAULT_ITYPE.items()), ("anomali_type", "default_itype")
     )

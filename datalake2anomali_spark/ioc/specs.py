@@ -42,10 +42,38 @@ class QuerySpec:
         return bool(self.query_hash) and bool(self.dataset_name) and bool(self.anomali_severity)
 
 
+def _sql_str(v: str | None) -> str:
+    if v is None:
+        return "CAST(NULL AS STRING)"
+    escaped = v.replace("'", "''")
+    return f"'{escaped}'"
+
+
+def _sql_map(m: dict[str, str] | None) -> str:
+    if m is None:
+        return "CAST(NULL AS MAP<STRING,STRING>)"
+    if not m:
+        return "map()"
+    parts = ", ".join(f"{_sql_str(k)}, {_sql_str(v)}" for k, v in m.items())
+    return f"map({parts})"
+
+
 def specs_df(spark: SparkSession, specs: list[QuerySpec]) -> DataFrame:
-    return spark.createDataFrame(
-        [(s.query_hash, s.dataset_name, s.anomali_severity, s.anomali_itype) for s in specs],
-        SPEC_SCHEMA,
+    """Config specs → a JVM-side LocalRelation.
+
+    Rendered as a SQL VALUES list (values escaped) rather than
+    ``createDataFrame`` over Python objects: a LocalRelation evaluates and
+    broadcasts without Python workers, which matters because this frame is
+    broadcast-joined inside every EP-A query.
+    """
+    rows = ", ".join(
+        f"({_sql_str(s.query_hash)}, {_sql_str(s.dataset_name)}, "
+        f"{_sql_str(s.anomali_severity)}, {_sql_map(s.anomali_itype)})"
+        for s in specs
+    )
+    return spark.sql(
+        f"SELECT * FROM VALUES {rows} "
+        "AS t(query_hash, dataset_name, anomali_severity, anomali_itype)"
     )
 
 

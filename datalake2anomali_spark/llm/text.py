@@ -1,0 +1,121 @@
+"""Text-analysis operators over a document corpus.
+
+Design rule: everything here is built from ``pyspark.sql.functions`` array /
+string expressions — whole-stage codegen, no Python in the hot path.  At
+100 TB these run as map-only passes over the corpus (no shuffle), so they
+scale with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/stopword language-ID heuristic.
+# Tie-break priority is the dict order (en > de > fr > es).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of"],
+    "de": ["der", "die", "das", "und"],
+    "fr": ["le", "la", "les", "et"],
+    "es": ["el", "los", "las", "y"],
+}
+
+STOPWORDS = ["the", "a", "and", "of"]
+
+
+def tokens_col(text: Column | str = "text") -> Column:
+    """Whitespace tokenization (the corpus is single-space normalized)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def _marker_count(toks: Column, markers: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token/char statistics + a deterministic quality score.
+
+    Quality heuristic (same spirit as C4/Gopher filters): penalize very short
+    docs and very high stopword ratios; all arithmetic is fixed-order double
+    ops so any engine computes identical values.
+    """
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    n_stop = _marker_count(toks, STOPWORDS)
+    avg_word_len = (n_chars - (n_tokens - F.lit(1))).cast("double") / n_tokens
+    stop_ratio = n_stop.cast("double") / n_tokens
+    quality = (
+        F.least(n_tokens.cast("double") / F.lit(64.0), F.lit(1.0)) * F.lit(0.5)
+        + (F.lit(1.0) - stop_ratio) * F.lit(0.5)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        n_stop.alias("n_stopwords"),
+        avg_word_len.alias("avg_word_len"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language identification.
+
+    Scores each language by marker-token hits; argmax with fixed priority
+    order, ``unknown`` when no marker fires.  (The driver corpus is
+    monolingual-vocab, so on it this mostly exercises the 'en'/'unknown'
+    paths; multilingual behavior is pinned by unit tests.)
+    """
+    toks = tokens_col(text_col)
+    scores = {lang: _marker_count(toks, m) for lang, m in LANG_MARKERS.items()}
+    en, de, fr, es = scores["en"], scores["de"], scores["fr"], scores["es"]
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de >= es) & (de > 0), F.lit("de"))
+        .when((fr >= es) & (fr > 0), F.lit("fr"))
+        .when(es > 0, F.lit("es"))
+        .otherwise(F.lit("unknown"))
+    )
+    return docs.select(
+        "doc_id",
+        en.alias("score_en"),
+        de.alias("score_de"),
+        fr.alias("score_fr"),
+        es.alias("score_es"),
+        pred.alias("pred_lang"),
+    )
+
+
+def shingles_col(text_col: str = "text", n: int = 4) -> Column:
+    """Distinct word n-gram shingles as an array<string> column.
+
+    ``sequence(1, size-n+1)`` + ``slice`` keeps shingling inside codegen;
+    documents shorter than ``n`` tokens yield an empty array.
+    """
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    # guard: sequence(1, x<1) DESCENDS in Spark, so short docs need an
+    # explicit empty-array branch instead of a greatest() clamp
+    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", n: int = 4) -> DataFrame:
+    """Document fingerprints: full-text md5 + minimum shingle-hash.
+
+    The min-shingle-hash is the 1-hash special case of MinHash — two docs
+    sharing their rarest shingle collide — and is the deterministic,
+    oracle-checkable core of the rolling-hash fingerprint family.
+    """
+    sh = shingles_col(text_col, n)
+    return docs.select(
+        "doc_id",
+        F.md5(F.col(text_col)).alias("text_md5"),
+        F.array_min(F.transform(sh, F.md5)).alias("min_shingle_md5"),
+        F.size(sh).alias("n_shingles"),
+    )

@@ -90,6 +90,74 @@ def _table_buckets(vec: Column, planes: list[list[float]], n_tables: int, bits: 
     return F.array(*entries)
 
 
+def embedding_neardup_exact(
+    embeddings: DataFrame, threshold: float = 0.95, round_digits: int = 6
+) -> DataFrame:
+    """All vector pairs with cosine similarity ≥ threshold (exact O(n²)).
+
+    This is the small-corpus baseline / oracle twin; at 100 TB use
+    ``embedding_neardup_lsh`` — the exact form exists so the approximate one
+    has something to be measured against.  The self-join is a cross product
+    restricted by ``id1 < id2``; Spark executes it as BroadcastNestedLoop
+    when one side fits, which is exactly the regime where exact is viable.
+    """
+    a = embeddings.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
+    b = embeddings.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
+    sim = F.round(cosine_sim(F.col("e1"), F.col("e2")), round_digits)
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )
+
+
+def embedding_neardup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_tables: int = 8,
+    bits_per_table: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding near-dup at scale: LSH-bucketed candidates + exact verify.
+
+    High-cosine pairs collide in a table with probability (1-θ/π)^bits —
+    for θ ≈ 18° (cos 0.95) and 8 bits that is ≈ 0.43 per table, ≈ 0.99
+    across 8 tables.  Candidate generation is a self-equi-join on
+    (table, bucket) — shuffle keyed by bucket, no cross product — then the
+    exact cosine runs only on candidates.  False positives are removed by
+    the verify step; false negatives bounded by the table count.
+    """
+    planes = hyperplane_planes(dim, n_tables * bits_per_table, seed)
+    bucketed = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            _table_buckets(F.col("embedding"), planes, n_tables, bits_per_table)
+        ).alias("tb"),
+    ).select("vec_id", "embedding", "tb.table", "tb.bucket")
+    a = bucketed.select(
+        "table", "bucket", F.col("vec_id").alias("id1"), F.col("embedding").alias("e1")
+    )
+    b = bucketed.select(
+        "table", "bucket", F.col("vec_id").alias("id2"), F.col("embedding").alias("e2")
+    )
+    cands = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "e1", "e2")
+        .distinct()
+    )
+    sim = F.round(cosine_sim(F.col("e1"), F.col("e2")), round_digits)
+    return (
+        cands.withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )
+
+
 def ann_hyperplane_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -105,6 +105,37 @@ def shingles_col(text_col: str = "text", n: int = 4) -> Column:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs / digit runs / single non-alnum marks —
+# the GPT-2-style split that precedes byte-pair merging.  Engine-portable
+# subset of regex (no lookarounds) so the DuckDB oracle runs the same pattern.
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens_col(text: Column | str = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), 0)
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting two ways: whitespace words and BPE-ish regex pieces.
+
+    ``n_tokens_bpe`` approximates the pre-merge piece count a BPE tokenizer
+    sees; ``distinct_ratio`` (type/token ratio) is the standard repetition
+    signal for corpus filtering.  Map-only, codegen'd — scales with splits.
+    """
+    ws = tokens_col(text_col)
+    bpe = bpe_tokens_col(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("n_tokens_ws"),
+        F.size(bpe).alias("n_tokens_bpe"),
+        F.size(F.array_distinct(bpe)).alias("n_distinct_bpe"),
+        (F.size(F.array_distinct(bpe)).cast("double") / F.size(bpe)).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", n: int = 4) -> DataFrame:
     """Document fingerprints: full-text md5 + minimum shingle-hash.
 

@@ -21,8 +21,13 @@ from ..llm.dedup import (
     simhash_near_pairs,
 )
 from ..llm.multimodal import extract_features, with_binary_payload
-from ..llm.similarity import ann_hyperplane_topk, cosine_topk
-from ..llm.text import fingerprint, lang_id, text_stats
+from ..llm.similarity import (
+    ann_hyperplane_topk,
+    cosine_topk,
+    embedding_neardup_exact,
+    embedding_neardup_lsh,
+)
+from ..llm.text import fingerprint, lang_id, text_stats, token_counts
 
 # Shared shingle CTE (4-gram word shingles, distinct, same construction as
 # llm.text.shingles_col).
@@ -189,7 +194,58 @@ SELECT doc_id,
 FROM documents
 """
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+TOKEN_COUNTS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS ws,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS bpe
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(ws) AS INTEGER) AS n_tokens_ws,
+       CAST(len(bpe) AS INTEGER) AS n_tokens_bpe,
+       CAST(len(list_distinct(bpe)) AS INTEGER) AS n_distinct_bpe,
+       CAST(len(list_distinct(bpe)) AS DOUBLE) / len(bpe) AS distinct_ratio
+FROM t
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold low enough that random-ish synthetic embeddings yield pairs
+    # (max pairwise cosine in the driver fixtures is ~0.5)
+    return embedding_neardup_exact(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+EMBEDDING_NEARDUP_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+"""
+
+
 # -- approximate operators: rows-only for the driver; recall-tested in pytest -
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # low threshold needs shorter codes + more tables for recall: collision
+    # probability per table is (1 - theta/pi)^bits, tiny at theta ~ 66 deg
+    # unless bits is small.
+    return embedding_neardup_lsh(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        n_tables=16,
+        bits_per_table=4,
+    )
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,9 +271,12 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "ann_cosine_topk": q_ann_cosine_topk,
     "multimodal_features": q_multimodal_features,
+    "token_counts": q_token_counts,
+    "embedding_neardup": q_embedding_neardup,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
 }
 
 ORACLES = {
@@ -228,5 +287,8 @@ ORACLES = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "ann_cosine_topk": ANN_COSINE_SQL,
     "multimodal_features": MULTIMODAL_SQL,
-    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk: rows-only by design
+    "token_counts": TOKEN_COUNTS_SQL,
+    "embedding_neardup": EMBEDDING_NEARDUP_SQL,
+    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / embedding_neardup_lsh:
+    # rows-only by design (non-portable hash functions)
 }

@@ -18,8 +18,13 @@ from datalake2anomali_spark.llm.dedup import (
     simhash_near_pairs,
 )
 from datalake2anomali_spark.llm.multimodal import decode_image, extract_features, with_binary_payload
-from datalake2anomali_spark.llm.similarity import ann_hyperplane_topk, cosine_topk
-from datalake2anomali_spark.llm.text import lang_id, shingles_col
+from datalake2anomali_spark.llm.similarity import (
+    ann_hyperplane_topk,
+    cosine_topk,
+    embedding_neardup_exact,
+    embedding_neardup_lsh,
+)
+from datalake2anomali_spark.llm.text import bpe_tokens_col, lang_id, shingles_col
 
 
 @pytest.fixture(scope="module")
@@ -70,6 +75,30 @@ def test_ann_recall_vs_exact(spark, sf_dir):
     # 8-table×4-bit LSH on random embeddings: multi-probe union should recall
     # well above chance (5/500 = 1%)
     assert recall >= 0.5, f"ann recall {recall}"
+
+
+def test_embedding_neardup_lsh_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    exact = {(r.id1, r.id2) for r in embedding_neardup_exact(emb, threshold=0.4).collect()}
+    approx = {
+        (r.id1, r.id2)
+        for r in embedding_neardup_lsh(
+            emb, threshold=0.4, n_tables=16, bits_per_table=4
+        ).collect()
+    }
+    assert exact, "corpus should contain high-cosine pairs at threshold 0.4"
+    # verify step removes all false positives
+    assert approx <= exact
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, f"embedding LSH recall {recall}"
+
+
+def test_bpe_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world! abc123 x-y")], "doc_id long, text string"
+    )
+    toks = df.select(bpe_tokens_col("text").alias("t")).first().t
+    assert toks == ["Hello", ",", "world", "!", "abc", "123", "x", "-", "y"]
 
 
 def test_lang_id_multilingual(spark):

@@ -237,12 +237,45 @@ SELECT id, strftime(tu, '%Y-%m-%d %H:%M:%S') AS updated_ts
 FROM adv WHERE tu > (SELECT max(m) FROM ex)
 """
 
+def ioc_rest_source_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP-A end-to-end over the Python DataSource REST scan (SRC1-3).
+
+    Rows-only for the driver (the source's data never touches parquet, so
+    there is no DuckDB twin); the per-transform behavior is oracle-covered
+    by ``ioc_indicators`` and the source itself by tests/test_sources.py.
+    """
+    import json as _json
+
+    from ..ioc.specs import QuerySpec, specs_df
+    from ..ioc.transforms import generate_indicators
+    from ..sources import register_sources
+    from ..sources.mock_backend import DEFAULT_FIELDS
+
+    register_sources(spark)
+    hashes = ["q1hash", "q2hash", "q3hash"]
+    bulk = (
+        spark.read.format("datalake_bulksearch")
+        .option("query_hashes", _json.dumps(hashes))
+        .option("query_fields", _json.dumps(DEFAULT_FIELDS + ["tags"]))
+        .load()
+    )
+    specs = specs_df(
+        spark,
+        [
+            QuerySpec(query_hash=h, dataset_name=f"ds_{h}", anomali_severity="medium")
+            for h in hashes
+        ],
+    )
+    return generate_indicators(bulk, specs).orderBy("dataset_name", "atom_value")
+
+
 QUERIES = {
     "ioc_indicators": ioc_indicators,
     "ioc_payload_objects": ioc_payload_objects,
     "ioc_payload_json": ioc_payload_json,
     "ioc_upsert_routing": ioc_upsert_routing,
     "ioc_incremental_cursor": ioc_incremental_cursor,
+    "ioc_rest_source_pipeline": ioc_rest_source_pipeline,
 }
 
 ORACLES = {

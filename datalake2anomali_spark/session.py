@@ -56,6 +56,11 @@ def configure_session(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Python DataSource pushFilters (sources/datalake.py) requires opt-in
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:  # pragma: no cover - unknown conf on older Spark
+        pass
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:  # pragma: no cover - static conf in some deployments

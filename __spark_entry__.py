@@ -19,7 +19,13 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from datalake2anomali_spark.session import configure_session  # noqa: E402
-from datalake2anomali_spark.plans import breadth, ioc_queries, llm_queries, relational  # noqa: E402
+from datalake2anomali_spark.plans import (  # noqa: E402
+    breadth,
+    ioc_queries,
+    llm_queries,
+    relational,
+    streaming_queries,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -31,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, ioc_queries, breadth, llm_queries):
+    for mod in (relational, ioc_queries, breadth, llm_queries, streaming_queries):
         out.update({name: _wrap(fn) for name, fn in mod.QUERIES.items()})
     return out
 
@@ -39,7 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each queries() entry."""
     out: dict[str, str] = {}
-    for mod in (relational, ioc_queries, breadth, llm_queries):
+    for mod in (relational, ioc_queries, breadth, llm_queries, streaming_queries):
         out.update(mod.ORACLES)
     return out
 

@@ -1,0 +1,37 @@
+"""Driver-registered streaming/window queries (SURVEY.md §2.9, §7 step 6).
+
+Five entries:
+
+- ``tumbling_window_counts`` / ``sliding_window_stats`` / ``session_window_agg``
+  — the window operators run in batch mode (same transform functions the
+  streaming paths use), each with a full DuckDB oracle.
+- ``stream_tumbling_counts`` — a *real* Structured Streaming run (readStream →
+  watermark → window agg → availableNow → memory sink) whose result is still
+  oracle-comparable, because a single availableNow batch drops nothing.
+- ``stateful_user_profiles`` — ``applyInPandasWithState`` custom stateful
+  operator, oracle-comparable for the same reason.
+
+The multi-batch behaviors that cannot be batch-oracled (late-data drop across
+watermark advances, state carried between micro-batches, idle-key timeout)
+are covered in ``tests/test_streaming.py``.
+"""
+
+from __future__ import annotations
+
+from datalake2anomali_spark.streaming import incremental, stateful, windows
+
+QUERIES = {
+    "tumbling_window_counts": windows.tumbling_counts_query,
+    "sliding_window_stats": windows.sliding_stats_query,
+    "session_window_agg": windows.session_window_stats_query,
+    "stream_tumbling_counts": incremental.stream_tumbling_counts,
+    "stateful_user_profiles": stateful.stateful_user_profiles,
+}
+
+ORACLES = {
+    "tumbling_window_counts": windows.TUMBLING_SQL,
+    "sliding_window_stats": windows.SLIDING_SQL,
+    "session_window_agg": windows.SESSION_WINDOW_SQL,
+    "stream_tumbling_counts": windows.TUMBLING_SQL,
+    "stateful_user_profiles": stateful.STATEFUL_PROFILE_SQL,
+}

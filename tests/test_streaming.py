@@ -1,0 +1,175 @@
+"""Streaming surface tests (SURVEY.md §2.9 / §7 step 6).
+
+The single-batch availableNow paths are oracle-checked by the driver
+(plans/streaming_queries.py); these tests cover what the batch oracle cannot:
+late-data drops across watermark advances, state carried between micro-batches
+and the incremental cursor's pushdown contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from datalake2anomali_spark.io.tables import load_table
+from datalake2anomali_spark.streaming import incremental, stateful, windows
+
+US = 1_000_000
+NS = 1_000_000_000
+T0 = 1_700_000_000  # epoch seconds, aligned to 100s (and to 5-min buckets? no)
+BASE = 1_699_999_800  # 2023-11-14 22:10:00 UTC — multiple of 300 (5-min aligned)
+
+
+def _write_events(path: str, rows: list[tuple[int, int, int, str, float]], mtime: int) -> None:
+    """One parquet file with the raw events schema (ts = epoch ns as INT64)."""
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] * NS for r in rows], pa.int64()),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}" for _ in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, path)
+    os.utime(path, (mtime, mtime))  # file source orders batches by mtime
+
+
+def test_tumbling_counts_batch_semantics(spark, sf_dir):
+    """Window starts are epoch-aligned and counts partition the input."""
+    out = windows.tumbling_counts(load_table(spark, sf_dir, "events"), minutes=5)
+    rows = out.collect()
+    assert rows
+    assert all(r.w_start % 300 == 0 for r in rows)
+    total = sum(r.n_events for r in rows)
+    assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_session_window_matches_lag_cumsum(spark, sf_dir):
+    """Native session_window session count per user == gaps-and-islands count."""
+    e = load_table(spark, sf_dir, "events")
+    native = (
+        windows.session_window_stats(e, gap_minutes=30)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap_us = 30 * 60 * US
+    prev = F.lag("ts").over(w)
+    marked = e.withColumn(
+        "new_sess",
+        F.when(
+            prev.isNull() | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) >= gap_us), 1
+        ).otherwise(0),
+    )
+    manual = marked.groupBy("user_id").agg(F.sum("new_sess").alias("n_sessions"))
+    diff = native.join(manual, "user_id").filter(
+        native.n_sessions != manual.n_sessions
+    )
+    assert diff.count() == 0
+
+
+def test_cross_tick_watermark_drops_late_and_holds_open_windows(spark, tmp_path):
+    """Two scheduler ticks sharing a checkpoint enforce watermark semantics.
+
+    Tick 2 starts with the committed watermark (22:19) from tick 1, so its
+    late row (21:50) is dropped before aggregation, the finalized batch-1
+    window is appended exactly once, and the still-open fresh window (22:35)
+    is withheld.  Within a *single* availableNow run Spark's late-record
+    filter only uses the startup watermark, so the drop is a cross-tick
+    guarantee — which is exactly the reference's cron-tick shape (T1).
+    """
+    d = tmp_path / "events_in"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    d.mkdir()
+
+    def tick():
+        stream = incremental.read_events_stream(spark, str(d))
+        agg = windows.tumbling_counts(stream.withWatermark("ts", "5 minutes"), minutes=5)
+        incremental.run_tick(agg, out, ckpt)
+
+    # tick 1: five events 22:20:00..22:24:00, one 5-min window [22:20, 22:25)
+    _write_events(
+        str(d / "b1.parquet"),
+        [(i, BASE + 600 + i * 60, 1, "click", 1.0) for i in range(5)],
+        mtime=1_000_000,
+    )
+    tick()
+    # tick 2: a row far below the committed watermark + a fresh row at 22:35
+    _write_events(
+        str(d / "b2.parquet"),
+        [(100, BASE - 1200, 1, "late", 1.0), (101, BASE + 1500, 1, "click", 1.0)],
+        mtime=1_000_100,
+    )
+    tick()
+
+    rows = {r.w_start: r.n_events for r in spark.read.parquet(out).collect()}
+    assert rows.get(BASE + 600) == 5  # finalized window, emitted exactly once
+    assert BASE - 1200 not in rows  # late row dropped at tick-2 ingest
+    assert BASE + 1500 not in rows  # open window withheld in append mode
+
+
+def test_stateful_accumulates_across_batches(spark, tmp_path):
+    """applyInPandasWithState folds batch-2 events into batch-1 state."""
+    d = tmp_path / "events_in"
+    d.mkdir()
+    _write_events(
+        str(d / "b1.parquet"),
+        [(1, BASE, 7, "click", 1.25), (2, BASE + 60, 7, "click", 2.5)],
+        mtime=1_000_000,
+    )
+    _write_events(
+        str(d / "b2.parquet"),
+        [(3, BASE + 120, 7, "click", 4.125), (4, BASE + 180, 8, "view", 1.0)],
+        mtime=1_000_100,
+    )
+    stream = incremental.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    out = incremental.run_to_completion(
+        stateful.user_profiles_stream(stream, idle_timeout=False),
+        output_mode="update",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    rows = {(r.user_id, r.n_events): r for r in out.collect()}
+    # user 7 emitted twice (once per batch); final state has all 3 events
+    final7 = rows[(7, 3)]
+    assert final7.value_sum == pytest.approx(7.875)
+    assert final7.first_us == BASE * US and final7.last_us == (BASE + 120) * US
+    assert (7, 2) in rows  # the intermediate batch-1 emission
+    assert rows[(8, 1)].value_sum == pytest.approx(1.0)
+
+
+def test_high_watermark_cursor_roundtrip(spark, sf_dir, tmp_path):
+    cur = incremental.HighWatermarkCursor(spark, str(tmp_path / "cursor"))
+    assert cur.read() is None
+    events = load_table(spark, sf_dir, "events")
+    batch, wm = incremental.incremental_pull(events, cur)
+    assert batch.count() == events.count()  # first pull: everything
+    cur.commit(wm)
+    assert cur.read() == wm
+    batch2, wm2 = incremental.incremental_pull(events, cur)
+    assert batch2.count() == 0  # nothing newer than the committed watermark
+    assert wm2 == wm
+
+
+def test_incremental_pull_pushes_filter_to_scan(spark, tmp_path):
+    """On a natively timestamp-typed table the cursor predicate reaches the scan."""
+    src = str(tmp_path / "clean_events")
+    spark.range(100).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros((F.lit(BASE * US) + F.col("id") * 60 * US)).alias("ts"),
+    ).write.parquet(src)
+    cur = incremental.HighWatermarkCursor(spark, str(tmp_path / "cursor"))
+    cur.commit((BASE + 50 * 60) * US)
+    batch, wm = incremental.incremental_pull(spark.read.parquet(src), cur)
+    assert batch.count() == 49  # ids 51..99 are strictly newer
+    assert wm == (BASE + 99 * 60) * US
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(ts" in plan

@@ -25,6 +25,7 @@ from datalake2anomali_spark.plans import (  # noqa: E402
     llm_queries,
     relational,
     streaming_queries,
+    temporal_queries,
 )
 
 
@@ -37,7 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, ioc_queries, breadth, llm_queries, streaming_queries):
+    for mod in (relational, ioc_queries, breadth, llm_queries, streaming_queries, temporal_queries):
         out.update({name: _wrap(fn) for name, fn in mod.QUERIES.items()})
     return out
 
@@ -45,7 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each queries() entry."""
     out: dict[str, str] = {}
-    for mod in (relational, ioc_queries, breadth, llm_queries, streaming_queries):
+    for mod in (relational, ioc_queries, breadth, llm_queries, streaming_queries, temporal_queries):
         out.update(mod.ORACLES)
     return out
 

@@ -1,0 +1,171 @@
+"""Temporal join operators: as-of join, range (interval) join, rollup chain.
+
+None of these exist in the reference (its only join surface is 6-row dim
+lookups, SURVEY.md §2.3) and none are Spark built-ins — they are the
+canonical "custom operator" set for time-series/feature-store workloads,
+implemented here as deliberate shuffle shapes on stock DataFrame ops:
+
+- **as-of join** — union both sides, one shuffle+sort per key, carry the
+  latest right payload forward with ``last(ignorenulls)``.  This is O(n log n)
+  per key and never materializes candidate pairs, unlike the naive
+  inequality-join formulation which Spark would execute as a broadcast
+  nested-loop.  At 100 TB: one shuffle of (left ∪ right), no skew beyond the
+  key distribution itself.
+- **range join** — point-in-interval via *bucketing*: intervals explode to
+  the fixed-width time buckets they cover, points map to one bucket, and the
+  match becomes an equi-join on (key, bucket) + an exact residual filter.
+  Candidate volume is bounded by bucket width ≈ interval length, again
+  avoiding the nested-loop plan.
+- **rollup chain** — hypertable-style multi-resolution aggregates where each
+  coarser grain re-aggregates the *finer aggregate*, not the raw data
+  (the continuous-aggregate pattern): the hourly pass reads |5-min buckets|
+  rows instead of |events|.  Sums stay fixed-point longs through the chain
+  so re-aggregation is exact (functions/exact.py rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    right_payload: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row, the newest right row with ``right.ts <= left.ts``.
+
+    Left-join semantics: left rows with no prior right row keep nulls.  Right
+    payload columns come back suffixed (``<col><suffix>``), plus
+    ``<ts_col><suffix>`` for the matched right timestamp.
+
+    Union-and-carry-forward plan: tag sides, union, window per key ordered by
+    (ts, side) — right rows sort *before* left rows at equal ts, giving the
+    inclusive `<=` semantics — then ``last(payload, ignorenulls)`` carries the
+    most recent right payload onto every left row.  One shuffle, one sort.
+    """
+    right_payload = right_payload or [c for c in right.columns if c not in keys and c != ts_col]
+    lpay = [c for c in left.columns if c not in keys and c != ts_col]
+
+    lside = left.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lpay],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_payload],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias(f"{ts_col}{suffix}"),
+    )
+    rside = right.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_payload],
+        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+    )
+    unioned = lside.unionByName(rside)
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(ts_col, "__side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.select(
+        *keys,
+        ts_col,
+        "__side",
+        *[F.col(c) for c in lpay],
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_payload
+        ],
+        F.last(f"{ts_col}{suffix}", ignorenulls=True).over(w).alias(f"{ts_col}{suffix}"),
+    )
+    return carried.filter(F.col("__side") == 1).drop("__side")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    keys: list[str],
+    point_ts: str = "ts_us",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    bucket_us: int = 600 * 1_000_000,
+) -> DataFrame:
+    """Pairs (point, interval) with ``start <= point_ts <= end``, same keys.
+
+    Bucketed equi-join: each interval lands in every ``bucket_us``-wide
+    bucket it overlaps (``sequence`` + explode, ≤ ⌈len/bucket⌉+1 copies), a
+    point lands in exactly one, and the equi-join on (keys, bucket) bounds
+    candidates before the exact residual filter.  Pick ``bucket_us`` near the
+    typical interval length: shorter buckets → more interval copies, longer
+    → more false candidates.  All timestamp math is integer µs.
+    """
+    b_int = F.explode(
+        F.sequence(
+            (F.col(start_col) / bucket_us).cast("long"),
+            (F.col(end_col) / bucket_us).cast("long"),
+        )
+    ).alias("__bucket")
+    iv = intervals.select(*[F.col(c) for c in intervals.columns], b_int)
+    pt = points.withColumn("__bucket", (F.col(point_ts) / bucket_us).cast("long"))
+    joined = pt.join(iv, [*keys, "__bucket"]).filter(
+        (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) <= F.col(end_col))
+    )
+    return joined.drop("__bucket")
+
+
+def rollup_chain(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    dims: list[str] | None = None,
+    scale: int = 3,
+) -> dict[str, DataFrame]:
+    """5-min → hour → day continuous-aggregate chain.
+
+    Returns ``{"5m": df, "hour": df, "day": df}``; each level has
+    ``bucket_start`` (epoch s), the dims, ``n_events`` and ``fixed_sum``
+    (value snapped to ``scale`` decimals, kept as a long so every level
+    re-aggregates exactly).  hour reads the 5m aggregate, day reads hour —
+    at scale that is the difference between re-scanning 100 TB of raw events
+    per grain and re-scanning yesterday's (tiny) finer rollup.
+    """
+    dims = dims if dims is not None else []
+    m = 10**scale
+
+    base = (
+        events.groupBy(
+            (F.floor(F.unix_timestamp(F.col(ts_col)) / 300) * 300).alias("bucket_start"),
+            *[F.col(d) for d in dims],
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col(value_col) * m).cast("long")).alias("fixed_sum"),
+        )
+    )
+
+    def coarsen(df: DataFrame, span: int) -> DataFrame:
+        return (
+            df.groupBy(
+                (F.floor(F.col("bucket_start") / span) * span).alias("bucket_start"),
+                *[F.col(d) for d in dims],
+            ).agg(F.sum("n_events").alias("n_events"), F.sum("fixed_sum").alias("fixed_sum"))
+        )
+
+    hour = coarsen(base, 3600)
+    day = coarsen(hour, 86400)
+    return {"5m": base, "hour": hour, "day": day}
+
+
+def finish_rollup(level: DataFrame, scale: int = 3) -> Column | DataFrame:
+    """Expose a rollup level with the fixed sum converted back to double."""
+    m = float(10**scale)
+    return level.select(
+        *[c for c in level.columns if c != "fixed_sum"],
+        (F.col("fixed_sum").cast("double") / m).alias("value_sum"),
+    )

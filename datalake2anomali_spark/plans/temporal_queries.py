@@ -1,0 +1,127 @@
+"""Driver-registered temporal-operator queries (as-of, range join, rollup).
+
+Oracles: DuckDB's native ``ASOF LEFT JOIN`` for the as-of operator (an
+independent implementation of the same semantics — the strongest possible
+check), a plain inequality join for the range join, and direct-from-raw
+aggregation for the rollup chain (whose Spark side deliberately re-aggregates
+finer levels instead; matching results prove the chain is lossless).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake2anomali_spark.io.tables import load_table
+from datalake2anomali_spark.operators import temporal
+
+_SCALE = 3
+
+
+def _typed(spark: SparkSession, sf_dir: str, event_type: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == event_type)
+        .select("event_id", "user_id", "ts", "value")
+    )
+
+
+def asof_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each click, the user's most recent error at or before it."""
+    clicks = _typed(spark, sf_dir, "click").drop("value")
+    errors = _typed(spark, sf_dir, "error").drop("value")
+    joined = temporal.asof_join(clicks, errors, keys=["user_id"], ts_col="ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("event_id_r").alias("err_event_id"),
+        F.unix_micros(F.col("ts_r")).alias("err_ts_us"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_r"))).alias("lag_us"),
+    )
+
+
+ASOF_SQL = """
+SELECT l.event_id,
+       l.user_id,
+       epoch_us(l.ts) AS ts_us,
+       r.event_id AS err_event_id,
+       epoch_us(r.ts) AS err_ts_us,
+       epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def range_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks landing in the 6 hours after each error, counted per error."""
+    errors = _typed(spark, sf_dir, "error").select(
+        F.col("event_id").alias("err_event_id"),
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("start_us"),
+        (F.unix_micros(F.col("ts")) + 21600 * 1_000_000).alias("end_us"),
+    )
+    clicks = _typed(spark, sf_dir, "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    pairs = temporal.range_join(clicks, errors, keys=["user_id"], bucket_us=21600 * 1_000_000)
+    return pairs.groupBy("err_event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.min("ts_us").alias("first_click_us"),
+    )
+
+
+RANGE_SQL = """
+SELECT r.event_id AS err_event_id,
+       COUNT(*) AS n_clicks,
+       MIN(epoch_us(l.ts)) AS first_click_us
+FROM (SELECT * FROM events WHERE event_type = 'error') r
+JOIN (SELECT * FROM events WHERE event_type = 'click') l
+  ON l.user_id = r.user_id
+ AND epoch_us(l.ts) >= epoch_us(r.ts)
+ AND epoch_us(l.ts) <= epoch_us(r.ts) + 21600000000
+GROUP BY 1
+"""
+
+
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour + day grains from the continuous-aggregate chain, unioned.
+
+    Both grains are computed by re-aggregating the next-finer rollup level —
+    the oracle aggregates straight from raw events, so a hash match proves
+    the chain loses nothing.
+    """
+    levels = temporal.rollup_chain(
+        load_table(spark, sf_dir, "events"), dims=["event_type"], scale=_SCALE
+    )
+    hour = temporal.finish_rollup(levels["hour"], _SCALE).withColumn("grain", F.lit("hour"))
+    day = temporal.finish_rollup(levels["day"], _SCALE).withColumn("grain", F.lit("day"))
+    return hour.unionByName(day)
+
+
+ROLLUP_SQL = f"""
+WITH grains(grain, span) AS (VALUES ('hour', 3600), ('day', 86400))
+SELECT CAST(FLOOR(epoch(ts) / g.span) * g.span AS BIGINT) AS bucket_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * {10**_SCALE}) AS BIGINT)) AS DOUBLE) / {10**_SCALE} AS value_sum,
+       g.grain AS grain
+FROM events, grains g
+GROUP BY 1, 2, 5
+"""
+
+
+QUERIES = {
+    "asof_join_click_error": asof_click_error,
+    "range_join_error_clicks": range_join_error_clicks,
+    "hypertable_rollup": hypertable_rollup,
+}
+
+ORACLES = {
+    "asof_join_click_error": ASOF_SQL,
+    "range_join_error_clicks": RANGE_SQL,
+    "hypertable_rollup": ROLLUP_SQL,
+}

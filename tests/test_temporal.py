@@ -1,0 +1,84 @@
+"""Edge-semantics tests for operators/temporal.py (as-of, range join, rollup).
+
+The sf0.01 oracle run checks bulk agreement with DuckDB; these pin the
+boundary behaviors on handmade rows: tie inclusivity, no-match nulls,
+interval endpoint inclusivity, bucket-boundary candidates, and fixed-point
+exactness through the rollup chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalake2anomali_spark.operators import temporal
+
+US = 1_000_000
+
+
+def _ts_df(spark, rows, cols):
+    df = spark.createDataFrame(rows, cols)
+    return df.withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
+
+
+def test_asof_join_tie_and_no_match(spark):
+    left = _ts_df(
+        spark,
+        [(1, 10, 100 * US), (2, 10, 50 * US), (3, 20, 500 * US)],
+        "event_id long, user_id long, ts_us long",
+    )
+    right = _ts_df(
+        spark,
+        [(91, 10, 100 * US), (92, 10, 60 * US), (93, 10, 40 * US)],
+        "rid long, user_id long, ts_us long",
+    )
+    out = {
+        r.event_id: r
+        for r in temporal.asof_join(left, right, keys=["user_id"], ts_col="ts").collect()
+    }
+    assert out[1].rid_r == 91  # equal timestamps match (inclusive <=)
+    assert out[2].rid_r == 93  # picks 40s, not 60s (newest at-or-before 50s)
+    assert out[3].rid_r is None and out[3].ts_r is None  # user 20: left-join nulls
+
+
+def test_asof_join_matched_ts_forwarded(spark):
+    left = _ts_df(spark, [(1, 7, 90 * US)], "event_id long, user_id long, ts_us long")
+    right = _ts_df(spark, [(55, 7, 30 * US)], "rid long, user_id long, ts_us long")
+    row = temporal.asof_join(left, right, keys=["user_id"], ts_col="ts").collect()[0]
+    assert row.ts_r.timestamp() == 30
+
+
+def test_range_join_endpoint_inclusivity_and_bucket_boundary(spark):
+    # interval [1000s, 1600s]; bucket width 600s → covers buckets 1 and 2
+    intervals = spark.createDataFrame(
+        [(1, 5, 1000 * US, 1600 * US)], "iid long, user_id long, start_us long, end_us long"
+    )
+    points = spark.createDataFrame(
+        [
+            (10, 5, 1000 * US),  # == start → in
+            (11, 5, 1600 * US),  # == end → in
+            (12, 5, 999 * US),  # just before → out
+            (13, 5, 1601 * US),  # just after → out
+            (14, 5, 1300 * US),  # bucket 2 (boundary-crossing candidate) → in
+            (15, 6, 1300 * US),  # other key → out
+        ],
+        "pid long, user_id long, ts_us long",
+    )
+    got = sorted(
+        r.pid
+        for r in temporal.range_join(
+            points, intervals, keys=["user_id"], bucket_us=600 * US
+        ).collect()
+    )
+    assert got == [10, 11, 14]
+
+
+def test_rollup_chain_levels_are_consistent(spark):
+    # values chosen so double re-aggregation would drift without fixed-point
+    rows = [(i, 1700000000 * US + i * 400 * US, "a", 0.1) for i in range(60)]
+    events = _ts_df(spark, rows, "event_id long, ts_us long, event_type string, value double")
+    levels = temporal.rollup_chain(events, dims=["event_type"], scale=3)
+    total_5m = levels["5m"].agg(F.sum("fixed_sum"), F.sum("n_events")).collect()[0]
+    total_day = levels["day"].agg(F.sum("fixed_sum"), F.sum("n_events")).collect()[0]
+    assert tuple(total_5m) == tuple(total_day) == (6000, 60)  # 60 × 0.1 exactly
+    day = temporal.finish_rollup(levels["day"]).collect()
+    assert all(r.value_sum == r.n_events * 0.1 for r in day)

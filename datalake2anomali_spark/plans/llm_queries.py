@@ -23,6 +23,7 @@ from ..llm.dedup import (
 from ..llm.multimodal import extract_features, with_binary_payload
 from ..llm.similarity import (
     ann_hyperplane_topk,
+    ann_ivf_topk,
     cosine_topk,
     embedding_neardup_exact,
     embedding_neardup_lsh,
@@ -263,6 +264,11 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(emb, _query_vectors(spark, sf_dir), k=5, n_cells=16, nprobe=6)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -276,6 +282,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
 }
 
@@ -289,6 +296,7 @@ ORACLES = {
     "multimodal_features": MULTIMODAL_SQL,
     "token_counts": TOKEN_COUNTS_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
-    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / embedding_neardup_lsh:
-    # rows-only by design (non-portable hash functions)
+    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / ann_ivf_topk /
+    # embedding_neardup_lsh: rows-only by design (non-portable hash functions /
+    # trained quantizer); recall vs the exact baseline is pinned in tests
 }

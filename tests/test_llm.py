@@ -132,3 +132,25 @@ def test_multimodal_plumbing(docs):
 def test_multimodal_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+def test_ann_ivf_recall_vs_exact(spark, sf_dir):
+    from datalake2anomali_spark.llm.similarity import ann_ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_topk(emb, queries, k=5, n_cells=16, nprobe=6).collect()
+    }
+    # probing 6/16 cells scans ~37% of the corpus; true top-5 neighbors
+    # concentrate in the query's nearest cells, so recall must beat that rate
+    # (these fixture embeddings are random, the hardest case for IVF)
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"ivf recall {recall}"
+    # every returned neighbor must carry its exact similarity (no approx sims)
+    got = {r.rank for r in ann_ivf_topk(emb, queries, k=5, n_cells=16, nprobe=6).collect()}
+    assert got == {1, 2, 3, 4, 5}

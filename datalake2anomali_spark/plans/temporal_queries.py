@@ -125,3 +125,63 @@ ORACLES = {
     "range_join_error_clicks": RANGE_SQL,
     "hypertable_rollup": ROLLUP_SQL,
 }
+
+
+# -- skew-mitigation demo (operators/skew.py) --------------------------------
+
+
+def salted_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join + salted agg over a deliberately low-cardinality key.
+
+    lineitem⋈orders on orderkey (salted 8-way), then revenue stats per
+    o_orderpriority (5 distinct values — the hot-key shape).  The oracle is
+    the plain unsalted SQL: identical results prove salting is purely a
+    physical rewrite.
+    """
+    from datalake2anomali_spark.functions.exact import dsum
+    from datalake2anomali_spark.operators import skew
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = skew.salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        orders,
+        keys=["o_orderkey"],
+        salt_from=["o_orderkey", "l_linenumber"],
+        n_salts=8,
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cents = F.round(revenue * 100).cast("long")
+    out = skew.salted_agg(
+        joined.withColumn("rev_cents", cents),
+        keys=["o_orderpriority"],
+        partials={
+            "n_items": (F.count(F.lit(1)), F.sum("n_items")),
+            "rev_cents": (F.sum("rev_cents"), F.sum("rev_cents")),
+            "max_price": (F.max("l_extendedprice"), F.max("max_price")),
+        },
+        salt_from=["o_orderkey", "l_linenumber"],
+        n_salts=8,
+    )
+    return out.select(
+        "o_orderpriority",
+        "n_items",
+        (F.col("rev_cents").cast("double") / 100).alias("revenue"),
+        "max_price",
+    )
+
+
+SALTED_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS revenue,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+QUERIES["salted_skew_stats"] = salted_priority_stats
+ORACLES["salted_skew_stats"] = SALTED_SQL

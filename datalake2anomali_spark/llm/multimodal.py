@@ -70,3 +70,106 @@ def extract_features(docs_with_payload: DataFrame) -> DataFrame:
     return docs_with_payload.select("doc_id", "payload").mapInPandas(
         features, FEATURE_SCHEMA
     )
+
+
+RESIZED_SCHEMA = "doc_id long, payload binary, n_bytes int, fake_width int, fake_height int"
+
+
+def resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize hook — requires an image codec library.
+
+    STUB: swap for ``PIL.Image.open(...).resize((width, height))`` where
+    Pillow exists; the deterministic fake below (truncate/cycle bytes to the
+    target "pixel count") keeps the batch plumbing testable without codecs.
+    """
+    target = width * height
+    if len(payload) >= target:
+        return payload[:target]
+    reps = (target + len(payload) - 1) // len(payload)
+    return (payload * reps)[:target]
+
+
+def resize_images(docs_with_payload: DataFrame, width: int = 64, height: int = 48) -> DataFrame:
+    """Binary→binary transform batch-wise: the resize plumbing shape.
+
+    Output payload is exactly ``width*height`` bytes per row, so downstream
+    batch memory is bounded and predictable — the property a real resize
+    gives you before feature extraction or model inference.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf["payload"].map(lambda p: resize_image_stub(p, width, height))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "n_bytes": out.str.len().astype("int32"),
+                    "fake_width": width,
+                    "fake_height": height,
+                }
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(resize, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary, frame_checksum string"
+
+
+def sample_frames(
+    docs_with_payload: DataFrame, frame_bytes: int = 256, every: int = 4
+) -> DataFrame:
+    """Video-style frame sampling: 1 input row → N output rows, batched.
+
+    Treats the payload as a sequence of fixed-size ``frame_bytes`` frames
+    (a real decoder would use container timestamps) and keeps every
+    ``every``-th frame.  The 1→N fan-out happens inside ``mapInPandas`` so
+    the expansion never materializes per-row Python objects on the driver
+    and output batch size stays bounded by the input Arrow batch.
+    """
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs, blobs, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n_frames, every):
+                    chunk = payload[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    blobs.append(chunk)
+                    sums.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": blobs, "frame_checksum": sums}
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(frames, FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = "doc_id long, n_samples int, mean_amp double, rms double"
+
+
+def audio_stats(docs_with_payload: DataFrame) -> DataFrame:
+    """Waveform statistics with the payload read as 16-bit little-endian PCM.
+
+    A real pipeline decodes the container first (STUB — no audio codecs
+    here); interpreting raw bytes as PCM keeps the numeric path (numpy over
+    Arrow batches, one vectorized pass per batch) identical to production.
+    """
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n, mean_a, rms = [], [], []
+            for payload in pdf["payload"]:
+                x = np.frombuffer(payload[: len(payload) // 2 * 2], dtype="<i2").astype(np.float64)
+                n.append(len(x))
+                mean_a.append(float(x.mean()) if len(x) else 0.0)
+                rms.append(float(np.sqrt((x * x).mean())) if len(x) else 0.0)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_samples": n, "mean_amp": mean_a, "rms": rms}
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(stats, AUDIO_SCHEMA)

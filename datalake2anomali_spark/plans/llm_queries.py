@@ -20,7 +20,7 @@ from ..llm.dedup import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
-from ..llm.multimodal import extract_features, with_binary_payload
+from ..llm.multimodal import extract_features, sample_frames, with_binary_payload
 from ..llm.similarity import (
     ann_hyperplane_topk,
     ann_ivf_topk,
@@ -195,6 +195,30 @@ SELECT doc_id,
 FROM documents
 """
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (64-byte frames, every 2nd) over the binary payload.
+
+    The mapInPandas 1-to-N fan-out checked value-for-value against a DuckDB
+    substring/md5 twin — valid because the fixture text is pure ASCII, so
+    byte offsets equal character offsets.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(with_binary_payload(docs), frame_bytes=64, every=2)
+    return frames.select("doc_id", "frame_idx", "frame_checksum")
+
+
+MULTIMODAL_FRAMES_SQL = """
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 2)) AS fi
+  FROM documents
+)
+SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+       md5(substring(text, CAST(fi * 64 + 1 AS BIGINT), 64)) AS frame_checksum
+FROM f
+"""
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(load_table(spark, sf_dir, "documents"))
 
@@ -277,6 +301,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "ann_cosine_topk": q_ann_cosine_topk,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
     "token_counts": q_token_counts,
     "embedding_neardup": q_embedding_neardup,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -294,6 +319,7 @@ ORACLES = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "ann_cosine_topk": ANN_COSINE_SQL,
     "multimodal_features": MULTIMODAL_SQL,
+    "multimodal_frames": MULTIMODAL_FRAMES_SQL,
     "token_counts": TOKEN_COUNTS_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / ann_ivf_topk /

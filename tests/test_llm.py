@@ -154,3 +154,46 @@ def test_ann_ivf_recall_vs_exact(spark, sf_dir):
     # every returned neighbor must carry its exact similarity (no approx sims)
     got = {r.rank for r in ann_ivf_topk(emb, queries, k=5, n_cells=16, nprobe=6).collect()}
     assert got == {1, 2, 3, 4, 5}
+
+
+def test_multimodal_resize_bounds_payload(spark, sf_dir):
+    from datalake2anomali_spark.llm.multimodal import resize_images, with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    out = resize_images(with_binary_payload(docs), width=16, height=8).collect()
+    assert len(out) == 20
+    assert all(len(r.payload) == 16 * 8 for r in out)  # every row exactly w*h bytes
+    assert all(r.n_bytes == 128 and r.fake_width == 16 and r.fake_height == 8 for r in out)
+
+
+def test_multimodal_frame_sampling_shape(spark, sf_dir):
+    from datalake2anomali_spark.llm.multimodal import sample_frames, with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    src = {r.doc_id: r.text for r in docs.collect()}
+    frames = sample_frames(with_binary_payload(docs), frame_bytes=64, every=2).collect()
+    for r in frames:
+        assert r.frame_idx % 2 == 0
+        expected = src[r.doc_id].encode()[r.frame_idx * 64 : (r.frame_idx + 1) * 64]
+        assert bytes(r.frame) == expected
+    # every doc contributes ceil(n_frames / 2) sampled frames
+    import math
+
+    per_doc = {}
+    for r in frames:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + 1
+    for doc_id, text in src.items():
+        n_frames = math.ceil(len(text.encode()) / 64)
+        assert per_doc[doc_id] == math.ceil(n_frames / 2)
+
+
+def test_multimodal_audio_stats_pcm(spark):
+    import numpy as np
+    from datalake2anomali_spark.llm.multimodal import audio_stats
+
+    samples = np.array([0, 1000, -1000, 500], dtype="<i2")
+    df = spark.createDataFrame([(1, bytearray(samples.tobytes()))], "doc_id long, payload binary")
+    row = audio_stats(df).collect()[0]
+    assert row.n_samples == 4
+    assert row.mean_amp == 125.0
+    assert abs(row.rms - float(np.sqrt((samples.astype(float) ** 2).mean()))) < 1e-9

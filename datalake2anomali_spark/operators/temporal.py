@@ -162,6 +162,66 @@ def rollup_chain(
     return {"5m": base, "hour": hour, "day": day}
 
 
+def rollup_grains_one_pass(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    dims: list[str] | None = None,
+    grains: dict[str, int] | None = None,
+    base_span: int = 300,
+    scale: int = 3,
+) -> DataFrame:
+    """All requested grains in a single plan: base agg + GROUPING SETS.
+
+    Where :func:`rollup_chain` returns separate DataFrames per level (the
+    continuous-aggregate shape — persist each level, refresh incrementally),
+    this emits every grain from ONE pass when they are wanted together in
+    the same query: events aggregate once to the base grain (first shuffle),
+    each coarser bucket becomes a column, and a GROUPING SETS aggregate
+    computes all grains in the second shuffle.  N grains cost 2 shuffles and
+    1 scan instead of N× recomputing the base.  Output: ``grain``,
+    ``bucket_start`` (epoch s), dims, ``n_events``, ``value_sum``.
+    """
+    dims = dims if dims is not None else []
+    grains = grains or {"hour": 3600, "day": 86400}
+    m = 10**scale
+
+    base = (
+        events.groupBy(
+            (F.floor(F.unix_timestamp(F.col(ts_col)) / base_span) * base_span).alias("__b"),
+            *[F.col(d) for d in dims],
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col(value_col) * m).cast("long")).alias("fixed_sum"),
+        )
+    )
+    names = list(grains)
+    with_buckets = base.select(
+        *[
+            (F.floor(F.col("__b") / span) * span).alias(f"__g_{g}")
+            for g, span in grains.items()
+        ],
+        *[F.col(d) for d in dims],
+        "n_events",
+        "fixed_sum",
+    )
+    gs = with_buckets.groupingSets(
+        [[f"__g_{g}", *dims] for g in names],
+        *[F.col(f"__g_{g}") for g in names],
+        *[F.col(d) for d in dims],
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("fixed_sum").alias("fixed_sum"))
+    grain = F.coalesce(
+        *[F.when(F.col(f"__g_{g}").isNotNull(), F.lit(g)) for g in names]
+    )
+    return gs.select(
+        F.coalesce(*[F.col(f"__g_{g}") for g in names]).alias("bucket_start"),
+        *dims,
+        "n_events",
+        (F.col("fixed_sum").cast("double") / m).alias("value_sum"),
+        grain.alias("grain"),
+    )
+
+
 def finish_rollup(level: DataFrame, scale: int = 3) -> Column | DataFrame:
     """Expose a rollup level with the fixed sum converted back to double."""
     m = float(10**scale)

@@ -88,18 +88,18 @@ GROUP BY 1
 
 
 def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hour + day grains from the continuous-aggregate chain, unioned.
+    """Hour + day grains in one pass (base agg + GROUPING SETS).
 
-    Both grains are computed by re-aggregating the next-finer rollup level —
-    the oracle aggregates straight from raw events, so a hash match proves
-    the chain loses nothing.
+    2 shuffles / 1 scan for any number of grains — the union-of-levels
+    formulation recomputed the base aggregate per grain (5 shuffles,
+    2 scans for two grains).  The oracle aggregates straight from raw
+    events, so a hash match proves the multi-grain pass loses nothing.
+    ``temporal.rollup_chain`` remains the persist-per-level variant for
+    incremental refresh.
     """
-    levels = temporal.rollup_chain(
+    return temporal.rollup_grains_one_pass(
         load_table(spark, sf_dir, "events"), dims=["event_type"], scale=_SCALE
     )
-    hour = temporal.finish_rollup(levels["hour"], _SCALE).withColumn("grain", F.lit("hour"))
-    day = temporal.finish_rollup(levels["day"], _SCALE).withColumn("grain", F.lit("day"))
-    return hour.unionByName(day)
 
 
 ROLLUP_SQL = f"""

@@ -82,3 +82,24 @@ def test_rollup_chain_levels_are_consistent(spark):
     assert tuple(total_5m) == tuple(total_day) == (6000, 60)  # 60 × 0.1 exactly
     day = temporal.finish_rollup(levels["day"]).collect()
     assert all(r.value_sum == r.n_events * 0.1 for r in day)
+
+
+def test_rollup_one_pass_matches_chain(spark):
+    rows = [(i, 1700000000 * US + i * 777 * US, "t" + str(i % 2), float(i) / 8) for i in range(200)]
+    events = _ts_df(spark, rows, "event_id long, ts_us long, event_type string, value double")
+    chain = temporal.rollup_chain(events, dims=["event_type"], scale=3)
+    chained = {
+        (g, r.bucket_start, r.event_type): (r.n_events, r.value_sum)
+        for g in ("hour", "day")
+        for r in temporal.finish_rollup(chain[g]).collect()
+    }
+    one_pass = {
+        (r.grain, r.bucket_start, r.event_type): (r.n_events, r.value_sum)
+        for r in temporal.rollup_grains_one_pass(events, dims=["event_type"], scale=3).collect()
+    }
+    assert one_pass == chained
+    plan = (
+        temporal.rollup_grains_one_pass(events, dims=["event_type"], scale=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2  # base agg + grouping sets

@@ -18,6 +18,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from .util import spread as _spread
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Fixed-order fold dot product in double precision."""
@@ -143,7 +145,7 @@ def embedding_neardup_exact(
     At 100 TB-scale corpora prefer ``embedding_neardup_lsh`` (prunes the
     candidate space); this blocked kernel is the exact verify/baseline.
     """
-    blocked = embeddings.select(
+    blocked = _spread(embeddings).select(
         "vec_id",
         "embedding",
         F.pmod(F.hash("vec_id"), F.lit(n_blocks)).alias("blk"),
@@ -210,7 +212,7 @@ def embedding_neardup_lsh(
     table count.
     """
     planes = hyperplane_planes(dim, n_tables * bits_per_table, seed)
-    bucketed = embeddings.select(
+    bucketed = _spread(embeddings).select(
         "vec_id",
         F.explode(
             _table_buckets(F.col("embedding"), planes, n_tables, bits_per_table)
@@ -257,7 +259,7 @@ def ann_hyperplane_topk(
     (n_tables, bits_per_table); the exact twin is ``cosine_topk``.
     """
     planes = hyperplane_planes(dim, n_tables * bits_per_table, seed)
-    corpus_b = embeddings.select(
+    corpus_b = _spread(embeddings).select(
         "vec_id",
         "embedding",
         F.explode(_table_buckets(F.col("embedding"), planes, n_tables, bits_per_table)).alias("tb"),
@@ -292,52 +294,43 @@ def ivf_train_centroids(
     n_iters: int = 2,
     seed: int = 42,
     train_pct: int = 25,
+    max_train: int = 100_000,
 ) -> np.ndarray:
-    """Spherical k-means centroids, trained distributed, returned driver-side.
+    """Spherical k-means centroids from a bounded sample, trained driver-side.
 
-    Init is deterministic: the ``n_cells`` corpus vectors with the smallest
-    ``xxhash64(vec_id, seed)`` (a seeded uniform draw that is reproducible
-    across partitionings, unlike ``rand()``).  Each Lloyd round is one
-    assignment pass (Arrow-batched GEMM against the broadcast centroids) and
-    one mean per (cell, dim) computed via ``posexplode`` — a plain hash
-    aggregate, so the per-round shuffle carries n_cells×dim partials, not
-    vectors.  Training reads only a ``train_pct``% hash-sample of the corpus
-    (quantizer quality needs a representative sample, not every vector).
-    Centroids (n_cells×dim doubles) always fit on the driver; the corpus
-    never leaves the cluster.
+    The FAISS norm: a coarse quantizer needs a *representative* sample, not
+    the corpus — training set = deterministic ``train_pct``% hash-sample
+    capped at ``max_train`` rows (the cap keeps the collect bounded at any
+    corpus size; 100k × 64 doubles ≈ 50 MB).  One cluster job collects the
+    sample; init (the ``n_cells`` vectors with smallest
+    ``xxhash64(vec_id, seed)`` — a seeded draw reproducible across
+    partitionings, unlike ``rand()``) and the Lloyd iterations are pure
+    numpy.  The earlier distributed-Lloyd variant cost 2 cluster jobs per
+    round in driver-roundtrip latency to move n_cells×dim partials — the
+    corpus-sized work (cell *assignment*) stays on the cluster either way,
+    so centralizing the tiny training step is strictly better.
     """
-    # quantizers train on a sample (the FAISS norm): deterministic hash-mod
-    # draw, so the training set is stable across runs and partitionings
-    train = embeddings.filter(F.pmod(F.xxhash64(F.col("vec_id"), F.lit(seed + 1)), 100) < train_pct)
-    init_rows = (
-        train.select("vec_id", "embedding")
+    rows = (
+        embeddings.filter(
+            F.pmod(F.xxhash64(F.col("vec_id"), F.lit(seed + 1)), 100) < train_pct
+        )
+        .select("vec_id", "embedding")
         .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)), F.col("vec_id"))
-        .limit(n_cells)
+        .limit(max_train)
         .collect()
     )
-    C = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in init_rows])
-    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = Xn[:n_cells].copy()  # rows arrive in hash order — same init as before
 
     for _ in range(n_iters):
-        assigned = train.select(
-            F.posexplode(F.col("embedding")).alias("dim", "x"),
-            ivf_cell_col(F.col("embedding"), C).alias("cell"),
-        )
-        means = (
-            assigned.groupBy("cell", "dim")
-            .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        New = C.copy()
+        assign = (Xn @ C.T).argmax(axis=1)
         sums = np.zeros_like(C)
-        counts = np.zeros(len(C), dtype=np.int64)
-        for r in means:
-            sums[r.cell, r.dim] += r.s
-            counts[r.cell] = r.n
+        np.add.at(sums, assign, X)  # means over raw vectors, then re-normalize
+        counts = np.bincount(assign, minlength=n_cells)
         nonempty = counts > 0
-        New[nonempty] = sums[nonempty] / counts[nonempty, None]
-        New /= np.linalg.norm(New, axis=1, keepdims=True)
-        C = New
+        C[nonempty] = sums[nonempty] / counts[nonempty, None]
+        C /= np.linalg.norm(C, axis=1, keepdims=True)
     return C
 
 
@@ -387,7 +380,7 @@ def ann_ivf_topk(
     bucketed by cell so a probe is a partition-pruned scan, not a join.
     """
     C = ivf_train_centroids(embeddings, n_cells, n_iters, seed)
-    corpus = embeddings.select(
+    corpus = _spread(embeddings).select(
         "vec_id", "embedding", ivf_cell_col(F.col("embedding"), C).alias("cell")
     )
     probes = queries.select(

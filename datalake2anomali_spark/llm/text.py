@@ -142,7 +142,12 @@ def fingerprint(docs: DataFrame, text_col: str = "text", n: int = 4) -> DataFram
     The min-shingle-hash is the 1-hash special case of MinHash — two docs
     sharing their rarest shingle collide — and is the deterministic,
     oracle-checkable core of the rolling-hash fingerprint family.
+    (Per-doc work here is ~n_shingles md5 calls — heavy enough that the
+    single-split bench scan is worth fanning out; see ``util.spread``.)
     """
+    from .util import spread
+
+    docs = spread(docs)
     sh = shingles_col(text_col, n)
     return docs.select(
         "doc_id",

@@ -69,25 +69,43 @@ def run_to_completion(
     stream_df: DataFrame,
     output_mode: str = "complete",
     checkpoint_dir: str | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drive a streaming DataFrame with availableNow into a memory sink.
 
     Returns the sink contents as a batch DataFrame.  The memory sink is for
     tests/drivers only (it collects to the driver); production sinks are
     parquet/Delta/foreachBatch → the API writer in sinks/anomali.py.
+
+    ``state_partitions`` sizes the stateful-operator shuffle (= number of
+    state-store instances, pinned into the checkpoint at the first batch).
+    Unlike batch shuffles, every state partition pays per-batch commit I/O
+    even when near-empty, so this should track key cardinality and executor
+    count rather than inherit the global ``spark.sql.shuffle.partitions`` —
+    small keyspaces want few stores, a 100 TB keyspace wants hundreds.  The
+    conf is set around ``start()`` (planning time) and restored after; the
+    session is assumed single-threaded here, as in tests and bench.
     """
     name = f"d2a_stream_{uuid.uuid4().hex[:12]}"
     if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="d2a_ckpt_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", os.path.join(checkpoint_dir, name))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark_ = stream_df.sparkSession
+    saved = spark_.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark_.conf.set("spark.sql.shuffle.partitions", state_partitions)
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", os.path.join(checkpoint_dir, name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark_.conf.set("spark.sql.shuffle.partitions", saved)
     spark = stream_df.sparkSession
     # Materialize before the temp view could be replaced by a later run.
     out = spark.table(name)
@@ -106,7 +124,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
     agg = windows.tumbling_counts(events.withWatermark("ts", "10 minutes"), minutes=5)
-    return run_to_completion(agg, output_mode="complete")
+    return run_to_completion(agg, output_mode="complete", state_partitions=8)
 
 
 def run_tick(

@@ -126,7 +126,9 @@ def stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = incremental.read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
     out = incremental.run_to_completion(
-        user_profiles_stream(events, idle_timeout=False), output_mode="update"
+        user_profiles_stream(events, idle_timeout=False),
+        output_mode="update",
+        state_partitions=8,  # 1.5k keys at bench SF; size to keyspace in prod
     )
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),

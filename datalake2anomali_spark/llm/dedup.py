@@ -86,8 +86,13 @@ def ngram_jaccard_pairs(
     only — pairs sharing no shingle never materialize); set sizes join in
     from a tiny per-doc aggregate.  Jaccard = co/(n1+n2-co) is exact integer
     arithmetic + one double division, so it is engine-independent.
+
+    The inverted index feeds three consumers (both self-join branches and
+    the per-doc sizes), so it is persisted once instead of re-shingling the
+    corpus per branch.
     """
-    idx = shingle_index(docs, text_col, n, max_df)
+    idx = shingle_index(docs, text_col, n, max_df).persist()
+    idx.count()
     sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = idx.alias("a")
     b = idx.alias("b")

@@ -131,13 +131,17 @@ def _flat_hash_batch(hash_arrays: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return flat.view(np.uint64), lens
 
 
-# Fixed odd multipliers / offsets for the k universal re-hashes (mod 2^64).
-_MINHASH_RNG = np.random.RandomState(0xD2A)
-
-
 def _minhash_consts(k: int) -> tuple[np.ndarray, np.ndarray]:
-    a = _MINHASH_RNG.randint(0, 2**63, size=k, dtype=np.uint64) * 2 + 1
-    b = _MINHASH_RNG.randint(0, 2**63, size=k, dtype=np.uint64)
+    """Fixed odd multipliers / offsets for the k universal re-hashes (mod 2^64).
+
+    A fresh seeded RandomState per call: every invocation (and every driver
+    process) gets identical constants for a given k, so signatures, band
+    hashes, and candidate sets are reproducible across repeated in-process
+    runs — a shared module-level RNG would advance between calls.
+    """
+    rng = np.random.RandomState(0xD2A)
+    a = rng.randint(0, 2**63, size=k, dtype=np.uint64) * 2 + 1
+    b = rng.randint(0, 2**63, size=k, dtype=np.uint64)
     return a, b
 
 

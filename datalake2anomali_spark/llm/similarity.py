@@ -320,6 +320,9 @@ def ivf_train_centroids(
         .collect()
     )
     X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    # A sample smaller than n_cells cannot seed that many centroids — clamp,
+    # or the bincount-length/init-length mismatch below raises IndexError.
+    n_cells = min(n_cells, len(X))
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     C = Xn[:n_cells].copy()  # rows arrive in hash order — same init as before
 

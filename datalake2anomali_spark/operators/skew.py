@@ -81,7 +81,17 @@ def salted_join(
     the smaller side); the probe side salts deterministically from
     ``salt_from`` columns.  Join keys become (keys..., __salt) and the salt
     is dropped from the result.
+
+    Only probe-side-preserving joins are supported: replication means an
+    *unmatched build row* appears once per salt, so right/full outer would
+    emit n_salts duplicated null-extended rows.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports probe-side-preserving joins only ({sorted(allowed)}); "
+            f"got how={how!r} — the replicated build side would duplicate unmatched rows"
+        )
     salted_probe = with_salt(probe, salt_from, n_salts)
     replicated = build.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))

@@ -48,25 +48,34 @@ def asof_join(
     (ts, side) — right rows sort *before* left rows at equal ts, giving the
     inclusive `<=` semantics — then ``last(payload, ignorenulls)`` carries the
     most recent right payload onto every left row.  One shuffle, one sort.
+
+    The entire right payload (matched timestamp included) travels as ONE
+    struct column through the window, so every output field comes from the
+    same right row.  Carrying each column independently would mix fields
+    from different right rows whenever the newest right row has a NULL in
+    one payload column (``last(ignorenulls)`` would backfill just that
+    column from an older row).
     """
     right_payload = right_payload or [c for c in right.columns if c not in keys and c != ts_col]
     lpay = [c for c in left.columns if c not in keys and c != ts_col]
 
-    lside = left.select(
-        *keys,
-        F.col(ts_col),
-        F.lit(1).alias("__side"),
-        *[F.col(c) for c in lpay],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_payload],
-        F.lit(None).cast(right.schema[ts_col].dataType).alias(f"{ts_col}{suffix}"),
-    )
     rside = right.select(
         *keys,
         F.col(ts_col),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_payload],
-        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        F.struct(
+            F.col(ts_col).alias("__rts"),
+            *[F.col(c).alias(c) for c in right_payload],
+        ).alias("__rpay"),
+    )
+    rpay_type = rside.schema["__rpay"].dataType
+    lside = left.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lpay],
+        F.lit(None).cast(rpay_type).alias("__rpay"),
     )
     unioned = lside.unionByName(rside)
     w = (
@@ -79,13 +88,15 @@ def asof_join(
         ts_col,
         "__side",
         *[F.col(c) for c in lpay],
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_payload
-        ],
-        F.last(f"{ts_col}{suffix}", ignorenulls=True).over(w).alias(f"{ts_col}{suffix}"),
+        F.last("__rpay", ignorenulls=True).over(w).alias("__rpay"),
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+    return carried.filter(F.col("__side") == 1).select(
+        *keys,
+        ts_col,
+        *[F.col(c) for c in lpay],
+        *[F.col(f"__rpay.{c}").alias(f"{c}{suffix}") for c in right_payload],
+        F.col("__rpay.__rts").alias(f"{ts_col}{suffix}"),
+    )
 
 
 def range_join(

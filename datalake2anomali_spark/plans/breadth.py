@@ -223,7 +223,7 @@ per_session AS (
 )
 SELECT user_id,
        CAST(MAX(sess_idx) AS BIGINT) AS n_sessions,
-       SUM(n_events) AS n_events,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
        MAX(n_events) AS max_session_events
 FROM per_session GROUP BY user_id
 """

@@ -266,7 +266,24 @@ def ioc_rest_source_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             for h in hashes
         ],
     )
-    return generate_indicators(bulk, specs).orderBy("dataset_name", "atom_value")
+    return (
+        generate_indicators(bulk, specs)
+        .select(
+            "dataset_name",
+            "anomali_type",
+            "anomali_itype",
+            "anomali_severity",
+            "atom_type",
+            "atom_value",
+            "hashes_md5",
+            # Scalar-project the array columns (as ioc_indicators does): the
+            # driver's pandas canonicalizer sorts object columns and cannot
+            # hash Python lists.
+            F.array_max("threat_scores").cast("int").alias("confidence"),
+            F.array_join("threat_tags", ",").alias("threat_tags_csv"),
+        )
+        .orderBy("dataset_name", "atom_value")
+    )
 
 
 QUERIES = {

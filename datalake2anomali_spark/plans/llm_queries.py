@@ -124,24 +124,51 @@ FROM s JOIN documents d ON s.doc_id = d.doc_id
 )
 
 
+#: Document-frequency cap for the registered exact-Jaccard query.  This is
+#: the skew guard for the inverted-index self-join: a shingle appearing in
+#: df documents contributes df·(df−1)/2 candidate pairs and lands on ONE
+#: shuffle key, so without a cap a ubiquitous shingle ("in the") makes the
+#: hot key quadratic in corpus size.  With the cap, per-shingle join fan-out
+#: is bounded by max_df² pairs regardless of corpus scale, and both the
+#: co-occurrence counts and the per-doc set sizes are computed on the capped
+#: shingle sets (consistent "capped Jaccard" semantics — the standard IR
+#: stop-shingle trick).
+NGRAM_MAX_DF = 100
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8, max_df=NGRAM_MAX_DF
+    )
 
 
 DEDUP_NGRAM_SQL = (
     _SHINGLE_CTE
-    + """
-, ex AS (
-  SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n_sh FROM s
+    + f"""
+, ex0 AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM s
+),
+dfc AS (
+  SELECT shingle, COUNT(*) AS df FROM ex0 GROUP BY shingle
+),
+ex AS (  -- df-capped inverted index, mirroring shingle_index(max_df={NGRAM_MAX_DF})
+  SELECT ex0.doc_id, ex0.shingle
+  FROM ex0 JOIN dfc ON ex0.shingle = dfc.shingle
+  WHERE dfc.df <= {NGRAM_MAX_DF}
+),
+sz AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id
 ),
 co AS (
-  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS co,
-         any_value(a.n_sh) AS n1, any_value(b.n_sh) AS n2
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS co
   FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
-SELECT d1, d2, CAST(co AS DOUBLE) / (n1 + n2 - co) AS jaccard
-FROM co WHERE CAST(co AS DOUBLE) / (n1 + n2 - co) >= 0.8
+SELECT d1, d2, CAST(co AS DOUBLE) / (s1.n_sh + s2.n_sh - co) AS jaccard
+FROM co
+JOIN sz s1 ON co.d1 = s1.doc_id
+JOIN sz s2 ON co.d2 = s2.doc_id
+WHERE CAST(co AS DOUBLE) / (s1.n_sh + s2.n_sh - co) >= 0.8
 """
 )
 

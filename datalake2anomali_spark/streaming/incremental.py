@@ -173,11 +173,21 @@ class HighWatermarkCursor:
         self.path = path
 
     def read(self) -> int | None:
-        """Current watermark (epoch µs), or None before the first commit."""
+        """Current watermark (epoch µs), or None before the first commit.
+
+        Only a missing cursor path means "no cursor yet"; any other error
+        (IO, permissions, corrupt file) re-raises — silently treating it as
+        no-cursor would trigger a full re-pull of the source and mask the
+        real failure.
+        """
+        from pyspark.errors import AnalysisException
+
         try:
             rows = self.spark.read.schema(self._SCHEMA).parquet(self.path).collect()
-        except Exception:
-            return None
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return None
+            raise
         if not rows:
             return None
         return max(r.watermark_us for r in rows)

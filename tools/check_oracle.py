@@ -8,6 +8,20 @@ normalized row values.  Usage::
     python tools/check_oracle.py [sf_dir] [query ...]
 
 Defaults to /root/testdata/sf0.01 and all queries.
+
+Two comparison stages:
+
+1. Value stage (``norm_rows``) — Python-level normalization through
+   ``collect()``/``fetchall()``; catches genuine wrong answers with readable
+   diffs.
+2. Pandas stage (``pandas_canon``) — mimics the DRIVER's canonicalizer, which
+   materializes both sides as pandas DataFrames, sorts rows with
+   ``sort_values`` over name-sorted columns, and hashes values
+   dtype-sensitively.  This stage catches two bug classes the value stage
+   cannot see: (a) DuckDB integer widening (``SUM(BIGINT)`` → HUGEINT →
+   pandas float64 while Spark emits int64 — identical values, different
+   hash), and (b) unhashable object cells (list/dict columns that make the
+   driver's ``sort_values`` raise ``TypeError``).
 """
 
 from __future__ import annotations
@@ -56,6 +70,30 @@ def norm_rows(cols, rows):
     return sorted(cols), sorted(out, key=repr)
 
 
+def _dtype_class(kind: str) -> str:
+    """Collapse numpy dtype kinds into the classes the driver's hash separates.
+
+    Signed/unsigned ints hash alike; int vs float vs bool vs object vs
+    datetime do not (int64 ``57`` != float64 ``57.0`` under a
+    dtype-sensitive hash).
+    """
+    return {"i": "int", "u": "int", "f": "float", "b": "bool", "M": "datetime"}.get(
+        kind, "object"
+    )
+
+
+def pandas_canon(pdf):
+    """Driver-style canonicalization: name-sorted columns, ``sort_values``
+    over every column.  Raises TypeError on unhashable cells — exactly like
+    the driver — so callers can surface it as an ``err`` row.
+    Returns (canonical_df, {col: dtype_class}).
+    """
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    pdf = pdf.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    return pdf, {c: _dtype_class(pdf[c].dtype.kind) for c in cols}
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
     from datalake2anomali_spark.session import get_spark
@@ -87,6 +125,14 @@ def main() -> int:
             continue
         spark_s = time.time() - t0
         if name not in oracles:
+            # The driver canonicalizes rows-only results too (that is how an
+            # unhashable array column becomes an `err` row) — mimic it.
+            try:
+                pandas_canon(sdf.toPandas())
+            except TypeError as e:
+                print(f"FAIL {name}: rows-only result not pandas-canonicalizable (driver err): {e}")
+                failures.append(name)
+                continue
             print(f"ok?  {name}: rows-only ({len(srows)} rows, {spark_s:.1f}s) — no oracle")
             continue
         try:
@@ -110,6 +156,24 @@ def main() -> int:
         if sr != dr:
             bad = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
             print(f"FAIL {name}: values differ; first diffs: {bad}")
+            failures.append(name)
+            continue
+        # Driver-faithful pandas stage: dtype-sensitive, sort_values-based.
+        try:
+            _, skinds = pandas_canon(sdf.toPandas())
+        except TypeError as e:
+            print(f"FAIL {name}: spark side not pandas-canonicalizable (driver err): {e}")
+            failures.append(name)
+            continue
+        try:
+            _, dkinds = pandas_canon(con.execute(oracles[name]).df())
+        except TypeError as e:
+            print(f"FAIL {name}: oracle side not pandas-canonicalizable (driver err): {e}")
+            failures.append(name)
+            continue
+        if skinds != dkinds:
+            diff = {c: (skinds[c], dkinds.get(c)) for c in skinds if skinds[c] != dkinds.get(c)}
+            print(f"FAIL {name}: pandas dtype class mismatch (driver hash-fail): {diff}")
             failures.append(name)
             continue
         print(f"PASS {name}: {len(sr)} rows, spark {spark_s:.1f}s")

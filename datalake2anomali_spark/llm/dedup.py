@@ -286,17 +286,27 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", n: int = 4) -> D
     ).select("doc_id", _simhash("hh").alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, text_col: str = "text", max_distance: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    docs: DataFrame | None = None,
+    text_col: str = "text",
+    max_distance: int = 3,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
     """Hamming-ball pairs via 4-segment pigeonhole blocking.
 
     distance ≤ 3 across 64 bits ⇒ at least one of the four 16-bit segments
     matches exactly, so candidates come from 4 equi-joins (union'd), then
     exact popcount verification — no cross join at any scale.  Signatures
     are persisted so the segment self-join's two branches reuse one
-    materialization (see :func:`minhash_dedup_pairs`).
+    materialization (see :func:`minhash_dedup_pairs`); pass ``signatures``
+    (a (doc_id, simhash) frame, ideally already persisted) to share one
+    signature computation with other consumers.
     """
-    sigs = simhash_signatures(docs, text_col).persist()
-    sigs.count()
+    if signatures is not None:
+        sigs = signatures
+    else:
+        sigs = simhash_signatures(docs, text_col).persist()
+        sigs.count()
     seg = lambda i: F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))  # noqa: E731
     segmented = sigs.select(
         "doc_id",

@@ -218,6 +218,11 @@ def embedding_neardup_lsh(
             _table_buckets(F.col("embedding"), planes, n_tables, bits_per_table)
         ).alias("tb"),
     ).select("vec_id", "tb.table", "tb.bucket")
+    # Both self-join branches read the materialized buckets instead of
+    # re-running the projection GEMM per branch (same pattern as the
+    # MinHash/SimHash paths).
+    bucketed = bucketed.persist()
+    bucketed.count()
     a = bucketed.select("table", "bucket", F.col("vec_id").alias("id1"))
     b = bucketed.select("table", "bucket", F.col("vec_id").alias("id2"))
     cands = (

@@ -286,6 +286,80 @@ def ioc_rest_source_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Full-value oracle for the REST-source pipeline.  The mock backend
+# (sources/mock_backend.py) is a pure function of sha256(key) seeds, so the
+# oracle REGENERATES the exact same wire rows inside DuckDB — seed =
+# first 8 bytes of sha256 as UBIGINT, identical row formulas — then applies
+# the EP-A transform (F2 inner dim join, F3 md5 filter, spec enrichment,
+# itype defaults) in SQL.  No parquet table involved: both engines derive
+# the answer independently from the same deterministic definition, which
+# checks the DataSource scan + parse + transform end to end by value.
+_REST_SEED = "CAST(('0x' || substr(sha256({k}), 1, 16)) AS UBIGINT)"
+
+IOC_REST_SOURCE_SQL = f"""
+WITH qh AS (
+  SELECT unnest(['q1hash', 'q2hash', 'q3hash']) AS query_hash
+),
+n AS (
+  SELECT query_hash,
+         50 + {_REST_SEED.format(k="query_hash || '/n'")} % 150 AS cnt
+  FROM qh
+),
+idx AS (
+  SELECT query_hash, unnest(range(0, CAST(cnt AS BIGINT))) AS i FROM n
+),
+seeded AS (
+  SELECT query_hash, i, {_REST_SEED.format(k="query_hash || '/' || i")} AS seed
+  FROM idx
+),
+atoms AS (
+  SELECT query_hash, i, seed,
+         (['fqdn','domain','ip','url','email','file','cve','paste'])[CAST(seed % 8 AS BIGINT) + 1] AS atom_type,
+         [CAST((seed >> 8) % 100 AS INT), CAST((seed >> 16) % 100 AS INT), CAST((seed >> 24) % 100 AS INT)] AS threat_scores,
+         ['tag' || (seed % 7), 'campaign' || (seed % 3)] AS threat_tags
+  FROM seeded
+),
+wire AS (
+  SELECT query_hash,
+         atom_type,
+         atom_type || '-' || (seed % 100000) || '.example' AS atom_value,
+         CASE WHEN atom_type = 'file' AND seed % 5 <> 0
+              THEN md5(query_hash || '/' || i) ELSE NULL END AS hashes_md5,
+         threat_scores, threat_tags
+  FROM atoms
+),
+typed AS (  -- F2: inner join against the 6-row type dim drops cve/paste
+  SELECT w.*, t.anomali_type
+  FROM wire w
+  JOIN (VALUES ('fqdn','domain'), ('domain','domain'), ('ip','srcip'),
+               ('url','url'), ('email','email'), ('file','md5')
+       ) t(atom_type, anomali_type)
+    ON w.atom_type = t.atom_type
+),
+kept AS (  -- F3: md5-typed atoms need a hash
+  SELECT * FROM typed WHERE NOT (anomali_type = 'md5' AND hashes_md5 IS NULL)
+),
+enriched AS (  -- spec join (ds_<hash>/medium, no itype overrides) + J3 default
+  SELECT 'ds_' || k.query_hash AS dataset_name,
+         k.anomali_type,
+         d.itype AS anomali_itype,
+         'medium' AS anomali_severity,
+         k.atom_type, k.atom_value, k.hashes_md5, k.threat_scores, k.threat_tags
+  FROM kept k
+  LEFT JOIN (VALUES ('domain','suspicious_domain'), ('srcip','actor_ip'),
+                    ('url','suspicious_url'), ('email','suspicious_email'),
+                    ('md5','mal_md5')
+            ) d(atype, itype)
+    ON k.anomali_type = d.atype
+)
+SELECT dataset_name, anomali_type, anomali_itype, anomali_severity,
+       atom_type, atom_value, hashes_md5,
+       CAST(list_aggregate(threat_scores, 'max') AS INTEGER) AS confidence,
+       array_to_string(threat_tags, ',') AS threat_tags_csv
+FROM enriched
+"""
+
+
 QUERIES = {
     "ioc_indicators": ioc_indicators,
     "ioc_payload_objects": ioc_payload_objects,
@@ -301,4 +375,5 @@ ORACLES = {
     "ioc_payload_json": IOC_PAYLOAD_JSON_SQL,
     "ioc_upsert_routing": IOC_UPSERT_ROUTING_SQL,
     "ioc_incremental_cursor": IOC_INCREMENTAL_CURSOR_SQL,
+    "ioc_rest_source_pipeline": IOC_REST_SOURCE_SQL,
 }

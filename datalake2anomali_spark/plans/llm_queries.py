@@ -1,11 +1,13 @@
 """Oracle-checked LLM-pipeline queries (dedup / similarity / text /
 multimodal) over the driver's ``documents`` and ``embeddings`` tables.
 
-Approximate operators (MinHash-LSH, SimHash, hyperplane ANN) have no DuckDB
-twin — their hash functions aren't portable — so they run as rows-only
-checks here and are pinned against their exact counterparts in
-``tests/test_llm.py`` (recall bounds), which is the honest way to test an
-approximation.
+Approximate operators (MinHash-LSH, SimHash, hyperplane/IVF ANN) have no
+DuckDB twin for their raw output — their hash functions aren't portable —
+so each registers a *derived deterministic check* instead: the approximate
+op runs in full, is compared Spark-side against its exact twin (fixed
+seeds), and the query returns a one-row summary of data-derived counts
+(value-checked by the oracle) plus quality-bound booleans (oracle-pinned to
+TRUE).  The same bounds are pinned pair-level in ``tests/test_llm.py``.
 """
 
 from __future__ import annotations
@@ -19,6 +21,7 @@ from ..llm.dedup import (
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
     simhash_near_pairs,
+    simhash_signatures,
 )
 from ..llm.multimodal import extract_features, sample_frames, with_binary_payload
 from ..llm.similarity import (
@@ -285,39 +288,242 @@ WHERE round(list_dot_product(a.v, b.v)
 """
 
 
-# -- approximate operators: rows-only for the driver; recall-tested in pytest -
-
-
-def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # low threshold needs shorter codes + more tables for recall: collision
-    # probability per table is (1 - theta/pi)^bits, tiny at theta ~ 66 deg
-    # unless bits is small.
-    return embedding_neardup_lsh(
-        load_table(spark, sf_dir, "embeddings"),
-        threshold=0.4,
-        n_tables=16,
-        bits_per_table=4,
-    )
+# -- approximate operators: derived deterministic checks -----------------------
+#
+# LSH/IVF hash functions are not portable to DuckDB, so these queries cannot
+# oracle-check the raw pair/top-k output.  Instead each runs the FULL
+# approximate operator AND its exact twin (both Spark-side, fixed seeds →
+# deterministic), then returns a one-row summary the driver CAN hash:
+#
+# - a data-derived count the DuckDB oracle recomputes independently from the
+#   parquet tables (real value check that both engines see the same truth),
+# - boolean quality gates (precision/recall vs the exact twin, with the same
+#   bounds tests/test_llm.py pins) whose oracle value is the constant TRUE —
+#   the row hash-matches iff the approximation meets its bound.
+#
+# This is the honest checkable form of an approximation: value-equality where
+# value-equality is defined (the exact twin), bound-assertion where only a
+# bound is defined (the approximate path).
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_dedup_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+    """MinHash-LSH vs exact n-gram Jaccard (uncapped): recall ≥ 0.9, precision 1.
 
-
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_distance=3)
-
-
-def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return ann_hyperplane_topk(
-        emb, _query_vectors(spark, sf_dir), k=5, n_tables=8, bits_per_table=4
+    Precision is structural (the verify step computes exact Jaccard on
+    candidates), so ``precision_ok`` doubles as a regression check on the
+    verify filter; recall is the banding tradeoff, bounded as in
+    tests/test_llm.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    approx = minhash_dedup_pairs(docs, threshold=0.8).select("d1", "d2").persist()
+    exact = ngram_jaccard_pairs(docs, threshold=0.8).select("d1", "d2").persist()
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_caught = approx.join(exact, ["d1", "d2"], "left_semi").agg(
+        F.count(F.lit(1)).alias("nc")
+    )
+    n_false = approx.join(exact, ["d1", "d2"], "left_anti").agg(
+        F.count(F.lit(1)).alias("nf")
+    )
+    return (
+        n_exact.crossJoin(n_caught)
+        .crossJoin(n_false)
+        .select(
+            F.col("n_exact_pairs"),
+            (F.col("nf") == 0).alias("precision_ok"),
+            (F.col("nc") >= 0.9 * F.col("n_exact_pairs")).alias("recall_ok"),
+        )
     )
 
 
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+DEDUP_MINHASH_SQL = (
+    _SHINGLE_CTE
+    + """
+, ex AS (
+  SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n_sh FROM s
+),
+co AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS co,
+         any_value(a.n_sh) AS n1, any_value(b.n_sh) AS n2
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+       TRUE AS precision_ok,
+       TRUE AS recall_ok
+FROM co WHERE CAST(co AS DOUBLE) / (n1 + n2 - co) >= 0.8
+"""
+)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash blocking vs brute-force Hamming: completeness is a theorem,
+    this checks it empirically.
+
+    The 4-segment pigeonhole guarantees every pair at distance ≤ 3 shares a
+    segment, so the blocked pair set must EQUAL the brute-force all-pairs
+    set.  The brute-force side is a deliberate O(n²) broadcast nested-loop
+    over the (doc_id, 64-bit signature) frame — verification-scale only
+    (bounded corpora); the scale path is the blocked operator it certifies.
+    ``n_docs_signed`` (docs long enough to shingle) is the data-derived
+    column the DuckDB oracle recomputes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash_signatures(docs).persist()
+    blocked = simhash_near_pairs(signatures=sigs, max_distance=3).select("d1", "d2").persist()
+    a = sigs.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"))
+    b = sigs.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"))
+    brute = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .filter(F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))) <= 3)
+        .select("d1", "d2")
+        .persist()
+    )
+    n_signed = sigs.agg(F.count(F.lit(1)).alias("n_docs_signed"))
+    n_blocked = blocked.agg(F.count(F.lit(1)).alias("nb"))
+    n_brute = brute.agg(F.count(F.lit(1)).alias("nx"))
+    n_missed = brute.join(blocked, ["d1", "d2"], "left_anti").agg(
+        F.count(F.lit(1)).alias("nm")
+    )
+    return (
+        n_signed.crossJoin(n_blocked)
+        .crossJoin(n_brute)
+        .crossJoin(n_missed)
+        .select(
+            F.col("n_docs_signed"),
+            ((F.col("nb") == F.col("nx")) & (F.col("nm") == 0)).alias("blocking_complete"),
+        )
+    )
+
+
+DEDUP_SIMHASH_SQL = (
+    _SHINGLE_CTE
+    + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_signed,
+       TRUE AS blocking_complete
+FROM s WHERE len(sh) > 0
+"""
+)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH top-k vs exact cosine top-k: recall@5 ≥ 0.5
+    (the tests/test_llm.py bound for 8 tables × 4 bits on random vectors)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return ann_ivf_topk(emb, _query_vectors(spark, sf_dir), k=5, n_cells=16, nprobe=6)
+    qv = _query_vectors(spark, sf_dir)
+    approx = ann_hyperplane_topk(emb, qv, k=5, n_tables=8, bits_per_table=4).select(
+        "query_id", "neighbor_id"
+    )
+    exact = cosine_topk(emb, qv, k=5).select("query_id", "neighbor_id").persist()
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("nh")
+    )
+    n_q = qv.agg(F.count(F.lit(1)).alias("n_queries"))
+    return (
+        n_q.crossJoin(n_exact)
+        .crossJoin(n_hits)
+        .select(
+            F.col("n_queries"),
+            F.col("n_exact"),
+            (F.col("nh") >= 0.5 * F.col("n_exact")).alias("recall_ok"),
+        )
+    )
+
+
+_ANN_CHECK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+),
+sims AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(cv, qv)
+               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
+  FROM q, c WHERE vec_id <> query_id
+),
+r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM sims
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS n_queries,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM r WHERE rank <= 5) AS n_exact,
+       TRUE AS recall_ok
+"""
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k vs exact cosine top-k: recall@5 ≥ 0.5 at nprobe=6/16 cells
+    (the tests/test_llm.py bound)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vectors(spark, sf_dir)
+    approx = ann_ivf_topk(emb, qv, k=5, n_cells=16, nprobe=6).select(
+        "query_id", "neighbor_id"
+    )
+    exact = cosine_topk(emb, qv, k=5).select("query_id", "neighbor_id").persist()
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("nh")
+    )
+    n_q = qv.agg(F.count(F.lit(1)).alias("n_queries"))
+    return (
+        n_q.crossJoin(n_exact)
+        .crossJoin(n_hits)
+        .select(
+            F.col("n_queries"),
+            F.col("n_exact"),
+            (F.col("nh") >= 0.5 * F.col("n_exact")).alias("recall_ok"),
+        )
+    )
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH near-dup vs the exact blocked-GEMM twin: recall ≥ 0.8,
+    precision 1 (verify step removes false positives).
+
+    Low threshold (0.4) needs short codes + many tables for recall:
+    per-table collision probability is (1 − θ/π)^bits, tiny at θ ≈ 66°
+    unless bits is small — hence 16 tables × 4 bits.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = (
+        embedding_neardup_lsh(emb, threshold=0.4, n_tables=16, bits_per_table=4)
+        .select("id1", "id2")
+        .persist()
+    )
+    exact = embedding_neardup_exact(emb, threshold=0.4).select("id1", "id2").persist()
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_caught = approx.join(exact, ["id1", "id2"], "left_semi").agg(
+        F.count(F.lit(1)).alias("nc")
+    )
+    n_false = approx.join(exact, ["id1", "id2"], "left_anti").agg(
+        F.count(F.lit(1)).alias("nf")
+    )
+    return (
+        n_exact.crossJoin(n_caught)
+        .crossJoin(n_false)
+        .select(
+            F.col("n_exact_pairs"),
+            (F.col("nf") == 0).alias("precision_ok"),
+            (F.col("nc") >= 0.8 * F.col("n_exact_pairs")).alias("recall_ok"),
+        )
+    )
+
+
+EMBEDDING_NEARDUP_LSH_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+       TRUE AS precision_ok,
+       TRUE AS recall_ok
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+"""
 
 
 QUERIES = {
@@ -349,7 +555,12 @@ ORACLES = {
     "multimodal_frames": MULTIMODAL_FRAMES_SQL,
     "token_counts": TOKEN_COUNTS_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
-    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / ann_ivf_topk /
-    # embedding_neardup_lsh: rows-only by design (non-portable hash functions /
-    # trained quantizer); recall vs the exact baseline is pinned in tests
+    # The approximate ops register derived deterministic checks: a
+    # data-derived count the oracle recomputes + quality-bound booleans the
+    # oracle pins to TRUE (see the section comment above).
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "ann_lsh_topk": _ANN_CHECK_SQL,
+    "ann_ivf_topk": _ANN_CHECK_SQL,
+    "embedding_neardup_lsh": EMBEDDING_NEARDUP_LSH_SQL,
 }

@@ -1,0 +1,120 @@
+"""Composed training-data pipeline operators: clean → sample → summarize.
+
+These are the corpus-preparation stages a pretraining data pipeline chains
+on top of the primitive operators in this package (the C4/FineWeb shape:
+language filter → quality filter → exact dedup → near-dup dedup →
+stratified sample → corpus statistics).  Everything here composes the
+existing map-only/equi-join primitives, so the composed plan inherits their
+scale behavior; nothing introduces a new shuffle shape.
+
+Scale notes:
+
+- ``clean_corpus`` is two map-only passes (lang-id + quality live in the
+  same projection) feeding two groupBy-on-digest / join-on-shingle dedup
+  stages — the expensive stages are the dedups, already analyzed in
+  :mod:`.dedup`.  The survivors frame carries only ``doc_id`` + small
+  scalars; full text re-attaches by one join at the end (narrow shuffles).
+- ``stratified_sample`` is a pure filter (deterministic md5-mod on the
+  document id, per-stratum rate) — no shuffle, no ``rand()``: retried
+  tasks keep identical samples (same rule as operators/skew.py salting).
+- ``corpus_stats`` is one grouped aggregation; the interpolated median uses
+  ``percentile`` (exact, sort-based per group).  At 100 TB prefer
+  ``percentile_approx`` (mergeable sketch, one pass) — the exact form is
+  kept where engine-exact oracle equality matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import dedup_exact, ngram_jaccard_pairs
+from .text import pred_lang_col, quality_col, tokens_col
+
+
+def clean_corpus(
+    docs: DataFrame,
+    lang: str = "en",
+    min_quality: float = 0.5,
+    jaccard_threshold: float = 0.8,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """C4/FineWeb-style cleaning: language → quality → exact → near-dup.
+
+    Keeps documents that (1) identify as ``lang``, (2) score at least
+    ``min_quality``, (3) survive exact dedup (smallest doc_id per identical
+    text wins), and (4) are not the greater member of any near-duplicate
+    pair at ``jaccard_threshold`` (so the smallest doc_id of a near-dup
+    cluster survives, matching the exact-dedup convention).
+
+    Returns (doc_id, pred_lang, quality, n_tokens) for survivors.
+    """
+    # One projection computes language + quality + token count together:
+    # they are row-local expressions over the same text, so stacking them
+    # costs zero extra passes (vs. joining lang_id()/text_stats() outputs
+    # on doc_id — two shuffles and two extra scans for identical values).
+    base = docs.select(
+        "doc_id",
+        "text",
+        pred_lang_col().alias("pred_lang"),
+        quality_col().alias("quality"),
+        F.size(tokens_col()).alias("n_tokens"),
+    ).filter((F.col("pred_lang") == lang) & (F.col("quality") >= min_quality))
+    exact_survivors = dedup_exact(base).select("doc_id")
+    kept = base.join(exact_survivors, "doc_id", "left_semi")
+    near_pairs = ngram_jaccard_pairs(
+        kept, threshold=jaccard_threshold, max_df=max_df
+    ).select(F.col("d2").alias("doc_id"))
+    return (
+        kept.join(near_pairs, "doc_id", "left_anti")
+        .select("doc_id", "pred_lang", "quality", "n_tokens")
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    rates: dict[str, int],
+    default_pct: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep ``rates[stratum]``% of rows.
+
+    The sampling predicate is ``md5(id) mod 100 < pct`` — a pure function of
+    the row id, so the sample is identical across retries, partitionings,
+    and engines (md5 is bit-identical everywhere; ``rand()`` is none of
+    this).  ``rates`` maps stratum value → integer percent [0, 100];
+    unlisted strata get ``default_pct``.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    pct = F.lit(default_pct)
+    for value, p in rates.items():
+        pct = F.when(F.col(strata_col) == value, F.lit(int(p))).otherwise(pct)
+    return docs.filter(bucket < pct)
+
+
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    """Per-language corpus summary: doc counts, token totals, quality.
+
+    One shuffle (groupBy pred_lang, map-side partials).  ``median_tokens``
+    is the exact interpolated median — see the module docstring for the
+    100 TB sketch alternative.
+    """
+    return (
+        docs.select(
+            pred_lang_col().alias("pred_lang"),
+            quality_col().alias("quality"),
+            F.size(tokens_col()).alias("n_tokens"),
+        )
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.percentile("n_tokens", F.lit(0.5)).alias("median_tokens"),
+        )
+    )

@@ -33,6 +33,23 @@ def _marker_count(toks: Column, markers: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(markers)))
 
 
+def quality_col(text_col: str = "text") -> Column:
+    """The deterministic quality score as a bare column (row-local).
+
+    Exposed separately so composed pipelines (llm/pipeline.py) can stack
+    quality + language-ID + token counts in ONE projection instead of
+    joining the per-operator DataFrames on doc_id — identical values, zero
+    shuffles.
+    """
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    stop_ratio = _marker_count(toks, STOPWORDS).cast("double") / n_tokens
+    return (
+        F.least(n_tokens.cast("double") / F.lit(64.0), F.lit(1.0)) * F.lit(0.5)
+        + (F.lit(1.0) - stop_ratio) * F.lit(0.5)
+    )
+
+
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document token/char statistics + a deterministic quality score.
 
@@ -46,10 +63,6 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_stop = _marker_count(toks, STOPWORDS)
     avg_word_len = (n_chars - (n_tokens - F.lit(1))).cast("double") / n_tokens
     stop_ratio = n_stop.cast("double") / n_tokens
-    quality = (
-        F.least(n_tokens.cast("double") / F.lit(64.0), F.lit(1.0)) * F.lit(0.5)
-        + (F.lit(1.0) - stop_ratio) * F.lit(0.5)
-    )
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
@@ -57,7 +70,21 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_stop.alias("n_stopwords"),
         avg_word_len.alias("avg_word_len"),
         stop_ratio.alias("stop_ratio"),
-        quality.alias("quality"),
+        quality_col(text_col).alias("quality"),
+    )
+
+
+def pred_lang_col(text_col: str = "text") -> Column:
+    """Predicted language as a bare column (see :func:`quality_col`)."""
+    toks = tokens_col(text_col)
+    scores = {lang: _marker_count(toks, m) for lang, m in LANG_MARKERS.items()}
+    en, de, fr, es = scores["en"], scores["de"], scores["fr"], scores["es"]
+    return (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de >= es) & (de > 0), F.lit("de"))
+        .when((fr >= es) & (fr > 0), F.lit("fr"))
+        .when(es > 0, F.lit("es"))
+        .otherwise(F.lit("unknown"))
     )
 
 
@@ -72,13 +99,7 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens_col(text_col)
     scores = {lang: _marker_count(toks, m) for lang, m in LANG_MARKERS.items()}
     en, de, fr, es = scores["en"], scores["de"], scores["fr"], scores["es"]
-    pred = (
-        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), F.lit("en"))
-        .when((de >= fr) & (de >= es) & (de > 0), F.lit("de"))
-        .when((fr >= es) & (fr > 0), F.lit("fr"))
-        .when(es > 0, F.lit("es"))
-        .otherwise(F.lit("unknown"))
-    )
+    pred = pred_lang_col(text_col)
     return docs.select(
         "doc_id",
         en.alias("score_en"),

@@ -24,6 +24,7 @@ from ..llm.dedup import (
     simhash_signatures,
 )
 from ..llm.multimodal import extract_features, sample_frames, with_binary_payload
+from ..llm.pipeline import clean_corpus, corpus_stats, stratified_sample
 from ..llm.similarity import (
     ann_hyperplane_topk,
     ann_ivf_topk,
@@ -31,7 +32,7 @@ from ..llm.similarity import (
     embedding_neardup_exact,
     embedding_neardup_lsh,
 )
-from ..llm.text import fingerprint, lang_id, text_stats, token_counts
+from ..llm.text import fingerprint, lang_id, pred_lang_col, text_stats, token_counts
 
 # Shared shingle CTE (4-gram word shingles, distinct, same construction as
 # llm.text.shingles_col).
@@ -526,6 +527,198 @@ WHERE round(list_dot_product(a.v, b.v)
 """
 
 
+# -- composed training-data pipeline stages (llm/pipeline.py) ------------------
+
+
+def q_docs_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/FineWeb-style chain: lang filter → quality floor → exact dedup →
+    near-dup removal (capped n-gram Jaccard).  Fully SQL-expressible, so the
+    whole composition is value-checked end to end."""
+    return clean_corpus(
+        load_table(spark, sf_dir, "documents"),
+        lang="en",
+        min_quality=0.5,
+        jaccard_threshold=0.8,
+        max_df=NGRAM_MAX_DF,
+    )
+
+
+DOCS_CLEAN_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+),
+lid AS (
+  SELECT doc_id,
+         CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of'))) AS INTEGER) AS s_en,
+         CAST(len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und'))) AS INTEGER) AS s_de,
+         CAST(len(list_filter(toks, x -> x IN ('le', 'la', 'les', 'et'))) AS INTEGER) AS s_fr,
+         CAST(len(list_filter(toks, x -> x IN ('el', 'los', 'las', 'y'))) AS INTEGER) AS s_es
+  FROM t
+),
+pl AS (
+  SELECT doc_id,
+         CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+              WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+              WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+              WHEN s_es > 0 THEN 'es'
+              ELSE 'unknown' END AS pred_lang
+  FROM lid
+),
+st AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of'))) AS INTEGER) AS n_stop,
+         length(text) AS n_chars
+  FROM t
+),
+q AS (
+  SELECT doc_id, n_tokens,
+         least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.5
+           + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.5 AS quality
+  FROM st
+),
+base AS (
+  SELECT t.doc_id, t.text, pl.pred_lang, q.quality, q.n_tokens
+  FROM t JOIN pl ON t.doc_id = pl.doc_id JOIN q ON t.doc_id = q.doc_id
+  WHERE pl.pred_lang = 'en' AND q.quality >= 0.5
+),
+ex AS (
+  SELECT min(doc_id) AS doc_id FROM base GROUP BY text
+),
+kept AS (
+  SELECT b.* FROM base b JOIN ex ON b.doc_id = ex.doc_id
+),
+ks AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= 4
+              THEN list_distinct([array_to_string(list_slice(string_split(text, ' '), i, i + 3), ' ')
+                                  for i in range(1, len(string_split(text, ' ')) - 3 + 1)])
+              ELSE [] END AS sh
+  FROM kept
+),
+ex0 AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM ks
+),
+dfc AS (
+  SELECT shingle, COUNT(*) AS df FROM ex0 GROUP BY shingle
+),
+exc AS (
+  SELECT ex0.doc_id, ex0.shingle
+  FROM ex0 JOIN dfc ON ex0.shingle = dfc.shingle
+  WHERE dfc.df <= {NGRAM_MAX_DF}
+),
+sz AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM exc GROUP BY doc_id
+),
+co AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS co
+  FROM exc a JOIN exc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+near AS (
+  SELECT DISTINCT co.d2 AS doc_id
+  FROM co JOIN sz s1 ON co.d1 = s1.doc_id JOIN sz s2 ON co.d2 = s2.doc_id
+  WHERE CAST(co AS DOUBLE) / (s1.n_sh + s2.n_sh - co) >= 0.8
+)
+SELECT k.doc_id, k.pred_lang, k.quality, k.n_tokens
+FROM kept k LEFT JOIN near n ON k.doc_id = n.doc_id
+WHERE n.doc_id IS NULL
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-mod stratified sample: 30% of 'en', 10% of anything
+    else — engine-portable (md5 is bit-identical everywhere), retry-stable
+    (no rand())."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs.select("doc_id", pred_lang_col().alias("pred_lang")),
+        strata_col="pred_lang",
+        rates={"en": 30},
+        default_pct=10,
+    ).select("doc_id", "pred_lang")
+
+
+STRATIFIED_SAMPLE_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+lid AS (
+  SELECT doc_id,
+         CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of'))) AS INTEGER) AS s_en,
+         CAST(len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und'))) AS INTEGER) AS s_de,
+         CAST(len(list_filter(toks, x -> x IN ('le', 'la', 'les', 'et'))) AS INTEGER) AS s_fr,
+         CAST(len(list_filter(toks, x -> x IN ('el', 'los', 'las', 'y'))) AS INTEGER) AS s_es
+  FROM t
+),
+pl AS (
+  SELECT doc_id,
+         CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+              WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+              WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+              WHEN s_es > 0 THEN 'es'
+              ELSE 'unknown' END AS pred_lang
+  FROM lid
+),
+b AS (
+  SELECT doc_id, pred_lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS bucket
+  FROM pl
+)
+SELECT doc_id, pred_lang FROM b
+WHERE bucket < CASE WHEN pred_lang = 'en' THEN 30 ELSE 10 END
+"""
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus roll-up with an exact interpolated median."""
+    return corpus_stats(load_table(spark, sf_dir, "documents")).select(
+        "pred_lang",
+        "n_docs",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        "avg_quality",
+        "median_tokens",
+    )
+
+
+CORPUS_STATS_SQL = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+),
+lid AS (
+  SELECT doc_id,
+         CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of'))) AS INTEGER) AS s_en,
+         CAST(len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und'))) AS INTEGER) AS s_de,
+         CAST(len(list_filter(toks, x -> x IN ('le', 'la', 'les', 'et'))) AS INTEGER) AS s_fr,
+         CAST(len(list_filter(toks, x -> x IN ('el', 'los', 'las', 'y'))) AS INTEGER) AS s_es
+  FROM t
+),
+pl AS (
+  SELECT doc_id,
+         CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+              WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+              WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+              WHEN s_es > 0 THEN 'es'
+              ELSE 'unknown' END AS pred_lang
+  FROM lid
+),
+st AS (
+  SELECT t.doc_id,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) * 0.5
+           + (1.0 - CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of'))) AS DOUBLE) / len(toks)) * 0.5 AS quality
+  FROM t
+)
+SELECT pl.pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(st.n_tokens) AS BIGINT) AS total_tokens,
+       round(AVG(st.quality), 6) AS avg_quality,
+       quantile_cont(st.n_tokens, 0.5) AS median_tokens
+FROM pl JOIN st ON pl.doc_id = st.doc_id
+GROUP BY pl.pred_lang
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -542,6 +735,9 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "docs_clean_pipeline": q_docs_clean_pipeline,
+    "stratified_sample": q_stratified_sample,
+    "corpus_stats": q_corpus_stats,
 }
 
 ORACLES = {
@@ -563,4 +759,7 @@ ORACLES = {
     "ann_lsh_topk": _ANN_CHECK_SQL,
     "ann_ivf_topk": _ANN_CHECK_SQL,
     "embedding_neardup_lsh": EMBEDDING_NEARDUP_LSH_SQL,
+    "docs_clean_pipeline": DOCS_CLEAN_SQL,
+    "stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "corpus_stats": CORPUS_STATS_SQL,
 }

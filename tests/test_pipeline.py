@@ -1,0 +1,73 @@
+"""Composed training-data pipeline (llm/pipeline.py): cleaning chain,
+deterministic stratified sampling, corpus stats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake2anomali_spark.llm.pipeline import (
+    clean_corpus,
+    corpus_stats,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    en = "the quick brown fox jumps over the lazy dog and runs off a cliff of doom"
+    rows = [
+        (1, en),
+        (2, en),  # exact duplicate of 1 → dropped (1 survives)
+        (3, en + " extra trailing words here now"),  # near-dup of 1 → dropped
+        (4, "der hund und die katze das haus und der baum und die sonne und der mond"),  # de
+        (5, "the of and a " * 12),  # en but stopword-saturated → low quality
+        (6, "a completely different english text with the giant walrus and a small bird of prey"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_clean_corpus_chain(docs):
+    # 0.4 floor: the 16-token fixtures score ≈0.47 (length term caps at
+    # n_tokens/64); the stopword-saturated doc 5 scores 0.375
+    out = clean_corpus(docs, lang="en", min_quality=0.4, jaccard_threshold=0.6, max_df=None)
+    kept = {r.doc_id for r in out.collect()}
+    assert 1 in kept  # smallest id of the dup cluster survives
+    assert 2 not in kept  # exact dup
+    assert 3 not in kept  # near dup (jaccard vs 1 above threshold)
+    assert 4 not in kept  # german
+    assert 5 not in kept  # quality floor
+    assert 6 in kept
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("other").alias("pred_lang"),
+    )
+    a = stratified_sample(df, "pred_lang", {"en": 30}, default_pct=10)
+    b = stratified_sample(df.repartition(7), "pred_lang", {"en": 30}, default_pct=10)
+    sa = {r.doc_id for r in a.collect()}
+    sb = {r.doc_id for r in b.collect()}
+    assert sa == sb  # partitioning-independent
+    n_en = sum(1 for r in a.collect() if r.pred_lang == "en")
+    n_other = len(sa) - n_en
+    # md5-mod buckets are near-uniform: 30%±5 of 1000, 10%±4 of 1000
+    assert 250 <= n_en <= 350
+    assert 60 <= n_other <= 140
+
+
+def test_stratified_sample_zero_and_full(spark):
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("pred_lang")
+    )
+    assert stratified_sample(df, "pred_lang", {"x": 0}).count() == 0
+    assert stratified_sample(df, "pred_lang", {"x": 100}).count() == 100
+
+
+def test_corpus_stats_shape(docs):
+    out = {r.pred_lang: r for r in corpus_stats(docs).collect()}
+    assert out["en"].n_docs == 5
+    assert out["de"].n_docs == 1
+    assert out["en"].total_tokens > 0
+    assert 0.0 < out["en"].avg_quality <= 1.0

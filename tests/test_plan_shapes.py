@@ -1,0 +1,59 @@
+"""Physical-plan shape guards — the scale claims in docs/SCALE.md, enforced.
+
+Each test pins the exchange count of a plan whose shape is a design
+guarantee (map-only EP-A, single-shuffle aggregations, broadcast-only
+joins).  A regression that adds a shuffle to one of these is a scale bug
+even if every value stays correct, so it should fail CI, not wait for a
+100 TB run to expose it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datalake2anomali_spark.io.tables import load_table
+from datalake2anomali_spark.llm.pipeline import corpus_stats
+from datalake2anomali_spark.llm.text import text_stats, token_counts
+from datalake2anomali_spark.plans import ioc_queries
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_shuffles(df) -> int:
+    return _plan(df).count("Exchange hashpartitioning")
+
+
+def test_ep_a_is_map_only(spark, sf_dir):
+    # The flagship IOC pipeline: every join broadcasts a config-sized dim,
+    # so the whole plan must contain ZERO hash-partition exchanges
+    # (docs/SCALE.md "0 shuffles, 3 broadcast exchanges").
+    df = ioc_queries.ioc_indicators(spark, sf_dir)
+    p = _plan(df)
+    assert p.count("Exchange hashpartitioning") == 0, p
+    assert "BroadcastExchange" in p
+
+
+def test_text_kernels_are_map_only(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    assert _n_shuffles(text_stats(docs)) == 0
+    assert _n_shuffles(token_counts(docs)) == 0
+
+
+def test_corpus_stats_single_shuffle(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    assert _n_shuffles(corpus_stats(docs)) == 1
+
+
+def test_no_cartesian_products_in_registered_queries(spark, sf_dir):
+    # CartesianProduct = the unbounded O(n^2) plan Spark falls back to for
+    # non-equi self-joins.  Only brute-force *verification* twins may use a
+    # broadcast nested loop; a CartesianProduct anywhere is a bug.
+    import __spark_entry__ as entrymod
+
+    for name, fn in entrymod.queries().items():
+        if name.startswith("stream_") or name == "stateful_user_profiles":
+            continue  # streaming plans materialize through their own runner
+        df = fn(spark, sf_dir)
+        assert "CartesianProduct" not in _plan(df), name

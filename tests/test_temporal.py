@@ -40,6 +40,22 @@ def test_asof_join_tie_and_no_match(spark):
     assert out[3].rid_r is None and out[3].ts_r is None  # user 20: left-join nulls
 
 
+def test_asof_join_null_payload_not_mixed_across_rows(spark):
+    # The newest right row has a NULL payload column; every output field must
+    # still come from THAT row — a per-column last(ignorenulls) would backfill
+    # just the NULL column from the older row, splicing two right rows.
+    left = _ts_df(spark, [(1, 10, 100 * US)], "event_id long, user_id long, ts_us long")
+    right = _ts_df(
+        spark,
+        [(91, "old-a", "old-b", 10, 40 * US), (92, None, "new-b", 10, 60 * US)],
+        "rid long, a string, b string, user_id long, ts_us long",
+    )
+    row = temporal.asof_join(left, right, keys=["user_id"], ts_col="ts").collect()[0]
+    assert row.rid_r == 92 and row.b_r == "new-b"
+    assert row.a_r is None  # NOT "old-a"
+    assert row.ts_r.timestamp() == 60
+
+
 def test_asof_join_matched_ts_forwarded(spark):
     left = _ts_df(spark, [(1, 7, 90 * US)], "event_id long, user_id long, ts_us long")
     right = _ts_df(spark, [(55, 7, 30 * US)], "rid long, user_id long, ts_us long")

@@ -64,6 +64,14 @@ def main() -> None:
     spark.range(10_000).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+    # ... and the Python DataSource runner (a separate plan-serialization +
+    # worker path from pandas_udf; one tiny scan warms it)
+    from datalake2anomali_spark.sources import register_sources
+
+    register_sources(spark)
+    spark.read.format("worldwatch_advisories").load().write.format("noop").mode(
+        "overwrite"
+    ).save()
     for name, fn in qs.items():
         t0 = time.time()
         df = fn(spark, sf_dir)

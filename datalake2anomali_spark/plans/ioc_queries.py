@@ -360,6 +360,54 @@ FROM enriched
 """
 
 
+def ioc_advisory_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC5/J5: WorldWatch advisory scan + per-row N+1 html detail fetch.
+
+    The reference loops one blocking GET per advisory on the driver
+    (``src/Datalake2Anomali.py:424-430``); here the fetch rides
+    ``mapInPandas`` so it fans out with the data (sources/datalake.py
+    ``enrich_html``).  Oracle-checked by value: both the advisory list and
+    the html bodies are pure sha256-seeded functions, regenerated in SQL.
+    """
+    from ..sources import register_sources
+    from ..sources.datalake import enrich_html
+
+    register_sources(spark)
+    adv = spark.read.format("worldwatch_advisories").load()
+    return enrich_html(adv).select(
+        "id",
+        "title",
+        "timestamp_updated",
+        F.array_join("tags", ",").alias("tags_csv"),
+        "html",
+    )
+
+
+IOC_ADVISORY_ENRICHMENT_SQL = f"""
+WITH ids AS (
+  SELECT unnest(range(0, 40)) AS id
+),
+seeded AS (
+  SELECT id,
+         {_REST_SEED.format(k="'adv/' || id")} AS seed,
+         {_REST_SEED.format(k="'html/' || id")} AS hseed
+  FROM ids
+),
+adv AS (
+  SELECT id,
+         'WorldWatch advisory ' || id AS title,
+         strftime(TIMESTAMP '2024-01-01 00:00:00'
+                  + to_hours(6 * id) + to_hours(CAST(seed % 72 AS BIGINT)),
+                  '%Y-%m-%dT%H:%M:%SZ') AS timestamp_updated,
+         'sector' || (seed % 5) || ',' || 'region' || (seed % 3) AS tags_csv,
+         '<html><body>advisory ' || id || ' body ' || (hseed % 1000000)
+           || '</body></html>' AS html
+  FROM seeded
+)
+SELECT id, title, timestamp_updated, tags_csv, html FROM adv
+"""
+
+
 QUERIES = {
     "ioc_indicators": ioc_indicators,
     "ioc_payload_objects": ioc_payload_objects,
@@ -367,6 +415,7 @@ QUERIES = {
     "ioc_upsert_routing": ioc_upsert_routing,
     "ioc_incremental_cursor": ioc_incremental_cursor,
     "ioc_rest_source_pipeline": ioc_rest_source_pipeline,
+    "ioc_advisory_enrichment": ioc_advisory_enrichment,
 }
 
 ORACLES = {
@@ -376,4 +425,5 @@ ORACLES = {
     "ioc_upsert_routing": IOC_UPSERT_ROUTING_SQL,
     "ioc_incremental_cursor": IOC_INCREMENTAL_CURSOR_SQL,
     "ioc_rest_source_pipeline": IOC_REST_SOURCE_SQL,
+    "ioc_advisory_enrichment": IOC_ADVISORY_ENRICHMENT_SQL,
 }

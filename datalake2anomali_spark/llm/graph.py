@@ -1,0 +1,106 @@
+"""Graph operators for dedup: connected components + canonical-doc clusters.
+
+Near-dup detection (:mod:`.dedup`) emits *pairs*; an actual dedup pass needs
+*clusters* — every document labeled with its duplicate group so exactly one
+canonical member survives.  Pairs → clusters is connected components over
+the pair graph.
+
+Scale design — min-label propagation, not a driver-side union-find:
+
+- Labels start as each node's own id; every round each node takes the
+  minimum label over itself and its neighbors (one equi-join on the node id
+  + one groupBy-min).  The minimum id of a component reaches every member
+  in at most ``diameter`` rounds.
+- Near-dup graphs make this cheap: a duplicate cluster is near-clique
+  (every member pairs with most others — Jaccard is transitive-ish at high
+  thresholds), so component diameters are tiny and propagation converges in
+  2–3 rounds regardless of corpus size.  For adversarial long-path graphs
+  the alternating large-star/small-star scheme (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", 2014) bounds rounds at O(log² n);
+  the per-round dataflow below (join + min-agg) is the same shape, so it is
+  the drop-in upgrade if ever needed.
+- Each round ends with an eager ``localCheckpoint``: the loop would
+  otherwise stack a lineage of joins that Catalyst re-analyzes (and a
+  failure re-executes) from round zero.  On a cluster this would be a
+  checkpoint to reliable storage.
+- Convergence is detected by counting changed labels (one action per
+  round) — rounds are O(diameter), so the driver loop runs 2–4 times, not
+  n times.
+
+The reference has no graph operators (682-LoC REST connector, see
+``src/Datalake2Anomali.py``); this belongs to the training-data pipeline
+extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node of the undirected graph with its component's min id.
+
+    Returns (node, component) where ``component`` is the smallest node id
+    in the node's connected component.  ``edges`` is treated as undirected;
+    self-loops and duplicate edges are harmless (the min-agg absorbs them).
+    Raises if ``max_iter`` rounds don't converge — with min-label
+    propagation that means the graph's diameter exceeds ``max_iter``, which
+    for near-dup clusters signals a pathological input, not a tuning knob
+    to raise silently.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(
+            labels.select(F.col("node").alias("a"), "component"), "a"
+        ).select(F.col("b").alias("node"), "component")
+        new_labels = (
+            labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(component diameter exceeds max_iter)"
+    )
+
+
+def dedup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2") -> DataFrame:
+    """Near-dup pairs → duplicate clusters with a canonical member.
+
+    Output: (doc_id, cluster_id, is_canonical) for every document that
+    appears in at least one pair; ``cluster_id`` is the smallest doc_id in
+    the document's duplicate component and ``is_canonical`` marks that
+    smallest member — the single survivor under the keep-smallest
+    convention used by :func:`..llm.dedup.dedup_exact` and
+    ``clean_corpus``.  Documents in no pair are their own implicit
+    singleton cluster and are not emitted.
+    """
+    cc = connected_components(pairs, src=d1, dst=d2)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )

@@ -527,6 +527,71 @@ WHERE round(list_dot_product(a.v, b.v)
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → canonical-doc clusters.
+
+    The full pairs-to-clusters chain: capped n-gram Jaccard pairs (same
+    parameters as ``dedup_ngram_jaccard``) feed min-label-propagation
+    connected components; every clustered document comes back labeled with
+    its component's smallest doc_id and a canonical flag.  The DuckDB twin
+    recomputes the components with a recursive reachability CTE — a wholly
+    different algorithm, so a value match checks the clustering itself, not
+    the implementation.
+    """
+    from ..llm.graph import dedup_clusters
+
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8, max_df=NGRAM_MAX_DF
+    )
+    return dedup_clusters(pairs)
+
+
+DEDUP_CLUSTERS_SQL = (
+    _SHINGLE_CTE.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+    + f"""
+, ex0 AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM s
+),
+dfc AS (
+  SELECT shingle, COUNT(*) AS df FROM ex0 GROUP BY shingle
+),
+ex AS (
+  SELECT ex0.doc_id, ex0.shingle
+  FROM ex0 JOIN dfc ON ex0.shingle = dfc.shingle
+  WHERE dfc.df <= {NGRAM_MAX_DF}
+),
+sz AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id
+),
+co AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS co
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT d1, d2
+  FROM co JOIN sz s1 ON co.d1 = s1.doc_id JOIN sz s2 ON co.d2 = s2.doc_id
+  WHERE CAST(co AS DOUBLE) / (s1.n_sh + s2.n_sh - co) >= 0.8
+),
+edges AS (
+  SELECT d1 AS es, d2 AS et FROM pairs
+  UNION ALL
+  SELECT d2 AS es, d1 AS et FROM pairs
+),
+vtx AS (
+  SELECT DISTINCT es AS node FROM edges
+),
+reach AS (
+  SELECT node, node AS r FROM vtx
+  UNION
+  SELECT rr.node, e.et AS r FROM reach rr JOIN edges e ON rr.r = e.es
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id, (node = MIN(r)) AS is_canonical
+FROM reach GROUP BY node
+"""
+)
+
+
 # -- composed training-data pipeline stages (llm/pipeline.py) ------------------
 
 
@@ -735,6 +800,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "docs_clean_pipeline": q_docs_clean_pipeline,
     "stratified_sample": q_stratified_sample,
     "corpus_stats": q_corpus_stats,
@@ -759,6 +825,7 @@ ORACLES = {
     "ann_lsh_topk": _ANN_CHECK_SQL,
     "ann_ivf_topk": _ANN_CHECK_SQL,
     "embedding_neardup_lsh": EMBEDDING_NEARDUP_LSH_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "docs_clean_pipeline": DOCS_CLEAN_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "corpus_stats": CORPUS_STATS_SQL,

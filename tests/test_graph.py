@@ -1,0 +1,67 @@
+"""Connected-components / dedup-cluster tests (llm/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake2anomali_spark.llm.graph import connected_components, dedup_clusters
+
+
+def _cc_map(edges_df):
+    return {r["node"]: r["component"] for r in edges_df.collect()}
+
+
+def test_cc_two_components_and_path(spark):
+    # component {1,2,3,4} is a path (diameter 3 → several propagation
+    # rounds), component {10, 11} is a single edge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["src", "dst"]
+    )
+    got = _cc_map(connected_components(edges))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_cc_long_path_converges(spark):
+    # 0-1-2-...-12 as a single path: min label must travel the full length
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["src", "dst"]
+    )
+    got = _cc_map(connected_components(edges))
+    assert set(got.values()) == {0}
+    assert len(got) == 13
+
+
+def test_cc_duplicate_edges_and_self_loops(spark):
+    edges = spark.createDataFrame(
+        [(5, 6), (6, 5), (5, 5), (6, 7)], ["src", "dst"]
+    )
+    got = _cc_map(connected_components(edges))
+    assert got == {5: 5, 6: 5, 7: 5}
+
+
+def test_cc_nonconvergence_raises(spark):
+    edges = spark.createDataFrame([(i, i + 1) for i in range(6)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
+def test_dedup_clusters_canonical_flag(spark):
+    pairs = spark.createDataFrame(
+        [(2, 9), (9, 4), (30, 31)], ["d1", "d2"]
+    )
+    out = dedup_clusters(pairs).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    assert by_doc[2]["cluster_id"] == 2 and by_doc[2]["is_canonical"]
+    assert by_doc[9]["cluster_id"] == 2 and not by_doc[9]["is_canonical"]
+    assert by_doc[4]["cluster_id"] == 2
+    assert by_doc[30]["cluster_id"] == 30 and by_doc[30]["is_canonical"]
+    assert by_doc[31]["cluster_id"] == 30 and not by_doc[31]["is_canonical"]
+    # exactly one canonical per cluster
+    canon = (
+        dedup_clusters(pairs)
+        .groupBy("cluster_id")
+        .agg(F.sum(F.col("is_canonical").cast("int")).alias("n"))
+        .collect()
+    )
+    assert all(r["n"] == 1 for r in canon)

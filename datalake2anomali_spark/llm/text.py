@@ -110,10 +110,10 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingles_col(text_col: str = "text", n: int = 4) -> Column:
-    """Distinct word n-gram shingles as an array<string> column.
+def ngrams_col(text_col: str = "text", n: int = 4) -> Column:
+    """Word n-grams (with repeats, in order) as an array<string> column.
 
-    ``sequence(1, size-n+1)`` + ``slice`` keeps shingling inside codegen;
+    ``sequence(1, size-n+1)`` + ``slice`` keeps n-gramming inside codegen;
     documents shorter than ``n`` tokens yield an empty array.
     """
     toks = tokens_col(text_col)
@@ -121,8 +121,86 @@ def shingles_col(text_col: str = "text", n: int = 4) -> Column:
     sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     # guard: sequence(1, x<1) DESCENDS in Spark, so short docs need an
     # explicit empty-array branch instead of a greatest() clamp
-    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
-        F.array().cast("array<string>")
+    return F.when(F.size(toks) >= n, sh).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_col(text_col: str = "text", n: int = 4) -> Column:
+    """Distinct word n-gram shingles (set semantics, for Jaccard/MinHash)."""
+    return F.array_distinct(ngrams_col(text_col, n))
+
+
+def _max_run_count(arr: Column) -> Column:
+    """Count of the most frequent element of an array — row-local.
+
+    Sort, then one ``aggregate`` pass tracking the current equal-run length
+    and the best run seen.  Stays inside whole-stage codegen: the per-doc
+    mode count never needs an explode + groupBy (which would shuffle one
+    row per n-gram occurrence — at 100 TB that is the corpus re-keyed by
+    n-gram for a value each row can compute locally).
+    """
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(F.array_sort(arr), init, merge, lambda acc: acc["best"])
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_bigram_cap: float = 0.2,
+    dup_trigram_cap: float = 0.3,
+) -> DataFrame:
+    """Gopher-style repetition filters: top-bigram and duplicate-trigram load.
+
+    The two classic repetition signals from the Gopher data pipeline (Rae
+    et al. 2021, table A1), in token form:
+
+    - ``max_bigram_frac`` — occurrences of the single most frequent word
+      2-gram over all 2-gram occurrences (Gopher's "fraction in the most
+      common n-gram" family);
+    - ``dup_trigram_frac`` — fraction of 3-gram occurrences that are
+      repeats of an earlier one (Gopher's "fraction in duplicate n-grams").
+
+    ``gopher_keep`` applies the caps.  Everything is a row-local array
+    expression (see :func:`_max_run_count`) — a map-only pass at any scale.
+    Exact integer counts + one double division keep it engine-portable.
+    """
+    base = docs.select(
+        "doc_id",
+        ngrams_col(text_col, 2).alias("bg"),
+        ngrams_col(text_col, 3).alias("tg"),
+    )
+    counted = base.select(
+        "doc_id",
+        F.size("bg").alias("n_bigrams"),
+        _max_run_count(F.col("bg")).alias("max_bigram_count"),
+        F.size("tg").alias("n_tg"),
+        F.size(F.array_distinct("tg")).alias("n_tg_distinct"),
+    )
+    max_frac = F.when(
+        F.col("n_bigrams") > 0,
+        F.col("max_bigram_count").cast("double") / F.col("n_bigrams"),
+    ).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        F.col("n_tg") > 0,
+        (F.col("n_tg") - F.col("n_tg_distinct")).cast("double") / F.col("n_tg"),
+    ).otherwise(F.lit(0.0))
+    return counted.select(
+        "doc_id",
+        "n_bigrams",
+        "max_bigram_count",
+        max_frac.alias("max_bigram_frac"),
+        dup_frac.alias("dup_trigram_frac"),
+        (
+            (max_frac <= F.lit(max_bigram_cap)) & (dup_frac <= F.lit(dup_trigram_cap))
+        ).alias("gopher_keep"),
     )
 
 

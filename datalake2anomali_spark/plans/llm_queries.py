@@ -32,7 +32,14 @@ from ..llm.similarity import (
     embedding_neardup_exact,
     embedding_neardup_lsh,
 )
-from ..llm.text import fingerprint, lang_id, pred_lang_col, text_stats, token_counts
+from ..llm.text import (
+    fingerprint,
+    lang_id,
+    pred_lang_col,
+    repetition_stats,
+    text_stats,
+    token_counts,
+)
 
 # Shared shingle CTE (4-gram word shingles, distinct, same construction as
 # llm.text.shingles_col).
@@ -527,6 +534,58 @@ WHERE round(list_dot_product(a.v, b.v)
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters, map-only.
+
+    The Spark side finds each doc's most frequent bigram with a row-local
+    sorted-run-length pass (no shuffle); the DuckDB twin computes the same
+    mode by unnest + GROUP BY — a different algorithm, so the value match
+    checks the statistic, not the trick.
+    """
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+REPETITION_STATS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 2
+              THEN [array_to_string(list_slice(w, i, i + 1), ' ') for i in range(1, len(w))]
+              ELSE [] END AS bg,
+         CASE WHEN len(w) >= 3
+              THEN [array_to_string(list_slice(w, i, i + 2), ' ') for i in range(1, len(w) - 1)]
+              ELSE [] END AS tg
+  FROM t
+),
+bx AS (
+  SELECT doc_id, unnest(bg) AS g2 FROM g
+),
+bc AS (
+  SELECT doc_id, g2, COUNT(*) AS c FROM bx GROUP BY doc_id, g2
+),
+bm AS (
+  SELECT doc_id, CAST(MAX(c) AS INTEGER) AS max_bigram_count FROM bc GROUP BY doc_id
+),
+f AS (
+  SELECT g.doc_id,
+         CAST(len(bg) AS INTEGER) AS n_bigrams,
+         COALESCE(bm.max_bigram_count, 0) AS max_bigram_count,
+         CASE WHEN len(bg) > 0
+              THEN CAST(COALESCE(bm.max_bigram_count, 0) AS DOUBLE) / len(bg)
+              ELSE 0.0 END AS max_bigram_frac,
+         CASE WHEN len(tg) > 0
+              THEN CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg)
+              ELSE 0.0 END AS dup_trigram_frac
+  FROM g LEFT JOIN bm ON g.doc_id = bm.doc_id
+)
+SELECT doc_id, n_bigrams, max_bigram_count, max_bigram_frac, dup_trigram_frac,
+       (max_bigram_frac <= 0.2 AND dup_trigram_frac <= 0.3) AS gopher_keep
+FROM f
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → connected components → canonical-doc clusters.
 
@@ -801,6 +860,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "repetition_stats": q_repetition_stats,
     "docs_clean_pipeline": q_docs_clean_pipeline,
     "stratified_sample": q_stratified_sample,
     "corpus_stats": q_corpus_stats,
@@ -826,6 +886,7 @@ ORACLES = {
     "ann_ivf_topk": _ANN_CHECK_SQL,
     "embedding_neardup_lsh": EMBEDDING_NEARDUP_LSH_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "repetition_stats": REPETITION_STATS_SQL,
     "docs_clean_pipeline": DOCS_CLEAN_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "corpus_stats": CORPUS_STATS_SQL,

@@ -120,6 +120,29 @@ def test_shingles_short_doc_guard(spark):
     assert out.sh == []  # < n tokens → empty, not a descending-sequence crash
 
 
+def test_repetition_stats_crafted(spark):
+    from datalake2anomali_spark.llm.text import repetition_stats
+
+    rows = [
+        (1, "spam spam spam spam"),          # bigram "spam spam" ×3 of 3
+        (2, "a b c d e"),                    # all bigrams unique
+        (3, "x y x y x y"),                  # "x y" ×3, "y x" ×2 of 5
+        (4, "one two"),                      # bigram exists, no trigram
+        (5, "single"),                       # no bigrams at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert out[1].max_bigram_count == 3 and out[1].n_bigrams == 3
+    assert out[1].max_bigram_frac == 1.0 and not out[1].gopher_keep
+    assert out[2].max_bigram_count == 1 and out[2].dup_trigram_frac == 0.0
+    assert out[2].max_bigram_frac == 0.25  # short doc: 1/4 > cap, so filtered
+    assert not out[2].gopher_keep
+    assert out[3].max_bigram_count == 3 and out[3].max_bigram_frac == 0.6
+    assert out[3].dup_trigram_frac == 0.5  # 4 trigrams, 2 distinct
+    assert out[4].dup_trigram_frac == 0.0 and out[4].n_bigrams == 1
+    assert out[5].n_bigrams == 0 and out[5].max_bigram_frac == 0.0
+
+
 def test_multimodal_plumbing(docs):
     feats = extract_features(with_binary_payload(docs.limit(50)))
     rows = feats.collect()

@@ -13,7 +13,7 @@ import pytest
 
 from datalake2anomali_spark.io.tables import load_table
 from datalake2anomali_spark.llm.pipeline import corpus_stats
-from datalake2anomali_spark.llm.text import text_stats, token_counts
+from datalake2anomali_spark.llm.text import repetition_stats, text_stats, token_counts
 from datalake2anomali_spark.plans import ioc_queries
 
 
@@ -39,6 +39,9 @@ def test_text_kernels_are_map_only(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     assert _n_shuffles(text_stats(docs)) == 0
     assert _n_shuffles(token_counts(docs)) == 0
+    # the per-doc mode count must come from the row-local run-length pass,
+    # not an explode + groupBy
+    assert _n_shuffles(repetition_stats(docs)) == 0
 
 
 def test_corpus_stats_single_shuffle(spark, sf_dir):

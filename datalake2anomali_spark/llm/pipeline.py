@@ -25,11 +25,22 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import dedup_exact, ngram_jaccard_pairs
-from .text import pred_lang_col, quality_col, tokens_col
+from .text import pred_lang_col, quality_col, shingles_col, tokens_col
+
+
+def md5_bucket_col(id_col: str = "doc_id", mod: int = 100) -> Column:
+    """Deterministic [0, mod) bucket from the row id — the engine-portable
+    substitute for ``rand()`` everywhere this package samples or splits
+    (md5 is bit-identical across Spark, DuckDB, and retried tasks)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % mod
+    )
 
 
 def clean_corpus(
@@ -86,15 +97,56 @@ def stratified_sample(
     this).  ``rates`` maps stratum value → integer percent [0, 100];
     unlisted strata get ``default_pct``.
     """
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
+    bucket = md5_bucket_col(id_col)
     pct = F.lit(default_pct)
     for value, p in rates.items():
         pct = F.when(F.col(strata_col) == value, F.lit(int(p))).otherwise(pct)
     return docs.filter(bucket < pct)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark_pct: int = 5,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag training documents that overlap a held-out benchmark split.
+
+    The GPT-3/PaLM decontamination recipe: any training document sharing an
+    n-gram with an evaluation document is contaminated and must be dropped
+    before training.  Here the "benchmark" is the deterministic
+    ``benchmark_pct``% md5-bucket split of the corpus (stand-in for the
+    real eval sets a production pipeline would load as a second table).
+
+    Returns (doc_id, n_overlap_ngrams, n_benchmark_docs) for contaminated
+    training docs only: distinct shared n-grams and distinct benchmark docs
+    hit.
+
+    Scale shape: the benchmark shingle index is broadcast — eval
+    benchmarks are MBs against a 100 TB corpus by construction, so the
+    probe side streams map-only through a broadcast hash join and the only
+    shuffle is the final per-doc aggregation of matched rows (a tiny
+    subset).  If the benchmark ever outgrew broadcast range, the same plan
+    degrades gracefully to a shuffled equi-join on the shingle.
+    """
+    bucket = md5_bucket_col(id_col)
+    sh = shingles_col(text_col, n)
+    bench_idx = (
+        docs.filter(bucket < benchmark_pct)
+        .select(F.col(id_col).alias("bench_id"), F.explode(sh).alias("shingle"))
+    )
+    train = docs.filter(bucket >= benchmark_pct).select(
+        id_col, F.explode(sh).alias("shingle")
+    )
+    return (
+        train.join(F.broadcast(bench_idx), "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_overlap_ngrams"),
+            F.countDistinct("bench_id").alias("n_benchmark_docs"),
+        )
+    )
 
 
 def corpus_stats(docs: DataFrame) -> DataFrame:

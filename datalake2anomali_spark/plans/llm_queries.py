@@ -24,7 +24,12 @@ from ..llm.dedup import (
     simhash_signatures,
 )
 from ..llm.multimodal import extract_features, sample_frames, with_binary_payload
-from ..llm.pipeline import clean_corpus, corpus_stats, stratified_sample
+from ..llm.pipeline import (
+    clean_corpus,
+    corpus_stats,
+    decontaminate,
+    stratified_sample,
+)
 from ..llm.similarity import (
     ann_hyperplane_topk,
     ann_ivf_topk,
@@ -794,6 +799,40 @@ WHERE bucket < CASE WHEN pred_lang = 'en' THEN 30 ELSE 10 END
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any 8-gram with the
+    5% md5-bucket benchmark split (broadcast shingle-index probe)."""
+    return decontaminate(load_table(spark, sf_dir, "documents"), benchmark_pct=5, n=8)
+
+
+DECONTAMINATE_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS bucket
+  FROM documents
+),
+s AS (
+  SELECT doc_id, bucket,
+         CASE WHEN len(w) >= 8
+              THEN list_distinct([array_to_string(list_slice(w, i, i + 7), ' ')
+                                  for i in range(1, len(w) - 6)])
+              ELSE [] END AS sh
+  FROM t
+),
+bench AS (
+  SELECT doc_id AS bench_id, unnest(sh) AS shingle FROM s WHERE bucket < 5
+),
+train AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM s WHERE bucket >= 5
+)
+SELECT train.doc_id,
+       CAST(COUNT(DISTINCT train.shingle) AS BIGINT) AS n_overlap_ngrams,
+       CAST(COUNT(DISTINCT bench.bench_id) AS BIGINT) AS n_benchmark_docs
+FROM train JOIN bench ON train.shingle = bench.shingle
+GROUP BY train.doc_id
+"""
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus roll-up with an exact interpolated median."""
     return corpus_stats(load_table(spark, sf_dir, "documents")).select(
@@ -863,6 +902,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "docs_clean_pipeline": q_docs_clean_pipeline,
     "stratified_sample": q_stratified_sample,
+    "decontaminate": q_decontaminate,
     "corpus_stats": q_corpus_stats,
 }
 
@@ -889,5 +929,6 @@ ORACLES = {
     "repetition_stats": REPETITION_STATS_SQL,
     "docs_clean_pipeline": DOCS_CLEAN_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "decontaminate": DECONTAMINATE_SQL,
     "corpus_stats": CORPUS_STATS_SQL,
 }

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from datalake2anomali_spark.llm.pipeline import (
     clean_corpus,
     corpus_stats,
+    decontaminate,
     stratified_sample,
 )
 
@@ -63,6 +64,40 @@ def test_stratified_sample_zero_and_full(spark):
     )
     assert stratified_sample(df, "pred_lang", {"x": 0}).count() == 0
     assert stratified_sample(df, "pred_lang", {"x": 100}).count() == 100
+
+
+def test_decontaminate_planted_overlap(spark):
+    # md5-bucket(doc_id) < 50 decides the benchmark split; find one id on
+    # each side, plant a shared 8-gram, and assert only the training-side
+    # doc with the overlap is flagged.
+    from datalake2anomali_spark.llm.pipeline import md5_bucket_col
+
+    ids = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+    sides = {
+        r.doc_id: r.b for r in ids.select("doc_id", md5_bucket_col().alias("b")).collect()
+    }
+    bench_id = next(i for i, b in sides.items() if b < 50)
+    train_hit = next(i for i, b in sides.items() if b >= 50)
+    train_clean = next(i for i, b in sides.items() if b >= 50 and i != train_hit)
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [
+        (bench_id, "prefix " + shared + " suffix"),
+        (train_hit, "other words then " + shared + " trailing"),
+        (train_clean, "absolutely nothing in common with anything else at all zero overlap ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = decontaminate(df, benchmark_pct=50, n=8).collect()
+    assert len(out) == 1
+    assert out[0].doc_id == train_hit
+    assert out[0].n_overlap_ngrams == 1 and out[0].n_benchmark_docs == 1
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    from datalake2anomali_spark.io.tables import load_table
+
+    df = decontaminate(load_table(spark, sf_dir, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan  # bench index never shuffles the corpus
 
 
 def test_corpus_stats_shape(docs):

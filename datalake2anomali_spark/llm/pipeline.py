@@ -149,6 +149,49 @@ def decontaminate(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 512,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document its token offset in fixed-length training
+    sequences — the batch-packing layout step of a pretraining pipeline.
+
+    Documents are concatenated per shard in ``id_col`` order; each doc gets
+    its starting token offset (running sum of token counts), the id of the
+    ``seq_len``-token sequence its first token lands in, and whether it
+    spans a sequence boundary (i.e. would be split across training
+    examples).  (shard, seq_id) identifies a training sequence.
+
+    Scale shape: the running sum is a window partitioned by the shard —
+    Spark sorts each shard locally after one hash exchange, so there is no
+    global sort and no single-partition bottleneck; shards (source files /
+    dump buckets) are the natural unit a real pipeline packs within.  A
+    window ordered globally would serialize the corpus through one task —
+    that formulation is deliberately not offered.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(shard_col).orderBy(id_col)
+    base = docs.select(
+        id_col, shard_col, F.size(tokens_col(text_col)).alias("n_tokens")
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("token_start")
+    out = base.select(id_col, shard_col, "n_tokens", start)
+    first_seq = F.floor(F.col("token_start") / seq_len)
+    last_seq = F.floor((F.col("token_start") + F.col("n_tokens") - 1) / seq_len)
+    return out.select(
+        id_col,
+        shard_col,
+        "n_tokens",
+        "token_start",
+        first_seq.alias("seq_id"),
+        (first_seq != last_seq).alias("crosses_boundary"),
+    )
+
+
 def corpus_stats(docs: DataFrame) -> DataFrame:
     """Per-language corpus summary: doc counts, token totals, quality.
 

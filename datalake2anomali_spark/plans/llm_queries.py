@@ -28,6 +28,7 @@ from ..llm.pipeline import (
     clean_corpus,
     corpus_stats,
     decontaminate,
+    pack_sequences,
     stratified_sample,
 )
 from ..llm.similarity import (
@@ -833,6 +834,34 @@ GROUP BY train.doc_id
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard sequence packing at 256 tokens (window cumsum, no global
+    sort); value-checked against a window-SQL twin."""
+    return pack_sequences(
+        load_table(spark, sf_dir, "documents"), seq_len=256, shard_col="source"
+    )
+
+
+PACK_SEQUENCES_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS BIGINT)
+           AS token_start
+  FROM t
+)
+SELECT doc_id, source, n_tokens, token_start,
+       CAST(floor(token_start / 256.0) AS BIGINT) AS seq_id,
+       floor(token_start / 256.0) <> floor((token_start + n_tokens - 1) / 256.0)
+         AS crosses_boundary
+FROM c
+"""
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus roll-up with an exact interpolated median."""
     return corpus_stats(load_table(spark, sf_dir, "documents")).select(
@@ -903,6 +932,7 @@ QUERIES = {
     "docs_clean_pipeline": q_docs_clean_pipeline,
     "stratified_sample": q_stratified_sample,
     "decontaminate": q_decontaminate,
+    "pack_sequences": q_pack_sequences,
     "corpus_stats": q_corpus_stats,
 }
 
@@ -930,5 +960,6 @@ ORACLES = {
     "docs_clean_pipeline": DOCS_CLEAN_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "decontaminate": DECONTAMINATE_SQL,
+    "pack_sequences": PACK_SEQUENCES_SQL,
     "corpus_stats": CORPUS_STATS_SQL,
 }

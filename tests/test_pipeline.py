@@ -100,6 +100,23 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     assert "BroadcastExchange" in plan  # bench index never shuffles the corpus
 
 
+def test_pack_sequences_offsets(spark):
+    from datalake2anomali_spark.llm.pipeline import pack_sequences
+
+    rows = [
+        (1, "s1", "a b c d"),        # 4 tokens, start 0, seq 0
+        (2, "s1", "e f g"),          # start 4, spans 4..6 → crosses at L=6
+        (3, "s1", "h i"),            # start 7, seq 1
+        (10, "s2", "x y z"),         # independent shard: start 0 again
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in pack_sequences(df, seq_len=6).collect()}
+    assert out[1].token_start == 0 and out[1].seq_id == 0 and not out[1].crosses_boundary
+    assert out[2].token_start == 4 and out[2].seq_id == 0 and out[2].crosses_boundary
+    assert out[3].token_start == 7 and out[3].seq_id == 1 and not out[3].crosses_boundary
+    assert out[10].token_start == 0 and out[10].seq_id == 0
+
+
 def test_corpus_stats_shape(docs):
     out = {r.pred_lang: r for r in corpus_stats(docs).collect()}
     assert out["en"].n_docs == 5

@@ -55,7 +55,12 @@ def connected_components(
     to raise silently.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # Checkpoint the edge set once: every propagation round joins it, and
+    # without this the upstream plan that PRODUCED the edges (e.g. the full
+    # n-gram Jaccard pipeline) would re-execute per round.
+    sym = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

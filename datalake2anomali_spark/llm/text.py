@@ -8,8 +8,12 @@ scale with input splits.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
 
 # Marker stopwords per language for the n-gram/stopword language-ID heuristic.
 # Tie-break priority is the dict order (en > de > fr > es).
@@ -201,6 +205,70 @@ def repetition_stats(
         (
             (max_frac <= F.lit(max_bigram_cap)) & (dup_frac <= F.lit(dup_trigram_cap))
         ).alias("gopher_keep"),
+    )
+
+
+# Engine-portable regexes (Java regex on Spark, RE2 on DuckDB — the subset
+# below behaves identically on both; no lookarounds, no backrefs).
+CONTROL_CHARS_RE = r"[\x00-\x1f\x7f]"
+WHITESPACE_RUN_RE = r"\s+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+LONG_NUM_RE = r"\b\d{7,}\b"
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text", nfc: bool = False) -> DataFrame:
+    """Canonical text cleanup: control-strip → (NFC) → lowercase → collapse
+    whitespace → trim.
+
+    The default path is pure codegen'd string expressions — map-only at any
+    scale.  ``nfc=True`` adds Unicode NFC normalization, which Spark has no
+    built-in for, so it rides an Arrow-batched ``pandas_udf`` over
+    ``unicodedata`` — the sanctioned slow path, off by default because most
+    corpora arrive NFC already.
+    """
+    c: Column = F.regexp_replace(F.col(text_col), CONTROL_CHARS_RE, " ")
+    if nfc:
+        @pandas_udf(T.StringType())
+        def _nfc(s: pd.Series) -> pd.Series:
+            import unicodedata
+
+            return s.map(lambda x: unicodedata.normalize("NFC", x) if x is not None else None)
+
+        c = _nfc(c)
+    c = F.trim(F.regexp_replace(F.lower(c), WHITESPACE_RUN_RE, " "))
+    return docs.select(
+        "doc_id",
+        c.alias("norm_text"),
+        F.length(c).alias("n_chars_norm"),
+        (c != F.col(text_col)).alias("changed"),
+    )
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails, IPv4 addresses, and long digit runs; count each.
+
+    The standard pre-training scrub pass (emails → ``<EMAIL>``, IPs →
+    ``<IP>``, 7+-digit runs → ``<NUM>``), ordered so earlier replacements
+    can't create later matches (replacement tokens contain no digits).
+    Counts come from ``regexp_extract_all`` on the original text.  All
+    regexes are the Java/RE2-portable subset, so the DuckDB oracle runs the
+    byte-identical patterns.  Map-only, codegen'd.
+    """
+    c = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        LONG_NUM_RE,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("clean_text"),
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(IPV4_RE), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all(c, F.lit(LONG_NUM_RE), 0)).alias("n_long_nums"),
     )
 
 

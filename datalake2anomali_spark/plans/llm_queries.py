@@ -41,8 +41,10 @@ from ..llm.similarity import (
 from ..llm.text import (
     fingerprint,
     lang_id,
+    normalize_text,
     pred_lang_col,
     repetition_stats,
+    scrub_pii,
     text_stats,
     token_counts,
 )
@@ -592,6 +594,82 @@ FROM f
 """
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization over deterministically-dirtied input.
+
+    The parquet corpus is already clean, so the query first degrades each
+    text (leading spaces, uppercasing, a control char, a messy suffix) with
+    expressions both engines reproduce, then asserts the codegen'd
+    normalize pass restores canonical form.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("  "), F.upper("text"), F.lit(""), F.lit(" EnD  ")
+        ).alias("text"),
+    )
+    return normalize_text(messy)
+
+
+NORMALIZE_TEXT_SQL = r"""
+WITH messy AS (
+  SELECT doc_id, '  ' || upper(text) || chr(1) || ' EnD  ' AS mt FROM documents
+),
+n AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(regexp_replace(mt, '[\x00-\x1f\x7f]', ' ', 'g')),
+                             '\s+', ' ', 'g')) AS norm_text,
+         mt
+  FROM messy
+)
+SELECT doc_id, norm_text,
+       CAST(length(norm_text) AS INTEGER) AS n_chars_norm,
+       (norm_text <> mt) AS changed
+FROM n
+"""
+
+
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over planted, doc_id-derived emails / IPs / digit runs —
+    the oracle regenerates the same plants and runs byte-identical RE2/Java
+    portable regexes, so redaction and counts are value-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ref 99887766"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return scrub_pii(planted)
+
+
+SCRUB_PII_SQL = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com from 10.0.'
+              || (doc_id % 256) || '.7 ref 99887766' || doc_id AS pt
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(pt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+         '\b\d{7,}\b', '<NUM>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(pt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(pt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+       CAST(len(regexp_extract_all(pt, '\b\d{7,}\b')) AS INTEGER) AS n_long_nums
+FROM planted
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → connected components → canonical-doc clusters.
 
@@ -929,6 +1007,8 @@ QUERIES = {
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "dedup_clusters": q_dedup_clusters,
     "repetition_stats": q_repetition_stats,
+    "normalize_text": q_normalize_text,
+    "scrub_pii": q_scrub_pii,
     "docs_clean_pipeline": q_docs_clean_pipeline,
     "stratified_sample": q_stratified_sample,
     "decontaminate": q_decontaminate,
@@ -957,6 +1037,8 @@ ORACLES = {
     "embedding_neardup_lsh": EMBEDDING_NEARDUP_LSH_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "repetition_stats": REPETITION_STATS_SQL,
+    "normalize_text": NORMALIZE_TEXT_SQL,
+    "scrub_pii": SCRUB_PII_SQL,
     "docs_clean_pipeline": DOCS_CLEAN_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "decontaminate": DECONTAMINATE_SQL,

@@ -143,6 +143,36 @@ def test_repetition_stats_crafted(spark):
     assert out[5].n_bigrams == 0 and out[5].max_bigram_frac == 0.0
 
 
+def test_normalize_text_nfc_and_whitespace(spark):
+    from datalake2anomali_spark.llm.text import normalize_text
+
+    # "e" + combining acute (U+0301) must NFC-compose to U+00E9
+    rows = [(1, "  Cafe\u0301   du\tMonde\x00ok  "), (2, "already clean")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in normalize_text(df, nfc=True).collect()}
+    assert out[1].norm_text == "caf\u00e9 du monde ok"
+    assert out[1].changed
+    assert out[2].norm_text == "already clean" and not out[2].changed
+    # default path (no NFC) cleans whitespace but keeps the combining form
+    out0 = {r.doc_id: r for r in normalize_text(df).collect()}
+    assert out0[1].norm_text == "cafe\u0301 du monde ok"
+
+
+def test_scrub_pii_crafted(spark):
+    from datalake2anomali_spark.llm.text import scrub_pii
+
+    rows = [
+        (1, "mail a.b+c@test.org and 192.168.0.1 plus 12345678 end"),
+        (2, "no pii here 123.456 short 123456"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert out[1].clean_text == "mail <EMAIL> and <IP> plus <NUM> end"
+    assert (out[1].n_emails, out[1].n_ips, out[1].n_long_nums) == (1, 1, 1)
+    assert out[2].clean_text == "no pii here 123.456 short 123456"
+    assert (out[2].n_emails, out[2].n_ips, out[2].n_long_nums) == (0, 0, 0)
+
+
 def test_multimodal_plumbing(docs):
     feats = extract_features(with_binary_payload(docs.limit(50)))
     rows = feats.collect()

@@ -4,14 +4,19 @@ No counterpart in the reference connector; these are the operators a
 100-TB-scale training-data pipeline needs, built Spark-first:
 
 - ``text``        tokenization, quality scoring, language-ID heuristic,
-                  document fingerprinting — all whole-stage-codegen'd
-                  expressions, no UDFs
+                  Gopher-style repetition filters, normalization, PII
+                  scrubbing, document fingerprinting — whole-stage-codegen'd
+                  expressions (NFC alone rides an Arrow pandas_udf)
 - ``dedup``       exact, n-gram Jaccard (inverted shingle index),
                   MinHash+LSH, SimHash — shuffle-aware formulations
+- ``graph``       near-dup pairs → canonical-doc clusters (checkpointed
+                  min-label-propagation connected components)
 - ``similarity``  brute-force cosine top-k (exact baseline) and
                   random-hyperplane LSH bucketing (the scale path)
 - ``multimodal``  opaque binary columns + Arrow-batched feature extraction
                   (decode stubbed: no codec libs in this environment)
+- ``pipeline``    composed corpus stages: clean chain, stratified sampling,
+                  decontamination, sequence packing, corpus stats
 """
 
-from . import dedup, multimodal, similarity, text  # noqa: F401
+from . import dedup, graph, multimodal, pipeline, similarity, text  # noqa: F401

@@ -176,7 +176,9 @@ def repetition_stats(
     expression (see :func:`_max_run_count`) — a map-only pass at any scale.
     Exact integer counts + one double division keep it engine-portable.
     """
-    base = docs.select(
+    from .util import spread
+
+    base = spread(docs).select(
         "doc_id",
         ngrams_col(text_col, 2).alias("bg"),
         ngrams_col(text_col, 3).alias("tg"),

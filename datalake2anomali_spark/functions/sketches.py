@@ -1,0 +1,86 @@
+"""Mergeable sketch aggregates: HLL distinct counts + approximate quantiles.
+
+At 100 TB, exact ``COUNT(DISTINCT)`` shuffles every distinct key and an
+exact percentile sorts each group; the scale path is the mergeable sketch —
+HyperLogLog++ for cardinality (``approx_count_distinct``) and a quantile
+summary for percentiles (``percentile_approx``).  Both aggregate in one
+map-side partial + small fixed-size merge, so cost is O(input) with
+constant-size shuffle rows regardless of cardinality.
+
+Determinism notes (what makes these oracle-checkable as *bounds*):
+
+- HLL++ is hash-based with no RNG and merges by bitwise max — the estimate
+  is a pure function of the input set, independent of partitioning.
+- The quantile summary's guarantee is a RANK bound, not a value bound: the
+  returned element's rank is within eps·n of the target (eps = 1/accuracy,
+  plus merge slack).  A value-space tolerance breaks on sparse tails and
+  tiny groups, so the check below verifies the actual contract — it counts
+  how many of the group's values fall at or below the sketch's percentile
+  and asserts that rank lands within the bound.
+
+``sketch_summary`` returns per-group exact anchors (row count, exact
+distinct — feasible at test scale) alongside booleans asserting each sketch
+meets its bound; the DuckDB oracle recomputes the anchors and pins the
+booleans TRUE (same derived-check scheme as the LSH/IVF operators in
+``plans/llm_queries.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sketch_summary(
+    df: DataFrame,
+    key: str,
+    id_col: str,
+    value_col: str,
+    rsd: float = 0.05,
+    accuracy: int = 10000,
+    rel_card_bound: float = 0.15,
+    rank_frac_bound: float = 0.03,
+) -> DataFrame:
+    """Per-``key`` sketch-vs-exact summary.
+
+    Output: (key, n_events, n_distinct_exact, hll_ok, p50_ok, p95_ok) —
+    ``hll_ok`` bounds the HLL++ relative error at ``rel_card_bound`` (3×
+    the requested rsd by default); ``p50_ok`` / ``p95_ok`` assert the
+    rank-error contract: |rank(sketch_p) − p·n| ≤ ``rank_frac_bound``·n + 2
+    (loose vs eps = 1/accuracy, so partition-order merge variation can
+    never flip them).
+
+    Plan shape: one grouped agg builds the sketches, the tiny per-key
+    result broadcasts back onto the input to count ranks (second pass over
+    the data, map-side agg) — the verification costs one extra scan, never
+    a sort.
+    """
+    agg = df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(id_col).alias("n_distinct_exact"),
+        F.approx_count_distinct(id_col, rsd).alias("hll"),
+        F.percentile_approx(
+            value_col, F.array(F.lit(0.5), F.lit(0.95)), F.lit(accuracy)
+        ).alias("qa"),
+    )
+    ranks = (
+        df.select(key, value_col)
+        .join(F.broadcast(agg.select(key, "qa")), key)
+        .groupBy(key)
+        .agg(
+            F.sum((F.col(value_col) <= F.col("qa")[0]).cast("long")).alias("n_le_p50"),
+            F.sum((F.col(value_col) <= F.col("qa")[1]).cast("long")).alias("n_le_p95"),
+        )
+    )
+    slack = rank_frac_bound * F.col("n_events") + 2
+    return agg.join(ranks, key).select(
+        key,
+        "n_events",
+        "n_distinct_exact",
+        (
+            F.abs(F.col("hll") - F.col("n_distinct_exact"))
+            <= rel_card_bound * F.col("n_distinct_exact")
+        ).alias("hll_ok"),
+        (F.abs(F.col("n_le_p50") - 0.5 * F.col("n_events")) <= slack).alias("p50_ok"),
+        (F.abs(F.col("n_le_p95") - 0.95 * F.col("n_events")) <= slack).alias("p95_ok"),
+    )

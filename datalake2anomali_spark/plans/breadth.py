@@ -289,7 +289,34 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """
 
+def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch aggregates vs exact anchors (functions/sketches.py).
+
+    HLL++ distinct counts and quantile-summary percentiles per event_type,
+    bound-checked in-query against the exact values; the oracle recomputes
+    the exact anchors and pins the bound booleans TRUE (derived-check
+    scheme, see plans/llm_queries.py).
+    """
+    from ..functions.sketches import sketch_summary
+
+    e = load_table(spark, sf_dir, "events")
+    return sketch_summary(e, key="event_type", id_col="user_id", value_col="value")
+
+
+SKETCH_STATS_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_exact,
+       TRUE AS hll_ok,
+       TRUE AS p50_ok,
+       TRUE AS p95_ok
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "sketch_stats": sketch_stats,
     "topk_per_group": topk_per_group,
     "distinct_set_ops": distinct_set_ops,
     "grouped_rollup": grouped_rollup,
@@ -302,6 +329,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sketch_stats": SKETCH_STATS_SQL,
     "topk_per_group": TOPK_SQL,
     "distinct_set_ops": SET_OPS_SQL,
     "grouped_rollup": ROLLUP_SQL,

@@ -54,6 +54,11 @@ def sketch_summary(
     result broadcasts back onto the input to count ranks (second pass over
     the data, map-side agg) — the verification costs one extra scan, never
     a sort.
+
+    The rank check assumes a mostly-distinct value column (true of any
+    continuous measure): under massive ties "the rank of a value" spans the
+    whole tie run, so a near-constant group can overshoot the bound even
+    though the sketch answered correctly.
     """
     agg = df.groupBy(key).agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis): engine results vs pure-Python
+references on randomized small corpora, and partition-invariance of the
+deterministic kernels.
+
+Few examples per property (Spark jobs are seconds each), but each example
+is a fresh randomized corpus — these catch semantic drift the fixed-corpus
+oracle checks can't (e.g. a hash kernel that silently depends on batch
+boundaries or partitioning).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from datalake2anomali_spark.llm.dedup import minhash_signatures, ngram_jaccard_pairs
+from datalake2anomali_spark.llm.graph import connected_components
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps"]
+_doc = st.lists(st.sampled_from(_WORDS), min_size=4, max_size=12).map(" ".join)
+
+
+def _py_jaccard(a: str, b: str, n: int = 4) -> float:
+    def sh(t: str) -> set[str]:
+        w = t.split(" ")
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_doc, min_size=2, max_size=8))
+def test_ngram_jaccard_matches_python_reference(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r.d1, r.d2): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=0.0001).collect()
+    }
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            expect = _py_jaccard(texts[i], texts[j])
+            if expect >= 0.0001:
+                assert abs(got[(i, j)] - expect) < 1e-12, (i, j, texts)
+            else:
+                assert (i, j) not in got or got[(i, j)] < 0.0001
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_doc, min_size=1, max_size=10), st.integers(min_value=1, max_value=4))
+def test_minhash_signatures_partition_invariant(spark, texts, nparts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    base = {r.doc_id: r.signature for r in minhash_signatures(df).collect()}
+    repart = {
+        r.doc_id: r.signature
+        for r in minhash_signatures(df.repartition(nparts)).collect()
+    }
+    assert base == repart
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    # pure-Python union-find reference
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+    # find() with min-root union keeps the smallest id as the root
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == expect

@@ -25,6 +25,7 @@ QUERIES = {
     "sliding_window_stats": windows.sliding_stats_query,
     "session_window_agg": windows.session_window_stats_query,
     "stream_tumbling_counts": incremental.stream_tumbling_counts,
+    "stream_dedup_events": incremental.stream_dedup_events,
     "stateful_user_profiles": stateful.stateful_user_profiles,
 }
 
@@ -33,5 +34,6 @@ ORACLES = {
     "sliding_window_stats": windows.SLIDING_SQL,
     "session_window_agg": windows.SESSION_WINDOW_SQL,
     "stream_tumbling_counts": windows.TUMBLING_SQL,
+    "stream_dedup_events": incremental.STREAM_DEDUP_SQL,
     "stateful_user_profiles": stateful.STATEFUL_PROFILE_SQL,
 }

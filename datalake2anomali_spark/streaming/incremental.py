@@ -127,6 +127,53 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, output_mode="complete", state_partitions=8)
 
 
+def stream_dedup(
+    events: DataFrame,
+    key_cols: list[str] | tuple[str, ...] = ("event_id",),
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence per key wins, state bounded
+    by the watermark.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key only
+    until the watermark passes the key's first-seen event time — the
+    streaming counterpart of :func:`...llm.dedup.dedup_exact`, with state
+    size O(keys per watermark horizon) instead of O(all keys ever).  At
+    scale the state store shards by the key hash (size via
+    ``state_partitions`` in :func:`run_to_completion`).
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming dedup over a deliberately duplicated stream.
+
+    Every event is emitted twice (explode of a 2-element array — the
+    at-least-once delivery double a real bus produces), then
+    ``dropDuplicatesWithinWatermark`` on event_id collapses the stream back
+    to exactly one row per event.  Oracle: the original events table.
+    """
+    events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    doubled = events.withColumn(
+        "__copy", F.explode(F.array(F.lit(1), F.lit(2)))
+    ).drop("__copy")
+    deduped = stream_dedup(doubled, key_cols=("event_id",))
+    out = run_to_completion(
+        deduped.select("event_id", "user_id", "event_type"),
+        output_mode="append",
+        state_partitions=8,
+    )
+    return out
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_id, user_id, event_type FROM events
+"""
+
+
 def run_tick(
     stream_df: DataFrame,
     out_path: str,

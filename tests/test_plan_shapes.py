@@ -49,6 +49,25 @@ def test_corpus_stats_single_shuffle(spark, sf_dir):
     assert _n_shuffles(corpus_stats(docs)) == 1
 
 
+def test_normalize_and_scrub_are_map_only(spark, sf_dir):
+    from datalake2anomali_spark.llm.text import normalize_text, scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert _n_shuffles(normalize_text(docs)) == 0
+    assert _n_shuffles(scrub_pii(docs)) == 0
+
+
+def test_pack_sequences_single_exchange(spark, sf_dir):
+    # one hash exchange for the per-shard window; a global sort (range
+    # exchange) would mean the formulation serialized the corpus
+    from datalake2anomali_spark.llm.pipeline import pack_sequences
+
+    df = pack_sequences(load_table(spark, sf_dir, "documents"))
+    p = _plan(df)
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Exchange rangepartitioning" not in p, p
+
+
 def test_no_cartesian_products_in_registered_queries(spark, sf_dir):
     # CartesianProduct = the unbounded O(n^2) plan Spark falls back to for
     # non-equi self-joins.  Only brute-force *verification* twins may use a

@@ -35,6 +35,7 @@ from ..llm.similarity import (
     ann_hyperplane_topk,
     ann_ivf_topk,
     cosine_topk,
+    cosine_topk_quantized,
     embedding_neardup_exact,
     embedding_neardup_lsh,
 )
@@ -492,6 +493,33 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_queries"),
             F.col("n_exact"),
             (F.col("nh") >= 0.5 * F.col("n_exact")).alias("recall_ok"),
+        )
+    )
+
+
+def q_ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-k vs the float path: recall@5 ≥ 0.9.
+
+    Quantization error is ≤ ~1/127 per axis, far below typical neighbor
+    gaps, so recall should be near-perfect; the 0.9 bound leaves room for
+    genuine boundary flips among near-tied neighbors.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vectors(spark, sf_dir)
+    approx = cosine_topk_quantized(emb, qv, k=5).select("query_id", "neighbor_id")
+    exact = cosine_topk(emb, qv, k=5).select("query_id", "neighbor_id").persist()
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("nh")
+    )
+    n_q = qv.agg(F.count(F.lit(1)).alias("n_queries"))
+    return (
+        n_q.crossJoin(n_exact)
+        .crossJoin(n_hits)
+        .select(
+            F.col("n_queries"),
+            F.col("n_exact"),
+            (F.col("nh") >= 0.9 * F.col("n_exact")).alias("recall_ok"),
         )
     )
 
@@ -1004,6 +1032,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_topk_quantized": q_ann_topk_quantized,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "dedup_clusters": q_dedup_clusters,
     "repetition_stats": q_repetition_stats,
@@ -1034,6 +1063,7 @@ ORACLES = {
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "ann_lsh_topk": _ANN_CHECK_SQL,
     "ann_ivf_topk": _ANN_CHECK_SQL,
+    "ann_topk_quantized": _ANN_CHECK_SQL,
     "embedding_neardup_lsh": EMBEDDING_NEARDUP_LSH_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "repetition_stats": REPETITION_STATS_SQL,

@@ -93,6 +93,24 @@ def test_embedding_neardup_lsh_recall(spark, sf_dir):
     assert recall >= 0.8, f"embedding LSH recall {recall}"
 
 
+def test_quantize_roundtrip_error_bound(spark, sf_dir):
+    from datalake2anomali_spark.llm.similarity import dequantize_col, quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    dq = quantize_embeddings(emb).select(
+        "vec_id", dequantize_col(F.col("q8"), F.col("q_scale")).alias("deq")
+    )
+    joined = emb.join(dq, "vec_id").select(
+        F.array_max(
+            F.zip_with("embedding", "deq", lambda a, b: F.abs(a - b))
+        ).alias("max_err"),
+        F.array_max(F.transform("embedding", lambda x: F.abs(x))).alias("max_abs"),
+    )
+    # per-axis error ≤ scale/254 + fp slop; scale = max|x| of the vector
+    bad = joined.filter(F.col("max_err") > F.col("max_abs") / 254.0 + 1e-9).count()
+    assert bad == 0
+
+
 def test_bpe_tokens(spark):
     df = spark.createDataFrame(
         [(1, "Hello, world! abc123 x-y")], "doc_id long, text string"

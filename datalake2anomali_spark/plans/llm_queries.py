@@ -622,6 +622,59 @@ FROM f
 """
 
 
+#: Fixed query-term set for the registered BM25 query (corpus-vocabulary
+#: words with different document frequencies → distinct idf weights).
+BM25_TERMS = ["spark", "window", "merge"]
+
+
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document for a fixed 3-term query
+    (llm/search.py) — one stats aggregate + one map-only scoring pass."""
+    from ..llm.search import bm25_scores
+
+    return bm25_scores(load_table(spark, sf_dir, "documents"), BM25_TERMS)
+
+
+BM25_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(len(toks)) AS DOUBLE) AS total_len,
+         CAST(SUM(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+         CAST(SUM(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+         CAST(SUM(CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
+  FROM t
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf_0,
+         CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf_1,
+         CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tf_2,
+         CAST(len(toks) AS DOUBLE) AS dl,
+         s.*
+  FROM t, stats s
+),
+f AS (
+  SELECT doc_id,
+         (CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END
+          + CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END
+          + CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS n_matched,
+         ln((n_docs - df_0 + 0.5) / (df_0 + 0.5) + 1.0)
+           * tf_0 * 2.2 / (tf_0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (total_len / n_docs)))
+         + ln((n_docs - df_1 + 0.5) / (df_1 + 0.5) + 1.0)
+           * tf_1 * 2.2 / (tf_1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (total_len / n_docs)))
+         + ln((n_docs - df_2 + 0.5) / (df_2 + 0.5) + 1.0)
+           * tf_2 * 2.2 / (tf_2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (total_len / n_docs)))
+           AS raw_score
+  FROM scored
+)
+SELECT doc_id, n_matched, round(raw_score, 6) AS score
+FROM f WHERE n_matched > 0
+"""
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization over deterministically-dirtied input.
 
@@ -1036,6 +1089,7 @@ QUERIES = {
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "dedup_clusters": q_dedup_clusters,
     "repetition_stats": q_repetition_stats,
+    "bm25_scores": q_bm25_scores,
     "normalize_text": q_normalize_text,
     "scrub_pii": q_scrub_pii,
     "docs_clean_pipeline": q_docs_clean_pipeline,
@@ -1067,6 +1121,7 @@ ORACLES = {
     "embedding_neardup_lsh": EMBEDDING_NEARDUP_LSH_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "repetition_stats": REPETITION_STATS_SQL,
+    "bm25_scores": BM25_SQL,
     "normalize_text": NORMALIZE_TEXT_SQL,
     "scrub_pii": SCRUB_PII_SQL,
     "docs_clean_pipeline": DOCS_CLEAN_SQL,

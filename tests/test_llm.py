@@ -111,6 +111,34 @@ def test_quantize_roundtrip_error_bound(spark, sf_dir):
     assert bad == 0
 
 
+def test_bm25_matches_python_reference(spark):
+    import math
+
+    from datalake2anomali_spark.llm.search import bm25_scores
+
+    corpus = ["spark join fast", "spark spark window table", "nothing to see here"]
+    terms = ["spark", "window"]
+    df = spark.createDataFrame(list(enumerate(corpus)), "doc_id long, text string")
+    got = {r.doc_id: (r.n_matched, r.score) for r in bm25_scores(df, terms).collect()}
+
+    k1, b = 1.2, 0.75
+    n = len(corpus)
+    toks = [c.split(" ") for c in corpus]
+    avgdl = sum(len(t) for t in toks) / n
+    def score(d):
+        s = 0.0
+        for t in terms:
+            dfreq = sum(1 for tk in toks if t in tk)
+            tf = toks[d].count(t)
+            idf = math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks[d]) / avgdl))
+        return round(s, 6)
+
+    assert set(got) == {0, 1}  # doc 2 matches nothing
+    assert got[0] == (1, score(0))
+    assert got[1] == (2, score(1))
+
+
 def test_bpe_tokens(spark):
     df = spark.createDataFrame(
         [(1, "Hello, world! abc123 x-y")], "doc_id long, text string"

@@ -58,7 +58,9 @@ def sketch_summary(
     The rank check assumes a mostly-distinct value column (true of any
     continuous measure): under massive ties "the rank of a value" spans the
     whole tie run, so a near-constant group can overshoot the bound even
-    though the sketch answered correctly.
+    though the sketch answered correctly.  ``n_events`` counts non-null
+    ``value_col`` rows (matching what the quantile sketch and rank probe
+    see); an all-NULL group yields n_events = 0 and vacuously-true bounds.
     """
     # The per-key aggregate subplan is referenced twice (broadcast
     # rank-probe + final join) and is deliberately NOT persisted: caching
@@ -66,7 +68,11 @@ def sketch_summary(
     # InMemoryRelation materialization serializes what is otherwise a fully
     # pipelined pair of scans).
     agg = df.groupBy(key).agg(
-        F.count(F.lit(1)).alias("n_events"),
+        # count(value_col), not count(*): the rank probe and
+        # percentile_approx both ignore NULL values, so n_events must be the
+        # non-null row count or NULL-bearing groups deflate the measured
+        # rank and spuriously fail p50_ok/p95_ok.
+        F.count(F.col(value_col)).alias("n_events"),
         F.countDistinct(id_col).alias("n_distinct_exact"),
         F.approx_count_distinct(id_col, rsd).alias("hll"),
         F.percentile_approx(
@@ -91,6 +97,10 @@ def sketch_summary(
             F.abs(F.col("hll") - F.col("n_distinct_exact"))
             <= rel_card_bound * F.col("n_distinct_exact")
         ).alias("hll_ok"),
-        (F.abs(F.col("n_le_p50") - 0.5 * F.col("n_events")) <= slack).alias("p50_ok"),
-        (F.abs(F.col("n_le_p95") - 0.95 * F.col("n_events")) <= slack).alias("p95_ok"),
+        F.when(F.col("n_events") == 0, F.lit(True))
+        .otherwise(F.abs(F.col("n_le_p50") - 0.5 * F.col("n_events")) <= slack)
+        .alias("p50_ok"),
+        F.when(F.col("n_events") == 0, F.lit(True))
+        .otherwise(F.abs(F.col("n_le_p95") - 0.95 * F.col("n_events")) <= slack)
+        .alias("p95_ok"),
     )

@@ -304,6 +304,8 @@ def simhash_near_pairs(
     """
     if signatures is not None:
         sigs = signatures
+    elif docs is None:
+        raise ValueError("simhash_near_pairs: pass either docs or signatures")
     else:
         sigs = simhash_signatures(docs, text_col).persist()
         sigs.count()

@@ -305,7 +305,7 @@ def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SKETCH_STATS_SQL = """
 SELECT event_type,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(value) AS BIGINT) AS n_events,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_exact,
        TRUE AS hll_ok,
        TRUE AS p50_ok,

@@ -321,17 +321,71 @@ WHERE round(list_dot_product(a.v, b.v)
 # This is the honest checkable form of an approximation: value-equality where
 # value-equality is defined (the exact twin), bound-assertion where only a
 # bound is defined (the approximate path).
+#
+# Two hygiene rules keep the checks gate-safe:
+#
+# - The exact twins whose cost is super-linear (inverted-index Jaccard
+#   without a df cap; brute-force O(n²) Hamming) run on a deterministically
+#   CAPPED corpus (md5-mod bucket sample, mirrored in the DuckDB twin) so no
+#   gate query blows up when the harness raises sf.  The operators
+#   themselves stay linear-ish by construction; only the ground-truth twin
+#   needed bounding.
+# - Each check materializes its one-row summary eagerly and unpersists its
+#   cached intermediates before returning: the correctness driver runs all
+#   registered queries in one session with no cache hygiene of its own
+#   (bench.py clearCache()s between timings; the gate does not), so leaked
+#   cache blocks would tax every later query.
+
+# Fraction (of 100 md5 buckets) of documents kept by the capped checks.
+# 60 keeps the sf0.01 gate meaningful (10 exact near-dup pairs survive) while
+# cutting the quadratic twin's work to ~0.36× and keeping it bounded
+# relative to corpus growth.
+_CHECK_CAP = 60
+
+_CAP_SQL = (
+    "WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)"
+    f" % 100) < {_CHECK_CAP}"
+)
+
+
+def _capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.pipeline import md5_bucket_col
+
+    return load_table(spark, sf_dir, "documents").filter(
+        md5_bucket_col("doc_id") < _CHECK_CAP
+    )
+
+
+def _eager_summary(df: DataFrame, cached: list[DataFrame]) -> DataFrame:
+    """Materialize a small summary frame, then unpersist the check's cached
+    intermediates so a multi-query driver session doesn't accumulate cache
+    blocks across checks.
+
+    The explicit unpersists cover the frames this module cached; the
+    operators underneath cache their own internals too (minhash/simhash
+    signatures, the shingle inverted index, LSH buckets), so finish with a
+    full ``clearCache`` — at this point the check's answer is already a
+    local list, and dropping another query's leftover cache only costs it a
+    recompute it should not have been relying on.
+    """
+    rows = df.collect()
+    for c in cached:
+        c.unpersist()
+    df.sparkSession.catalog.clearCache()
+    return df.sparkSession.createDataFrame(rows, df.schema)
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH vs exact n-gram Jaccard (uncapped): recall ≥ 0.9, precision 1.
+    """MinHash-LSH vs exact n-gram Jaccard: recall ≥ 0.9, precision 1.
 
     Precision is structural (the verify step computes exact Jaccard on
     candidates), so ``precision_ok`` doubles as a regression check on the
     verify filter; recall is the banding tradeoff, bounded as in
-    tests/test_llm.py.
+    tests/test_llm.py.  Both sides run on the md5-mod capped corpus: the
+    ground-truth twin (`ngram_jaccard_pairs` with ``max_df=None``) is the
+    one super-linear plan in the gate, so it gets a bounded input.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _capped_docs(spark, sf_dir)
     approx = minhash_dedup_pairs(docs, threshold=0.8).select("d1", "d2").persist()
     exact = ngram_jaccard_pairs(docs, threshold=0.8).select("d1", "d2").persist()
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
@@ -341,7 +395,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_false = approx.join(exact, ["d1", "d2"], "left_anti").agg(
         F.count(F.lit(1)).alias("nf")
     )
-    return (
+    summary = (
         n_exact.crossJoin(n_caught)
         .crossJoin(n_false)
         .select(
@@ -350,10 +404,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nc") >= 0.9 * F.col("n_exact_pairs")).alias("recall_ok"),
         )
     )
+    return _eager_summary(summary, [approx, exact])
 
 
 DEDUP_MINHASH_SQL = (
-    _SHINGLE_CTE
+    _SHINGLE_CTE.replace("FROM documents", "FROM documents " + _CAP_SQL, 1)
     + """
 , ex AS (
   SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n_sh FROM s
@@ -379,12 +434,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 4-segment pigeonhole guarantees every pair at distance ≤ 3 shares a
     segment, so the blocked pair set must EQUAL the brute-force all-pairs
     set.  The brute-force side is a deliberate O(n²) broadcast nested-loop
-    over the (doc_id, 64-bit signature) frame — verification-scale only
-    (bounded corpora); the scale path is the blocked operator it certifies.
-    ``n_docs_signed`` (docs long enough to shingle) is the data-derived
-    column the DuckDB oracle recomputes.
+    over the (doc_id, 64-bit signature) frame — so it runs on the md5-mod
+    capped corpus (the theorem holds on any subset; the scale path is the
+    blocked operator it certifies).  ``n_docs_signed`` (capped docs long
+    enough to shingle) is the data-derived column the DuckDB oracle
+    recomputes.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _capped_docs(spark, sf_dir)
     sigs = simhash_signatures(docs).persist()
     blocked = simhash_near_pairs(signatures=sigs, max_distance=3).select("d1", "d2").persist()
     a = sigs.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"))
@@ -401,7 +457,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_missed = brute.join(blocked, ["d1", "d2"], "left_anti").agg(
         F.count(F.lit(1)).alias("nm")
     )
-    return (
+    summary = (
         n_signed.crossJoin(n_blocked)
         .crossJoin(n_brute)
         .crossJoin(n_missed)
@@ -410,10 +466,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("nb") == F.col("nx")) & (F.col("nm") == 0)).alias("blocking_complete"),
         )
     )
+    return _eager_summary(summary, [sigs, blocked, brute])
 
 
 DEDUP_SIMHASH_SQL = (
-    _SHINGLE_CTE
+    _SHINGLE_CTE.replace("FROM documents", "FROM documents " + _CAP_SQL, 1)
     + """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_signed,
        TRUE AS blocking_complete
@@ -436,7 +493,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("nh")
     )
     n_q = qv.agg(F.count(F.lit(1)).alias("n_queries"))
-    return (
+    summary = (
         n_q.crossJoin(n_exact)
         .crossJoin(n_hits)
         .select(
@@ -445,6 +502,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nh") >= 0.5 * F.col("n_exact")).alias("recall_ok"),
         )
     )
+    return _eager_summary(summary, [exact])
 
 
 _ANN_CHECK_SQL = """
@@ -486,7 +544,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("nh")
     )
     n_q = qv.agg(F.count(F.lit(1)).alias("n_queries"))
-    return (
+    summary = (
         n_q.crossJoin(n_exact)
         .crossJoin(n_hits)
         .select(
@@ -495,6 +553,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nh") >= 0.5 * F.col("n_exact")).alias("recall_ok"),
         )
     )
+    return _eager_summary(summary, [exact])
 
 
 def q_ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -513,7 +572,7 @@ def q_ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("nh")
     )
     n_q = qv.agg(F.count(F.lit(1)).alias("n_queries"))
-    return (
+    summary = (
         n_q.crossJoin(n_exact)
         .crossJoin(n_hits)
         .select(
@@ -522,6 +581,7 @@ def q_ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nh") >= 0.9 * F.col("n_exact")).alias("recall_ok"),
         )
     )
+    return _eager_summary(summary, [exact])
 
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -546,7 +606,7 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_false = approx.join(exact, ["id1", "id2"], "left_anti").agg(
         F.count(F.lit(1)).alias("nf")
     )
-    return (
+    summary = (
         n_exact.crossJoin(n_caught)
         .crossJoin(n_false)
         .select(
@@ -555,6 +615,7 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nc") >= 0.8 * F.col("n_exact_pairs")).alias("recall_ok"),
         )
     )
+    return _eager_summary(summary, [approx, exact])
 
 
 EMBEDDING_NEARDUP_LSH_SQL = """
@@ -687,7 +748,7 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     messy = docs.select(
         "doc_id",
         F.concat(
-            F.lit("  "), F.upper("text"), F.lit(""), F.lit(" EnD  ")
+            F.lit("  "), F.upper("text"), F.lit("\x01"), F.lit(" EnD  ")
         ).alias("text"),
     )
     return normalize_text(messy)

@@ -35,20 +35,58 @@ def entry(spark: SparkSession) -> DataFrame:
     return relational.q5_local_supplier(spark, "/root/testdata/sf0.001")
 
 
+# Registration order doubles as the driver gate's execution order, and the
+# gate may stop early on a count/time budget (round 2 recorded exactly the
+# first 50 of 56 entries).  So the dict is built *priority-first*: entries
+# that have never had a driver row, changed this round, or are new lead;
+# long-stable queries with multiple green rounds behind them form the tail.
+_PRIORITY: tuple[str, ...] = (
+    # never driver-checked or stranded by the round-2 cutoff
+    "stream_dedup_events",
+    "stateful_user_profiles",
+    "asof_join_click_error",
+    "range_join_error_clicks",
+    "hypertable_rollup",
+    "salted_skew_stats",
+    # new this round
+    "ioc_indicators_observed",
+    "stream_dedup_late",
+    "corpus_roundtrip",
+    # modified this round (capped check twins / cache hygiene / NULL fix)
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sketch_stats",
+    "normalize_text",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_topk_quantized",
+    "embedding_neardup_lsh",
+    "stream_tumbling_counts",
+)
+
+_MODULES = (relational, ioc_queries, breadth, llm_queries, streaming_queries, temporal_queries)
+
+
+def _ordered(items: dict) -> dict:
+    pri = {n: items[n] for n in _PRIORITY if n in items}
+    pri.update({n: v for n, v in items.items() if n not in pri})
+    return pri
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, ioc_queries, breadth, llm_queries, streaming_queries, temporal_queries):
+    for mod in _MODULES:
         out.update({name: _wrap(fn) for name, fn in mod.QUERIES.items()})
-    return out
+    return _ordered(out)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each queries() entry."""
     out: dict[str, str] = {}
-    for mod in (relational, ioc_queries, breadth, llm_queries, streaming_queries, temporal_queries):
+    for mod in _MODULES:
         out.update(mod.ORACLES)
-    return out
+    return _ordered(out)
 
 
 def _wrap(fn):

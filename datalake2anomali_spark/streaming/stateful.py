@@ -128,7 +128,7 @@ def stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = incremental.run_to_completion(
         user_profiles_stream(events, idle_timeout=False),
         output_mode="update",
-        state_partitions=8,  # 1.5k keys at bench SF; size to keyspace in prod
+        state_partitions=2,  # 1.5k keys at bench SF; size to keyspace in prod
     )
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),

@@ -72,15 +72,22 @@ def main() -> None:
     spark.read.format("worldwatch_advisories").load().write.format("noop").mode(
         "overwrite"
     ).save()
-    for name, fn in qs.items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # queries persist intermediates (signature/index reuse within a
-        # query); drop them between timings so later queries aren't taxed
-        # by storage-memory pressure from earlier ones
-        spark.catalog.clearCache()
+    # Two passes: the cold pass pays each distinct plan's one-time codegen +
+    # Python-worker costs (2-5 s for the first run of a plan shape); the warm
+    # pass isolates steady-state execution so a regression in either bucket
+    # is attributable.  "value" stays the cold total for cross-round
+    # comparability.
+    warm_timings: dict[str, float] = {}
+    for out, tag in ((timings, "cold"), (warm_timings, "warm")):
+        for name, fn in qs.items():
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            out[name] = round(time.time() - t0, 3)
+            # queries persist intermediates (signature/index reuse within a
+            # query); drop them between timings so later queries aren't taxed
+            # by storage-memory pressure from earlier ones
+            spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
@@ -90,6 +97,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "value_warm": round(sum(warm_timings.values()), 3),
+                "queries_warm": warm_timings,
                 "sf": float(sf) if sf else None,
             }
         )

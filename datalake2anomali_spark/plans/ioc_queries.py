@@ -130,6 +130,34 @@ FROM enriched
 )
 
 
+def ioc_indicators_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP-A through the instrumented A3/K5 plan (``ioc/metrics.py``).
+
+    Same output relation as ``ioc_indicators`` — the driver hashing this
+    against ``IOC_INDICATORS_SQL`` proves the observed variant (broadcast
+    *left* join + post-observation filters, so every parsed row crosses the
+    ``observe()`` node) is output-identical to the stock inner-join chain.
+    The counter values themselves are pinned in tests/test_metrics.py; here
+    they just ride along on the driver's action at zero extra scan cost.
+    """
+    from ..ioc.metrics import instrumented_indicators
+
+    bulk = derive_bulk_raw(spark, sf_dir)
+    valid, _rejected = validate_specs(derived_specs_df(spark))
+    out, _obs = instrumented_indicators(bulk, valid)
+    return out.select(
+        "dataset_name",
+        "anomali_type",
+        "anomali_itype",
+        "anomali_severity",
+        "atom_type",
+        "atom_value",
+        "hashes_md5",
+        F.array_max("threat_scores").cast("int").alias("confidence"),
+        F.array_join("threat_tags", ",").alias("threat_tags_csv"),
+    )
+
+
 def ioc_payload_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 + P4 prep + P5/P6 tag assembly, pre-JSON typed form."""
     objs = prepare_objects(_indicators(spark, sf_dir), tags_tlp="white", add_dtl_tags=True)
@@ -410,6 +438,7 @@ SELECT id, title, timestamp_updated, tags_csv, html FROM adv
 
 QUERIES = {
     "ioc_indicators": ioc_indicators,
+    "ioc_indicators_observed": ioc_indicators_observed,
     "ioc_payload_objects": ioc_payload_objects,
     "ioc_payload_json": ioc_payload_json,
     "ioc_upsert_routing": ioc_upsert_routing,
@@ -420,6 +449,7 @@ QUERIES = {
 
 ORACLES = {
     "ioc_indicators": IOC_INDICATORS_SQL,
+    "ioc_indicators_observed": IOC_INDICATORS_SQL,
     "ioc_payload_objects": IOC_PAYLOAD_OBJECTS_SQL,
     "ioc_payload_json": IOC_PAYLOAD_JSON_SQL,
     "ioc_upsert_routing": IOC_UPSERT_ROUTING_SQL,

@@ -12,6 +12,8 @@ TRUE).  The same bounds are pinned pair-level in ``tests/test_llm.py``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1131,6 +1133,43 @@ GROUP BY pl.pred_lang
 """
 
 
+def q_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus materialization roundtrip (``io/corpus.py``), driver-visible.
+
+    Writes the documents table hive-partitioned by ``lang`` with doc_id
+    range clustering, reads it back through a partition-pruned scan
+    (``lang = 'en'`` never lists the other language directories — pinned in
+    tests/test_corpus_io.py), and returns count + content checksum +
+    id-range anchors the oracle recomputes straight from the source table.
+    A hash match certifies the write→read path loses and alters nothing.
+    """
+    import tempfile
+
+    from ..io.corpus import read_corpus, write_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
+    path = os.path.join(base, "d2a_corpus_" + sf_dir.strip("/").replace("/", "_"))
+    write_corpus(docs, path, partition_by="lang", order_col="doc_id", n_files=4)
+    back = read_corpus(spark, path).filter(F.col("lang") == "en")
+    checksum = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(checksum).alias("text_checksum"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+CORPUS_ROUNDTRIP_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT)) AS BIGINT) AS text_checksum,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM documents WHERE lang = 'en'
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -1158,6 +1197,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
     "corpus_stats": q_corpus_stats,
+    "corpus_roundtrip": q_corpus_roundtrip,
 }
 
 ORACLES = {
@@ -1190,4 +1230,5 @@ ORACLES = {
     "decontaminate": DECONTAMINATE_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "corpus_stats": CORPUS_STATS_SQL,
+    "corpus_roundtrip": CORPUS_ROUNDTRIP_SQL,
 }

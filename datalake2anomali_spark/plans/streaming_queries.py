@@ -8,12 +8,15 @@ Five entries:
 - ``stream_tumbling_counts`` — a *real* Structured Streaming run (readStream →
   watermark → window agg → availableNow → memory sink) whose result is still
   oracle-comparable, because a single availableNow batch drops nothing.
+- ``stream_dedup_late`` — a 3-batch replay whose oracle pins the WATERMARK
+  behaviors by value: late rows dropped, in-state duplicates collapsed,
+  retransmissions of expired keys re-emitted (so the result provably differs
+  from a plain ``distinct``).
 - ``stateful_user_profiles`` — ``applyInPandasWithState`` custom stateful
   operator, oracle-comparable for the same reason.
 
-The multi-batch behaviors that cannot be batch-oracled (late-data drop across
-watermark advances, state carried between micro-batches, idle-key timeout)
-are covered in ``tests/test_streaming.py``.
+Remaining multi-batch behaviors without a batch oracle (state carried across
+restarts, idle-key timeout) are covered in ``tests/test_streaming.py``.
 """
 
 from __future__ import annotations
@@ -26,6 +29,7 @@ QUERIES = {
     "session_window_agg": windows.session_window_stats_query,
     "stream_tumbling_counts": incremental.stream_tumbling_counts,
     "stream_dedup_events": incremental.stream_dedup_events,
+    "stream_dedup_late": incremental.stream_dedup_late,
     "stateful_user_profiles": stateful.stateful_user_profiles,
 }
 
@@ -35,5 +39,6 @@ ORACLES = {
     "session_window_agg": windows.SESSION_WINDOW_SQL,
     "stream_tumbling_counts": windows.TUMBLING_SQL,
     "stream_dedup_events": incremental.STREAM_DEDUP_SQL,
+    "stream_dedup_late": incremental.STREAM_DEDUP_LATE_SQL,
     "stateful_user_profiles": stateful.STATEFUL_PROFILE_SQL,
 }

@@ -199,6 +199,121 @@ SELECT event_id, user_id, event_type FROM events
 """
 
 
+#: Reduced schema for the late-replay stream (ts = raw nanosecond long).
+_LATE_REPLAY_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+_NS_PER_S = 10**9
+
+
+def _build_late_replay_input(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic 3-file replay that makes watermark state semantics
+    observable (see :func:`stream_dedup_late`); returns the input dir.
+
+    - ``00.parquet`` — the full events table.
+    - ``01.parquet`` — 100 new keys at the max timestamp (``fresh_new``);
+      exists to force a batch boundary so the next batch runs under the
+      advanced watermark (the watermark lags one micro-batch).
+    - ``02.parquet`` — three behaviors in one batch: *retransmitted*
+      duplicates of old keys carrying a fresh timestamp (their state has
+      expired → emitted again), duplicates of ``01``'s keys (still in
+      state → dropped), and new keys below the watermark (``late_new`` →
+      dropped by the late-record filter).
+    """
+    from datalake2anomali_spark.io.tables import load_table
+    import glob
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(_scratch_checkpoint_root(), f"late_replay_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    inp = os.path.join(root, "input")
+    os.makedirs(inp)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.unix_micros("ts") * F.lit(1000)).alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    r = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    lo, hi = r.lo, r.hi
+    fresh_new = ev.filter(F.col("event_id") % 100 == 7).select(
+        (F.col("event_id") + F.lit(2_000_000)).alias("event_id"),
+        F.lit(hi).alias("ts"),
+        "user_id",
+        F.lit("fresh_new").alias("event_type"),
+    )
+    redup = ev.filter(
+        (F.col("event_id") % 20 == 0) & (F.col("ts") < F.lit(lo + 5 * 86400 * _NS_PER_S))
+    ).select("event_id", F.lit(hi).alias("ts"), "user_id", "event_type")
+    late_new = ev.filter(F.col("event_id") % 100 == 0).select(
+        (F.col("event_id") + F.lit(1_000_000)).alias("event_id"),
+        F.lit(lo).alias("ts"),
+        "user_id",
+        F.lit("late_new").alias("event_type"),
+    )
+    batch3 = redup.unionAll(fresh_new).unionAll(late_new)
+
+    for i, (df, name) in enumerate(
+        [(ev, "00.parquet"), (fresh_new, "01.parquet"), (batch3, "02.parquet")]
+    ):
+        tmp = os.path.join(root, f"stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = os.path.join(inp, name)
+        shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+        # the file source schedules by modification time: pin the replay order
+        os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    return inp
+
+
+def stream_dedup_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup where the *watermark* is load-bearing, not just
+    ``distinct``: a 3-batch replay (maxFilesPerTrigger=1) exercises all
+    three state behaviors and the oracle pins each one by value.
+
+    Against the batch twin, a plain first-occurrence-per-key dedup would
+    differ on two axes: it would *keep* the 100 ``late_new`` rows the
+    watermark drops, and it would *collapse* the 86 retransmitted
+    duplicates the expired state re-emits.  Total = events + 100 fresh_new
+    + 86 re-emissions.
+    """
+    inp = _build_late_replay_input(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(_LATE_REPLAY_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(inp)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = stream_dedup(stream, key_cols=("event_id",), watermark="10 minutes")
+    return run_to_completion(
+        deduped.select("event_id", "user_id", "event_type"),
+        output_mode="append",
+        state_partitions=2,
+    )
+
+
+STREAM_DEDUP_LATE_SQL = """
+SELECT event_id, user_id, event_type FROM events
+UNION ALL  -- batch-2 new keys at the head of event time: pass through
+SELECT event_id + 2000000 AS event_id, user_id, 'fresh_new' AS event_type
+FROM events WHERE event_id % 100 = 7
+UNION ALL  -- batch-3 retransmissions of watermark-EXPIRED keys: emitted again
+SELECT event_id, user_id, event_type FROM events
+WHERE event_id % 20 = 0
+  AND ts < (SELECT min(ts) + INTERVAL 5 DAY FROM events)
+-- batch-3 late_new keys (below watermark) and duplicates of batch-2 keys
+-- (still in state) are dropped by the stream and so absent here
+"""
+
+
 def run_tick(
     stream_df: DataFrame,
     out_path: str,

@@ -201,3 +201,22 @@ def test_incremental_pull_pushes_filter_to_scan(spark, tmp_path):
     assert wm == (BASE + 99 * 60) * US
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThan(ts" in plan
+
+
+def test_stream_dedup_late_distinguishes_watermark(spark, sf_dir):
+    """The late-replay gate query must differ from plain distinct-by-key on
+    both axes: late rows dropped, expired-key retransmissions re-emitted."""
+    out = incremental.stream_dedup_late(spark, sf_dir).persist()
+    ev = load_table(spark, sf_dir, "events")
+    n_base = ev.count()
+    n_fresh = ev.filter(F.col("event_id") % 100 == 7).count()
+    lo = ev.agg(F.min("ts").alias("lo")).collect()[0].lo
+    n_redup = ev.filter(
+        (F.col("event_id") % 20 == 0)
+        & (F.col("ts") < F.lit(lo) + F.expr("INTERVAL 5 DAYS"))
+    ).count()
+    assert out.count() == n_base + n_fresh + n_redup
+    # the retransmitted keys appear exactly twice; late_new keys not at all
+    assert out.groupBy("event_id").count().filter("count = 2").count() == n_redup
+    assert out.filter(F.col("event_type") == "late_new").count() == 0
+    out.unpersist()

@@ -52,6 +52,8 @@ _PRIORITY: tuple[str, ...] = (
     "ioc_indicators_observed",
     "stream_dedup_late",
     "corpus_roundtrip",
+    "dedup_incremental",
+    "jsonl_roundtrip",
     # modified this round (capped check twins / cache hygiene / NULL fix)
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -113,6 +113,64 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_against(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 4,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Incremental dedup: flag ``new_docs`` rows that duplicate the
+    *existing* corpus — the nightly-crawl-vs-reference-corpus operator.
+
+    Output: one row per new doc — ``(doc_id, dup_exact, dup_near)``;
+    callers keep ``~dup_exact & ~dup_near`` (within-new duplicates are the
+    job of the single-corpus operators, which compose before/after this).
+
+    Scale design: the existing corpus never joins as documents — it appears
+    only as (a) a distinct 32-byte digest set for the exact anti-check and
+    (b) an inverted shingle index the new side's index equi-joins against.
+    Work is proportional to the NEW corpus plus the index probe — there is
+    no existing×existing term, so re-running nightly against an
+    ever-growing reference corpus stays linear in the night's crawl.
+    ``max_df`` caps each side's index exactly as in
+    :func:`ngram_jaccard_pairs` (ubiquitous shingles are the skew risk).
+    """
+    new_digests = new_docs.select("doc_id", F.md5(F.col(text_col)).alias("digest"))
+    ex_digests = existing_docs.select(F.md5(F.col(text_col)).alias("digest")).distinct()
+    exact = new_digests.join(ex_digests, "digest", "left_semi").select("doc_id")
+
+    new_idx = shingle_index(new_docs, text_col, n, max_df).persist()
+    ex_idx = shingle_index(existing_docs, text_col, n, max_df).persist()
+    new_sizes = new_idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n1"))
+    ex_sizes = ex_idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n2"))
+    a, b = new_idx.alias("a"), ex_idx.alias("b")
+    co = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .groupBy(F.col("a.doc_id").alias("nid"), F.col("b.doc_id").alias("eid"))
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    jac = F.col("co").cast("double") / (F.col("n1") + F.col("n2") - F.col("co"))
+    near = (
+        co.join(new_sizes.withColumnRenamed("doc_id", "nid"), "nid")
+        .join(ex_sizes.withColumnRenamed("doc_id", "eid"), "eid")
+        .filter(jac >= threshold)
+        .select(F.col("nid").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(exact.withColumn("dup_exact", F.lit(True)), "doc_id", "left")
+        .join(near.withColumn("dup_near", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_exact", F.lit(False)).alias("dup_exact"),
+            F.coalesce("dup_near", F.lit(False)).alias("dup_near"),
+        )
+    )
+
+
 def _shingle_hashes(text_col: str, n: int) -> Column:
     """Row-local array of xxhash64 values, one per distinct shingle.
 

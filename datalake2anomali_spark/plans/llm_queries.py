@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..io.tables import load_table
 from ..llm.dedup import (
+    dedup_against,
     dedup_exact,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
@@ -1133,6 +1134,113 @@ GROUP BY pl.pred_lang
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus incremental dedup (``llm/dedup.py: dedup_against``).
+
+    The documents table is split deterministically (md5-mod bucket) into an
+    "existing corpus" (60%) and a "new crawl" (40%); each new doc is flagged
+    for exact and near (Jaccard ≥ 0.8, df-capped shingle index) duplication
+    against the existing side only.  Full-value oracle: DuckDB repeats the
+    split and both checks exactly.
+    """
+    from ..llm.pipeline import md5_bucket_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_bucket_col("doc_id")
+    flags = dedup_against(
+        docs.filter(bucket >= 60),
+        docs.filter(bucket < 60),
+        threshold=0.8,
+        max_df=NGRAM_MAX_DF,
+    )
+    # same cache hygiene as the derived checks: the operator persists its
+    # two inverted indexes; materialize the small flag frame and drop them
+    return _eager_summary(flags, [])
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100) AS bucket
+  FROM documents
+),
+s AS (
+  SELECT doc_id, bucket, text,
+         CASE WHEN len(w) >= 4
+              THEN list_distinct([array_to_string(list_slice(w, i, i + 3), ' ')
+                                  for i in range(1, len(w) - 3 + 1)])
+              ELSE [] END AS sh
+  FROM t
+),
+newd AS (SELECT * FROM s WHERE bucket >= 60),
+exd  AS (SELECT * FROM s WHERE bucket < 60),
+exact AS (
+  SELECT DISTINCT n.doc_id
+  FROM newd n JOIN (SELECT DISTINCT text FROM exd) e ON n.text = e.text
+),
+nsh0 AS (SELECT doc_id, unnest(sh) AS shingle FROM newd),
+esh0 AS (SELECT doc_id, unnest(sh) AS shingle FROM exd),
+ndf AS (SELECT shingle, COUNT(*) AS df FROM nsh0 GROUP BY shingle),
+edf AS (SELECT shingle, COUNT(*) AS df FROM esh0 GROUP BY shingle),
+nsh AS (SELECT nsh0.* FROM nsh0 JOIN ndf USING (shingle) WHERE ndf.df <= {NGRAM_MAX_DF}),
+esh AS (SELECT esh0.* FROM esh0 JOIN edf USING (shingle) WHERE edf.df <= {NGRAM_MAX_DF}),
+nsz AS (SELECT doc_id, COUNT(*) AS n1 FROM nsh GROUP BY doc_id),
+esz AS (SELECT doc_id, COUNT(*) AS n2 FROM esh GROUP BY doc_id),
+co AS (
+  SELECT n.doc_id AS nid, e.doc_id AS eid, COUNT(*) AS co
+  FROM nsh n JOIN esh e ON n.shingle = e.shingle GROUP BY 1, 2
+),
+near AS (
+  SELECT DISTINCT nid AS doc_id
+  FROM co JOIN nsz ON co.nid = nsz.doc_id JOIN esz ON co.eid = esz.doc_id
+  WHERE CAST(co AS DOUBLE) / (n1 + n2 - co) >= 0.8
+)
+SELECT d.doc_id,
+       (ex.doc_id IS NOT NULL) AS dup_exact,
+       (nr.doc_id IS NOT NULL) AS dup_near
+FROM newd d
+LEFT JOIN exact ex ON d.doc_id = ex.doc_id
+LEFT JOIN near nr ON d.doc_id = nr.doc_id
+"""
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink→source roundtrip (``io/jsonl.py``), driver-visible.
+
+    Writes the documents table as lang-partitioned gzipped JSONL, reads it
+    back through the schema-explicit scan (no inference pass), and
+    checksums text + numeric columns against the source table — certifying
+    the JSON encode/decode round-trips values exactly.
+    """
+    import tempfile
+
+    from ..io.jsonl import read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    base = "/dev/shm" if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
+    path = os.path.join(base, "d2a_jsonl_" + sf_dir.strip("/").replace("/", "_"))
+    write_jsonl(docs, path, partition_by="lang", n_files=4)
+    back = read_jsonl(spark, path).filter(F.col("lang") == "en")
+    checksum = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(checksum).alias("text_checksum"),
+        F.sum("n_chars").alias("n_chars_total"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+JSONL_ROUNDTRIP_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT)) AS BIGINT) AS text_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents WHERE lang = 'en'
+"""
+
+
 def q_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus materialization roundtrip (``io/corpus.py``), driver-visible.
 
@@ -1198,6 +1306,8 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "corpus_stats": q_corpus_stats,
     "corpus_roundtrip": q_corpus_roundtrip,
+    "dedup_incremental": q_dedup_incremental,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
 }
 
 ORACLES = {
@@ -1231,4 +1341,6 @@ ORACLES = {
     "pack_sequences": PACK_SEQUENCES_SQL,
     "corpus_stats": CORPUS_STATS_SQL,
     "corpus_roundtrip": CORPUS_ROUNDTRIP_SQL,
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
+    "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
 }

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from datalake2anomali_spark.io.tables import load_table
 from datalake2anomali_spark.llm.dedup import (
+    dedup_against,
     dedup_exact,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
@@ -296,3 +297,23 @@ def test_multimodal_audio_stats_pcm(spark):
     assert row.n_samples == 4
     assert row.mean_amp == 125.0
     assert abs(row.rms - float(np.sqrt((samples.astype(float) ** 2).mean()))) < 1e-9
+
+
+def test_dedup_against_flags_exact_near_and_clean(spark):
+    """Incremental dedup flags each new doc against the existing side only."""
+    w = " ".join(f"w{i}" for i in range(12))            # 9 distinct 4-gram shingles
+    near = " ".join(f"w{i}" for i in range(11)) + " zz" # shares 8 of 9 → J = 8/10
+    new = spark.createDataFrame(
+        [(1, w), (2, near), (3, "completely different tokens in this row here")],
+        ["doc_id", "text"],
+    )
+    existing = spark.createDataFrame(
+        [(10, w), (11, "another unrelated existing document with words")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dedup_against(new, existing, threshold=0.8).collect()}
+    assert out[1].dup_exact and out[1].dup_near          # identical text
+    assert not out[2].dup_exact and out[2].dup_near      # near-dup only
+    assert not out[3].dup_exact and not out[3].dup_near  # clean
+    # new docs are never compared against each other
+    assert len(out) == 3

@@ -54,6 +54,8 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_roundtrip",
     "dedup_incremental",
     "jsonl_roundtrip",
+    "chunk_documents",
+    "mixture_sample",
     # modified this round (capped check twins / cache hygiene / NULL fix)
     "dedup_minhash_lsh",
     "dedup_simhash",

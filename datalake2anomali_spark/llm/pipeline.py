@@ -198,6 +198,131 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_len: int = 128,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-length token chunks — the
+    context-window layout step for embedding/RAG indexing and for training
+    corpora whose documents exceed the model's sequence length.
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_len)`` with
+    ``stride = chunk_len - overlap``; the chunk count
+    ``ceil((n_tokens - overlap) / stride)`` (min 1) is the smallest number
+    of such windows covering every token.  Output: one row per chunk with
+    the re-joined chunk text and its token span.
+
+    Scale shape: pure map + explode — tokenize, ``sequence()`` the chunk
+    ids, ``posexplode``, ``slice`` the token array per chunk.  No shuffle,
+    no UDF; row fan-out is bounded by ``n_tokens / stride`` per document,
+    so output size tracks corpus token count regardless of document-length
+    skew (one 1 GB document becomes many rows, not one giant row).
+    """
+    if overlap >= chunk_len:
+        raise ValueError("chunk_documents: overlap must be < chunk_len")
+    stride = chunk_len - overlap
+    toks = tokens_col(text_col)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(float(stride)))
+    )
+    base = docs.select(
+        id_col, toks.alias("_toks"), n_chunks.cast("int").alias("_nc")
+    )
+    chunk = F.col("chunk_id")
+    start = chunk * stride
+    piece = F.slice(F.col("_toks"), start + 1, chunk_len)
+    return (
+        base.select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id"),
+            "_toks",
+        )
+        .select(
+            id_col,
+            chunk.cast("long").alias("chunk_id"),
+            start.cast("long").alias("token_start"),
+            F.size(piece).cast("long").alias("chunk_tokens"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    strata_col: str = "source",
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture resampling: re-draw the corpus so stratum
+    ``s`` contributes ``∝ n_s**alpha`` of the output — the multilingual /
+    multi-source rebalancing step (alpha < 1 upsamples small strata,
+    alpha = 1 is the identity mixture).
+
+    Each input row is emitted ``copies`` times where the per-row expected
+    copy count is ``rate_s = total * p(s) / n_s`` with
+    ``p(s) = n_s**alpha / Σ n**alpha``: the integer part deterministically,
+    the fractional part by the md5 bucket of the row id (so upsampling
+    produces whole duplicated rows, downsampling a deterministic subset —
+    identical across retries and engines).  Output: one row per emitted
+    copy, ``(id, stratum, copy_id)``.
+
+    Determinism note: ``rate`` is derived from *exact integer* per-stratum
+    counts and a fixed-point ``floor(sqrt(n)*1e6)`` weight summed as BIGINT
+    — never a float sum, whose ordering Spark does not guarantee — then one
+    fixed-shape double expression, so Spark and any ANSI engine compute
+    bit-identical rates (each IEEE op is correctly rounded; only reduction
+    order is engine-dependent, and no reduction here is floating).
+
+    Scale shape: one grouped count (tiny result), broadcast back, then a
+    map-only explode.  No data-sized shuffle.
+    """
+    if alpha != 0.5:
+        raise ValueError(
+            "mixture_sample: only alpha=0.5 (sqrt temperature) is supported —"
+            " other exponents need pow(), whose cross-engine bit-determinism"
+            " is not guaranteed like sqrt's"
+        )
+    counts = docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    weights = counts.select(
+        strata_col,
+        "_n",
+        F.floor(F.sqrt(F.col("_n")) * 1_000_000).cast("long").alias("_wt"),
+    )
+    totals = weights.agg(
+        F.sum("_wt").alias("_wt_sum"), F.sum("_n").alias("_total")
+    )
+    # rate = total * (wt / wt_sum) / n, evaluated in this exact shape
+    rate = (
+        F.col("_total").cast("double")
+        * F.col("_wt").cast("double")
+        / F.col("_wt_sum").cast("double")
+        / F.col("_n").cast("double")
+    )
+    rates = weights.crossJoin(F.broadcast(totals)).select(
+        strata_col,
+        F.floor(rate).cast("long").alias("_whole"),
+        F.floor((rate - F.floor(rate)) * 1_000_000).cast("long").alias("_frac_ppm"),
+    )
+    bucket = md5_bucket_col(id_col, 1_000_000)
+    copies = F.col("_whole") + (bucket < F.col("_frac_ppm")).cast("long")
+    return (
+        docs.select(id_col, strata_col)
+        .join(F.broadcast(rates), strata_col)
+        .select(id_col, strata_col, copies.alias("_copies"))
+        .filter(F.col("_copies") > 0)
+        .select(
+            id_col,
+            strata_col,
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("_copies"))).alias(
+                "copy_id"
+            ),
+        )
+    )
+
+
 def corpus_stats(docs: DataFrame) -> DataFrame:
     """Per-language corpus summary: doc counts, token totals, quality.
 

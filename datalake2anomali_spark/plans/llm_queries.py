@@ -28,9 +28,11 @@ from ..llm.dedup import (
 )
 from ..llm.multimodal import extract_features, sample_frames, with_binary_payload
 from ..llm.pipeline import (
+    chunk_documents,
     clean_corpus,
     corpus_stats,
     decontaminate,
+    mixture_sample,
     pack_sequences,
     stratified_sample,
 )
@@ -1241,6 +1243,74 @@ FROM documents WHERE lang = 'en'
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (``llm/pipeline.py:
+    chunk_documents``): 128-token chunks, 32-token overlap.  Map + explode
+    only — full-value oracle over every chunk's text and span."""
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_len=128, overlap=32
+    )
+
+
+CHUNK_DOCUMENTS_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (
+  SELECT doc_id, w,
+         GREATEST(1, CAST(ceil((len(w) - 32) / 96.0) AS BIGINT)) AS nc
+  FROM t
+),
+e AS (SELECT doc_id, w, unnest(range(nc)) AS chunk_id FROM c)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * 96 AS BIGINT) AS token_start,
+       CAST(len(list_slice(w, chunk_id * 96 + 1, chunk_id * 96 + 128)) AS BIGINT)
+         AS chunk_tokens,
+       array_to_string(list_slice(w, chunk_id * 96 + 1, chunk_id * 96 + 128), ' ')
+         AS chunk_text
+FROM e
+"""
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture resampling (``llm/pipeline.py: mixture_sample``,
+    alpha=0.5 over ``source``).  Fixed-point weight arithmetic keeps the
+    per-stratum rates bit-identical across engines, so the emitted copy set
+    has a full-value oracle."""
+    return mixture_sample(
+        load_table(spark, sf_dir, "documents"), strata_col="source", alpha=0.5
+    )
+
+
+MIXTURE_SAMPLE_SQL = """
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+w AS (
+  SELECT source, n, CAST(floor(sqrt(n) * 1000000) AS BIGINT) AS wt FROM c
+),
+t AS (SELECT SUM(wt) AS wt_sum, SUM(n) AS total FROM w),
+r AS (
+  SELECT source,
+         CAST(floor(rate) AS BIGINT) AS whole,
+         CAST(floor((rate - floor(rate)) * 1000000) AS BIGINT) AS frac_ppm
+  FROM (
+    SELECT source,
+           CAST(total AS DOUBLE) * CAST(wt AS DOUBLE)
+             / CAST(wt_sum AS DOUBLE) / CAST(n AS DOUBLE) AS rate
+    FROM w, t
+  )
+),
+d AS (
+  SELECT doc_id, documents.source,
+         whole + CASE
+           WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                   % 1000000) < frac_ppm
+           THEN 1 ELSE 0 END AS copies
+  FROM documents JOIN r ON documents.source = r.source
+)
+SELECT doc_id, source, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy_id
+FROM d WHERE copies > 0
+"""
+
+
 def q_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus materialization roundtrip (``io/corpus.py``), driver-visible.
 
@@ -1308,6 +1378,8 @@ QUERIES = {
     "corpus_roundtrip": q_corpus_roundtrip,
     "dedup_incremental": q_dedup_incremental,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "chunk_documents": q_chunk_documents,
+    "mixture_sample": q_mixture_sample,
 }
 
 ORACLES = {
@@ -1343,4 +1415,6 @@ ORACLES = {
     "corpus_roundtrip": CORPUS_ROUNDTRIP_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
+    "chunk_documents": CHUNK_DOCUMENTS_SQL,
+    "mixture_sample": MIXTURE_SAMPLE_SQL,
 }

@@ -123,3 +123,42 @@ def test_corpus_stats_shape(docs):
     assert out["de"].n_docs == 1
     assert out["en"].total_tokens > 0
     assert 0.0 < out["en"].avg_quality <= 1.0
+
+
+def test_chunk_documents_spans_and_text(spark):
+    from datalake2anomali_spark.llm.pipeline import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "short doc")], "doc_id long, text string")
+    out = chunk_documents(df, chunk_len=5, overlap=2)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    # doc 1: 10 tokens, stride 3 -> ceil(8/3) = 3 chunks at starts 0, 3, 6
+    assert {(1, 0), (1, 1), (1, 2), (2, 0)} == set(rows)
+    assert rows[(1, 0)].chunk_text == "t0 t1 t2 t3 t4"
+    assert rows[(1, 1)].chunk_text == "t3 t4 t5 t6 t7"   # 2-token overlap
+    assert rows[(1, 2)].chunk_text == "t6 t7 t8 t9"      # tail, 4 tokens
+    assert rows[(1, 2)].token_start == 6 and rows[(1, 2)].chunk_tokens == 4
+    # every token covered exactly once by non-overlap positions
+    assert rows[(2, 0)].chunk_text == "short doc"
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_len=4, overlap=4)
+
+
+def test_mixture_sample_rebalances_and_is_deterministic(spark):
+    from datalake2anomali_spark.llm.pipeline import mixture_sample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_sample(df, strata_col="source", alpha=0.5).cache()
+    by_src = {r.source: r.cnt for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # alpha=0.5: p(big) = 30/(30+10) = .75 -> ~750 copies; p(small) = .25 -> ~250
+    # (small is upsampled 2.5x: whole copies + deterministic fractional part)
+    assert 700 <= by_src["big"] <= 800
+    assert 220 <= by_src["small"] <= 280
+    # total stays ~ input size
+    assert 900 <= by_src["big"] + by_src["small"] <= 1100
+    # deterministic across re-evaluation
+    again = mixture_sample(df, strata_col="source", alpha=0.5)
+    assert out.unpersist().exceptAll(again).count() == 0
+    with pytest.raises(ValueError):
+        mixture_sample(df, alpha=0.9)

@@ -56,6 +56,7 @@ _PRIORITY: tuple[str, ...] = (
     "jsonl_roundtrip",
     "chunk_documents",
     "mixture_sample",
+    "embedding_kmeans",
     # modified this round (capped check twins / cache hygiene / NULL fix)
     "dedup_minhash_lsh",
     "dedup_simhash",

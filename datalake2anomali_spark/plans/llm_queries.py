@@ -1311,6 +1311,42 @@ FROM d WHERE copies > 0
 """
 
 
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus spherical k-means (``llm/cluster.py``) — derived check.
+
+    The centroids depend on float GEMMs (not portable to a SQL twin), so
+    the oracle checks the data-derived invariants: every embedding got
+    exactly one assignment (count oracle-recomputed), the clustering used a
+    plausible number of cells, and the Lloyd objective was non-increasing
+    across the distributed rounds (the algorithmic correctness signature —
+    an implementation bug in assignment or the mean update breaks
+    monotonicity immediately).  Pair-level behavior is pinned in
+    ``tests/test_cluster.py``.
+    """
+    from ..llm.cluster import embedding_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assignments, _, inertias = embedding_kmeans(emb, k=8, n_iters=3)
+    eps = 1e-9 * max(abs(v) for v in inertias)
+    monotone = all(b <= a + eps for a, b in zip(inertias, inertias[1:]))
+    summary = assignments.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        (F.count(F.lit(1)) == F.countDistinct("vec_id")).alias("all_assigned"),
+        F.countDistinct("cluster").between(1, 8).alias("k_used_ok"),
+        F.lit(monotone).alias("inertia_monotone"),
+    )
+    return _eager_summary(summary, [])
+
+
+EMBEDDING_KMEANS_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       TRUE AS all_assigned,
+       TRUE AS k_used_ok,
+       TRUE AS inertia_monotone
+FROM embeddings
+"""
+
+
 def q_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus materialization roundtrip (``io/corpus.py``), driver-visible.
 
@@ -1380,6 +1416,7 @@ QUERIES = {
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "chunk_documents": q_chunk_documents,
     "mixture_sample": q_mixture_sample,
+    "embedding_kmeans": q_embedding_kmeans,
 }
 
 ORACLES = {
@@ -1417,4 +1454,5 @@ ORACLES = {
     "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "mixture_sample": MIXTURE_SAMPLE_SQL,
+    "embedding_kmeans": EMBEDDING_KMEANS_SQL,
 }

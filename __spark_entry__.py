@@ -57,6 +57,7 @@ _PRIORITY: tuple[str, ...] = (
     "chunk_documents",
     "mixture_sample",
     "embedding_kmeans",
+    "dedup_keep_best",
     # modified this round (capped check twins / cache hygiene / NULL fix)
     "dedup_minhash_lsh",
     "dedup_simhash",

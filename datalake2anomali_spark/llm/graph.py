@@ -34,7 +34,7 @@ extension surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -109,3 +109,56 @@ def dedup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2") -> DataFram
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_canonical"),
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score: Column,
+    id_col: str = "doc_id",
+    d1: str = "d1",
+    d2: str = "d2",
+) -> DataFrame:
+    """Quality-aware dedup survivor set: per duplicate cluster keep the
+    highest-``score`` member (ties → smallest id), plus every document in
+    no cluster — the FineWeb-style refinement of keep-smallest, so a
+    cluster's best-written copy survives instead of its oldest.
+
+    Output: (doc_id, cluster_id, kept_reason) — ``cluster_id`` NULL and
+    reason ``'singleton'`` for unclustered docs, else the cluster's min id
+    and ``'best_of_cluster'`` for the one surviving member.
+
+    Scale shape: clustering is :func:`connected_components` (O(diameter)
+    rounds of small-key joins); survivor choice is one window partitioned
+    by cluster_id over the *clustered docs only* (near-dup clusters are a
+    small fraction of any real corpus), and singletons are a left-anti
+    join on the id — no window or shuffle ever touches full-corpus text.
+    ``score`` must be a deterministic row-local expression (e.g.
+    ``text.quality_col()``): retried tasks must re-derive identical
+    scores, which also keeps the choice reproducible across engines.
+    """
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(pairs, d1=d1, d2=d2)
+    scored = docs.select(F.col(id_col).alias("doc_id"), score.alias("_score"))
+    member = clusters.join(scored, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("_score"), F.asc("doc_id")
+    )
+    best = (
+        member.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id", "cluster_id", F.lit("best_of_cluster").alias("kept_reason")
+        )
+    )
+    singletons = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(clusters.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit(None).cast("long").alias("cluster_id"),
+            F.lit("singleton").alias("kept_reason"),
+        )
+    )
+    return singletons.unionByName(best)

@@ -836,7 +836,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
-DEDUP_CLUSTERS_SQL = (
+# Shared recursive-CTE chain: documents → capped shingle index → Jaccard
+# pairs → undirected reachability (`reach`).  Suffixed by the clusters
+# query (min-label components) and the keep-best query (quality argmax per
+# component) below.
+_CLUSTER_CTES = (
     _SHINGLE_CTE.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
     + f"""
 , ex0 AS (
@@ -876,8 +880,59 @@ reach AS (
   UNION
   SELECT rr.node, e.et AS r FROM reach rr JOIN edges e ON rr.r = e.es
 )
+"""
+)
+
+DEDUP_CLUSTERS_SQL = (
+    _CLUSTER_CTES
+    + """
 SELECT node AS doc_id, MIN(r) AS cluster_id, (node = MIN(r)) AS is_canonical
 FROM reach GROUP BY node
+"""
+)
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection (``llm/graph.py: dedup_keep_best``):
+    per near-dup cluster keep the highest-quality member, singletons pass
+    through.  The DuckDB twin recomputes clusters via recursive
+    reachability and the winner via a window — full-value oracle."""
+    from ..llm.graph import dedup_keep_best
+    from ..llm.text import quality_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, max_df=NGRAM_MAX_DF)
+    return dedup_keep_best(docs, pairs, quality_col())
+
+
+DEDUP_KEEP_BEST_SQL = (
+    _CLUSTER_CTES
+    + """
+, comp AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+),
+qual AS (
+  SELECT doc_id,
+         least(CAST(len(w) AS DOUBLE) / 64.0, 1.0) * 0.5
+           + (1.0 - CAST(len(list_filter(w, x -> x IN ('the', 'a', 'and', 'of'))) AS DOUBLE)
+                    / len(w)) * 0.5 AS quality
+  FROM t
+),
+best AS (
+  SELECT doc_id, cluster_id, 'best_of_cluster' AS kept_reason
+  FROM (
+    SELECT c.doc_id, c.cluster_id,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY q.quality DESC, c.doc_id) AS rn
+    FROM comp c JOIN qual q ON c.doc_id = q.doc_id
+  )
+  WHERE rn = 1
+)
+SELECT d.doc_id, CAST(NULL AS BIGINT) AS cluster_id, 'singleton' AS kept_reason
+FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
+WHERE comp.doc_id IS NULL
+UNION ALL
+SELECT doc_id, cluster_id, kept_reason FROM best
 """
 )
 
@@ -1417,6 +1472,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "mixture_sample": q_mixture_sample,
     "embedding_kmeans": q_embedding_kmeans,
+    "dedup_keep_best": q_dedup_keep_best,
 }
 
 ORACLES = {
@@ -1455,4 +1511,5 @@ ORACLES = {
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "mixture_sample": MIXTURE_SAMPLE_SQL,
     "embedding_kmeans": EMBEDDING_KMEANS_SQL,
+    "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
 }

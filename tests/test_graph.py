@@ -65,3 +65,21 @@ def test_dedup_clusters_canonical_flag(spark):
         .collect()
     )
     assert all(r["n"] == 1 for r in canon)
+
+
+def test_dedup_keep_best_picks_quality_winner(spark):
+    from pyspark.sql import functions as F
+
+    from datalake2anomali_spark.llm.graph import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 20.0), (4, 5.0), (5, 5.0), (9, 1.0)],
+        "doc_id long, score double",
+    )
+    # cluster {1,2,3} (best: 2), cluster {4,5} (tie -> smallest id 4), 9 alone
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "d1 long, d2 long")
+    out = {r.doc_id: r for r in dedup_keep_best(docs, pairs, F.col("score")).collect()}
+    assert set(out) == {2, 4, 9}
+    assert out[2].cluster_id == 1 and out[2].kept_reason == "best_of_cluster"
+    assert out[4].cluster_id == 4 and out[4].kept_reason == "best_of_cluster"
+    assert out[9].cluster_id is None and out[9].kept_reason == "singleton"

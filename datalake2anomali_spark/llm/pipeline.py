@@ -285,14 +285,25 @@ def mixture_sample(
             " other exponents need pow(), whose cross-engine bit-determinism"
             " is not guaranteed like sqrt's"
         )
+    from pyspark.sql import Window
+
     counts = docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    # Totals come from an unpartitioned window over the counts frame — NOT
+    # a second aggregation, which would re-evaluate the count subtree and
+    # cost an extra full corpus scan.  The single-partition window holds
+    # one row per stratum (strata are few by definition), and long sums
+    # are exact, so determinism holds.
+    w = Window.partitionBy()
     weights = counts.select(
         strata_col,
         "_n",
         F.floor(F.sqrt(F.col("_n")) * 1_000_000).cast("long").alias("_wt"),
-    )
-    totals = weights.agg(
-        F.sum("_wt").alias("_wt_sum"), F.sum("_n").alias("_total")
+    ).select(
+        strata_col,
+        "_n",
+        "_wt",
+        F.sum("_wt").over(w).alias("_wt_sum"),
+        F.sum("_n").over(w).alias("_total"),
     )
     # rate = total * (wt / wt_sum) / n, evaluated in this exact shape
     rate = (
@@ -301,7 +312,7 @@ def mixture_sample(
         / F.col("_wt_sum").cast("double")
         / F.col("_n").cast("double")
     )
-    rates = weights.crossJoin(F.broadcast(totals)).select(
+    rates = weights.select(
         strata_col,
         F.floor(rate).cast("long").alias("_whole"),
         F.floor((rate - F.floor(rate)) * 1_000_000).cast("long").alias("_frac_ppm"),

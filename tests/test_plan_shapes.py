@@ -79,3 +79,28 @@ def test_no_cartesian_products_in_registered_queries(spark, sf_dir):
             continue  # streaming plans materialize through their own runner
         df = fn(spark, sf_dir)
         assert "CartesianProduct" not in _plan(df), name
+
+
+def test_chunk_documents_is_map_only(spark, sf_dir):
+    # tokenize -> sequence -> posexplode -> slice: no exchange of any kind
+    from datalake2anomali_spark.llm.pipeline import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert _n_shuffles(chunk_documents(docs)) == 0
+
+
+def test_mixture_sample_broadcasts_rates(spark, sf_dir):
+    # the corpus-sized side must never shuffle: the only hash exchange is
+    # the tiny per-stratum count aggregation; the rate table joins back as
+    # a broadcast
+    from datalake2anomali_spark.llm.pipeline import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = mixture_sample(docs, strata_col="source")
+    p = _plan(df)
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p, p
+    # exactly two scans: the counts aggregation and the corpus pass — the
+    # totals must come from a window over the counts, not a re-aggregation
+    assert p.count("FileScan") == 2, p

@@ -48,7 +48,21 @@ RAW_OPS = {
     "embedding_neardup_lsh": lambda spark, sf: embedding_neardup_lsh(
         load_table(spark, sf, "embeddings"), threshold=0.4, n_tables=16, bits_per_table=4,
     ),
+    "dedup_incremental": lambda spark, sf: _raw_dedup_incremental(spark, sf),
 }
+
+
+def _raw_dedup_incremental(spark, sf):
+    from datalake2anomali_spark.llm.dedup import dedup_against
+    from datalake2anomali_spark.llm.pipeline import md5_bucket_col
+    from datalake2anomali_spark.plans.llm_queries import NGRAM_MAX_DF
+
+    docs = load_table(spark, sf, "documents")
+    bucket = md5_bucket_col("doc_id")
+    return dedup_against(
+        docs.filter(bucket >= 60), docs.filter(bucket < 60),
+        threshold=0.8, max_df=NGRAM_MAX_DF,
+    )
 
 
 def main() -> None:

@@ -58,6 +58,7 @@ _PRIORITY: tuple[str, ...] = (
     "mixture_sample",
     "embedding_kmeans",
     "dedup_keep_best",
+    "stream_interval_join",
     # modified this round (capped check twins / cache hygiene / NULL fix)
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -14,6 +14,10 @@ Five entries:
   from a plain ``distinct``).
 - ``stateful_user_profiles`` — ``applyInPandasWithState`` custom stateful
   operator, oracle-comparable for the same reason.
+- ``stream_interval_join`` — watermarked stream–stream interval join
+  (clicks × errors, two-sided time bound); single availableNow batch makes
+  it oracle-comparable to the batch inequality join, and the cross-batch
+  state buffering is pinned in ``tests/test_streaming.py``.
 
 Remaining multi-batch behaviors without a batch oracle (state carried across
 restarts, idle-key timeout) are covered in ``tests/test_streaming.py``.
@@ -21,9 +25,10 @@ restarts, idle-key timeout) are covered in ``tests/test_streaming.py``.
 
 from __future__ import annotations
 
-from datalake2anomali_spark.streaming import incremental, stateful, windows
+from datalake2anomali_spark.streaming import incremental, joins, stateful, windows
 
 QUERIES = {
+    "stream_interval_join": joins.stream_click_error_join,
     "tumbling_window_counts": windows.tumbling_counts_query,
     "sliding_window_stats": windows.sliding_stats_query,
     "session_window_agg": windows.session_window_stats_query,
@@ -34,6 +39,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_interval_join": joins.STREAM_INTERVAL_JOIN_SQL,
     "tumbling_window_counts": windows.TUMBLING_SQL,
     "sliding_window_stats": windows.SLIDING_SQL,
     "session_window_agg": windows.SESSION_WINDOW_SQL,

@@ -220,3 +220,45 @@ def test_stream_dedup_late_distinguishes_watermark(spark, sf_dir):
     assert out.groupBy("event_id").count().filter("count = 2").count() == n_redup
     assert out.filter(F.col("event_type") == "late_new").count() == 0
     out.unpersist()
+
+
+def test_stream_interval_join_buffers_state_across_batches(spark, tmp_path):
+    """An error seen in batch 1 must still match clicks arriving in batch 2
+    (join state buffered), while clicks outside the 6h horizon never match."""
+    from datalake2anomali_spark.streaming import joins
+
+    d = tmp_path / "ij"
+    d.mkdir()
+    # batch 1: one error for user 7 at BASE
+    _write_events(str(d / "00.parquet"), [(1, BASE, 7, "error", 0.0)], BASE)
+    # batch 2: a click 1h later (matches), a click 7h later (outside the
+    # horizon), and a click by another user (no key match)
+    _write_events(
+        str(d / "01.parquet"),
+        [
+            (2, BASE + 3600, 7, "click", 0.0),
+            (3, BASE + 7 * 3600, 7, "click", 0.0),
+            (4, BASE + 3600, 8, "click", 0.0),
+        ],
+        BASE + 10,
+    )
+    stream = incremental.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    errors = incremental.read_events_stream(
+        spark, str(d), max_files_per_trigger=1
+    ).filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_event_id"),
+        F.col("user_id").alias("err_user_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    out = incremental.run_to_completion(
+        joins.interval_join(clicks, errors), output_mode="append", state_partitions=2
+    )
+    rows = out.collect()
+    assert [(r.err_event_id, r.click_event_id, r.lag_us) for r in rows] == [
+        (1, 2, 3600 * US)
+    ]

@@ -67,6 +67,13 @@ def connected_components(
         .select("node", F.col("node").alias("component"))
         .localCheckpoint(eager=True)
     )
+    # Convergence probe: per-node labels are monotone non-increasing under
+    # min-propagation, so the label SUM (exact long arithmetic) is strictly
+    # decreasing until the fixed point — sum unchanged ⟺ no node changed.
+    # One tiny aggregate on the checkpointed frame per round, replacing the
+    # earlier join-old-vs-new + filter + count (a second corpus-of-labels
+    # join per round just to detect convergence).
+    label_sum = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(max_iter):
         nbr = sym.join(
             labels.select(F.col("node").alias("a"), "component"), "a"
@@ -77,14 +84,10 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if n_changed == 0:
+        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        changed = new_sum != label_sum
+        labels, label_sum = new_labels, new_sum
+        if not changed:
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "

@@ -59,6 +59,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_kmeans",
     "dedup_keep_best",
     "stream_interval_join",
+    "dedup_clusters_star",
     # modified this round (capped check twins / cache hygiene / NULL fix)
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -15,10 +15,10 @@ Scale design — min-label propagation, not a driver-side union-find:
   (every member pairs with most others — Jaccard is transitive-ish at high
   thresholds), so component diameters are tiny and propagation converges in
   2–3 rounds regardless of corpus size.  For adversarial long-path graphs
-  the alternating large-star/small-star scheme (Kiveris et al., "Connected
-  Components in MapReduce and Beyond", 2014) bounds rounds at O(log² n);
-  the per-round dataflow below (join + min-agg) is the same shape, so it is
-  the drop-in upgrade if ever needed.
+  :func:`connected_components_star` implements the alternating
+  large-star/small-star scheme (Kiveris et al., "Connected Components in
+  MapReduce and Beyond", 2014), bounding rounds at O(log n) on any shape —
+  same contract, selectable via ``dedup_clusters(algorithm="star")``.
 - Each round ends with an eager ``localCheckpoint``: the loop would
   otherwise stack a lineage of joins that Catalyst re-analyzes (and a
   failure re-executes) from round zero.  On a cluster this would be a
@@ -95,7 +95,9 @@ def connected_components(
     )
 
 
-def dedup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2") -> DataFrame:
+def dedup_clusters(
+    pairs: DataFrame, d1: str = "d1", d2: str = "d2", algorithm: str = "propagation"
+) -> DataFrame:
     """Near-dup pairs → duplicate clusters with a canonical member.
 
     Output: (doc_id, cluster_id, is_canonical) for every document that
@@ -105,8 +107,17 @@ def dedup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2") -> DataFram
     convention used by :func:`..llm.dedup.dedup_exact` and
     ``clean_corpus``.  Documents in no pair are their own implicit
     singleton cluster and are not emitted.
+
+    ``algorithm``: ``"propagation"`` (min-label, O(diameter) rounds — the
+    default, near-dup components are near-cliques) or ``"star"``
+    (:func:`connected_components_star`, O(log n) rounds on any shape).
     """
-    cc = connected_components(pairs, src=d1, dst=d2)
+    if algorithm == "propagation":
+        cc = connected_components(pairs, src=d1, dst=d2)
+    elif algorithm == "star":
+        cc = connected_components_star(pairs, src=d1, dst=d2)
+    else:
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     return cc.select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("cluster_id"),
@@ -165,3 +176,106 @@ def dedup_keep_best(
         )
     )
     return singletons.unionByName(best)
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components — the
+    round-bounded alternative to :func:`connected_components` for graphs
+    whose diameter is not small.
+
+    Min-label propagation costs O(diameter) rounds: fine for near-dup
+    clusters (near-cliques, diameter 2–3), pathological for chain-shaped
+    graphs (co-citation, session stitching).  The star algorithm (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+    converges in O(log n) rounds on ANY shape by rewiring the edge set
+    itself toward a star per component:
+
+    - *large-star*: every node points its larger neighbors at the minimum
+      of its neighborhood (including itself);
+    - *small-star*: every node folds its not-larger neighbors onto that
+      minimum.
+
+    Per round both steps are one groupBy-min plus one equi-join on the
+    node id — the same shuffle shapes as a propagation round, just fewer
+    rounds.  The edge frame is checkpointed per round (iterative-plan
+    hygiene, as in :func:`connected_components`); convergence is an
+    order-independent (count, xxhash64-sum) fingerprint of the edge set —
+    one tiny aggregate, no old-vs-new join.
+
+    Returns (node, component): every endpoint of the input labeled with
+    its component's minimum node id — same contract as
+    :func:`connected_components`, interchangeable under
+    :func:`dedup_clusters`.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select("a")
+        .union(e.select("b"))
+        .distinct()
+        .withColumnRenamed("a", "node")
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(df: DataFrame):
+        # pmod keeps the summands < 2^31 so the exact long sum cannot
+        # overflow under ANSI mode before ~2^32 edges; (count, sum) equality
+        # on consecutive rounds is the convergence signal
+        row = df.agg(
+            F.count(F.lit(1)),
+            F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(2**31))),
+        ).collect()[0]
+        return (row[0], row[1])
+
+    fp = fingerprint(e)
+    for _ in range(max_iter):
+        # large-star: (v, m(u)) for every neighbor v > u
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = sym.groupBy("a").agg(F.min("b").alias("_mb")).select(
+            "a", F.least("_mb", "a").alias("_m")
+        )
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+            .distinct()
+        )
+        # small-star over the (larger, smaller)-oriented edges:
+        # (v, m(u)) for each edge plus (u, m(u))
+        d = large.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        ).filter(F.col("a") != F.col("b"))
+        mins2 = d.groupBy("a").agg(F.min("b").alias("_mb")).select(
+            "a", F.least("_mb", "a").alias("_m")
+        )
+        e = (
+            d.join(mins2, "a")
+            .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+            .union(mins2.select("a", F.col("_m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_fp = fingerprint(e)
+        converged = new_fp == fp
+        fp = new_fp
+        if converged:
+            # fixed point is a star per component: (child, root)
+            child_root = e.select(
+                F.col("a").alias("node"), F.col("b").alias("component")
+            )
+            return nodes.join(child_root, "node", "left").select(
+                "node", F.coalesce("component", "node").alias("component")
+            )
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} rounds"
+    )

@@ -892,6 +892,20 @@ FROM reach GROUP BY node
 )
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering as ``dedup_clusters`` computed by the alternating
+    large-star/small-star algorithm (``llm/graph.py:
+    connected_components_star``, O(log n) rounds on any graph shape).  Same
+    recursive-CTE oracle — a hash match proves the two CC algorithms and
+    DuckDB's reachability all agree on the partition."""
+    from ..llm.graph import dedup_clusters
+
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8, max_df=NGRAM_MAX_DF
+    )
+    return dedup_clusters(pairs, algorithm="star")
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware survivor selection (``llm/graph.py: dedup_keep_best``):
     per near-dup cluster keep the highest-quality member, singletons pass
@@ -1473,6 +1487,7 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "embedding_kmeans": q_embedding_kmeans,
     "dedup_keep_best": q_dedup_keep_best,
+    "dedup_clusters_star": q_dedup_clusters_star,
 }
 
 ORACLES = {
@@ -1512,4 +1527,5 @@ ORACLES = {
     "mixture_sample": MIXTURE_SAMPLE_SQL,
     "embedding_kmeans": EMBEDDING_KMEANS_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
+    "dedup_clusters_star": DEDUP_CLUSTERS_SQL,
 }

@@ -83,3 +83,38 @@ def test_dedup_keep_best_picks_quality_winner(spark):
     assert out[2].cluster_id == 1 and out[2].kept_reason == "best_of_cluster"
     assert out[4].cluster_id == 4 and out[4].kept_reason == "best_of_cluster"
     assert out[9].cluster_id is None and out[9].kept_reason == "singleton"
+
+
+def test_star_cc_matches_propagation_and_handles_long_paths(spark):
+    import random
+
+    from datalake2anomali_spark.llm.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # adversarial shape for min-label: a 120-node path (diameter 119 would
+    # exceed propagation's max_iter=25) plus a clique and random components
+    path = [(i, i + 1) for i in range(100, 220)]
+    clique = [(i, j) for i in range(10) for j in range(i + 1, 10)]
+    rng = random.Random(13)
+    rand = [(rng.randrange(300, 360), rng.randrange(300, 360)) for _ in range(80)]
+    edges = spark.createDataFrame(path + clique + rand, "src long, dst long")
+    star = {
+        (r.node, r.component)
+        for r in connected_components_star(edges).collect()
+    }
+    # the path collapses to one component rooted at its min node
+    assert {(n, 100) for n in range(100, 221)} <= star
+    assert {(n, 0) for n in range(10)} <= star
+    # equivalence with min-label propagation on the propagation-feasible
+    # subgraph (clique + random part)
+    feasible = spark.createDataFrame(clique + rand, "src long, dst long")
+    prop = {
+        (r.node, r.component) for r in connected_components(feasible).collect()
+    }
+    star_feasible = {
+        (r.node, r.component)
+        for r in connected_components_star(feasible).collect()
+    }
+    assert prop == star_feasible

@@ -51,3 +51,40 @@ def test_write_corpus_layout_and_pruning(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan and "lang" in plan
+
+
+def test_jsonl_roundtrip_and_corrupt_record_capture(spark, tmp_path):
+    """Writer partitions+compresses; schema-explicit reader round-trips
+    values and captures malformed lines instead of failing the scan."""
+    import gzip
+    import os
+
+    from datalake2anomali_spark.io.jsonl import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "en", "web", 11), (2, "bonjour", "fr", "web", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(tmp_path / "jl")
+    write_jsonl(df, path, partition_by="lang", n_files=1)
+    # hive layout + gzip on disk
+    assert os.path.isdir(os.path.join(path, "lang=en"))
+    files = [
+        f for f in os.listdir(os.path.join(path, "lang=en")) if f.endswith(".gz")
+    ]
+    assert files
+    back = read_jsonl(spark, path)
+    rows = {r.doc_id: r for r in back.collect()}
+    assert rows[1].text == "hello world" and rows[1].lang == "en"
+    assert rows[2].n_chars == 7 and rows[2].lang == "fr"
+    # plant a malformed line in a new partition file
+    bad_dir = os.path.join(path, "lang=xx")
+    os.makedirs(bad_dir)
+    with gzip.open(os.path.join(bad_dir, "part-bad.json.gz"), "wt") as f:
+        f.write('{"doc_id": 3, "text": "ok"}\n')
+        f.write("{not json at all\n")
+    kept = read_jsonl(spark, path, keep_corrupt=True)
+    bad = kept.filter("_corrupt_record IS NOT NULL").collect()
+    assert len(bad) == 1 and bad[0]._corrupt_record.startswith("{not json")
+    good = kept.filter("_corrupt_record IS NULL AND lang = 'xx'").collect()
+    assert len(good) == 1 and good[0].doc_id == 3

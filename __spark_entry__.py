@@ -60,6 +60,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_keep_best",
     "stream_interval_join",
     "dedup_clusters_star",
+    "top_terms",
     # modified this round (capped check twins / cache hygiene / NULL fix)
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -324,3 +324,31 @@ def fingerprint(docs: DataFrame, text_col: str = "text", n: int = 4) -> DataFram
         F.array_min(F.transform(sh, F.md5)).alias("min_shingle_md5"),
         F.size(sh).alias("n_shingles"),
     )
+
+
+def top_terms(docs: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
+    """Corpus-level term frequencies, top ``k`` — the vocabulary-building /
+    stopword-discovery primitive (and the classic wordcount shape).
+
+    Output: (term, n_occurrences, n_docs) ordered by frequency, ties broken
+    by term so the cut is deterministic.
+
+    Scale shape: explode → groupBy(term) benefits fully from map-side
+    partial aggregation (each task emits one partial row per *distinct*
+    term it saw, not per occurrence), so the exchange carries vocabulary,
+    not corpus.  The top-k is `TakeOrderedAndProject` — per-partition heaps
+    merged on the driver, never a full sort of the vocabulary.
+    """
+    toks = tokens_col(text_col)
+    exploded = docs.select(
+        "doc_id", F.explode(toks).alias("term")
+    )
+    return (
+        exploded.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("term"))
+        .limit(k)
+    )

@@ -53,6 +53,7 @@ from ..llm.text import (
     scrub_pii,
     text_stats,
     token_counts,
+    top_terms,
 )
 
 # Shared shingle CTE (4-gram word shingles, distinct, same construction as
@@ -1380,6 +1381,23 @@ FROM d WHERE copies > 0
 """
 
 
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-50 term frequencies (``llm/text.py: top_terms``) —
+    map-side-combined wordcount + TakeOrdered top-k, full-value oracle."""
+    return top_terms(load_table(spark, sf_dir, "documents"), k=50)
+
+
+TOP_TERMS_SQL = """
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+GROUP BY term
+ORDER BY n_occurrences DESC, term ASC
+LIMIT 50
+"""
+
+
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-corpus spherical k-means (``llm/cluster.py``) — derived check.
 
@@ -1488,6 +1506,7 @@ QUERIES = {
     "embedding_kmeans": q_embedding_kmeans,
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_clusters_star": q_dedup_clusters_star,
+    "top_terms": q_top_terms,
 }
 
 ORACLES = {
@@ -1528,4 +1547,5 @@ ORACLES = {
     "embedding_kmeans": EMBEDDING_KMEANS_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
     "dedup_clusters_star": DEDUP_CLUSTERS_SQL,
+    "top_terms": TOP_TERMS_SQL,
 }

@@ -104,3 +104,13 @@ def test_mixture_sample_broadcasts_rates(spark, sf_dir):
     # exactly two scans: the counts aggregation and the corpus pass — the
     # totals must come from a window over the counts, not a re-aggregation
     assert p.count("FileScan") == 2, p
+
+
+def test_top_terms_uses_takeordered(spark, sf_dir):
+    # the top-k must be per-partition heaps merged on the driver, not a
+    # full sort of the vocabulary
+    from datalake2anomali_spark.llm.text import top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = _plan(top_terms(docs, k=10))
+    assert "TakeOrderedAndProject" in p, p

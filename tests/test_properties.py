@@ -91,3 +91,35 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: r.component for r in connected_components(df).collect()}
     assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=1, max_value=40),   # n_tokens
+    st.integers(min_value=2, max_value=12),   # chunk_len
+    st.integers(min_value=0, max_value=6),    # overlap (< chunk_len enforced)
+)
+def test_chunk_documents_covers_every_token_exactly(spark, n_tokens, chunk_len, overlap):
+    from datalake2anomali_spark.llm.pipeline import chunk_documents
+
+    overlap = min(overlap, chunk_len - 1)
+    toks = [f"t{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_len=chunk_len, overlap=overlap).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    stride = chunk_len - overlap
+    covered = set()
+    for i, r in enumerate(rows):
+        assert r.chunk_id == i
+        assert r.token_start == i * stride
+        piece = r.chunk_text.split(" ") if r.chunk_text else []
+        assert piece == toks[r.token_start : r.token_start + chunk_len]
+        assert r.chunk_tokens == len(piece)
+        covered.update(range(r.token_start, r.token_start + len(piece)))
+    # every token covered; no chunk beyond the minimal covering count
+    assert covered == set(range(n_tokens))
+    import math
+
+    assert len(rows) == max(1, math.ceil((n_tokens - overlap) / stride))

@@ -4,13 +4,23 @@ These are thin wrappers over ``spark.read.parquet`` — scans stay fully
 declarative so Catalyst keeps column pruning + predicate pushdown (check with
 ``df.explain``: ``PushedFilters`` / ``ReadSchema`` reach the parquet scan).
 
-The one normalization: ``events.ts`` is written as parquet TIMESTAMP(NANOS),
-which Spark cannot represent natively. With
-``spark.sql.legacy.parquet.nanosAsLong=true`` the column scans as a long
-(nanoseconds since epoch); we truncate to microseconds — matching exactly what
-DuckDB does when it reads the same file — and expose a TimestampType column.
-The div-by-1000 is a codegen'd JVM expression, so pushdown/pruning on the
-remaining columns is unaffected.
+The one normalization: ``events.ts`` must come out as a session-TZ
+TimestampType column (session TZ is UTC, session.py) whatever physical type
+the driver's generator wrote.  The testdata has flipped between rounds —
+TIMESTAMP(NANOS) in rounds 1-2, TIMESTAMP(MICROS) (no UTC adjustment → scans
+as TIMESTAMP_NTZ) from round 3 — so :func:`normalize_events_ts` branches on
+the *scanned* dtype instead of assuming either:
+
+- LongType (a NANOS file under ``spark.sql.legacy.parquet.nanosAsLong``):
+  truncate ns→µs, matching DuckDB's read of the same file.
+- TimestampNTZType (a MICROS/MILLIS file without isAdjustedToUTC): cast to
+  TimestampType — instant-preserving because the session TZ is UTC, and it
+  keeps ``unix_micros``/watermark/window code paths uniform.
+- TimestampType: already what we want.
+
+All branches are codegen'd JVM expressions (or no-ops), so pushdown/pruning
+on the remaining columns is unaffected; the native-timestamp branches keep
+``ts`` itself pushdown-eligible too (the column is not recomputed).
 """
 
 from __future__ import annotations
@@ -19,6 +29,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = [
     "region",
@@ -34,13 +45,35 @@ TABLES = [
 ]
 
 
+def normalize_events_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an events timestamp column to TimestampType (UTC session).
+
+    Branches on the scanned dtype so a testdata regeneration that changes the
+    parquet physical type (NANOS ↔ MICROS) cannot break or silently corrupt
+    queries — see module docstring for the per-type rationale.
+    """
+    t = df.schema[col].dataType
+    if isinstance(t, T.LongType):
+        # nanosAsLong scan of a TIMESTAMP(NANOS) file: ns → µs floor-truncate,
+        # identical to DuckDB's read of the same file.
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(t, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    if isinstance(t, T.TimestampType):
+        return df
+    raise TypeError(
+        f"events.{col} scanned as unsupported type {t.simpleString()}; "
+        "testdata schema drifted — update io/tables.py:normalize_events_ts"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # Harmless for MICROS files; required so a NANOS file scans as LONG
+        # instead of erroring at plan time.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        # ns → µs truncation (floor): identical to DuckDB's read of the file.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_events_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

@@ -49,10 +49,10 @@ def configure_session(spark: SparkSession) -> SparkSession:
 
     The driver harness hands us its own SparkSession; anything the engine
     depends on at query time (not builder time) is (re)applied here.
-    ``nanosAsLong`` is required to scan the driver's ``events.parquet``
-    (TIMESTAMP(NANOS) — Spark has no nanosecond timestamp type); the loader in
-    :mod:`datalake2anomali_spark.io.tables` converts the raw long to a proper
-    microsecond TimestampType column.
+    ``nanosAsLong`` is legacy-compat: it lets a TIMESTAMP(NANOS) events file
+    scan as a raw long instead of erroring (harmless for the current MICROS
+    testdata); :func:`datalake2anomali_spark.io.tables.normalize_events_ts`
+    branches on whatever dtype actually scans.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -29,40 +29,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from datalake2anomali_spark.io.tables import normalize_events_ts
 from datalake2anomali_spark.streaming import windows
-
-# Raw schema of events.parquet under nanosAsLong (TIMESTAMP(NANOS) scans as
-# LONG; see io/tables.py) — streaming sources require an explicit schema.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
 
 
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """Streaming scan of an events parquet path (ns→µs normalized).
+    """Streaming scan of an events parquet path, ``ts`` normalized to
+    TimestampType whatever the file's physical type (see io/tables.py).
+
+    Streaming file sources require an explicit schema, but hardcoding one
+    broke when the testdata's ``ts`` flipped NANOS→MICROS between rounds
+    (a LongType schema silently read *microseconds* that downstream code
+    divided by 1000).  So the schema is probed from a one-off batch scan of
+    the same path — metadata-only, no data read — and the stream then reads
+    with exactly what the file contains, normalized after.
 
     ``path`` may be a directory (the streaming-source norm: new files appear,
     the source schedules them) or a single ``.parquet`` file — the file stream
     source itself only accepts directories, so a file path is rewritten to
     parent-dir + ``pathGlobFilter``.
     """
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    # nanos files need this conf to scan as LONG instead of erroring.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(raw_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if path.endswith(".parquet") and os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(df)
 
 
 _CKPT_ROOT: str | None = None
@@ -199,7 +198,10 @@ SELECT event_id, user_id, event_type FROM events
 """
 
 
-#: Reduced schema for the late-replay stream (ts = raw nanosecond long).
+#: Reduced schema for the late-replay stream.  ``ts`` is a raw epoch-µs long
+#: because *we* write these replay files (from the already-normalized events
+#: table), so the unit is pinned here — independent of whatever physical type
+#: the driver's generator used for the source table.
 _LATE_REPLAY_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -209,7 +211,7 @@ _LATE_REPLAY_SCHEMA = T.StructType(
     ]
 )
 
-_NS_PER_S = 10**9
+_US_PER_S = 10**6
 
 
 def _build_late_replay_input(spark: SparkSession, sf_dir: str) -> str:
@@ -238,7 +240,7 @@ def _build_late_replay_input(spark: SparkSession, sf_dir: str) -> str:
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
-        (F.unix_micros("ts") * F.lit(1000)).alias("ts"),
+        F.unix_micros("ts").alias("ts"),
         "user_id",
         "event_type",
     )
@@ -251,7 +253,7 @@ def _build_late_replay_input(spark: SparkSession, sf_dir: str) -> str:
         F.lit("fresh_new").alias("event_type"),
     )
     redup = ev.filter(
-        (F.col("event_id") % 20 == 0) & (F.col("ts") < F.lit(lo + 5 * 86400 * _NS_PER_S))
+        (F.col("event_id") % 20 == 0) & (F.col("ts") < F.lit(lo + 5 * 86400 * _US_PER_S))
     ).select("event_id", F.lit(hi).alias("ts"), "user_id", "event_type")
     late_new = ev.filter(F.col("event_id") % 100 == 0).select(
         (F.col("event_id") + F.lit(1_000_000)).alias("event_id"),
@@ -290,7 +292,7 @@ def stream_dedup_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
         .parquet(inp)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", F.timestamp_micros("ts"))
     )
     deduped = stream_dedup(stream, key_cols=("event_id",), watermark="10 minutes")
     return run_to_completion(
@@ -393,9 +395,11 @@ def incremental_pull(
     The predicate is ``ts_col > <timestamp literal>`` — a plain comparison on
     the scan column (the µs literal is constant-folded), so on a natively
     timestamp-typed table it reaches the parquet reader as a pushed filter /
-    partition-pruning key (asserted in tests/test_streaming.py).  The driver's
-    ``events`` table is the exception: its ts is *computed* from a raw
-    nanosecond long (io/tables.py), so the filter evaluates post-scan there.
+    partition-pruning key.  Since the testdata's events.ts became natively
+    timestamp-typed (MICROS, round 3+), this holds on the real events scan
+    too — asserted against the actual scan in tests/test_streaming.py.  (On a
+    legacy NANOS file the ts column is *computed* from a raw long and the
+    filter evaluates post-scan — correct, just not pushed.)
     Commit the returned watermark only after the downstream write succeeds —
     same at-least-once contract as the reference (T3).
     """

@@ -73,6 +73,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Harmless for MICROS files; required so a NANOS file scans as LONG
         # instead of erroring at plan time.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Scan a MICROS/MILLIS (no-UTC-flag) file natively as TimestampType —
+        # same epoch-µs payload, session TZ is UTC — so ts stays a pure scan
+        # attribute (pushdown/stats-eligible) instead of a post-scan cast.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         return normalize_events_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 

@@ -51,8 +51,11 @@ def read_events_stream(
     source itself only accepts directories, so a file path is rewritten to
     parent-dir + ``pathGlobFilter``.
     """
-    # nanos files need this conf to scan as LONG instead of erroring.
+    # nanos files need this conf to scan as LONG instead of erroring; the
+    # NTZ conf makes a no-UTC-flag µs file scan natively as TimestampType
+    # (see io/tables.py), keeping the watermark column a pure scan attribute.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     raw_schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(raw_schema)
     if max_files_per_trigger is not None:

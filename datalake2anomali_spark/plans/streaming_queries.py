@@ -1,10 +1,13 @@
 """Driver-registered streaming/window queries (SURVEY.md §2.9, §7 step 6).
 
-Five entries:
+Entries:
 
-- ``tumbling_window_counts`` / ``sliding_window_stats`` / ``session_window_agg``
-  — the window operators run in batch mode (same transform functions the
-  streaming paths use), each with a full DuckDB oracle.
+- ``batch_windows`` — sliding + session window aggs as one tagged union
+  (each with its full DuckDB oracle half).  The tumbling batch twin is NOT
+  registered separately: ``stream_tumbling_counts`` drives the exact same
+  :func:`...streaming.windows.tumbling_counts` transform against the exact
+  same ``TUMBLING_SQL`` oracle, so a separate batch row added no evidence
+  (driver-gate footprint consolidation, VERDICT r3 #5).
 - ``stream_tumbling_counts`` — a *real* Structured Streaming run (readStream →
   watermark → window agg → availableNow → memory sink) whose result is still
   oracle-comparable, because a single availableNow batch drops nothing.
@@ -12,6 +15,8 @@ Five entries:
   behaviors by value: late rows dropped, in-state duplicates collapsed,
   retransmissions of expired keys re-emitted (so the result provably differs
   from a plain ``distinct``).
+- ``stream_dedup_events`` — the plain at-least-once dedup path
+  (``dropDuplicatesWithinWatermark`` over a doubled stream).
 - ``stateful_user_profiles`` — ``applyInPandasWithState`` custom stateful
   operator, oracle-comparable for the same reason.
 - ``stream_interval_join`` — watermarked stream–stream interval join
@@ -29,9 +34,7 @@ from datalake2anomali_spark.streaming import incremental, joins, stateful, windo
 
 QUERIES = {
     "stream_interval_join": joins.stream_click_error_join,
-    "tumbling_window_counts": windows.tumbling_counts_query,
-    "sliding_window_stats": windows.sliding_stats_query,
-    "session_window_agg": windows.session_window_stats_query,
+    "batch_windows": windows.batch_windows_query,
     "stream_tumbling_counts": incremental.stream_tumbling_counts,
     "stream_dedup_events": incremental.stream_dedup_events,
     "stream_dedup_late": incremental.stream_dedup_late,
@@ -40,9 +43,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_interval_join": joins.STREAM_INTERVAL_JOIN_SQL,
-    "tumbling_window_counts": windows.TUMBLING_SQL,
-    "sliding_window_stats": windows.SLIDING_SQL,
-    "session_window_agg": windows.SESSION_WINDOW_SQL,
+    "batch_windows": windows.BATCH_WINDOWS_SQL,
     "stream_tumbling_counts": windows.TUMBLING_SQL,
     "stream_dedup_events": incremental.STREAM_DEDUP_SQL,
     "stream_dedup_late": incremental.STREAM_DEDUP_LATE_SQL,

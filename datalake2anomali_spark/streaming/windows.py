@@ -161,6 +161,39 @@ def session_window_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_stats(load_table(spark, sf_dir, "events"))
 
 
+# -- merged driver-gate query ------------------------------------------------
+
+
+def batch_windows_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding + session window aggs as ONE tagged union — a single driver
+    row certifies both operators (gate-footprint consolidation, VERDICT r3
+    #5).  The tumbling twin is certified via ``stream_tumbling_counts``,
+    which drives the same :func:`tumbling_counts` against the same oracle.
+
+    Plan shape: two independent aggregations over one events scan unioned —
+    no extra shuffle vs running them separately (Spark unions are free), and
+    each branch keeps its own map-side partial aggregation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sl = sliding_stats(ev).select(
+        F.lit("sliding").alias("op"),
+        F.col("w_start").alias("k_time"),
+        F.col("event_type").alias("k_dim"),
+        "n_events",
+        "value_sum",
+        F.lit(None).cast("long").alias("duration_us"),
+    )
+    se = session_window_stats(ev).select(
+        F.lit("session").alias("op"),
+        F.col("sess_start").alias("k_time"),
+        F.col("user_id").cast("string").alias("k_dim"),
+        "n_events",
+        "value_sum",
+        "duration_us",
+    )
+    return sl.unionByName(se)
+
+
 # Gaps-and-islands oracle.  Spark's session_window merges an event into the
 # current session iff ts < prev_end (= prev_ts + gap), so a gap of exactly
 # `gap` starts a NEW session → the SQL marks new sessions with `>=`.
@@ -186,4 +219,15 @@ SELECT user_id,
        {DSUM_SQL('value', _SCALE)} AS value_sum
 FROM sessions
 GROUP BY user_id, sess_idx
+"""
+
+
+BATCH_WINDOWS_SQL = f"""
+SELECT 'sliding' AS op, w_start AS k_time, event_type AS k_dim,
+       n_events, value_sum, CAST(NULL AS BIGINT) AS duration_us
+FROM ({SLIDING_SQL})
+UNION ALL
+SELECT 'session' AS op, sess_start AS k_time, CAST(user_id AS VARCHAR) AS k_dim,
+       n_events, value_sum, duration_us
+FROM ({SESSION_WINDOW_SQL})
 """

@@ -69,6 +69,16 @@ def read_events_stream(
 
 _CKPT_ROOT: str | None = None
 
+#: Memory-sink temp views created by prior :func:`run_to_completion` calls.
+#: A memory sink holds its full result in JVM memory, referenced by (a) the
+#: temp view and (b) the StreamingQueryManager's terminated-query list, so a
+#: long session running many gate/bench queries accretes every past result
+#: until OOM pressure (observed: warm-pass bench timings 2-4x worse than
+#: cold for late stateful queries).  Each new run releases all views from
+#: runs before the previous one — deferred by one call so the caller of the
+#: immediately-preceding run can still be holding its result.
+_PAST_SINKS: list[str] = []
+
 
 def _scratch_checkpoint_root() -> str:
     """Session-scoped scratch root for throwaway checkpoints.
@@ -114,6 +124,13 @@ def run_to_completion(
     if checkpoint_dir is None:
         checkpoint_dir = _scratch_checkpoint_root()
     spark_ = stream_df.sparkSession
+    # Release results of runs before the previous one (see _PAST_SINKS) and
+    # drop the manager's references to terminated queries so their sinks can
+    # be garbage-collected.  Already-returned DataFrames stay valid — they
+    # hold analyzed plans, not catalog lookups.
+    while len(_PAST_SINKS) > 1:
+        spark_.catalog.dropTempView(_PAST_SINKS.pop(0))
+    spark_.streams.resetTerminated()
     saved = spark_.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark_.conf.set("spark.sql.shuffle.partitions", state_partitions)
@@ -134,6 +151,7 @@ def run_to_completion(
     # Materialize before the temp view could be replaced by a later run.
     out = spark.table(name)
     out.createOrReplaceTempView(name)  # keep name resolvable for caller
+    _PAST_SINKS.append(name)
     return out
 
 

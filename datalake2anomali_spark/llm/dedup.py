@@ -73,6 +73,22 @@ def shingle_index(docs: DataFrame, text_col: str = "text", n: int = 4, max_df: i
     return sh
 
 
+def _index_with_sizes(idx: DataFrame) -> DataFrame:
+    """Attach each doc's (capped) shingle-set size to its index entries.
+
+    Persists the bare index for the duration of the join (it feeds both the
+    size aggregate and the join probe), returning the joined result
+    persisted in its place.
+    """
+    idx = idx.persist()
+    idx.count()
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    out = idx.join(sizes, "doc_id").persist()
+    out.count()
+    idx.unpersist()
+    return out
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -83,31 +99,36 @@ def ngram_jaccard_pairs(
     """All document pairs with shingle-set Jaccard ≥ threshold (exact).
 
     co-occurrence counts come from the inverted index self-join (candidates
-    only — pairs sharing no shingle never materialize); set sizes join in
-    from a tiny per-doc aggregate.  Jaccard = co/(n1+n2-co) is exact integer
-    arithmetic + one double division, so it is engine-independent.
+    only — pairs sharing no shingle never materialize).  Jaccard =
+    co/(n1+n2-co) is exact integer arithmetic + one double division, so it
+    is engine-independent.
 
-    The inverted index feeds three consumers (both self-join branches and
-    the per-doc sizes), so it is persisted once instead of re-shingling the
-    corpus per branch.
+    Scale shape: per-doc set sizes are attached to the INDEX before the
+    self-join (one extra int per index entry) and ride through the pair
+    aggregation as grouping keys, instead of joining a sizes table onto the
+    aggregated pairs afterwards.  The pair relation is the largest
+    intermediate of this operator (up to Σ_shingle df² candidate rows before
+    aggregation), so the former shape — shuffle pairs by d1, then again by
+    d2, for two hash joins — moved the most data of any stage; carrying 8
+    bytes per index entry eliminates both pair-level shuffles.  The index
+    (now with sizes) is persisted once and feeds both self-join branches.
     """
-    idx = shingle_index(docs, text_col, n, max_df).persist()
-    idx.count()
-    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    idx = _index_with_sizes(shingle_index(docs, text_col, n, max_df))
     a = idx.alias("a")
     b = idx.alias("b")
     co = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .groupBy(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.n_sh").alias("n2"),
+        )
         .agg(F.count(F.lit(1)).alias("co"))
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
     jac = F.col("co").cast("double") / (F.col("n1") + F.col("n2") - F.col("co"))
     return (
-        co.join(s1, "d1")
-        .join(s2, "d2")
-        .withColumn("jaccard", jac)
+        co.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "jaccard")
     )
@@ -141,21 +162,24 @@ def dedup_against(
     ex_digests = existing_docs.select(F.md5(F.col(text_col)).alias("digest")).distinct()
     exact = new_digests.join(ex_digests, "digest", "left_semi").select("doc_id")
 
-    new_idx = shingle_index(new_docs, text_col, n, max_df).persist()
-    ex_idx = shingle_index(existing_docs, text_col, n, max_df).persist()
-    new_sizes = new_idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n1"))
-    ex_sizes = ex_idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n2"))
+    # Sizes ride through the pair aggregation as grouping keys (same
+    # pair-level-shuffle elimination as ngram_jaccard_pairs — see there).
+    new_idx = _index_with_sizes(shingle_index(new_docs, text_col, n, max_df))
+    ex_idx = _index_with_sizes(shingle_index(existing_docs, text_col, n, max_df))
     a, b = new_idx.alias("a"), ex_idx.alias("b")
     co = (
         a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .groupBy(F.col("a.doc_id").alias("nid"), F.col("b.doc_id").alias("eid"))
+        .groupBy(
+            F.col("a.doc_id").alias("nid"),
+            F.col("b.doc_id").alias("eid"),
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.n_sh").alias("n2"),
+        )
         .agg(F.count(F.lit(1)).alias("co"))
     )
     jac = F.col("co").cast("double") / (F.col("n1") + F.col("n2") - F.col("co"))
     near = (
-        co.join(new_sizes.withColumnRenamed("doc_id", "nid"), "nid")
-        .join(ex_sizes.withColumnRenamed("doc_id", "eid"), "eid")
-        .filter(jac >= threshold)
+        co.filter(jac >= threshold)
         .select(F.col("nid").alias("doc_id"))
         .distinct()
     )

@@ -43,6 +43,60 @@ SKIP = {
 }
 
 
+_PY_NODES = {
+    "ArrowEvalPythonExec",
+    "MapInPandasExec",
+    "FlatMapGroupsInPandasExec",
+    "FlatMapGroupsInPandasWithStateExec",
+    "BatchEvalPythonExec",
+}
+
+
+def _plan_counts(df) -> tuple[tuple[int, int, int, int, int, int], int]:
+    """Count scale-relevant operators by WALKING the physical plan tree.
+
+    ``executedPlan().toString()`` prints every persisted intermediate's build
+    plan repeatedly (once per cache scan, times AQE's initial+final copies),
+    so string-counting over it over-reports exchanges several-fold for any
+    operator that persists (the jaccard family).  Tree traversal via
+    ``children()`` is exact: `InMemoryTableScan` has no children, so cached
+    build plans (one-time materialization cost) are excluded, and
+    `ReusedExchange` references aren't double-counted.  AQE roots are
+    unwrapped to their pre-execution plan, matching the doc header.
+    Returns ((hashEx, rangeEx, bcast, SMJ, BHJ, pyEval), n_cache_scans).
+    """
+    counts = [0, 0, 0, 0, 0, 0]
+    cache_scans = [0]
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.initialPlan())
+            return
+        if cls == "ShuffleExchangeExec":
+            part = node.outputPartitioning().toString()
+            if part.startswith("hashpartitioning"):
+                counts[0] += 1
+            elif part.startswith("rangepartitioning"):
+                counts[1] += 1
+        elif cls == "BroadcastExchangeExec":
+            counts[2] += 1
+        elif cls == "SortMergeJoinExec":
+            counts[3] += 1
+        elif cls == "BroadcastHashJoinExec":
+            counts[4] += 1
+        elif cls in _PY_NODES:
+            counts[5] += 1
+        elif cls == "InMemoryTableScanExec":
+            cache_scans[0] += 1
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return tuple(counts), cache_scans[0]
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     from datalake2anomali_spark.session import get_spark
@@ -63,24 +117,13 @@ def main() -> None:
             rows.append((name, None, SKIP[name]))
             continue
         df = fn(spark, sf_dir)
-        p = df._jdf.queryExecution().executedPlan().toString()
-        rows.append(
-            (
-                name,
-                (
-                    p.count("Exchange hashpartitioning"),
-                    p.count("Exchange rangepartitioning"),
-                    p.count("BroadcastExchange"),
-                    p.count("SortMergeJoin"),
-                    p.count("BroadcastHashJoin"),
-                    p.count("ArrowEvalPython")
-                    + p.count("MapInPandas")
-                    + p.count("FlatMapGroupsInPandas")
-                    + p.count("BatchEvalPython"),
-                ),
-                "",
-            )
+        c, n_cache = _plan_counts(df)
+        note = (
+            f"reads {n_cache} persisted intermediate(s); one-time build cost excluded"
+            if n_cache
+            else ""
         )
+        rows.append((name, c, note))
     lines = [
         "# Physical-plan inventory (generated by tools/plan_report.py)",
         "",
@@ -89,6 +132,10 @@ def main() -> None:
         "exchanges, sort-merge vs broadcast-hash joins, Python/Arrow eval",
         "nodes. A query with pyEval > 0 crosses into Python only through",
         "Arrow-batched nodes (no row-at-a-time UDF appears anywhere).",
+        "Counts are exact tree-walk counts of the live per-run plan; the",
+        "one-time build plans of persisted intermediates (under",
+        "InMemoryRelation) are excluded, with cache reads flagged in the",
+        "note column.",
         "",
         "| query | hashEx | rangeEx | bcast | SMJ | BHJ | pyEval | note |",
         "|---|---|---|---|---|---|---|---|",

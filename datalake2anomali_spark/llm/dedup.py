@@ -76,16 +76,18 @@ def shingle_index(docs: DataFrame, text_col: str = "text", n: int = 4, max_df: i
 def _index_with_sizes(idx: DataFrame) -> DataFrame:
     """Attach each doc's (capped) shingle-set size to its index entries.
 
-    Persists the bare index for the duration of the join (it feeds both the
-    size aggregate and the join probe), returning the joined result
-    persisted in its place.
+    A count-over-window partitioned by doc_id computes the size inside the
+    same pass that builds the index — one shuffle, no separate aggregate +
+    join back, and exactly ONE cache materialization (an earlier two-persist
+    version measured 3x the build cost at sf0.1).  The persisted result
+    feeds both self-join branches of the pair generation.
     """
-    idx = idx.persist()
-    idx.count()
-    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    out = idx.join(sizes, "doc_id").persist()
+    from pyspark.sql import Window
+
+    out = idx.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    ).persist()
     out.count()
-    idx.unpersist()
     return out
 
 

@@ -203,6 +203,21 @@ def test_incremental_pull_pushes_filter_to_scan(spark, tmp_path):
     assert "PushedFilters" in plan and "GreaterThan(ts" in plan
 
 
+def test_memory_sinks_released_between_runs(spark, sf_dir):
+    """Past streaming results must not accrete: each run_to_completion drops
+    the sink temp views of runs before the previous one (keeping exactly the
+    current + one prior, so the immediately-preceding caller's result stays
+    resolvable) and resets the terminated-query registry."""
+    from datalake2anomali_spark.streaming.incremental import _PAST_SINKS
+
+    for _ in range(3):
+        incremental.stream_tumbling_counts(spark, sf_dir)
+    assert len(_PAST_SINKS) <= 2
+    live = {t.name for t in spark.catalog.listTables() if t.name.startswith("d2a_stream_")}
+    assert live == set(_PAST_SINKS)
+    assert len(spark.streams.active) == 0
+
+
 def test_cursor_filter_pushes_down_on_real_events(spark, sf_dir, tmp_path):
     """VERDICT r3 #7: with events.ts natively timestamp-typed (MICROS
     testdata scanned under inferTimestampNTZ=false), the incremental-pull

@@ -90,6 +90,39 @@ def test_events_physical_ts_is_known(sf_dir):
     )
 
 
+def test_loader_absorbs_every_physical_ts_encoding(spark, tmp_path):
+    """The loader must yield identical TimestampType instants whatever
+    physical type a future testdata regeneration writes — NANOS (the
+    rounds-1-2 encoding, currently exercised nowhere else since the data
+    flipped to MICROS), MICROS, and MILLIS."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    us_vals = [1704067207179575, 1706655976220708]
+    results = {}
+    for unit, factor in [("ns", 1000), ("us", 1), ("ms", 0)]:
+        vals = [v * factor for v in us_vals] if factor else [v // 1000 for v in us_vals]
+        t = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(vals, pa.timestamp(unit)),
+                "user_id": pa.array([10, 20], pa.int64()),
+                "event_type": pa.array(["click", "error"]),
+                "value": pa.array([1.0, 2.0]),
+                "props": pa.array(["{}", "{}"]),
+            }
+        )
+        sub = tmp_path / unit
+        sub.mkdir()
+        pq.write_table(t, str(sub / "events.parquet"))
+        df = load_table(spark, str(sub), "events")
+        assert df.schema["ts"].dataType == T.TimestampType(), unit
+        results[unit] = [r.ts for r in df.orderBy("event_id").select("ts").collect()]
+    assert results["ns"] == results["us"]
+    # ms-written values were truncated at write; compare at ms precision
+    assert [t.replace(microsecond=t.microsecond // 1000 * 1000) for t in results["us"]] == results["ms"]
+
+
 @pytest.mark.parametrize("other_sf", ["/root/testdata/sf0.01"])
 def test_canary_holds_at_gate_sf(spark, other_sf):
     """The driver gates at sf0.01 and benches at sf0.1 — check one non-test SF

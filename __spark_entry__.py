@@ -72,16 +72,19 @@ _PRIORITY: tuple[str, ...] = (
     # new merged rows covering the 9 formerly-standalone text/multimodal ops
     "text_profile",
     "multimodal_ops",
+    # new operator this round (Lee et al. exact substring dedup)
+    "dedup_substrings",
 )
 
-#: Exactly the 8 entries past the 50-row window.  Every one was green in
-#: round 3 and keeps an in-window family sibling or standing evidence:
-#: q3/q5 (join/agg family: q1 + region stats in window; q5 also runs as the
-#: entry() smoke every round), region_customer_stats (grouped_rollup),
-#: string_funcs (S5 via ioc_upsert_routing), stream_dedup_events
-#: (stream_dedup_late), ioc_payload_objects (ioc_payload_json),
-#: topk_per_group (running_window + grouped_rollup), dedup_exact
-#: (dedup_incremental digest-set + dedup_keep_best).
+#: Exactly the entries past the 50-row window (59 registered − 50).  Every
+#: one was green in round 3 and keeps an in-window family sibling or
+#: standing evidence: q3/q5 (join/agg family: q1 + region stats in window;
+#: q5 also runs as the entry() smoke every round), region_customer_stats
+#: (grouped_rollup), string_funcs (S5 via ioc_upsert_routing),
+#: stream_dedup_events (stream_dedup_late), ioc_payload_objects
+#: (ioc_payload_json), topk_per_group (running_window + grouped_rollup),
+#: dedup_exact (dedup_incremental digest-set + dedup_keep_best),
+#: chunk_documents (position-window family sibling pack_sequences).
 _TAIL: tuple[str, ...] = (
     "q3_shipping_priority",
     "q5_local_supplier",
@@ -91,6 +94,7 @@ _TAIL: tuple[str, ...] = (
     "ioc_payload_objects",
     "topk_per_group",
     "dedup_exact",
+    "chunk_documents",
 )
 
 _MODULES = (relational, ioc_queries, breadth, llm_queries, streaming_queries, temporal_queries)

@@ -689,6 +689,79 @@ FROM f
 """
 
 
+#: Window length for the registered exact-substring-dedup query.  16 tokens
+#: ≈ the scale of boilerplate/quote repeats in the synthetic corpus (probed:
+#: 835 duplicated windows / 1733 occurrences at sf0.01); Lee et al. use 50
+#: BPE tokens on real corpora — the operator takes k as a knob.
+SUBSTR_K = 16
+
+
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (``llm/substrings.py``): per-document repeated-
+    span summary — duplicated k-windows, merged maximal spans, removable
+    token counts.  Full-value oracle: the DuckDB twin recomputes windows by
+    position, duplicate hashes, and the identical gaps-and-islands merge."""
+    from ..llm.substrings import dedup_substrings
+
+    return dedup_substrings(load_table(spark, sf_dir, "documents"), k=SUBSTR_K)
+
+
+DEDUP_SUBSTRINGS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= {SUBSTR_K}
+                     THEN [i - 1 for i in range(1, len(w) - {SUBSTR_K} + 2)]
+                     ELSE [] END) AS pos,
+         unnest(CASE WHEN len(w) >= {SUBSTR_K}
+                     THEN [md5(array_to_string(list_slice(w, i, i + {SUBSTR_K} - 1), ' '))
+                           for i in range(1, len(w) - {SUBSTR_K} + 2)]
+                     ELSE [] END) AS wh
+  FROM t
+),
+dupm AS (
+  SELECT wins.doc_id, wins.pos
+  FROM wins
+  JOIN (SELECT wh FROM wins GROUP BY wh HAVING COUNT(*) >= 2) d USING (wh)
+),
+m AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos - lag(pos) OVER w > {SUBSTR_K}
+              THEN 1 ELSE 0 END AS new_span
+  FROM dupm
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sp AS (
+  SELECT doc_id, pos,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS span
+  FROM m
+),
+per_span AS (
+  SELECT doc_id, span, COUNT(*) AS n_win,
+         MAX(pos) + {SUBSTR_K} - MIN(pos) AS covered
+  FROM sp GROUP BY doc_id, span
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(n_win) AS BIGINT) AS n_dup_windows,
+         COUNT(*) AS n_spans,
+         CAST(SUM(covered) AS BIGINT) AS n_tokens_removed
+  FROM per_span GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(w) AS INTEGER) AS n_tokens,
+       COALESCE(n_dup_windows, 0) AS n_dup_windows,
+       COALESCE(n_spans, 0) AS n_spans,
+       COALESCE(n_tokens_removed, 0) AS n_tokens_removed,
+       CAST(COALESCE(n_tokens_removed, 0) AS DOUBLE) / len(w) AS removed_ratio
+FROM t LEFT JOIN per_doc ON t.doc_id = per_doc.doc_id
+"""
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full per-document text profile — stats/quality, language-ID, BPE token
     counts, fingerprint, Gopher repetition, normalization, PII scrub — as ONE
@@ -1773,6 +1846,7 @@ FROM documents WHERE lang = 'en'
 # functions, SQL twins, and pytest coverage all remain.
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_substrings": q_dedup_substrings,
     "text_profile": q_text_profile,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1804,6 +1878,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_substrings": DEDUP_SUBSTRINGS_SQL,
     "text_profile": TEXT_PROFILE_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "ann_cosine_topk": ANN_COSINE_SQL,

@@ -317,3 +317,63 @@ def test_dedup_against_flags_exact_near_and_clean(spark):
     assert not out[3].dup_exact and not out[3].dup_near  # clean
     # new docs are never compared against each other
     assert len(out) == 3
+
+
+# -- exact substring dedup (llm/substrings.py) --------------------------------
+
+
+def _mkdocs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_dedup_substrings_finds_and_merges_spans(spark):
+    from datalake2anomali_spark.llm.substrings import dedup_substrings
+
+    boiler = " ".join(f"b{i}" for i in range(6))  # 6-token shared block
+    docs = _mkdocs(
+        spark,
+        [
+            f"u0 u1 {boiler} u2 u3",          # doc0: one shared span mid-doc
+            f"{boiler} v0 v1 v2 v3 v4 v5",    # doc1: shared span at start
+            "w0 w1 w2 w3 w4 w5 w6 w7",        # doc2: fully unique
+        ],
+    )
+    out = {r.doc_id: r for r in dedup_substrings(docs, k=4, min_repeats=2).collect()}
+    assert len(out) == 3
+    # doc2 untouched
+    assert out[2].n_dup_windows == 0 and out[2].n_spans == 0
+    assert out[2].n_tokens_removed == 0 and out[2].removed_ratio == 0.0
+    # docs 0 and 1 share exactly the 6-token block -> three 4-windows inside
+    # it repeat; the windows overlap, so they must merge into ONE span of 6
+    for d in (0, 1):
+        assert out[d].n_dup_windows == 3, d
+        assert out[d].n_spans == 1, d
+        assert out[d].n_tokens_removed == 6, d
+    assert out[0].removed_ratio == pytest.approx(6 / 10)
+
+
+def test_dedup_substrings_separate_spans_not_merged(spark):
+    from datalake2anomali_spark.llm.substrings import dedup_substrings
+
+    a = "a0 a1 a2 a3"
+    b = "b0 b1 b2 b3"
+    gap = " ".join(f"g{i}" for i in range(6))  # > k tokens between repeats
+    docs = _mkdocs(spark, [f"{a} {gap} {b}", f"{a} x0 x1 x2 x3 x4 x5 {b}"])
+    out = {r.doc_id: r for r in dedup_substrings(docs, k=4, min_repeats=2).collect()}
+    # two disjoint 4-token spans per doc, separated by > k -> NOT merged
+    for d in (0, 1):
+        assert out[d].n_spans == 2, d
+        assert out[d].n_tokens_removed == 8, d
+
+
+def test_dedup_substrings_within_document_repeat(spark):
+    from datalake2anomali_spark.llm.substrings import dedup_substrings
+
+    blk = "r0 r1 r2 r3"
+    docs = _mkdocs(spark, [f"{blk} m0 m1 m2 m3 m4 {blk}", "z0 z1 z2 z3 z4"])
+    out = {r.doc_id: r for r in dedup_substrings(docs, k=4, min_repeats=2).collect()}
+    # the repeat is entirely inside doc0: global occurrence count still >= 2
+    assert out[0].n_spans == 2 and out[0].n_tokens_removed == 8
+    assert out[1].n_dup_windows == 0

@@ -72,8 +72,9 @@ _PRIORITY: tuple[str, ...] = (
     # new merged rows covering the 9 formerly-standalone text/multimodal ops
     "text_profile",
     "multimodal_ops",
-    # new operator this round (Lee et al. exact substring dedup)
-    "dedup_substrings",
+    # new operators this round
+    "dedup_substrings",  # Lee et al. exact substring dedup
+    "burst_alerts",  # CEP burst detection (RANGE-interval window frame)
 )
 
 #: Exactly the entries past the 50-row window (59 registered − 50).  Every
@@ -95,6 +96,7 @@ _TAIL: tuple[str, ...] = (
     "topk_per_group",
     "dedup_exact",
     "chunk_documents",
+    "mixture_sample",  # sampling family sibling stratified_sample in window
 )
 
 _MODULES = (relational, ioc_queries, breadth, llm_queries, streaming_queries, temporal_queries)

@@ -119,3 +119,34 @@ def test_rollup_one_pass_matches_chain(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 2  # base agg + grouping sets
+
+
+def test_burst_alerts_range_frame_semantics(spark, tmp_path):
+    """The alert window is event-TIME (RANGE frame), not a row count: a 3rd
+    error outside the trailing window must not alert, one inside must."""
+    from pyspark.sql import functions as F, Window
+    from datalake2anomali_spark.plans.temporal_queries import BURST_WINDOW_US
+
+    US = 1_000_000
+    base = 1_700_000_000 * US
+    rows = [
+        # user 1: two errors 10s apart -> second alerts (n_recent=2)
+        (1, 1, base),
+        (2, 1, base + 10 * US),
+        # user 2: two errors separated by MORE than the window -> no alert
+        (3, 2, base),
+        (4, 2, base + BURST_WINDOW_US + US),
+        # user 3: exactly at the window edge (inclusive) -> alerts
+        (5, 3, base),
+        (6, 3, base + BURST_WINDOW_US),
+    ]
+    err = spark.createDataFrame(rows, "event_id long, user_id long, ts_us long")
+    w = Window.partitionBy("user_id").orderBy("ts_us").rangeBetween(-BURST_WINDOW_US, 0)
+    out = {
+        r.event_id: r.n_recent
+        for r in err.withColumn("n_recent", F.count(F.lit(1)).over(w))
+        .filter(F.col("n_recent") >= 2)
+        .collect()
+    }
+    assert set(out) == {2, 6}
+    assert out[2] == 2 and out[6] == 2

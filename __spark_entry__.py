@@ -75,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     # new operators this round
     "dedup_substrings",  # Lee et al. exact substring dedup
     "burst_alerts",  # CEP burst detection (RANGE-interval window frame)
+    "stream_burst_alerts",  # stateful streaming twin of burst_alerts
 )
 
 #: Exactly the entries past the 50-row window (59 registered − 50).  Every
@@ -97,6 +98,7 @@ _TAIL: tuple[str, ...] = (
     "dedup_exact",
     "chunk_documents",
     "mixture_sample",  # sampling family sibling stratified_sample in window
+    "jsonl_roundtrip",  # io-roundtrip family sibling corpus_roundtrip in window
 )
 
 _MODULES = (relational, ioc_queries, breadth, llm_queries, streaming_queries, temporal_queries)

@@ -30,9 +30,11 @@ restarts, idle-key timeout) are covered in ``tests/test_streaming.py``.
 
 from __future__ import annotations
 
+from datalake2anomali_spark.plans import temporal_queries as _temporal
 from datalake2anomali_spark.streaming import incremental, joins, stateful, windows
 
 QUERIES = {
+    "stream_burst_alerts": stateful.stream_burst_alerts,
     "stream_interval_join": joins.stream_click_error_join,
     "batch_windows": windows.batch_windows_query,
     "stream_tumbling_counts": incremental.stream_tumbling_counts,
@@ -42,6 +44,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_burst_alerts": _temporal.BURST_SQL,
     "stream_interval_join": joins.STREAM_INTERVAL_JOIN_SQL,
     "batch_windows": windows.BATCH_WINDOWS_SQL,
     "stream_tumbling_counts": windows.TUMBLING_SQL,

@@ -147,3 +147,98 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """
+
+
+# -- streaming burst detection (stateful twin of plans/temporal_queries.py:
+#    burst_alerts) --------------------------------------------------------
+
+BURST_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("n_recent", T.LongType()),
+    ]
+)
+
+#: State = the user's error timestamps still inside the trailing horizon of
+#: the newest event seen — bounded by window density, not stream lifetime.
+BURST_STATE_SCHEMA = T.StructType([T.StructField("recent_us", T.ArrayType(T.LongType()))])
+
+
+def _make_burst_updater(n_alert: int, window_us: int):
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        prior: list[int] = list(state.get[0]) if state.exists else []
+        new = pd.concat(list(pdfs), ignore_index=True)
+        if new.empty and not prior:
+            return
+        new = new.sort_values("ts_us")
+        ts_all = sorted(prior + new["ts_us"].tolist())
+        out_ids, out_ts, out_n = [], [], []
+        import bisect
+
+        for eid, t in zip(new["event_id"], new["ts_us"]):
+            lo = bisect.bisect_left(ts_all, t - window_us)
+            hi = bisect.bisect_right(ts_all, t)
+            n = hi - lo
+            if n >= n_alert:
+                out_ids.append(int(eid))
+                out_ts.append(int(t))
+                out_n.append(int(n))
+        horizon = ts_all[-1] - window_us
+        state.update(([t for t in ts_all if t >= horizon],))
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    "event_id": out_ids,
+                    "user_id": [key[0]] * len(out_ids),
+                    "ts_us": out_ts,
+                    "n_recent": out_n,
+                }
+            )
+
+    return update
+
+
+def burst_alerts_stream(
+    events_stream: DataFrame, n_alert: int = 2, window_us: int = 21600 * 1_000_000
+) -> DataFrame:
+    """Streaming repeat-offender detection: emit an alert row for every
+    error that is the ≥``n_alert``-th from its user inside a trailing
+    ``window_us`` — the stateful twin of the batch RANGE-frame query
+    (``plans/temporal_queries.py: burst_alerts``), for a live bus where the
+    alert must fire as the event arrives rather than in a nightly scan.
+
+    Per user the state is only the timestamps still inside the horizon of
+    the newest event (bounded by window density, not stream lifetime);
+    counting is a two-sided bisect over the merged sorted list.  Assumes
+    per-user event-time-ordered arrival across micro-batches (true for
+    ordered file replay; a production deployment fronts this with a
+    watermark-held sorting buffer).
+    """
+    errors = events_stream.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    return errors.groupBy("user_id").applyInPandasWithState(
+        _make_burst_updater(n_alert, window_us),
+        outputStructType=BURST_OUTPUT_SCHEMA,
+        stateStructType=BURST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_burst_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow run over the events parquet; oracle-comparable to the
+    batch RANGE-frame twin because a single batch sees every event."""
+    from datalake2anomali_spark.plans.temporal_queries import BURST_N, BURST_WINDOW_US
+
+    events = incremental.read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    return incremental.run_to_completion(
+        burst_alerts_stream(events, n_alert=BURST_N, window_us=BURST_WINDOW_US),
+        output_mode="append",
+        state_partitions=2,  # 150 users at gate SF; size to keyspace in prod
+    )

@@ -291,3 +291,54 @@ def test_stream_interval_join_buffers_state_across_batches(spark, tmp_path):
     assert [(r.err_event_id, r.click_event_id, r.lag_us) for r in rows] == [
         (1, 2, 3600 * US)
     ]
+
+
+def test_stream_burst_alerts_across_batches(spark, tmp_path):
+    """An alert must fire when the qualifying earlier error arrived in a
+    PREVIOUS micro-batch — the state (in-horizon timestamps) is what makes
+    the streaming twin more than a per-batch window count."""
+    import glob
+    import shutil
+
+    from datalake2anomali_spark.streaming.incremental import run_to_completion
+    from datalake2anomali_spark.streaming.stateful import burst_alerts_stream
+
+    W = 600 * US  # 10-minute horizon for the test
+    rows1 = [(1, BASE * US, 7, "error"), (2, BASE * US, 8, "error")]
+    rows2 = [
+        (3, (BASE + 60) * US, 7, "error"),       # 60s after batch-1 -> alert
+        (4, (BASE + 2000) * US, 8, "error"),     # outside horizon -> no alert
+    ]
+    inp = tmp_path / "input"
+    inp.mkdir()
+    for i, rows in enumerate([rows1, rows2]):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts_us long, user_id long, event_type string"
+        ).select(
+            "event_id",
+            F.timestamp_micros("ts_us").alias("ts"),
+            "user_id",
+            "event_type",
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        stage = tmp_path / f"stage{i}"
+        df.coalesce(1).write.parquet(str(stage))
+        dst = inp / f"{i:02d}.parquet"
+        shutil.move(glob.glob(str(stage / "part-*.parquet"))[0], str(dst))
+        os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(inp))
+    )
+    out = run_to_completion(
+        burst_alerts_stream(stream, n_alert=2, window_us=W),
+        output_mode="append",
+        state_partitions=2,
+    ).collect()
+    alerts = {r.event_id: r.n_recent for r in out}
+    assert alerts == {3: 2}  # cross-batch alert fired; stale pair did not

@@ -34,6 +34,7 @@ SKIP = {
     "ann_topk_quantized": "eager derived check; raw operator plan = int8 GEMM scan (llm/similarity.py)",
     "embedding_neardup_lsh": "eager derived check; raw operator plan = sign-LSH buckets + verify (llm/similarity.py)",
     "stateful_user_profiles": "streaming runner; applyInPandasWithState",
+    "stream_burst_alerts": "streaming runner; applyInPandasWithState burst state, batch twin = burst_alerts",
     "stream_interval_join": "streaming runner; watermarked stream-stream interval join, see streaming/joins.py",
     "dedup_clusters": "iterative (O(diameter) rounds); per-round = 1 join + 1 min-agg, see llm/graph.py",
     "dedup_clusters_star": "iterative (O(log n) rounds); alternating large/small star, see llm/graph.py: connected_components_star",

@@ -70,13 +70,11 @@ def normalize_events_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # Harmless for MICROS files; required so a NANOS file scans as LONG
-        # instead of erroring at plan time.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # Scan a MICROS/MILLIS (no-UTC-flag) file natively as TimestampType —
-        # same epoch-µs payload, session TZ is UTC — so ts stays a pure scan
-        # attribute (pushdown/stats-eligible) instead of a post-scan cast.
-        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # The scan-affecting confs (nanosAsLong so a NANOS file scans as LONG
+        # instead of erroring; inferTimestampNTZ=false so a no-UTC-flag file
+        # scans natively as TimestampType) are session-level and set once in
+        # session.configure_session — no per-table conf mutation here, so
+        # scanned dtypes don't depend on table load order.
         return normalize_events_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 

@@ -55,6 +55,11 @@ def configure_session(spark: SparkSession) -> SparkSession:
     branches on whatever dtype actually scans.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Scan MICROS/MILLIS (no-UTC-flag) timestamp columns as TimestampType —
+    # instant-identical under the UTC session TZ — so every table's scanned
+    # dtype is deterministic regardless of load order (set once here, never
+    # flipped per-table inside loaders).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # Python DataSource pushFilters (sources/datalake.py) requires opt-in
     try:

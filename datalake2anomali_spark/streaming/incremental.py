@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datalake2anomali_spark.io.tables import normalize_events_ts
+from datalake2anomali_spark.session import configure_session
 from datalake2anomali_spark.streaming import windows
 
 
@@ -51,11 +52,10 @@ def read_events_stream(
     source itself only accepts directories, so a file path is rewritten to
     parent-dir + ``pathGlobFilter``.
     """
-    # nanos files need this conf to scan as LONG instead of erroring; the
-    # NTZ conf makes a no-UTC-flag µs file scan natively as TimestampType
-    # (see io/tables.py), keeping the watermark column a pure scan attribute.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Scan confs (nanosAsLong, inferTimestampNTZ=false) live in one place —
+    # session.configure_session — so batch and streaming scans of the same
+    # file always see the same settings regardless of call order.
+    configure_session(spark)
     raw_schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(raw_schema)
     if max_files_per_trigger is not None:

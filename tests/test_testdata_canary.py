@@ -123,6 +123,33 @@ def test_loader_absorbs_every_physical_ts_encoding(spark, tmp_path):
     assert [t.replace(microsecond=t.microsecond // 1000 * 1000) for t in results["us"]] == results["ms"]
 
 
+def test_events_ts_values_plausible(spark, sf_dir):
+    """Value-level canary: normalized events.ts instants land in a sane year
+    range.
+
+    The dtype checks above are type-level only — if the generator ever writes
+    ``ts`` as a *bare* int64 of epoch-MICROseconds (no timestamp logical
+    type), the LongType branch of normalize_events_ts would treat it as
+    nanoseconds and divide by 1000, shifting every instant to ~1970 while
+    both type canaries still pass.  Bounding min/max to [2000, 2100] catches
+    that silent ÷1000 (and a ×1000 in the other direction) before any query
+    runs.
+    """
+    import datetime as dt
+
+    lo, hi = dt.datetime(2000, 1, 1), dt.datetime(2100, 1, 1)
+    row = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("min(ts) as lo", "max(ts) as hi")
+        .collect()[0]
+    )
+    assert lo <= row.lo <= row.hi <= hi, (
+        f"events.ts values implausible after normalization: min={row.lo} max={row.hi} — "
+        "likely a unit mismatch (bare int64 micros read as nanos, or vice versa); "
+        "check io/tables.py:normalize_events_ts against the regenerated testdata"
+    )
+
+
 @pytest.mark.parametrize("other_sf", ["/root/testdata/sf0.01"])
 def test_canary_holds_at_gate_sf(spark, other_sf):
     """The driver gates at sf0.01 and benches at sf0.1 — check one non-test SF

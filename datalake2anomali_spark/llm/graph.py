@@ -132,6 +132,7 @@ def dedup_keep_best(
     id_col: str = "doc_id",
     d1: str = "d1",
     d2: str = "d2",
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Quality-aware dedup survivor set: per duplicate cluster keep the
     highest-``score`` member (ties → smallest id), plus every document in
@@ -142,8 +143,11 @@ def dedup_keep_best(
     reason ``'singleton'`` for unclustered docs, else the cluster's min id
     and ``'best_of_cluster'`` for the one surviving member.
 
-    Scale shape: clustering is :func:`connected_components` (O(diameter)
-    rounds of small-key joins); survivor choice is one window partitioned
+    Scale shape: clustering is :func:`dedup_clusters` with the caller's
+    choice of ``algorithm`` — ``"propagation"`` (O(diameter) rounds, right
+    for near-clique dup clusters) or ``"star"`` (O(log n) rounds on any
+    shape, right when the pair graph may be chain-shaped, e.g. transitive
+    near-dup chains); survivor choice is one window partitioned
     by cluster_id over the *clustered docs only* (near-dup clusters are a
     small fraction of any real corpus), and singletons are a left-anti
     join on the id — no window or shuffle ever touches full-corpus text.
@@ -153,7 +157,7 @@ def dedup_keep_best(
     """
     from pyspark.sql import Window
 
-    clusters = dedup_clusters(pairs, d1=d1, d2=d2)
+    clusters = dedup_clusters(pairs, d1=d1, d2=d2, algorithm=algorithm)
     scored = docs.select(F.col(id_col).alias("doc_id"), score.alias("_score"))
     member = clusters.join(scored, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(

@@ -85,6 +85,41 @@ def test_dedup_keep_best_picks_quality_winner(spark):
     assert out[9].cluster_id is None and out[9].kept_reason == "singleton"
 
 
+def test_dedup_keep_best_star_algorithm_on_chain(spark):
+    """keep-best with algorithm="star" survives a chain-shaped pair graph.
+
+    A 1000-node transitive near-dup chain has diameter 999 — min-label
+    propagation's max_iter=25 would raise — so the star passthrough is the
+    scale path: O(log n) rounds regardless of shape.
+    """
+    from pyspark.sql import functions as F
+
+    from datalake2anomali_spark.llm.graph import dedup_keep_best
+
+    n = 1000
+    docs = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(n)] + [(5000, 1.0)],
+        "doc_id long, score double",
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "d1 long, d2 long"
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_keep_best(
+            docs, pairs, F.col("score"), algorithm="star"
+        ).collect()
+    }
+    # one survivor for the whole chain: max score (6.0) at smallest such id (6)
+    assert set(out) == {6, 5000}
+    assert out[6].cluster_id == 0 and out[6].kept_reason == "best_of_cluster"
+    assert out[5000].kept_reason == "singleton"
+    # and the default (propagation) raises on this diameter, documenting WHY
+    # the passthrough exists
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_keep_best(docs, pairs, F.col("score")).collect()
+
+
 def test_star_cc_matches_propagation_and_handles_long_paths(spark):
     import random
 

@@ -161,50 +161,117 @@ BURST_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
-#: State = the user's error timestamps still inside the trailing horizon of
-#: the newest event seen — bounded by window density, not stream lifetime.
-BURST_STATE_SCHEMA = T.StructType([T.StructField("recent_us", T.ArrayType(T.LongType()))])
+#: State per user = (finalized error timestamps still inside the trailing
+#: horizon of the per-key watermark; a pending buffer of events the
+#: watermark has not yet passed; the per-key max event time).  Both parts
+#: are bounded: ``recent_us`` by window density, the pending buffer by
+#: lateness-interval density — neither grows with stream lifetime.
+BURST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("recent_us", T.ArrayType(T.LongType())),
+        T.StructField("pend_ids", T.ArrayType(T.LongType())),
+        T.StructField("pend_ts", T.ArrayType(T.LongType())),
+        T.StructField("max_us", T.LongType()),
+    ]
+)
 
 
-def _make_burst_updater(n_alert: int, window_us: int):
-    def update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        if state.hasTimedOut:
-            state.remove()
-            return
-        prior: list[int] = list(state.get[0]) if state.exists else []
-        new = pd.concat(list(pdfs), ignore_index=True)
-        if new.empty and not prior:
-            return
-        new = new.sort_values("ts_us")
-        ts_all = sorted(prior + new["ts_us"].tolist())
+def _make_burst_updater(n_alert: int, window_us: int, lateness_us: int):
+    import bisect
+
+    def finalize(recent: list[int], ripe: list[tuple[int, int]]):
+        """Count each ripe event's trailing window over finalized ∪ ripe
+        timestamps (pending events are all strictly later than every ripe
+        event, so they cannot fall in a ripe event's trailing window)."""
+        merged = sorted(recent + [t for _, t in ripe])
         out_ids, out_ts, out_n = [], [], []
-        import bisect
-
-        for eid, t in zip(new["event_id"], new["ts_us"]):
-            lo = bisect.bisect_left(ts_all, t - window_us)
-            hi = bisect.bisect_right(ts_all, t)
-            n = hi - lo
+        for eid, t in ripe:
+            n = bisect.bisect_right(merged, t) - bisect.bisect_left(merged, t - window_us)
             if n >= n_alert:
                 out_ids.append(int(eid))
                 out_ts.append(int(t))
                 out_n.append(int(n))
-        horizon = ts_all[-1] - window_us
-        state.update(([t for t in ts_all if t >= horizon],))
-        if out_ids:
-            yield pd.DataFrame(
-                {
-                    "event_id": out_ids,
-                    "user_id": [key[0]] * len(out_ids),
-                    "ts_us": out_ts,
-                    "n_recent": out_n,
-                }
+        return merged, out_ids, out_ts, out_n
+
+    def emit(key, out_ids, out_ts, out_n):
+        yield pd.DataFrame(
+            {
+                "event_id": out_ids,
+                "user_id": [key[0]] * len(out_ids),
+                "ts_us": out_ts,
+                "n_recent": out_n,
+            }
+        )
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            # idle-key flush (continuous-stream mode): force-finalize the
+            # pending buffer in event-time order, then drop the shard.
+            recent, pend_ids, pend_ts, _ = state.get
+            ripe = sorted(zip(pend_ids, pend_ts), key=lambda p: (p[1], p[0]))
+            _, out_ids, out_ts, out_n = finalize(list(recent), ripe)
+            state.remove()
+            if out_ids:
+                yield from emit(key, out_ids, out_ts, out_n)
+            return
+        if state.exists:
+            recent, pend_ids, pend_ts, max_us = state.get
+            recent = list(recent)
+            pending = list(zip(pend_ids, pend_ts))
+        else:
+            recent, pending, max_us = [], [], None
+        new = pd.concat(list(pdfs), ignore_index=True)
+        rows = (
+            list(zip(new["event_id"].astype(int), new["ts_us"].astype(int)))
+            if not new.empty
+            else []
+        )
+        if rows:
+            # Late-row drop uses the watermark as of ARRIVAL (state from the
+            # previous batch), mirroring Spark's own one-batch-behind
+            # watermark: rows inside the declared bound are never dropped,
+            # and a batch can't declare its own contents late.
+            if max_us is not None:
+                arrival_wm = max_us - lateness_us
+                rows = [(i, t) for i, t in rows if t >= arrival_wm]
+            batch_max = max((t for _, t in rows), default=None)
+            if batch_max is not None:
+                max_us = batch_max if max_us is None else max(max_us, batch_max)
+        if max_us is None:
+            return
+        # Per-key watermark: no *kept* event is ever older than this, so an
+        # event at/below it has its full trailing window in hand — its count
+        # is final.  Ripen pending ∪ fresh in event-time order.
+        wm = max_us - lateness_us
+        pending.extend(rows)
+        ripe = sorted((p for p in pending if p[1] <= wm), key=lambda p: (p[1], p[0]))
+        pending = [p for p in pending if p[1] > wm]
+        merged, out_ids, out_ts, out_n = finalize(recent, ripe)
+        horizon = wm - window_us
+        state.update(
+            (
+                [t for t in merged if t >= horizon],
+                [i for i, _ in pending],
+                [t for _, t in pending],
+                max_us,
             )
+        )
+        try:
+            state.setTimeoutDuration(_TIMEOUT_MS)
+        except Exception:
+            pass  # NoTimeout mode (availableNow gate run) — nothing to arm
+        if out_ids:
+            yield from emit(key, out_ids, out_ts, out_n)
 
     return update
 
 
 def burst_alerts_stream(
-    events_stream: DataFrame, n_alert: int = 2, window_us: int = 21600 * 1_000_000
+    events_stream: DataFrame,
+    n_alert: int = 2,
+    window_us: int = 21600 * 1_000_000,
+    lateness_us: int = 0,
+    idle_timeout: bool = False,
 ) -> DataFrame:
     """Streaming repeat-offender detection: emit an alert row for every
     error that is the ≥``n_alert``-th from its user inside a trailing
@@ -212,22 +279,42 @@ def burst_alerts_stream(
     (``plans/temporal_queries.py: burst_alerts``), for a live bus where the
     alert must fire as the event arrives rather than in a nightly scan.
 
-    Per user the state is only the timestamps still inside the horizon of
-    the newest event (bounded by window density, not stream lifetime);
-    counting is a two-sided bisect over the merged sorted list.  Assumes
-    per-user event-time-ordered arrival across micro-batches (true for
-    ordered file replay; a production deployment fronts this with a
-    watermark-held sorting buffer).
+    Disorder tolerance (``lateness_us``): each event is held in a per-key
+    pending buffer until the key's high-watermark (``max ts seen −
+    lateness_us``) passes it, then finalized in event-time order — its
+    trailing-window count at that point is provably final, so a late
+    arrival that completes a burst still fires the alert for the *later*
+    event it completes (matching the batch twin exactly, proven in
+    ``tests/test_streaming.py: test_stream_burst_alerts_out_of_order``).
+    Rows arriving later than the declared bound are dropped, exactly like
+    Spark's own ``withWatermark`` late-row policy — but the watermark here
+    is PER KEY, so one slow user neither stalls nor drops another user's
+    events.  ``lateness_us=0`` (the default, used by the availableNow gate
+    run where a single batch sees every event) finalizes each batch
+    immediately with no pending buffer.
+
+    State per key is the in-horizon finalized timestamps plus the pending
+    buffer — bounded by window/lateness-interval density, not stream
+    lifetime.  ``idle_timeout=True`` (continuous-stream mode) arms a
+    processing-time timeout that flushes a key's pending buffer and drops
+    the shard when the key goes idle; keep ``False`` for availableNow runs
+    (a pending processing-time timeout forces empty micro-batches until
+    every key times out, so the run never terminates).
     """
     errors = events_stream.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
     )
+    conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout
+        else GroupStateTimeout.NoTimeout
+    )
     return errors.groupBy("user_id").applyInPandasWithState(
-        _make_burst_updater(n_alert, window_us),
+        _make_burst_updater(n_alert, window_us, lateness_us),
         outputStructType=BURST_OUTPUT_SCHEMA,
         stateStructType=BURST_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=conf,
     )
 
 

@@ -342,3 +342,111 @@ def test_stream_burst_alerts_across_batches(spark, tmp_path):
     ).collect()
     alerts = {r.event_id: r.n_recent for r in out}
     assert alerts == {3: 2}  # cross-batch alert fired; stale pair did not
+
+
+def _burst_file_stream(spark, tmp_path, batches):
+    """Stage per-batch parquet files (mtime-ordered) and open a 1-file-per-
+    trigger stream over them.  ``batches`` = list of row lists, each row
+    (event_id, ts_us, user_id, event_type)."""
+    import glob
+    import shutil
+
+    inp = tmp_path / "input"
+    inp.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts_us long, user_id long, event_type string"
+        ).select(
+            "event_id",
+            F.timestamp_micros("ts_us").alias("ts"),
+            "user_id",
+            "event_type",
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        stage = tmp_path / f"stage{i}"
+        df.coalesce(1).write.parquet(str(stage))
+        dst = inp / f"{i:02d}.parquet"
+        shutil.move(glob.glob(str(stage / "part-*.parquet"))[0], str(dst))
+        os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    return (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(inp))
+    )
+
+
+def test_stream_burst_alerts_out_of_order(spark, tmp_path):
+    """Cross-batch DISORDER: a late-arriving earlier error must still
+    (a) fire its own alert with the exact batch-twin count and (b) complete
+    the burst of a LATER event whose decision would otherwise already be
+    made.  With watermark-held buffering (lateness_us) the streaming rows
+    equal the batch RANGE-frame twin's rows exactly."""
+    from pyspark.sql import Window
+
+    from datalake2anomali_spark.streaming.incremental import run_to_completion
+    from datalake2anomali_spark.streaming.stateful import burst_alerts_stream
+
+    W = 600 * US  # 10-minute trailing window
+    L = 120 * US  # declared disorder bound: 2 minutes
+    # user 7: e1(t0) and e3(t0+100s) arrive first; e2(t0+50s) arrives one
+    # batch LATE (within the bound); e9 closes the stream far in the future
+    # so the per-key watermark passes every pending event.
+    batches = [
+        [(1, BASE * US, 7, "error"), (3, (BASE + 100) * US, 7, "error")],
+        [(2, (BASE + 50) * US, 7, "error")],
+        [(9, (BASE + 10_000) * US, 7, "error")],
+    ]
+    stream = _burst_file_stream(spark, tmp_path, batches)
+    got = run_to_completion(
+        burst_alerts_stream(stream, n_alert=2, window_us=W, lateness_us=L),
+        output_mode="append",
+        state_partitions=2,
+    )
+    got_rows = {(r.event_id, r.user_id, r.ts_us, r.n_recent) for r in got.collect()}
+    # batch RANGE-frame twin over the SAME rows (plans/temporal_queries.py
+    # semantics), computed in-test so the equality is row-for-row
+    all_rows = [r for batch in batches for r in batch]
+    events = spark.createDataFrame(
+        all_rows, "event_id long, ts_us long, user_id long, event_type string"
+    )
+    frame = Window.partitionBy("user_id").orderBy("ts_us").rangeBetween(-W, 0)
+    expect = {
+        (r.event_id, r.user_id, r.ts_us, r.n_recent)
+        for r in events.withColumn("n_recent", F.count(F.lit(1)).over(frame))
+        .filter(F.col("n_recent") >= 2)
+        .collect()
+    }
+    assert got_rows == expect
+    # the late arrival fired its own alert AND completed e3's burst (n=3,
+    # impossible without recounting e3 after e2 arrived)
+    assert {e for e, *_ in got_rows} == {2, 3}
+    assert {r[3] for r in got_rows if r[0] == 3} == {3}
+
+
+def test_stream_burst_alerts_beyond_bound_drops(spark, tmp_path):
+    """An arrival later than the declared lateness bound is dropped — the
+    per-key twin of Spark's withWatermark late-row policy — rather than
+    silently counted against a truncated window."""
+    from datalake2anomali_spark.streaming.incremental import run_to_completion
+    from datalake2anomali_spark.streaming.stateful import burst_alerts_stream
+
+    W = 600 * US
+    L = 120 * US
+    batches = [
+        [(6, (BASE + 500) * US, 8, "error")],
+        # 500s behind the key's max — far beyond the 120s bound -> dropped
+        [(5, BASE * US, 8, "error")],
+        [(9, (BASE + 10_000) * US, 8, "error")],
+    ]
+    stream = _burst_file_stream(spark, tmp_path, batches)
+    got = run_to_completion(
+        burst_alerts_stream(stream, n_alert=2, window_us=W, lateness_us=L),
+        output_mode="append",
+        state_partitions=2,
+    ).collect()
+    # with e5 dropped, e6 never reaches n=2: no alerts at all
+    assert got == []

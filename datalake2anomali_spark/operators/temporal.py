@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 
@@ -37,12 +38,21 @@ def asof_join(
     ts_col: str = "ts",
     right_payload: list[str] | None = None,
     suffix: str = "_r",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """For each left row, the newest right row with ``right.ts <= left.ts``.
 
     Left-join semantics: left rows with no prior right row keep nulls.  Right
     payload columns come back suffixed (``<col><suffix>``), plus
     ``<ts_col><suffix>`` for the matched right timestamp.
+
+    ``tolerance_us`` bounds the lookback: a match older than ``left.ts −
+    tolerance_us`` is treated as no match (payload nulls) — the
+    feature-store / trade-quote contract ("most recent quote within T"),
+    matching pandas ``merge_asof(tolerance=...)`` and DuckDB ``ASOF JOIN``
+    plus a residual filter.  Applied as a null-out on the carried struct in
+    the final projection, so the plan shape (one shuffle, one sort) is
+    unchanged — no extra join or window.
 
     Union-and-carry-forward plan: tag sides, union, window per key ordered by
     (ts, side) — right rows sort *before* left rows at equal ts, giving the
@@ -90,7 +100,19 @@ def asof_join(
         *[F.col(c) for c in lpay],
         F.last("__rpay", ignorenulls=True).over(w).alias("__rpay"),
     )
-    return carried.filter(F.col("__side") == 1).select(
+    lefts = carried.filter(F.col("__side") == 1)
+    if tolerance_us is not None:
+        # timestamp ts columns compare in integer µs; numeric ts columns
+        # (already epoch-µs longs) compare directly
+        if isinstance(left.schema[ts_col].dataType, (T.TimestampType, T.TimestampNTZType)):
+            rts_us, lts_us = F.unix_micros(F.col("__rpay.__rts")), F.unix_micros(F.col(ts_col))
+        else:
+            rts_us, lts_us = F.col("__rpay.__rts"), F.col(ts_col)
+        in_bound = rts_us >= lts_us - F.lit(tolerance_us)
+        lefts = lefts.withColumn(
+            "__rpay", F.when(in_bound, F.col("__rpay")).otherwise(F.lit(None).cast(rpay_type))
+        )
+    return lefts.select(
         *keys,
         ts_col,
         *[F.col(c) for c in lpay],

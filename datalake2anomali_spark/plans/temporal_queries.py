@@ -54,6 +54,52 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
 """
 
 
+#: Tolerance for the bounded as-of query: only errors within the trailing
+#: hour of a click count as its "most recent error" (feature-store /
+#: trade-quote contract — unbounded lookback joins stale context).
+ASOF_TOLERANCE_US = 3600 * 1_000_000
+
+
+def asof_click_error_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded as-of: each click's most recent error, but only if it is at
+    most :data:`ASOF_TOLERANCE_US` old — older matches null out, exactly
+    pandas ``merge_asof(tolerance=...)``.  Same one-shuffle union-carry plan
+    as the unbounded twin; the bound is a null-out in the final projection.
+
+    Oracle: DuckDB's native ``ASOF LEFT JOIN`` with a residual CASE on the
+    matched timestamp — an independent implementation of the same contract.
+    """
+    clicks = _typed(spark, sf_dir, "click").drop("value")
+    errors = _typed(spark, sf_dir, "error").drop("value")
+    joined = temporal.asof_join(
+        clicks, errors, keys=["user_id"], ts_col="ts", tolerance_us=ASOF_TOLERANCE_US
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("event_id_r").alias("err_event_id"),
+        F.unix_micros(F.col("ts_r")).alias("err_ts_us"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_r"))).alias("lag_us"),
+    )
+
+
+ASOF_TOLERANCE_SQL = f"""
+SELECT l.event_id,
+       l.user_id,
+       epoch_us(l.ts) AS ts_us,
+       CASE WHEN epoch_us(r.ts) >= epoch_us(l.ts) - {ASOF_TOLERANCE_US}
+            THEN r.event_id END AS err_event_id,
+       CASE WHEN epoch_us(r.ts) >= epoch_us(l.ts) - {ASOF_TOLERANCE_US}
+            THEN epoch_us(r.ts) END AS err_ts_us,
+       CASE WHEN epoch_us(r.ts) >= epoch_us(l.ts) - {ASOF_TOLERANCE_US}
+            THEN epoch_us(l.ts) - epoch_us(r.ts) END AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def range_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clicks landing in the 6 hours after each error, counted per error."""
     errors = _typed(spark, sf_dir, "error").select(
@@ -169,6 +215,7 @@ WHERE n_recent >= {BURST_N}
 
 QUERIES = {
     "asof_join_click_error": asof_click_error,
+    "asof_join_tolerance": asof_click_error_tolerance,
     "range_join_error_clicks": range_join_error_clicks,
     "hypertable_rollup": hypertable_rollup,
     "burst_alerts": burst_alerts,
@@ -176,6 +223,7 @@ QUERIES = {
 
 ORACLES = {
     "asof_join_click_error": ASOF_SQL,
+    "asof_join_tolerance": ASOF_TOLERANCE_SQL,
     "range_join_error_clicks": RANGE_SQL,
     "hypertable_rollup": ROLLUP_SQL,
     "burst_alerts": BURST_SQL,

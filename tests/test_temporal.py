@@ -56,6 +56,31 @@ def test_asof_join_null_payload_not_mixed_across_rows(spark):
     assert row.ts_r.timestamp() == 60
 
 
+def test_asof_join_tolerance_bounds_lookback(spark):
+    """A match older than tolerance nulls the whole payload; one inside the
+    bound (endpoint inclusive) survives unchanged."""
+    left = _ts_df(
+        spark,
+        [(1, 10, 100 * US), (2, 10, 500 * US), (3, 10, 160 * US)],
+        "event_id long, user_id long, ts_us long",
+    )
+    right = _ts_df(
+        spark,
+        [(91, "p91", 10, 60 * US)],
+        "rid long, pay string, user_id long, ts_us long",
+    )
+    out = {
+        r.event_id: r
+        for r in temporal.asof_join(
+            left, right, keys=["user_id"], ts_col="ts", tolerance_us=100 * US
+        ).collect()
+    }
+    assert out[1].rid_r == 91 and out[1].pay_r == "p91"  # 40s old, inside bound
+    assert out[3].rid_r == 91  # exactly 100s old: endpoint inclusive
+    # 440s old: every payload field nulls together, not just some
+    assert out[2].rid_r is None and out[2].pay_r is None and out[2].ts_r is None
+
+
 def test_asof_join_matched_ts_forwarded(spark):
     left = _ts_df(spark, [(1, 7, 90 * US)], "event_id long, user_id long, ts_us long")
     right = _ts_df(spark, [(55, 7, 30 * US)], "rid long, user_id long, ts_us long")

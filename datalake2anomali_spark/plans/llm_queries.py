@@ -1007,14 +1007,22 @@ FROM base
 
 
 def q_multimodal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction + frame sampling over the binary payload as one
-    tagged union (driver-gate footprint consolidation, VERDICT r3 #5).
+    """Feature extraction + frame sampling + REAL image decode over the
+    binary payload as one tagged union (driver-gate footprint consolidation,
+    VERDICT r3 #5).
 
-    Covers both multimodal operators — ``extract_features`` (per-doc
-    metadata) and ``sample_frames`` (1-to-N mapInPandas fan-out) — in one
-    oracle row; both keep standalone functions + pytest coverage
+    Three multimodal operators in one oracle row: ``extract_features``
+    (per-doc metadata), ``sample_frames`` (1-to-N mapInPandas fan-out), and
+    the ``synthesize_ppm_images`` → ``decode_features`` pair — each document
+    becomes a valid binary PPM whose bytes the stdlib decoder
+    (``llm/multimodal.py: decode_image``) parses back; the oracle recomputes
+    decoded width/height/pixel-checksum from first principles, so a hash
+    match certifies the decoder's header parse and raster extraction, not
+    just byte plumbing.  All keep standalone functions + pytest coverage
     (``llm/multimodal.py``, ``tests/test_llm.py``).
     """
+    from ..llm.multimodal import decode_features, synthesize_ppm_images
+
     docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
     feats = extract_features(docs).select(
         F.lit("features").alias("op"),
@@ -1032,9 +1040,20 @@ def q_multimodal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("v3"),
         F.col("frame_checksum").alias("checksum"),
     )
-    return feats.unionByName(frames)
+    decoded = decode_features(synthesize_ppm_images(docs)).select(
+        F.lit("decoded").alias("op"),
+        "doc_id",
+        F.col("n_pixels").alias("v1"),
+        F.col("width").alias("v2"),
+        F.col("height").alias("v3"),
+        F.col("pixel_checksum").alias("checksum"),
+    )
+    return feats.unionByName(frames).unionByName(decoded)
 
 
+# The 'decoded' twin derives what the real decoder must output: w = n%16+1,
+# h = n%12+1 (synth_ppm_payload's dimension rule), pixels = the utf-8 text
+# cycled to 3wh bytes (ASCII fixture text → byte ops == char ops in DuckDB).
 MULTIMODAL_OPS_SQL = """
 SELECT 'features' AS op, doc_id,
        CAST(strlen(text) AS INTEGER) AS v1,
@@ -1053,6 +1072,18 @@ FROM (
          unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 2)) AS fi
   FROM documents
 ) f
+UNION ALL
+SELECT 'decoded' AS op, doc_id,
+       CAST(w * h AS INTEGER) AS v1,
+       CAST(w AS INTEGER) AS v2,
+       CAST(h AS INTEGER) AS v3,
+       md5(substring(repeat(text, CAST(ceil(3.0 * w * h / n) AS BIGINT)), 1, 3 * w * h))
+         AS checksum
+FROM (
+  SELECT doc_id, text, strlen(text) AS n,
+         strlen(text) % 16 + 1 AS w, strlen(text) % 12 + 1 AS h
+  FROM documents
+) d
 """
 
 

@@ -229,9 +229,76 @@ def test_multimodal_plumbing(docs):
     assert len(r.checksum) == 32
 
 
-def test_multimodal_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
+def test_decode_image_ppm_roundtrip():
+    from datalake2anomali_spark.llm.multimodal import encode_ppm
+
+    pixels = bytes(range(2 * 3 * 3))  # 2x3 RGB
+    img = decode_image(encode_ppm(2, 3, pixels))
+    assert (img.width, img.height, img.mode) == (2, 3, "RGB")
+    assert img.pixels == pixels
+
+
+def test_decode_image_ppm_comments_and_pgm():
+    # netpbm allows # comments inside the header
+    img = decode_image(b"P6\n# a camera\n2 1\n# depth\n255\n" + bytes(6))
+    assert (img.width, img.height) == (2, 1)
+    gray = decode_image(b"P5\n3 2\n255\n" + bytes(6))
+    assert (gray.width, gray.height, gray.mode) == (3, 2, "L")
+
+
+def test_decode_image_bmp_bottom_up_bgr():
+    import struct
+
+    # 2x2 24-bit BMP, bottom-up, rows padded to 4 bytes (2*3=6 -> stride 8);
+    # the file stores the image's BOTTOM row first, samples as BGR
+    bottom = bytes([0, 0, 255, 0, 255, 0]) + b"\x00\x00"  # BGR: red, green
+    top = bytes([255, 0, 0, 255, 255, 255]) + b"\x00\x00"  # BGR: blue, white
+    pixel_data = bottom + top
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    )
+    img = decode_image(header + pixel_data)
+    assert (img.width, img.height, img.mode) == (2, 2, "RGB")
+    # top-down RGB: (blue, white) then (red, green)
+    assert img.pixels == bytes([0, 0, 255, 255, 255, 255, 255, 0, 0, 0, 255, 0])
+
+
+def test_decode_image_rejects_unsupported_and_truncated():
+    with pytest.raises(ValueError, match="unsupported image magic"):
         decode_image(b"\x89PNG...")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(b"P6\n4 4\n255\n" + bytes(5))
+
+
+def test_synth_ppm_decodes_to_derived_dims():
+    from datalake2anomali_spark.llm.multimodal import synth_ppm_payload
+
+    seed = b"hello world, this is a document"  # n=31 -> w=16, h=8
+    img = decode_image(synth_ppm_payload(seed))
+    assert (img.width, img.height) == (31 % 16 + 1, 31 % 12 + 1)
+    need = 3 * img.width * img.height
+    reps = (need + len(seed) - 1) // len(seed)
+    assert img.pixels == (seed * reps)[:need]
+
+
+def test_decode_features_end_to_end(spark, sf_dir):
+    from datalake2anomali_spark.llm.multimodal import (
+        decode_features,
+        synthesize_ppm_images,
+        with_binary_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    out = decode_features(synthesize_ppm_images(with_binary_payload(docs))).collect()
+    n_bytes = {r.doc_id: r.n_bytes for r in extract_features(with_binary_payload(docs)).collect()}
+    assert len(out) == 30
+    for r in out:
+        n = n_bytes[r.doc_id]
+        assert (r.width, r.height) == (n % 16 + 1, n % 12 + 1)
+        assert r.n_pixels == r.width * r.height
+        assert len(r.pixel_checksum) == 32
 
 
 def test_ann_ivf_recall_vs_exact(spark, sf_dir):

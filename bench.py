@@ -49,7 +49,71 @@ RAW_OPS = {
         load_table(spark, sf, "embeddings"), threshold=0.4, n_tables=16, bits_per_table=4,
     ),
     "dedup_incremental": lambda spark, sf: _raw_dedup_incremental(spark, sf),
+    # Adversarial-skew pair (round-5 verdict #8): the same zipfian join+agg
+    # through the unsalted plan and through salted_join/salted_agg, so every
+    # BENCH_r{N} carries both timings.  Wall-clock on ONE box is expected to
+    # be ~level (a shared CPU pool absorbs stragglers); the cluster-scale
+    # signal is the partition histogram recorded in docs/BENCH_NOTES.md
+    # (operators/skew.py: partition_skew_stats).
+    "skew_zipf_unsalted": lambda spark, sf: _zipf_join(spark, sf, salted=False),
+    "skew_zipf_salted": lambda spark, sf: _zipf_join(spark, sf, salted=True),
 }
+
+_ZIPF_REP = 8  # lineitem × 8 ≈ 4.8M probe rows at sf0.1
+_ZIPF_SALTS = 8
+
+
+def _zipf_probe(spark, sf):
+    """Zipfian probe: ~10% of rows on one hot key ("one user with 10% of
+    events"), the rest uniform over 1500 keys; deterministic hashes."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    return li.withColumn(
+        "rep", F.explode(F.sequence(F.lit(1), F.lit(_ZIPF_REP)))
+    ).withColumn(
+        "k",
+        F.when(F.pmod(F.xxhash64("l_orderkey", "rep"), F.lit(10)) == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("l_orderkey", "rep", F.lit(7)), F.lit(1500))),
+    )
+
+
+def _zipf_join(spark, sf, salted: bool):
+    """Join the zipfian probe to a 1500-row dim (merge-hinted: broadcast
+    would sidestep the shuffle under test) and aggregate per key."""
+    from pyspark.sql import functions as F
+
+    from datalake2anomali_spark.operators import skew
+
+    probe = _zipf_probe(spark, sf)
+    build = spark.range(1500).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("payload")
+    )
+    if not salted:
+        return (
+            probe.join(build.hint("merge"), "k")
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s"))
+        )
+    joined = skew.salted_join(
+        probe,
+        build.hint("merge"),
+        keys=["k"],
+        salt_from=["l_orderkey", "l_linenumber", "rep"],
+        n_salts=_ZIPF_SALTS,
+    )
+    return skew.salted_agg(
+        joined,
+        keys=["k"],
+        partials={
+            "n": (F.count(F.lit(1)), F.sum("n")),
+            "s": (F.sum("l_quantity"), F.sum("s")),
+        },
+        salt_from=["l_orderkey", "l_linenumber", "rep"],
+        n_salts=_ZIPF_SALTS,
+    )
 
 
 def _raw_dedup_incremental(spark, sf):

@@ -67,6 +67,32 @@ def salted_agg(
     )
 
 
+def partition_skew_stats(
+    df: DataFrame, cols: Sequence[str], num_partitions: int = 32
+) -> dict:
+    """Diagnostic: row-count distribution over the hash partitions a shuffle
+    on ``cols`` would produce — ``{"max": ..., "median": ..., "total": ...}``.
+
+    The ``max`` is the stage's critical path on a real cluster: with fixed
+    per-executor throughput, a shuffle stage finishes when its largest
+    partition does, so max/median is the straggler factor a skewed key
+    costs.  (On a single shared-CPU box wall-clock hides this — every core
+    keeps working while the hot task runs — which is exactly why this
+    measures the partition histogram instead of time.)  One pass: hash-
+    partition, count per partition id, aggregate three numbers.
+    """
+    parts = (
+        df.repartition(num_partitions, *[F.col(c) for c in cols])
+        .select(F.spark_partition_id().alias("__pid"))
+        .groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row = parts.agg(
+        F.max("n"), F.expr("percentile(n, 0.5)"), F.sum("n")
+    ).collect()[0]
+    return {"max": int(row[0]), "median": float(row[1]), "total": int(row[2])}
+
+
 def salted_join(
     probe: DataFrame,
     build: DataFrame,

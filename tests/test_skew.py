@@ -58,6 +58,22 @@ def test_salted_join_matches_plain_join(spark):
     assert salted == plain and len(plain) == 940  # 900 hot + 2×20 cold matches
 
 
+def test_partition_skew_stats_shows_salting_win(spark):
+    """The straggler metric: salting must cut the max hash-partition size —
+    the stage critical path on a real cluster — while total rows and the
+    median stay put (same data, same uniform tail)."""
+    df = _skewed_df(spark)  # 90% of rows on one key
+    before = skew.partition_skew_stats(df, ["k"], num_partitions=16)
+    after = skew.partition_skew_stats(
+        skew.with_salt(df, ["row_id"], 16), ["k", "__salt"], num_partitions=16
+    )
+    assert before["total"] == after["total"] == 1000
+    assert before["max"] >= 900  # the hot key's partition holds >=90%
+    # 900 hot rows over 16 salts ≈ 56/shard; even with hash collisions the
+    # max partition must drop several-fold
+    assert after["max"] <= before["max"] / 3
+
+
 def test_salted_join_left_keeps_unmatched(spark):
     probe = _skewed_df(spark).filter(F.col("k") != "hot")
     build = spark.createDataFrame([("cold0", 2)], "k string, v int")

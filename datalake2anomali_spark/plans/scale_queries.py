@@ -1,0 +1,205 @@
+"""Round-5 scale operators: exact heavy hitters, Z-order layout keys,
+schema-evolution reads.  Each query has a DuckDB oracle twin.
+
+These extend the engine along the axes a 100-TB deployment hits first:
+frequency analysis without a full-histogram shuffle (``functions/heavy.py``),
+multi-dim file-skipping layout (``operators/layout.py``), and
+mixed-generation schema-on-read (``io/evolution.py``).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import DSUM_SQL, dsum
+from ..functions.heavy import heavy_hitters
+from ..io.evolution import read_evolving, union_generations
+from ..io.tables import load_table
+from ..operators.layout import (
+    scale_to_bits,
+    scale_to_bits_sql,
+    zorder_key2,
+    zorder_key2_sql,
+)
+
+# -- heavy_hitters: exact frequent users, shuffle bounded by the answer -------
+
+HH_M = 120  # report users holding > 1/120 of all events
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass exact heavy hitters over ``events.user_id``.
+
+    Pass 1 is map-only local counting (``mapInPandas``) emitting only
+    locally-frequent candidates — a guaranteed superset of the answer by
+    pigeonhole; pass 2 broadcast-semi-joins the candidates and recounts
+    exactly.  No shuffle ever carries the full user histogram.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return heavy_hitters(e, "user_id", m=HH_M)
+
+
+HEAVY_HITTERS_SQL = f"""
+SELECT user_id, COUNT(*) AS cnt
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) * {HH_M} > (SELECT COUNT(*) FROM events)
+ORDER BY cnt DESC, user_id
+"""
+
+# -- zorder_key: Morton layout key over (user, minute) ------------------------
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order key for every event over (user_id, minute-of-stream).
+
+    Both dims are rank-scaled to 8 bits against their global min/max (one
+    broadcast 1-row aggregate — no second scan materialization), then
+    bit-interleaved JVM-side.  The oracle recomputes the identical
+    shift/mask chain in SQL, certifying the key bit-for-bit; the layout
+    write built on this key is exercised in ``tests/test_layout.py``.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts) div 60000000").alias("minute_idx"),
+    )
+    stats = e.agg(
+        F.min("user_id").alias("u_lo"),
+        F.max("user_id").alias("u_hi"),
+        F.min("minute_idx").alias("t_lo"),
+        F.max("minute_idx").alias("t_hi"),
+    )
+    j = e.crossJoin(F.broadcast(stats))
+    u8 = scale_to_bits("user_id", F.col("u_lo"), F.col("u_hi"), 8)
+    t8 = scale_to_bits("minute_idx", F.col("t_lo"), F.col("t_hi"), 8)
+    return j.select(
+        "event_id",
+        u8.alias("u8"),
+        t8.alias("t8"),
+        zorder_key2(u8, t8).alias("zkey"),
+    )
+
+
+_U8 = scale_to_bits_sql("user_id", "u_lo", "u_hi", 8)
+_T8 = scale_to_bits_sql("minute_idx", "t_lo", "t_hi", 8)
+
+ZORDER_KEY_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) // 60000000 AS minute_idx FROM events
+),
+s AS (
+  SELECT MIN(user_id) AS u_lo, MAX(user_id) AS u_hi,
+         MIN(minute_idx) AS t_lo, MAX(minute_idx) AS t_hi
+  FROM e
+),
+x AS (
+  SELECT event_id, CAST({_U8} AS BIGINT) AS u8, CAST({_T8} AS BIGINT) AS t8
+  FROM e, s
+)
+SELECT event_id, u8, t8, CAST({zorder_key2_sql("u8", "t8")} AS BIGINT) AS zkey
+FROM x
+"""
+
+# -- schema_evolution_read: mixed-generation scan -----------------------------
+
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write two schema generations of ``documents`` and read them as one.
+
+    Generation 1 (odd doc_ids) has the legacy 3-column schema; generation 2
+    (even doc_ids) adds ``source``, ``n_chars`` and a new computed
+    ``quality`` double.  The merged scan (``read_evolving`` — footer-union
+    ``mergeSchema``) and the explicit ``union_generations`` alignment must
+    agree; the query returns per-lang stats over the merged relation where
+    legacy rows surface as typed nulls.  The oracle reproduces the split
+    from the source table directly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    gen1 = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text", "lang")
+    gen2 = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .withColumn("quality", (F.length("text") / F.lit(100.0)).cast("double"))
+    )
+    base = (
+        "/dev/shm"
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+        else tempfile.gettempdir()
+    )
+    root = os.path.join(base, "d2a_evo_" + sf_dir.strip("/").replace("/", "_"))
+    p1, p2 = os.path.join(root, "gen1"), os.path.join(root, "gen2")
+    gen1.write.mode("overwrite").parquet(p1)
+    gen2.write.mode("overwrite").parquet(p2)
+
+    merged = read_evolving(spark, p1, p2)
+    explicit = union_generations(
+        [spark.read.parquet(p1), spark.read.parquet(p2)]
+    ).select(*sorted(merged.columns))
+    merged = merged.select(*sorted(merged.columns))
+
+    def profile(df: DataFrame) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("source").isNull().cast("long")).alias("n_legacy"),
+            F.sum("n_chars").alias("chars_new"),
+            dsum("quality", 2).alias("quality_sum"),
+        )
+
+    # both read paths must produce identical stats; surface that as a
+    # verified boolean instead of asserting driver-side
+    a = profile(merged)
+    b = profile(explicit).withColumnRenamed("n_total", "n_total_b").select(
+        "lang",
+        "n_total_b",
+        F.col("n_legacy").alias("n_legacy_b"),
+        F.col("chars_new").alias("chars_new_b"),
+        F.col("quality_sum").alias("quality_sum_b"),
+    )
+    return (
+        a.join(b, "lang")
+        .select(
+            "lang",
+            "n_total",
+            "n_legacy",
+            "chars_new",
+            "quality_sum",
+            (
+                (F.col("n_total") == F.col("n_total_b"))
+                & (F.col("n_legacy") == F.col("n_legacy_b"))
+                & (F.col("chars_new").eqNullSafe(F.col("chars_new_b")))
+                & (F.col("quality_sum").eqNullSafe(F.col("quality_sum_b")))
+            ).alias("paths_agree"),
+        )
+        .orderBy("lang")
+    )
+
+
+SCHEMA_EVOLUTION_SQL = f"""
+SELECT lang,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN n_chars END) AS BIGINT) AS chars_new,
+       {DSUM_SQL("CASE WHEN doc_id % 2 = 0 THEN length(text) / 100.0 END", 2)}
+         AS quality_sum,
+       TRUE AS paths_agree
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+QUERIES = {
+    "heavy_hitters": q_heavy_hitters,
+    "zorder_key": q_zorder_key,
+    "schema_evolution": q_schema_evolution,
+}
+
+ORACLES = {
+    "heavy_hitters": HEAVY_HITTERS_SQL,
+    "zorder_key": ZORDER_KEY_SQL,
+    "schema_evolution": SCHEMA_EVOLUTION_SQL,
+}

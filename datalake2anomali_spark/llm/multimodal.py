@@ -219,6 +219,57 @@ def extract_features(docs_with_payload: DataFrame) -> DataFrame:
     )
 
 
+def encode_pgm(width: int, height: int, pixels: bytes) -> bytes:
+    """Binary PGM (P5) encoder — grayscale twin of :func:`encode_ppm`."""
+    if len(pixels) != width * height:
+        raise ValueError(f"need {width * height} luma bytes, got {len(pixels)}")
+    return b"P5\n%d %d\n255\n" % (width, height) + pixels
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize over a decodable payload (PPM/PGM/BMP).
+
+    Decode → pick source rows/cols with the floor mapping
+    ``src = dst * src_dim // dst_dim`` (one vectorized numpy gather, no
+    per-pixel Python) → re-encode in the decoded mode.  Deterministic and
+    engine-independent, so the resized raster is oracle-checkable.
+    """
+    import numpy as np
+
+    img = decode_image(payload)
+    ch = 3 if img.mode == "RGB" else 1
+    arr = np.frombuffer(img.pixels, dtype=np.uint8).reshape(img.height, img.width, ch)
+    rows = (np.arange(height) * img.height) // height
+    cols = (np.arange(width) * img.width) // width
+    out = arr[rows][:, cols].tobytes()
+    if ch == 3:
+        return encode_ppm(width, height, out)
+    return encode_pgm(width, height, out)
+
+
+def resize_decoded_images(images: DataFrame, width: int, height: int) -> DataFrame:
+    """binary→binary batch resize through the real decoder.
+
+    Output payloads are valid images of exactly (width, height) — bounded,
+    predictable batch memory for downstream feature extraction/inference.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"].map(
+                        lambda p: resize_image(p, width, height)
+                    ),
+                }
+            )
+
+    return images.select("doc_id", "payload").mapInPandas(
+        resize, "doc_id long, payload binary"
+    )
+
+
 RESIZED_SCHEMA = "doc_id long, payload binary, n_bytes int, fake_width int, fake_height int"
 
 
@@ -293,6 +344,93 @@ def sample_frames(
             )
 
     return docs_with_payload.select("doc_id", "payload").mapInPandas(frames, FRAME_SCHEMA)
+
+
+WAV_FRAMERATE = 16000
+
+
+def synth_wav_payload(seed: bytes, framerate: int = WAV_FRAMERATE) -> bytes:
+    """Deterministic REAL mono 16-bit WAV container from arbitrary seed
+    bytes: each byte b becomes the PCM sample (b − 128)·256.  The output is
+    a genuine RIFF/WAVE file the stdlib ``wave`` reader parses — the audio
+    analog of :func:`synth_ppm_payload`."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if not seed:
+        raise ValueError("empty seed")
+    samples = (np.frombuffer(seed, dtype=np.uint8).astype(np.int16) - 128) * 256
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def synthesize_wav_audio(docs_with_payload: DataFrame) -> DataFrame:
+    """binary→binary batch transform: wrap each payload into a real WAV."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["payload"].map(synth_wav_payload)}
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        synth, "doc_id long, payload binary"
+    )
+
+
+WAV_STATS_SCHEMA = (
+    "doc_id long, n_samples int, framerate int, n_channels int, "
+    "amp_sum long, amp_sqsum long"
+)
+
+
+def decode_wav_stats(audio: DataFrame) -> DataFrame:
+    """REAL WAV container decode (stdlib ``wave``: RIFF header, fmt chunk,
+    frame count) + exact integer amplitude stats per payload.
+
+    Sums are int64 — exact in any summation order and engine, which is what
+    lets a SQL oracle certify the decode down to every sample value."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            ids, ns, frs, chs, sums, sqs = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    if w.getsampwidth() != 2:
+                        raise ValueError("only 16-bit PCM supported")
+                    x = np.frombuffer(
+                        w.readframes(w.getnframes()), dtype="<i2"
+                    ).astype(np.int64)
+                    ids.append(doc_id)
+                    ns.append(len(x))
+                    frs.append(w.getframerate())
+                    chs.append(w.getnchannels())
+                    sums.append(int(x.sum()))
+                    sqs.append(int((x * x).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_samples": pd.array(ns, dtype="int32"),
+                    "framerate": pd.array(frs, dtype="int32"),
+                    "n_channels": pd.array(chs, dtype="int32"),
+                    "amp_sum": pd.array(sums, dtype="int64"),
+                    "amp_sqsum": pd.array(sqs, dtype="int64"),
+                }
+            )
+
+    return audio.select("doc_id", "payload").mapInPandas(stats, WAV_STATS_SCHEMA)
 
 
 AUDIO_SCHEMA = "doc_id long, n_samples int, mean_amp double, rms double"

@@ -1020,8 +1020,20 @@ def q_multimodal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     match certifies the decoder's header parse and raster extraction, not
     just byte plumbing.  All keep standalone functions + pytest coverage
     (``llm/multimodal.py``, ``tests/test_llm.py``).
+
+    Round 5 adds two more REAL-codec branches: ``resized`` (nearest-
+    neighbor resize to 8×6 through the real decoder — the oracle recomputes
+    every picked pixel with the same floor mapping) and ``audio`` (each
+    document becomes a genuine RIFF/WAV container that the stdlib ``wave``
+    reader parses back; exact int64 amplitude sums certify every sample).
     """
-    from ..llm.multimodal import decode_features, synthesize_ppm_images
+    from ..llm.multimodal import (
+        decode_features,
+        decode_wav_stats,
+        resize_decoded_images,
+        synthesize_ppm_images,
+        synthesize_wav_audio,
+    )
 
     docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
     feats = extract_features(docs).select(
@@ -1040,7 +1052,8 @@ def q_multimodal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("v3"),
         F.col("frame_checksum").alias("checksum"),
     )
-    decoded = decode_features(synthesize_ppm_images(docs)).select(
+    ppm = synthesize_ppm_images(docs)
+    decoded = decode_features(ppm).select(
         F.lit("decoded").alias("op"),
         "doc_id",
         F.col("n_pixels").alias("v1"),
@@ -1048,7 +1061,28 @@ def q_multimodal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").alias("v3"),
         F.col("pixel_checksum").alias("checksum"),
     )
-    return feats.unionByName(frames).unionByName(decoded)
+    resized = decode_features(resize_decoded_images(ppm, 8, 6)).select(
+        F.lit("resized").alias("op"),
+        "doc_id",
+        F.col("n_pixels").alias("v1"),
+        F.col("width").alias("v2"),
+        F.col("height").alias("v3"),
+        F.col("pixel_checksum").alias("checksum"),
+    )
+    audio = decode_wav_stats(synthesize_wav_audio(docs)).select(
+        F.lit("audio").alias("op"),
+        "doc_id",
+        F.col("n_samples").alias("v1"),
+        F.col("framerate").alias("v2"),
+        F.col("n_channels").alias("v3"),
+        F.md5(F.concat_ws(":", F.col("amp_sum"), F.col("amp_sqsum"))).alias("checksum"),
+    )
+    return (
+        feats.unionByName(frames)
+        .unionByName(decoded)
+        .unionByName(resized)
+        .unionByName(audio)
+    )
 
 
 # The 'decoded' twin derives what the real decoder must output: w = n%16+1,
@@ -1084,6 +1118,58 @@ FROM (
          strlen(text) % 16 + 1 AS w, strlen(text) % 12 + 1 AS h
   FROM documents
 ) d
+UNION ALL
+-- 'resized': nearest-neighbor 8x6 — pixel (r,c) of the output comes from
+-- source pixel (r*h//6, c*w//8); rebuild the picked raster byte-for-byte
+SELECT 'resized' AS op, doc_id,
+       CAST(48 AS INTEGER) AS v1,
+       CAST(8 AS INTEGER) AS v2,
+       CAST(6 AS INTEGER) AS v3,
+       md5(string_agg(px, '' ORDER BY i)) AS checksum
+FROM (
+  SELECT d.doc_id, i.i AS i,
+         substring(
+           d.raster,
+           3 * ((((i.i // 8) * d.h) // 6) * d.w + (((i.i % 8) * d.w) // 8)) + 1,
+           3
+         ) AS px
+  FROM (
+    SELECT doc_id,
+           strlen(text) % 16 + 1 AS w,
+           strlen(text) % 12 + 1 AS h,
+           substring(
+             repeat(text, CAST(ceil(3.0 * (strlen(text) % 16 + 1)
+                                    * (strlen(text) % 12 + 1)
+                                    / strlen(text)) AS BIGINT)),
+             1,
+             3 * (strlen(text) % 16 + 1) * (strlen(text) % 12 + 1)
+           ) AS raster
+    FROM documents
+  ) d
+  CROSS JOIN (SELECT unnest(range(48)) AS i) i
+) p
+GROUP BY doc_id
+UNION ALL
+-- 'audio': each text byte b becomes PCM sample (b-128)*256 inside a real
+-- WAV container; exact integer sums certify every decoded sample
+SELECT 'audio' AS op, doc_id,
+       CAST(n AS INTEGER) AS v1,
+       CAST(16000 AS INTEGER) AS v2,
+       CAST(1 AS INTEGER) AS v3,
+       md5(CAST(amp_sum AS VARCHAR) || ':' || CAST(amp_sqsum AS VARCHAR))
+         AS checksum
+FROM (
+  SELECT doc_id, MIN(n) AS n,
+         CAST(SUM((c - 128) * 256) AS BIGINT) AS amp_sum,
+         CAST(SUM(((c - 128) * 256) * ((c - 128) * 256)) AS BIGINT) AS amp_sqsum
+  FROM (
+    SELECT doc_id, strlen(text) AS n,
+           ascii(substring(text, CAST(i AS BIGINT), 1)) AS c
+    FROM (SELECT doc_id, text, unnest(range(1, strlen(text) + 1)) AS i
+          FROM documents)
+  )
+  GROUP BY doc_id
+) a
 """
 
 

@@ -283,6 +283,70 @@ def test_synth_ppm_decodes_to_derived_dims():
     assert img.pixels == (seed * reps)[:need]
 
 
+def test_resize_image_nearest_neighbor_exact():
+    from datalake2anomali_spark.llm.multimodal import encode_ppm, resize_image
+
+    # 4x2 source, distinct pixel values; downsample to 2x1 — floor mapping
+    # picks src rows [0], cols [0, 2]
+    pixels = bytes(range(24))
+    resized = decode_image(resize_image(encode_ppm(4, 2, pixels), 2, 1))
+    assert (resized.width, resized.height) == (2, 1)
+    assert resized.pixels == pixels[0:3] + pixels[6:9]
+    # upsample back to 4x2 duplicates the two pixels
+    up = decode_image(resize_image(resize_image(encode_ppm(4, 2, pixels), 2, 1), 4, 2))
+    assert up.pixels == (pixels[0:3] * 2 + pixels[6:9] * 2) * 2
+
+
+def test_resize_image_grayscale_pgm():
+    from datalake2anomali_spark.llm.multimodal import resize_image
+
+    src = b"P5\n4 4\n255\n" + bytes(range(16))
+    out = decode_image(resize_image(src, 2, 2))
+    assert (out.width, out.height, out.mode) == (2, 2, "L")
+    assert out.pixels == bytes([0, 2, 8, 10])
+
+
+def test_wav_roundtrip_real_container():
+    import io
+    import wave
+
+    from datalake2anomali_spark.llm.multimodal import synth_wav_payload
+
+    seed = b"abc"
+    payload = synth_wav_payload(seed)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (1, 2, 16000)
+        assert w.getnframes() == 3
+        import numpy as np
+
+        x = np.frombuffer(w.readframes(3), dtype="<i2")
+        assert list(x) == [(b - 128) * 256 for b in seed]
+
+
+def test_decode_wav_stats_exact_sums(spark):
+    from datalake2anomali_spark.llm.multimodal import (
+        decode_wav_stats,
+        synthesize_wav_audio,
+        with_binary_payload,
+    )
+
+    docs = with_binary_payload(
+        spark.createDataFrame([(1, "ab"), (2, "xyz")], "doc_id long, text string")
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in decode_wav_stats(synthesize_wav_audio(docs)).collect()
+    }
+    for doc_id, text in [(1, "ab"), (2, "xyz")]:
+        samples = [(b - 128) * 256 for b in text.encode()]
+        r = rows[doc_id]
+        assert r["n_samples"] == len(samples)
+        assert (r["framerate"], r["n_channels"]) == (16000, 1)
+        assert r["amp_sum"] == sum(samples)
+        assert r["amp_sqsum"] == sum(s * s for s in samples)
+
+
 def test_decode_features_end_to_end(spark, sf_dir):
     from datalake2anomali_spark.llm.multimodal import (
         decode_features,

@@ -262,3 +262,75 @@ def finish_rollup(level: DataFrame, scale: int = 3) -> Column | DataFrame:
         *[c for c in level.columns if c != "fixed_sum"],
         (F.col("fixed_sum").cast("double") / m).alias("value_sum"),
     )
+
+
+def gap_fill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_minutes: int = 360,
+    scale: int = 2,
+) -> DataFrame:
+    """Time-bucket aggregation with gap filling + LOCF interpolation.
+
+    TimescaleDB ``time_bucket_gapfill`` / ``locf`` semantics on Spark: per
+    key, every bucket between that key's first and last event exists in the
+    output — empty buckets get ``n_events = 0`` and carry the most recent
+    non-empty bucket's value sum forward (``is_gap`` marks them).
+
+    Plan shape and scale behavior:
+
+    - bucketed aggregate: ONE shuffle keyed (key, bucket), map-side
+      partial combine — the only full-data exchange.
+    - per-key bounds: a second aggregate over the (already tiny) bucket
+      relation; the spine is ``sequence()`` + ``explode`` off those bounds,
+      so its size is output-bounded (keys × buckets in range), never
+      event-bounded.
+    - gap join + LOCF window both partition by the same key, so AQE
+      coalesces them onto the aggregate's partitioning; the window is a
+      running ``last(ignorenulls)`` — no sort beyond the per-key bucket
+      order, state O(1) per key.
+
+    A key × time-range blowup (one key spanning years of buckets) fans out
+    in the *spine*, not the shuffle — the knob is ``bucket_minutes``.
+
+    The value sum goes through the fixed-point ``dsum`` grid so LOCF
+    carries bit-identical doubles in any engine (functions/exact.py).
+
+    Reference parity: none — the reference has no time-series surface;
+    this extends ``hypertable_rollup`` (plans/temporal_queries.py) to
+    irregular series, per the driver's extension mandate.
+    """
+    from ..functions.exact import dsum
+
+    bucket_us = bucket_minutes * 60_000_000
+    agg = (
+        events.groupBy(
+            F.col(key_col),
+            F.expr(f"unix_micros({ts_col}) div {bucket_us}").alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(value_col, scale).alias("v_sum"),
+        )
+    )
+    bounds = agg.groupBy(key_col).agg(
+        F.min("bucket").alias("b_lo"), F.max("bucket").alias("b_hi")
+    )
+    spine = bounds.select(
+        key_col, F.explode(F.sequence("b_lo", "b_hi")).alias("bucket")
+    )
+    joined = spine.join(agg, [key_col, "bucket"], "left")
+    w = (
+        W.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        key_col,
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("v_sum", ignorenulls=True).over(w).alias("v_locf"),
+        F.col("v_sum").isNull().alias("is_gap"),
+    ).orderBy(key_col, "bucket")

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datalake2anomali_spark.functions.exact import DSUM_SQL
 from datalake2anomali_spark.io.tables import load_table
 from datalake2anomali_spark.operators import temporal
 
@@ -213,12 +214,55 @@ WHERE n_recent >= {BURST_N}
 """
 
 
+def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled 6-hour rollup with LOCF per user (operators/temporal.py:
+    gap_fill) — every bucket between a user's first and last event exists,
+    empty buckets carry the last value sum forward and are flagged."""
+    from ..operators.temporal import gap_fill
+
+    return gap_fill(
+        load_table(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        bucket_minutes=360,
+    )
+
+
+GAP_FILL_SQL = f"""
+WITH agg AS (
+  SELECT user_id, epoch_us(ts) // {360 * 60_000_000} AS bucket,
+         COUNT(*) AS n_events,
+         {DSUM_SQL("value", 2)} AS v_sum
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, MIN(bucket) AS b_lo, MAX(bucket) AS b_hi FROM agg GROUP BY 1
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(b_lo, b_hi)) AS bucket FROM bounds
+),
+j AS (
+  SELECT s.user_id, s.bucket, a.n_events, a.v_sum
+  FROM spine s LEFT JOIN agg a ON s.user_id = a.user_id AND s.bucket = a.bucket
+)
+SELECT user_id, bucket,
+       COALESCE(n_events, 0) AS n_events,
+       last_value(v_sum IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf,
+       (v_sum IS NULL) AS is_gap
+FROM j
+ORDER BY user_id, bucket
+"""
+
 QUERIES = {
     "asof_join_click_error": asof_click_error,
     "asof_join_tolerance": asof_click_error_tolerance,
     "range_join_error_clicks": range_join_error_clicks,
     "hypertable_rollup": hypertable_rollup,
     "burst_alerts": burst_alerts,
+    "gap_fill_locf": gap_fill_locf,
 }
 
 ORACLES = {
@@ -227,6 +271,7 @@ ORACLES = {
     "range_join_error_clicks": RANGE_SQL,
     "hypertable_rollup": ROLLUP_SQL,
     "burst_alerts": BURST_SQL,
+    "gap_fill_locf": GAP_FILL_SQL,
 }
 
 

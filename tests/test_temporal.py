@@ -175,3 +175,30 @@ def test_burst_alerts_range_frame_semantics(spark, tmp_path):
     }
     assert set(out) == {2, 6}
     assert out[2] == 2 and out[6] == 2
+
+
+def test_gap_fill_locf_semantics(spark):
+    from datetime import datetime
+
+    from datalake2anomali_spark.operators.temporal import gap_fill
+
+    # user 1: events in hours 0 and 3 (1h buckets) -> buckets 1,2 are gaps
+    # user 2: single event -> single-bucket spine, no gaps
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 10), 1.0),
+        (1, datetime(2024, 1, 1, 0, 40), 2.0),
+        (1, datetime(2024, 1, 1, 3, 5), 10.0),
+        (2, datetime(2024, 1, 1, 5, 0), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = gap_fill(df, bucket_minutes=60).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    u1 = by_user[1]
+    assert [r["bucket"] - u1[0]["bucket"] for r in u1] == [0, 1, 2, 3]
+    assert [r["n_events"] for r in u1] == [2, 0, 0, 1]
+    assert [r["is_gap"] for r in u1] == [False, True, True, False]
+    assert [r["v_locf"] for r in u1] == [3.0, 3.0, 3.0, 10.0]
+    u2 = by_user[2]
+    assert len(u2) == 1 and u2[0]["n_events"] == 1 and u2[0]["v_locf"] == 7.0

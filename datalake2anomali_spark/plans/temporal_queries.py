@@ -256,6 +256,29 @@ FROM j
 ORDER BY user_id, bucket
 """
 
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 validity intervals of each user's event_type stream
+    (operators/temporal.py: scd2_history) — change detection via lag,
+    interval close via lead, deterministic same-timestamp tiebreak."""
+    return temporal.scd2_history(load_table(spark, sf_dir, "events"))
+
+
+SCD2_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+),
+c AS (SELECT * FROM o WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, event_type AS attr, ts_us AS valid_from_us,
+       lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+         AS valid_to_us,
+       (lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+         IS NULL) AS is_current
+FROM c
+"""
+
 QUERIES = {
     "asof_join_click_error": asof_click_error,
     "asof_join_tolerance": asof_click_error_tolerance,
@@ -263,6 +286,7 @@ QUERIES = {
     "hypertable_rollup": hypertable_rollup,
     "burst_alerts": burst_alerts,
     "gap_fill_locf": gap_fill_locf,
+    "scd2_history": scd2_user_history,
 }
 
 ORACLES = {
@@ -272,6 +296,7 @@ ORACLES = {
     "hypertable_rollup": ROLLUP_SQL,
     "burst_alerts": BURST_SQL,
     "gap_fill_locf": GAP_FILL_SQL,
+    "scd2_history": SCD2_SQL,
 }
 
 

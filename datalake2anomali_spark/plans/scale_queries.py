@@ -192,14 +192,86 @@ GROUP BY lang
 ORDER BY lang
 """
 
+# -- merge_upsert: copy-on-write MERGE INTO over partitioned parquet ---------
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE INTO round-trip (operators/merge.py): reset a
+    date-partitioned copy of events, upsert a source batch (purchase
+    values +100 as UPDATEs; next-day signup clones as INSERTs into new
+    partitions), read the table back, and aggregate per partition.
+
+    The oracle replays the same UPDATE+INSERT set-algebra directly over
+    the source table, so a hash match certifies the whole write path —
+    partition-pruned rewrite, source-wins merge, dynamic partition
+    overwrite, new-partition creation — not just the join.
+    """
+    from ..operators.merge import merge_into
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    base = (
+        "/dev/shm"
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+        else tempfile.gettempdir()
+    )
+    path = os.path.join(base, "d2a_merge_" + sf_dir.strip("/").replace("/", "_"))
+    # static overwrite = full reset, so the query is a pure function of the
+    # source table even across repeated runs
+    e.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    spark.catalog.refreshByPath(path)
+
+    upd = e.filter(F.col("event_type") == "purchase").withColumn(
+        "value", F.col("value") + 100.0
+    )
+    ins = (
+        e.filter(F.col("event_type") == "signup")
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+    )
+    ins = ins.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+    merge_into(spark, path, upd.unionByName(ins), ["event_id"], "event_date")
+
+    after = spark.read.parquet(path)
+    return (
+        after.groupBy(F.col("event_date").cast("string").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("value", 2).alias("v_sum"),
+        )
+        .orderBy("event_date")
+    )
+
+
+MERGE_UPSERT_SQL = f"""
+WITH merged AS (
+  SELECT ts,
+         CASE WHEN event_type = 'purchase' THEN value + 100 ELSE value END
+           AS value
+  FROM events
+  UNION ALL
+  SELECT ts + INTERVAL 1 DAY AS ts, value FROM events
+  WHERE event_type = 'signup'
+)
+SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+       COUNT(*) AS n_rows,
+       {DSUM_SQL("value", 2)} AS v_sum
+FROM merged
+GROUP BY 1
+ORDER BY 1
+"""
+
 QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "zorder_key": q_zorder_key,
     "schema_evolution": q_schema_evolution,
+    "merge_upsert": q_merge_upsert,
 }
 
 ORACLES = {
     "heavy_hitters": HEAVY_HITTERS_SQL,
     "zorder_key": ZORDER_KEY_SQL,
     "schema_evolution": SCHEMA_EVOLUTION_SQL,
+    "merge_upsert": MERGE_UPSERT_SQL,
 }

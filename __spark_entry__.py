@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from datalake2anomali_spark.session import configure_session  # noqa: E402
 from datalake2anomali_spark.plans import (  # noqa: E402
+    analytics_queries,
     breadth,
     ioc_queries,
     llm_queries,
@@ -74,6 +75,9 @@ _PRIORITY: tuple[str, ...] = (
     "gap_fill_locf",  # new: gap-filled rollup + LOCF (operators/temporal.py)
     "scd2_history",  # new: SCD type-2 validity intervals (operators/temporal.py)
     "merge_upsert",  # new: copy-on-write MERGE INTO (operators/merge.py)
+    "funnel_analysis",  # new: one-shuffle ordered funnel (operators/analytics.py)
+    "cohort_retention",  # new: weekly retention triangle (operators/analytics.py)
+    "ewma_features",  # new: exact dyadic EWMA via HOF fold (operators/analytics.py)
 )
 
 #: Exactly the entries past the 50-row window (68 registered − 50 = 18).
@@ -98,6 +102,9 @@ _TAIL: tuple[str, ...] = (
     "sketch_stats",  # frequency/sketch family sibling heavy_hitters
     "range_join_error_clicks",  # temporal-join family sibling asof_join_tolerance
     "distinct_set_ops",  # relational-breadth family; rotates back in r6
+    "ann_lsh_topk",  # sibling ann_cosine_topk (ANN family, in window)
+    "dedup_simhash",  # sibling dedup_minhash_lsh (near-dup blocking family)
+    "stream_tumbling_counts",  # siblings batch_windows + stream_interval_join
 )
 
 _MODULES = (
@@ -108,6 +115,7 @@ _MODULES = (
     streaming_queries,
     temporal_queries,
     scale_queries,
+    analytics_queries,
 )
 
 

@@ -22,6 +22,7 @@ from datalake2anomali_spark.session import configure_session  # noqa: E402
 from datalake2anomali_spark.plans import (  # noqa: E402
     analytics_queries,
     breadth,
+    quality_queries,
     ioc_queries,
     llm_queries,
     relational,
@@ -78,6 +79,8 @@ _PRIORITY: tuple[str, ...] = (
     "funnel_analysis",  # new: one-shuffle ordered funnel (operators/analytics.py)
     "cohort_retention",  # new: weekly retention triangle (operators/analytics.py)
     "ewma_features",  # new: exact dyadic EWMA via HOF fold (operators/analytics.py)
+    "data_quality_audit",  # new: one-scan constraint suite (operators/quality.py)
+    "table_diff",  # new: null-safe snapshot reconciliation (operators/quality.py)
 )
 
 #: Exactly the entries past the 50-row window (68 registered − 50 = 18).
@@ -105,6 +108,8 @@ _TAIL: tuple[str, ...] = (
     "ann_lsh_topk",  # sibling ann_cosine_topk (ANN family, in window)
     "dedup_simhash",  # sibling dedup_minhash_lsh (near-dup blocking family)
     "stream_tumbling_counts",  # siblings batch_windows + stream_interval_join
+    "ann_ivf_topk",  # siblings ann_cosine_topk + ann_topk_quantized (in window)
+    "decontaminate",  # sibling docs_clean_pipeline (broadcast-probe family)
 )
 
 _MODULES = (
@@ -116,6 +121,7 @@ _MODULES = (
     temporal_queries,
     scale_queries,
     analytics_queries,
+    quality_queries,
 )
 
 

@@ -1,0 +1,143 @@
+"""Driver-registered data-quality + reconciliation queries.
+
+``data_quality_audit`` compiles a 5-constraint suite to one aggregate scan
+plus one FK anti-join (``operators/quality.py: audit``); the oracle is the
+naive one-subquery-per-constraint UNION ALL — a hash match proves the
+single-scan compilation.  ``table_diff`` reconciles two derived snapshots
+of ``orders`` via one null-safe full-outer join; the oracle is an
+independent FULL OUTER JOIN + IS DISTINCT FROM formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake2anomali_spark.io.tables import load_table
+from datalake2anomali_spark.operators import quality
+
+
+def lineitem_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style batch gate over lineitem: completeness, composite-key
+    uniqueness, range, accepted values, and orders referential integrity —
+    one scan + one anti-join, one row per constraint."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return quality.audit(
+        li,
+        checks=[
+            quality.non_null("l_returnflag"),
+            quality.unique("l_orderkey", "l_linenumber"),
+            quality.in_range("l_quantity", 1, 50),
+            quality.accepted("l_returnflag", "R", "A", "N"),
+        ],
+        foreign_keys=[("l_orderkey", orders, "o_orderkey")],
+    )
+
+
+AUDIT_SQL = """
+WITH agg AS (
+  SELECT COUNT(*) AS total,
+         COUNT(l_returnflag) AS nn,
+         COUNT(DISTINCT (l_orderkey, l_linenumber)) AS uniq,
+         SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
+                  THEN 1 ELSE 0 END) AS rng,
+         SUM(CASE WHEN l_returnflag IN ('R','A','N') THEN 0 ELSE 1 END) AS acc
+  FROM lineitem
+), fk AS (
+  SELECT COUNT(*) AS orphans
+  FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+)
+SELECT 'non_null:l_returnflag' AS check_name, CAST(nn AS BIGINT) AS observed,
+       CAST(total AS BIGINT) AS expected, nn = total AS passed FROM agg
+UNION ALL
+SELECT 'unique:l_orderkey,l_linenumber', CAST(uniq AS BIGINT),
+       CAST(total AS BIGINT), uniq = total FROM agg
+UNION ALL
+SELECT 'in_range:l_quantity:[1,50]', CAST(rng AS BIGINT),
+       CAST(0 AS BIGINT), rng = 0 FROM agg
+UNION ALL
+SELECT 'accepted:l_returnflag', CAST(acc AS BIGINT),
+       CAST(0 AS BIGINT), acc = 0 FROM agg
+UNION ALL
+SELECT 'foreign_key:l_orderkey', CAST(orphans AS BIGINT),
+       CAST(0 AS BIGINT), orphans = 0 FROM fk
+"""
+
+
+def _snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Two deterministic derived snapshots of orders: 'old' is missing the
+    keys ≡5 (mod 97) that arrive later; 'new' drops keys ≡3 (mod 89),
+    bumps o_totalprice on ≡7 (mod 101) and rewrites o_orderpriority on
+    ≡11 (mod 103)."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    old = orders.filter(k % 97 != 5)
+    new = orders.filter(k % 89 != 3).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.when(k % 101 == 7, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderdate",
+        F.when(k % 103 == 11, F.lit("X-DIFF"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    return old, new
+
+
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style reconciliation of the two derived orders snapshots
+    (``operators/quality.py: snapshot_diff``): added/removed/changed keys
+    with per-row changed-column lists, one full-outer shuffle."""
+    old, new = _snapshots(spark, sf_dir)
+    return quality.snapshot_diff(old, new, keys=["o_orderkey"])
+
+
+DIFF_SQL = """
+WITH old AS (
+  SELECT * FROM orders WHERE o_orderkey % 97 <> 5
+), new AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 101 = 7 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate,
+         CASE WHEN o_orderkey % 103 = 11 THEN 'X-DIFF'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 89 <> 3
+), j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_custkey      IS DISTINCT FROM n.o_custkey
+                OR o.o_orderstatus  IS DISTINCT FROM n.o_orderstatus
+                OR o.o_totalprice   IS DISTINCT FROM n.o_totalprice
+                OR o.o_orderdate    IS DISTINCT FROM n.o_orderdate
+                OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+              THEN 'changed' END AS change_type,
+         CASE WHEN o.o_orderkey IS NULL OR n.o_orderkey IS NULL THEN ''
+              ELSE concat_ws(',',
+                CASE WHEN o.o_custkey IS DISTINCT FROM n.o_custkey THEN 'o_custkey' END,
+                CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 'o_orderstatus' END,
+                CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'o_totalprice' END,
+                CASE WHEN o.o_orderdate IS DISTINCT FROM n.o_orderdate THEN 'o_orderdate' END,
+                CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority THEN 'o_orderpriority' END)
+         END AS changed_cols
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey, change_type, changed_cols FROM j WHERE change_type IS NOT NULL
+"""
+
+
+QUERIES = {
+    "data_quality_audit": lineitem_audit,
+    "table_diff": orders_snapshot_diff,
+}
+
+ORACLES = {
+    "data_quality_audit": AUDIT_SQL,
+    "table_diff": DIFF_SQL,
+}

@@ -81,6 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     "ewma_features",  # new: exact dyadic EWMA via HOF fold (operators/analytics.py)
     "data_quality_audit",  # new: one-scan constraint suite (operators/quality.py)
     "table_diff",  # new: null-safe snapshot reconciliation (operators/quality.py)
+    "fuzzy_match",  # new: complete deletion-neighborhood edit-distance join
 )
 
 #: Exactly the entries past the 50-row window (68 registered − 50 = 18).
@@ -110,6 +111,7 @@ _TAIL: tuple[str, ...] = (
     "stream_tumbling_counts",  # siblings batch_windows + stream_interval_join
     "ann_ivf_topk",  # siblings ann_cosine_topk + ann_topk_quantized (in window)
     "decontaminate",  # sibling docs_clean_pipeline (broadcast-probe family)
+    "bm25_scores",  # siblings top_terms + text_profile (corpus-stats family)
 )
 
 _MODULES = (

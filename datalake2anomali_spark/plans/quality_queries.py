@@ -132,12 +132,36 @@ SELECT o_orderkey, change_type, changed_cols FROM j WHERE change_type IS NOT NUL
 """
 
 
+def fuzzy_customer_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over customer names
+    (``operators/fuzzy.py: fuzzy_self_join``): every pair within edit
+    distance 1, found by complete FastSS deletion-neighborhood blocking —
+    the exhaustive-cross-join oracle hash-matching proves the blocked plan
+    loses no pair."""
+    from datalake2anomali_spark.operators.fuzzy import fuzzy_self_join
+
+    return fuzzy_self_join(
+        load_table(spark, sf_dir, "customer"), "c_custkey", "c_name"
+    )
+
+
+FUZZY_SQL = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       a.c_name AS text_a, b.c_name AS text_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 QUERIES = {
     "data_quality_audit": lineitem_audit,
     "table_diff": orders_snapshot_diff,
+    "fuzzy_match": fuzzy_customer_match,
 }
 
 ORACLES = {
     "data_quality_audit": AUDIT_SQL,
     "table_diff": DIFF_SQL,
+    "fuzzy_match": FUZZY_SQL,
 }

@@ -82,6 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "data_quality_audit",  # new: one-scan constraint suite (operators/quality.py)
     "table_diff",  # new: null-safe snapshot reconciliation (operators/quality.py)
     "fuzzy_match",  # new: complete deletion-neighborhood edit-distance join
+    "compaction_roundtrip",  # new: size-targeted small-file compaction (io/compact.py)
 )
 
 #: Exactly the entries past the 50-row window (68 registered − 50 = 18).
@@ -112,6 +113,7 @@ _TAIL: tuple[str, ...] = (
     "ann_ivf_topk",  # siblings ann_cosine_topk + ann_topk_quantized (in window)
     "decontaminate",  # sibling docs_clean_pipeline (broadcast-probe family)
     "bm25_scores",  # siblings top_terms + text_profile (corpus-stats family)
+    "ioc_advisory_enrichment",  # sibling ioc_rest_source_pipeline (SRC family)
 )
 
 _MODULES = (

@@ -262,11 +262,68 @@ GROUP BY 1
 ORDER BY 1
 """
 
+def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction roundtrip (``io/compact.py``).
+
+    Fragments a date-partitioned copy of events into hundreds of KB-scale
+    files (``repartition(8)`` before ``partitionBy`` — every task writes
+    every partition, the classic ingest anti-pattern), compacts it with
+    range-clustered size-targeted rewrite, and aggregates the compacted
+    table per day.  The oracle recomputes the same aggregate straight from
+    the source table, so a hash match certifies compaction is
+    content-preserving; the file-count collapse itself is pinned in
+    tests/test_compact.py.
+    """
+    from ..io.compact import compact_dataset
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    base = (
+        "/dev/shm"
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+        else tempfile.gettempdir()
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    src = os.path.join(base, f"d2a_frag_{tag}")
+    dst = os.path.join(base, f"d2a_compact_{tag}")
+    e.repartition(8).write.mode("overwrite").partitionBy("event_date").parquet(src)
+    spark.catalog.refreshByPath(src)
+    after = compact_dataset(
+        spark, src, dst, ["event_date"], "event_id", target_file_bytes=64 << 20
+    )
+    return (
+        after.groupBy(F.col("event_date").cast("string").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("value", 2).alias("v_sum"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("event_date")
+    )
+
+
+COMPACTION_SQL = f"""
+SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+       COUNT(*) AS n_rows,
+       {DSUM_SQL("value", 2)} AS v_sum,
+       COUNT(DISTINCT user_id) AS n_users,
+       MIN(event_id) AS min_id,
+       MAX(event_id) AS max_id
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "zorder_key": q_zorder_key,
     "schema_evolution": q_schema_evolution,
     "merge_upsert": q_merge_upsert,
+    "compaction_roundtrip": q_compaction,
 }
 
 ORACLES = {
@@ -274,4 +331,5 @@ ORACLES = {
     "zorder_key": ZORDER_KEY_SQL,
     "schema_evolution": SCHEMA_EVOLUTION_SQL,
     "merge_upsert": MERGE_UPSERT_SQL,
+    "compaction_roundtrip": COMPACTION_SQL,
 }

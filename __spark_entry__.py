@@ -83,6 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "table_diff",  # new: null-safe snapshot reconciliation (operators/quality.py)
     "fuzzy_match",  # new: complete deletion-neighborhood edit-distance join
     "compaction_roundtrip",  # new: size-targeted small-file compaction (io/compact.py)
+    "stream_sessionize",  # new: stateful merging session windows on a live stream
 )
 
 #: Exactly the entries past the 50-row window (68 registered − 50 = 18).
@@ -114,6 +115,7 @@ _TAIL: tuple[str, ...] = (
     "decontaminate",  # sibling docs_clean_pipeline (broadcast-probe family)
     "bm25_scores",  # siblings top_terms + text_profile (corpus-stats family)
     "ioc_advisory_enrichment",  # sibling ioc_rest_source_pipeline (SRC family)
+    "stateful_user_profiles",  # sibling stream_burst_alerts (applyInPandasWithState)
 )
 
 _MODULES = (

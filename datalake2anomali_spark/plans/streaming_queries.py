@@ -39,6 +39,7 @@ QUERIES = {
     "batch_windows": windows.batch_windows_query,
     "stream_tumbling_counts": incremental.stream_tumbling_counts,
     "stream_dedup_events": incremental.stream_dedup_events,
+    "stream_sessionize": incremental.stream_sessionize,
     "stream_dedup_late": incremental.stream_dedup_late,
     "stateful_user_profiles": stateful.stateful_user_profiles,
 }
@@ -49,6 +50,7 @@ ORACLES = {
     "batch_windows": windows.BATCH_WINDOWS_SQL,
     "stream_tumbling_counts": windows.TUMBLING_SQL,
     "stream_dedup_events": incremental.STREAM_DEDUP_SQL,
+    "stream_sessionize": windows.SESSION_WINDOW_SQL,
     "stream_dedup_late": incremental.STREAM_DEDUP_LATE_SQL,
     "stateful_user_profiles": stateful.STATEFUL_PROFILE_SQL,
 }

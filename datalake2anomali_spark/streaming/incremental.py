@@ -219,6 +219,25 @@ SELECT event_id, user_id, event_type FROM events
 """
 
 
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Structured Streaming twin of
+    ``windows.session_window_stats`` — the *stateful merging* session
+    operator, not just a windowed agg: the state store keeps one
+    open session per (user, window) and ``session_window`` MERGES
+    adjacent state entries when a new event bridges two open sessions
+    (pinned cross-batch in tests/test_streaming.py).
+
+    Complete output mode: sessions never age out, so the single
+    availableNow run is oracle-comparable to the batch gaps-and-islands
+    SQL.  A live deployment would run append mode + watermark eviction
+    instead (state bounded by the gap horizon); that path shares this
+    operator and is exercised with the watermark in the cross-batch test.
+    """
+    events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    agg = windows.session_window_stats(events.withWatermark("ts", "10 minutes"))
+    return run_to_completion(agg, output_mode="complete", state_partitions=2)
+
+
 #: Reduced schema for the late-replay stream.  ``ts`` is a raw epoch-µs long
 #: because *we* write these replay files (from the already-normalized events
 #: table), so the unit is pinned here — independent of whatever physical type

@@ -450,3 +450,32 @@ def test_stream_burst_alerts_beyond_bound_drops(spark, tmp_path):
     ).collect()
     # with e5 dropped, e6 never reaches n=2: no alerts at all
     assert got == []
+
+
+def test_stream_sessionize_merges_open_sessions_across_batches(spark, tmp_path):
+    """session_window state MERGE: two open sessions from batch 1 collapse
+    into one when batch-2 bridging events connect them (the behavior that
+    distinguishes the stateful session operator from a mere windowed agg)."""
+    d = tmp_path / "events_in"
+    d.mkdir()
+    # batch 1: two events 3600s apart → two separate open sessions (gap 1800s)
+    _write_events(
+        str(d / "b1.parquet"),
+        [(1, BASE, 7, "click", 1.0), (2, BASE + 3600, 7, "click", 1.0)],
+        mtime=1_000_000,
+    )
+    # batch 2: bridges at +1000 and +2600 chain all four events together
+    _write_events(
+        str(d / "b2.parquet"),
+        [(3, BASE + 1000, 7, "click", 1.0), (4, BASE + 2600, 7, "click", 1.0)],
+        mtime=1_000_100,
+    )
+    stream = incremental.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    agg = windows.session_window_stats(stream.withWatermark("ts", "2 hours"))
+    out = incremental.run_to_completion(agg, output_mode="complete")
+    rows = out.collect()
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert (r.user_id, r.sess_start, r.n_events, r.duration_us) == (
+        7, BASE, 4, 3600 * 1_000_000
+    )

@@ -84,6 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     "fuzzy_match",  # new: complete deletion-neighborhood edit-distance join
     "compaction_roundtrip",  # new: size-targeted small-file compaction (io/compact.py)
     "stream_sessionize",  # new: stateful merging session windows on a live stream
+    "pagerank",  # new: exact-integer message-passing PageRank (llm/graph.py)
 )
 
 #: Exactly the entries past the 50-row window (68 registered − 50 = 18).
@@ -116,6 +117,7 @@ _TAIL: tuple[str, ...] = (
     "bm25_scores",  # siblings top_terms + text_profile (corpus-stats family)
     "ioc_advisory_enrichment",  # sibling ioc_rest_source_pipeline (SRC family)
     "stateful_user_profiles",  # sibling stream_burst_alerts (applyInPandasWithState)
+    "dedup_substrings",  # sibling dedup_ngram_jaccard (shingle-index family)
 )
 
 _MODULES = (

@@ -283,3 +283,63 @@ def connected_components_star(
     raise RuntimeError(
         f"connected_components_star did not converge in {max_iter} rounds"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    scale: int = 1_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank with exact scaled-integer arithmetic.
+
+    Returns (node, rank_scaled): ``rank_scaled / scale`` approximates the
+    PageRank after ``iters`` synchronous iterations from a uniform start.
+    The update is the standard
+    ``r'(v) = (1-d)·S + d·Σ_{u→v} r(u)/deg(u)`` computed entirely in
+    integers — per-edge contribution ``r div deg`` and damping
+    ``(damping_pct · Σ) div 100`` — so results are bit-identical across
+    engines and partitionings (the float formulation drifts in the last
+    ulps under reordered sums and fails exact comparison; same design as
+    ``functions/exact.py`` / :func:`..operators.analytics.ewma_features`).
+
+    Scale shape per iteration: one equi-join of the edge list with the
+    rank vector on the source id + one groupBy-sum on the destination id
+    — the standard message-passing shuffle pair; degrees are joined into
+    the edge list ONCE up front.  ``iters`` is a fixed small constant so
+    the plan is a straight-line declarative chain (no driver loop, no
+    checkpoint needed; for tens of iterations re-introduce the per-round
+    ``localCheckpoint`` of :func:`connected_components`).  Dangling nodes
+    (out-degree 0) leak their damped mass, as in the original formulation;
+    symmetrize the edge list if that matters for your graph.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    e2 = e.join(deg, "_s")
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank_scaled"))
+    base = round(scale * (100 - damping_pct) / 100)
+    for _ in range(iters):
+        msgs = (
+            e2.join(ranks.withColumnRenamed("node", "_s"), "_s")
+            .select(
+                F.col("_d").alias("node"),
+                F.expr("rank_scaled div _deg").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = nodes.join(msgs, "node", "left").select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.expr(f"({damping_pct} * coalesce(_in, 0L)) div 100")
+            ).alias("rank_scaled"),
+        )
+    return ranks

@@ -104,14 +104,71 @@ FROM (
 """
 
 
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetrized customer↔supplier trade graph
+    (edges = distinct (customer, supplier) pairs that share an order;
+    bipartite ids: even=customer, odd=supplier).  3 exact-integer
+    iterations (``llm/graph.py: pagerank``); the oracle unrolls the same
+    integer recurrence as chained CTEs — a hash match proves the
+    message-passing join/agg chain computes the textbook update."""
+    from pyspark.sql import functions as F
+
+    from datalake2anomali_spark.llm.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    # bipartite disjoint id parity ⇒ reversal cannot duplicate an edge
+    sym = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(sym, iters=3)
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT n.node,
+         CAST(150000 + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.r // d.deg) AS s
+    FROM sym e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY 1
+  ) m ON m.node = n.node
+)"""
+
+
+PAGERANK_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), sym AS (
+  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+), deg AS (
+  SELECT src, COUNT(*) AS deg FROM sym GROUP BY 1
+), nodes AS (
+  SELECT DISTINCT src AS node FROM sym
+), r0 AS (
+  SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes
+), {_pr_iter_sql("r0", "r1")}, {_pr_iter_sql("r1", "r2")}, {_pr_iter_sql("r2", "r3")}
+SELECT node, r AS rank_scaled FROM r3
+"""
+
+
 QUERIES = {
     "funnel_analysis": funnel_view_click_purchase,
     "cohort_retention": cohort_retention_weekly,
     "ewma_features": ewma_user_values,
+    "pagerank": pagerank_trade_graph,
 }
 
 ORACLES = {
     "funnel_analysis": FUNNEL_SQL,
     "cohort_retention": COHORT_SQL,
     "ewma_features": EWMA_SQL,
+    "pagerank": PAGERANK_SQL,
 }

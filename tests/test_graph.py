@@ -153,3 +153,38 @@ def test_star_cc_matches_propagation_and_handles_long_paths(spark):
         for r in connected_components_star(feasible).collect()
     }
     assert prop == star_feasible
+
+
+def test_pagerank_exact_integer_chain(spark):
+    """Hand-computable 3-node graph: A→B, B→A, B→C, C→B (A,C leaves of B).
+
+    Recurrence (scale 1e6, d=85%): contribution = r div deg, then
+    r' = 150000 + (85·Σ) div 100 — recomputed in python ints below, so the
+    test pins bit-exact agreement, not approximate ranks.
+    """
+    from datalake2anomali_spark.llm.graph import pagerank
+
+    edges = [(0, 1), (1, 0), (1, 2), (2, 1)]
+    deg = {0: 1, 1: 2, 2: 1}
+    r = {0: 1_000_000, 1: 1_000_000, 2: 1_000_000}
+    for _ in range(3):
+        inbox = {n: 0 for n in r}
+        for s, d in edges:
+            inbox[d] += r[s] // deg[s]
+        r = {n: 150_000 + (85 * inbox[n]) // 100 for n in r}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {row.node: row.rank_scaled for row in pagerank(df, iters=3).collect()}
+    assert got == r
+    assert got[1] > got[0] == got[2]  # hub outranks symmetric leaves
+
+
+def test_pagerank_dangling_and_sourceless_nodes(spark):
+    """A node with no in-edges keeps only the base term; a dangling node
+    (no out-edges) still receives mass but leaks its own (documented)."""
+    from datalake2anomali_spark.llm.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {row.node: row.rank_scaled for row in pagerank(df, iters=1).collect()}
+    assert got[1] == 150_000  # no in-edges: base only
+    assert got[2] == 150_000 + (85 * 1_000_000) // 100

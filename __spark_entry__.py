@@ -85,6 +85,9 @@ _PRIORITY: tuple[str, ...] = (
     "compaction_roundtrip",  # new: size-targeted small-file compaction (io/compact.py)
     "stream_sessionize",  # new: stateful merging session windows on a live stream
     "pagerank",  # new: exact-integer message-passing PageRank (llm/graph.py)
+    "phrase_search",  # new: positional inverted-index phrase match (llm/search.py)
+    "incremental_view",  # new: mergeable-rollup view maintenance (operators/views.py)
+    "rolling_median",  # new: exact order-statistic window feature (operators/analytics.py)
 )
 
 #: Exactly the entries past the 50-row window (68 registered − 50 = 18).
@@ -118,6 +121,9 @@ _TAIL: tuple[str, ...] = (
     "ioc_advisory_enrichment",  # sibling ioc_rest_source_pipeline (SRC family)
     "stateful_user_profiles",  # sibling stream_burst_alerts (applyInPandasWithState)
     "dedup_substrings",  # sibling dedup_ngram_jaccard (shingle-index family)
+    "docs_clean_pipeline",  # sibling corpus_stats (composed-pipeline family)
+    "stream_interval_join",  # sibling stream_burst_alerts (stateful-stream family)
+    "ann_topk_quantized",  # sibling ann_cosine_topk (ANN family)
 )
 
 _MODULES = (

@@ -70,3 +70,57 @@ def bm25_scores(
         )
         .filter(F.col("n_matched") > 0)
     )
+
+
+# -- positional inverted index + phrase search --------------------------------
+
+
+def positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(term, doc_id, pos) postings — the positional inverted index
+    relation.  ``posexplode`` over the whitespace tokenization; map-only,
+    fan-out = token count.  At 100 TB this relation is what you
+    *materialize* (parquet bucketed by ``term``, ``io/bucketing.py``) so
+    query-time term lookups are bucket-pruned scans; the on-the-fly form
+    below keeps the operator self-contained."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase match via positional-postings joins: (doc_id,
+    n_matches) for every document containing the consecutive token
+    sequence ``phrase``, with the number of starting positions.
+
+    Plan: the postings relation is filtered to the phrase's terms BEFORE
+    any join — only those terms' postings ever shuffle (the classic
+    inverted-index win: cost scales with posting-list sizes, not corpus
+    size).  A k-word phrase chains k−1 equi-joins on (doc_id, pos −
+    offset); keys are near-unique (a doc position holds one token) so
+    the joins cannot skew.  Counting distinct start positions at the end
+    gives occurrence counts without any window or sort.
+
+    Unlike an LSH/banding candidate scheme there is no residual
+    verification step — consecutive-position joins ARE the exact phrase
+    semantics (they cannot over- or under-match), which the independent
+    DuckDB list-position oracle confirms.
+    """
+    terms = phrase.split(" ")
+    if not terms or any(not t for t in terms):
+        raise ValueError(f"malformed phrase: {phrase!r}")
+    p = positional_postings(docs, id_col=id_col, text_col=text_col)
+    out = p.filter(F.col("term") == terms[0]).select("doc_id", "pos")
+    for k, t in enumerate(terms[1:], start=1):
+        nxt = p.filter(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - k).alias("pos")
+        )
+        out = out.join(nxt, ["doc_id", "pos"])
+    return out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_matches"))

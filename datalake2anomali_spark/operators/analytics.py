@@ -185,3 +185,41 @@ def ewma_features(
         F.unix_micros(F.col(ts_col)).alias("ts_us"),
         fold.alias("ewma_scaled"),
     )
+
+
+def rolling_median(
+    events: DataFrame,
+    value_col: str = "value",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    depth: int = 9,
+    scale: int = 3,
+) -> DataFrame:
+    """Per-event rolling median of the entity's last ``depth`` values
+    (event-time order, inclusive) — the robust-location twin of
+    :func:`ewma_features`, same exact-integer design.
+
+    Median of n scaled ints = floor of the average of the two middle
+    order statistics (equal for odd n) — pure integer ops over an
+    ``array_sort`` of the bounded window array, so the feature is
+    bit-identical across engines; a float ``percentile`` would not be.
+    One shuffle (entity window); per-row state is ``depth`` longs and the
+    sort is O(depth log depth) row-local — no global ordering anywhere.
+    """
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(ts_col, order_col)
+        .rowsBetween(-(depth - 1), Window.currentRow)
+    )
+    snapped = F.round(F.col(value_col) * (10**scale)).cast("long")
+    arr = F.array_sort(F.collect_list(snapped).over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2).cast("int") + 1)
+    return events.select(
+        order_col,
+        F.col(entity_col).alias("entity"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.shiftright(lo + hi, 1).alias("median_scaled"),
+    )

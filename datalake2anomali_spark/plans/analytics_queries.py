@@ -11,6 +11,7 @@ identical scaled-integer recurrence.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from datalake2anomali_spark.io.tables import load_table
 from datalake2anomali_spark.operators import analytics
@@ -159,11 +160,78 @@ SELECT node, r AS rank_scaled FROM r3
 """
 
 
+#: Epoch-day split for the incremental-view query: history < this day,
+#: delta >= (2024-01-21; events span 2024-01-01..01-30).
+VIEW_SPLIT_DAY = 19_743
+_DAY_US = 86_400_000_000
+
+
+def incremental_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup maintenance (``operators/views.py``): build the
+    per-(day, event_type) state vector over the first 20 days, aggregate
+    the last 10 days as a delta, and MERGE the two state frames — never
+    rescanning history.  The oracle recomputes the rollup over the full
+    table in one pass; a hash match proves the merged view is bit-exact
+    with a full recompute (the mergeable-state contract)."""
+    from datalake2anomali_spark.operators import views
+
+    day = F.expr(f"unix_micros(ts) div {_DAY_US}")
+    e = load_table(spark, sf_dir, "events").withColumn("day", day)
+    keys = ["day", "event_type"]
+    hist = views.rollup_state(
+        e.filter(F.col("day") < VIEW_SPLIT_DAY), keys,
+        sum_cols={"value": 2}, minmax_cols=["event_id"],
+    )
+    delta = views.rollup_state(
+        e.filter(F.col("day") >= VIEW_SPLIT_DAY), keys,
+        sum_cols={"value": 2}, minmax_cols=["event_id"],
+    )
+    return views.merge_states([hist, delta], keys)
+
+
+VIEW_SQL = f"""
+SELECT epoch_us(ts) // {_DAY_US} AS day,
+       event_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value,
+       MIN(event_id) AS min_event_id,
+       MAX(event_id) AS max_event_id
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def rolling_median_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event rolling median of the user's last 9 values
+    (``operators/analytics.py: rolling_median``) — exact-integer order
+    statistics over a bounded window array; DuckDB ``list_sort`` oracle of
+    the same definition."""
+    return analytics.rolling_median(load_table(spark, sf_dir, "events"))
+
+
+ROLLING_MEDIAN_SQL = """
+SELECT event_id,
+       user_id AS entity,
+       epoch_us(ts) AS ts_us,
+       (ls[(len(ls) + 1) // 2] + ls[len(ls) // 2 + 1]) >> 1 AS median_scaled
+FROM (
+  SELECT event_id, user_id, ts,
+         list_sort(list(CAST(ROUND(value * 1000) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 8 PRECEDING AND CURRENT ROW
+         )) AS ls
+  FROM events
+) t
+"""
+
+
 QUERIES = {
     "funnel_analysis": funnel_view_click_purchase,
     "cohort_retention": cohort_retention_weekly,
     "ewma_features": ewma_user_values,
     "pagerank": pagerank_trade_graph,
+    "incremental_view": incremental_view_refresh,
+    "rolling_median": rolling_median_values,
 }
 
 ORACLES = {
@@ -171,4 +239,6 @@ ORACLES = {
     "cohort_retention": COHORT_SQL,
     "ewma_features": EWMA_SQL,
     "pagerank": PAGERANK_SQL,
+    "incremental_view": VIEW_SQL,
+    "rolling_median": ROLLING_MEDIAN_SQL,
 }

@@ -1177,6 +1177,36 @@ FROM (
 #: words with different document frequencies → distinct idf weights).
 BM25_TERMS = ["spark", "window", "merge"]
 
+#: Phrase for the positional-index search query (distinct tokens, so
+#: occurrences cannot overlap and counts are unambiguous).
+PHRASE = "table value"
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase occurrence counts via positional inverted-index joins
+    (``llm/search.py: phrase_search``): postings are term-filtered BEFORE
+    any join, so cost scales with posting-list sizes, not corpus size.
+    The oracle recomputes positions through DuckDB's indexed-lambda list
+    machinery — an independent positional formulation."""
+    from ..llm.search import phrase_search
+
+    return phrase_search(load_table(spark, sf_dir, "documents"), PHRASE)
+
+
+PHRASE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_transform(string_split(text, ' '),
+                (t, i) -> struct_pack(term := t, pos := i))) AS tp
+  FROM documents
+)
+SELECT a.doc_id, COUNT(*) AS n_matches
+FROM (SELECT doc_id, tp.pos AS p FROM toks WHERE tp.term = 'table') a
+JOIN (SELECT doc_id, tp.pos AS p FROM toks WHERE tp.term = 'value') b
+  ON a.doc_id = b.doc_id AND b.p = a.p + 1
+GROUP BY 1
+"""
+
 
 def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance of every document for a fixed 3-term query
@@ -1977,6 +2007,7 @@ QUERIES = {
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "dedup_clusters": q_dedup_clusters,
     "bm25_scores": q_bm25_scores,
+    "phrase_search": q_phrase_search,
     "docs_clean_pipeline": q_docs_clean_pipeline,
     "stratified_sample": q_stratified_sample,
     "decontaminate": q_decontaminate,
@@ -2012,6 +2043,7 @@ ORACLES = {
     "embedding_neardup_lsh": EMBEDDING_NEARDUP_LSH_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "bm25_scores": BM25_SQL,
+    "phrase_search": PHRASE_SQL,
     "docs_clean_pipeline": DOCS_CLEAN_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "decontaminate": DECONTAMINATE_SQL,

@@ -1,0 +1,108 @@
+"""Edge tests: operators/views.py (mergeable rollups), llm/search.py
+phrase_search, operators/analytics.py rolling_median."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake2anomali_spark.llm.search import phrase_search
+from datalake2anomali_spark.operators import analytics, views
+
+US = 1_000_000
+
+
+def test_merge_states_equals_full_recompute(spark):
+    df = spark.createDataFrame(
+        [(d, t, float(v), i) for i, (d, t, v) in enumerate(
+            [(1, "a", 1.11), (1, "a", 2.22), (1, "b", 3.0),
+             (2, "a", 4.4), (2, "a", 0.01), (3, "b", 9.99)]
+        )],
+        "day int, typ string, value double, event_id long",
+    )
+    keys = ["day", "typ"]
+    kw = dict(sum_cols={"value": 2}, minmax_cols=["event_id"])
+    full = views.rollup_state(df, keys, **kw)
+    # split three ways (uneven, one empty slice) and merge
+    parts = [df.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    merged = views.merge_states([views.rollup_state(p, keys, **kw) for p in parts], keys)
+    a = sorted(map(tuple, full.collect()))
+    b = sorted(map(tuple, merged.collect()))
+    assert a == b
+    # exactness: 1.11 + 2.22 stored as 111 + 222 scaled-long, not floats
+    row = {(r.day, r.typ): r for r in merged.collect()}[(1, "a")]
+    assert (row.n_rows, row.sum_value) == (2, 333)
+
+
+def test_merge_states_is_reentrant(spark):
+    # merging merged states must be legal (view-of-views): same schema roles
+    df = spark.createDataFrame([(1, 1.0, 1), (1, 2.0, 2)], "k int, value double, event_id long")
+    s = views.rollup_state(df, ["k"], sum_cols={"value": 2}, minmax_cols=["event_id"])
+    twice = views.merge_states([views.merge_states([s], ["k"]), s], ["k"])
+    row = twice.collect()[0]
+    assert (row.n_rows, row.sum_value, row.min_event_id) == (4, 600, 1)
+
+
+def test_merge_states_rejects_unmergeable_columns(spark):
+    df = spark.createDataFrame([(1, 2.0)], "k int, avg_value double")
+    with pytest.raises(ValueError, match="merge op"):
+        views.merge_states([df], ["k"])
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+
+def test_phrase_search_counts_and_three_term_chain(spark):
+    docs = _docs(
+        spark,
+        [
+            "a b c a b c a b",  # "a b c" twice, "a b" three times
+            "b c a",  # contains no "a b"
+            "a b",  # exactly once, at end
+            "x a b y a b",  # twice
+        ],
+    )
+    two = {r.doc_id: r.n_matches for r in phrase_search(docs, "a b").collect()}
+    assert two == {0: 3, 2: 1, 3: 2}
+    three = {r.doc_id: r.n_matches for r in phrase_search(docs, "a b c").collect()}
+    assert three == {0: 2}
+
+
+def test_phrase_search_repeated_token_overlaps(spark):
+    # overlapping occurrences of a self-overlapping phrase all count:
+    # "a a a" contains "a a" starting at positions 0 and 1
+    docs = _docs(spark, ["a a a"])
+    out = phrase_search(docs, "a a").collect()
+    assert out[0].n_matches == 2
+
+
+def test_phrase_search_rejects_malformed(spark):
+    docs = _docs(spark, ["x"])
+    with pytest.raises(ValueError, match="malformed"):
+        phrase_search(docs, "a  b")  # empty token from double space
+
+
+def test_rolling_median_orderstats_and_parity(spark):
+    rows = [(i, 1, i * US, "view", float(v)) for i, v in enumerate([5, 1, 9, 3, 7], 1)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string, value double"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
+    out = {r.event_id: r.median_scaled for r in analytics.rolling_median(ev, depth=9).collect()}
+    assert out[1] == 5000  # [5]
+    assert out[2] == 3000  # [1,5] → (1000+5000)>>1
+    assert out[3] == 5000  # [1,5,9]
+    assert out[4] == 4000  # [1,3,5,9] → (3000+5000)>>1
+    assert out[5] == 5000  # [1,3,5,7,9]
+
+
+def test_rolling_median_depth_eviction(spark):
+    # depth=3: the 4th event's window drops the first value
+    rows = [(1, 1, 1 * US, "v", 100.0), (2, 1, 2 * US, "v", 1.0),
+            (3, 1, 3 * US, "v", 2.0), (4, 1, 4 * US, "v", 3.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string, value double"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
+    out = {r.event_id: r.median_scaled for r in analytics.rolling_median(ev, depth=3).collect()}
+    assert out[3] == 2000  # [100,1,2] → median 2
+    assert out[4] == 2000  # [1,2,3] → 100 evicted

@@ -88,6 +88,8 @@ _PRIORITY: tuple[str, ...] = (
     "phrase_search",  # new: positional inverted-index phrase match (llm/search.py)
     "incremental_view",  # new: mergeable-rollup view maintenance (operators/views.py)
     "rolling_median",  # new: exact order-statistic window feature (operators/analytics.py)
+    "triangle_count",  # new: degree-oriented triangle counting (llm/graph.py)
+    "markov_transitions",  # new: exact-ppm transition matrix (operators/analytics.py)
 )
 
 #: Exactly the entries past the 50-row window (68 registered − 50 = 18).
@@ -124,6 +126,9 @@ _TAIL: tuple[str, ...] = (
     "docs_clean_pipeline",  # sibling corpus_stats (composed-pipeline family)
     "stream_interval_join",  # sibling stream_burst_alerts (stateful-stream family)
     "ann_topk_quantized",  # sibling ann_cosine_topk (ANN family)
+    "embedding_neardup_lsh",  # sibling ann_cosine_topk (embedding-similarity family)
+    "salted_skew_stats",  # sibling region_customer_stats (grouped-agg family); the
+    # physical salted-vs-unsalted pair also runs every bench (skew_zipf_*)
 )
 
 _MODULES = (

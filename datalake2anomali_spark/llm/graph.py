@@ -343,3 +343,71 @@ def pagerank(
             ).alias("rank_scaled"),
         )
     return ranks
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts via degree-ordered edge
+    orientation — the MapReduce-classic plan (Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11).
+
+    Naively, wedges (2-paths) explode around hub nodes: a degree-d node
+    yields d² candidate wedges, and one celebrity key stalls the whole
+    stage (the "last reducer").  Orienting every edge from its lower
+    (degree, id) endpoint to its higher caps the *out*-degree of any node
+    at O(√m), so wedge generation is bounded by Σ outdeg² = O(m^1.5)
+    total and no single key dominates — the orientation IS the skew
+    mitigation.  Each triangle is then found exactly once, at its
+    lowest-ranked apex.
+
+    Plan: canonicalize+distinct edges, one explode+groupBy for degrees,
+    two joins to attach endpoint ranks, a self-join on the apex for
+    wedges, an equi-join on (v, w) to close them, and an explode+groupBy
+    for per-node counts.  Composite rank ``(deg << 32) + node`` packs the
+    (degree, id) total order into one long comparison key — caller
+    contract: node ids fit 32 bits (re-id with ``zipWithIndex``-style
+    dense ids first otherwise; a struct-comparison rank would lift the
+    limit at the cost of a wider shuffle key).
+
+    Returns (node, n_triangles) for every node in at least one triangle.
+    """
+    e = edges.select(F.col(src).alias("_x"), F.col(dst).alias("_y"))
+    und = (
+        e.select(F.least("_x", "_y").alias("a"), F.greatest("_x", "_y").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .select(
+            "node",
+            (F.shiftleft(F.col("_deg"), 32) + F.col("node")).alias("_rank"),
+        )
+    )
+    ranked = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("_rank").alias("_ra")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("_rank").alias("_rb")), "b")
+    )
+    oriented = ranked.select(
+        F.when(F.col("_ra") < F.col("_rb"), F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(F.col("_ra") < F.col("_rb"), F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.greatest("_ra", "_rb").alias("_rv"),
+    )
+    o1 = oriented.select("u", F.col("v").alias("_v"), F.col("_rv").alias("_kv"))
+    o2 = oriented.select("u", F.col("v").alias("_w"), F.col("_rv").alias("_kw"))
+    wedges = (
+        o1.join(o2, "u")
+        .filter(F.col("_kv") < F.col("_kw"))
+        .select("u", F.col("_v").alias("v"), F.col("_w").alias("w"))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("u").alias("v"), F.col("v").alias("w")),
+        ["v", "w"],
+    )
+    return (
+        closed.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

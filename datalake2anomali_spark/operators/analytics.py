@@ -223,3 +223,41 @@ def rolling_median(
         F.unix_micros(F.col(ts_col)).alias("ts_us"),
         F.shiftright(lo + hi, 1).alias("median_scaled"),
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    type_col: str = "event_type",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences: for every (from_type, to_type) the transition count and
+    the row-normalized probability in exact parts-per-``scale``
+    (``(n · scale) div row_total`` — integer, engine-identical; float
+    division would drift in the last ulp and break exact comparison).
+
+    Plan: one shuffle for the per-entity ``lag`` window, a map-side-
+    combined count on the (from, to) key — cardinality = |types|², tiny —
+    and a window sum over ``from_type`` for the row totals (no second
+    scan of the fact table; the totals window runs on the already-
+    aggregated matrix).  This is the sequence-prior builder for session
+    modeling / next-event prediction features.
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col, order_col)
+    pairs = events.select(
+        F.lag(type_col).over(w).alias("from_type"),
+        F.col(type_col).alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy("from_type"))
+    return counts.withColumn("_row_total", total).select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr(f"(n * {scale}) div _row_total").alias("p_ppm"),
+    )

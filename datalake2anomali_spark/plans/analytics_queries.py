@@ -225,6 +225,84 @@ FROM (
 """
 
 
+def triangle_parts_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the part *affinity* graph — parts
+    co-purchased in ≥ 2 distinct orders (``llm/graph.py:
+    triangle_counts``, degree-ordered orientation bounding wedge fan-out
+    at O(√m) per node).  The support threshold is the standard
+    market-basket move: the raw one-order co-occurrence graph is a union
+    of per-order cliques (quadratically dense noise — measured 890k edges
+    at sf0.1), while the ≥2-support graph keeps only repeated
+    associations.  The oracle enumerates id-ordered triangles by brute
+    3-way self-join; equal per-node counts prove the oriented plan finds
+    exactly the same triangle set."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .drop("_n")
+    )
+    from datalake2anomali_spark.llm.graph import triangle_counts
+
+    return triangle_counts(edges)
+
+
+TRIANGLE_SQL = """
+WITH und AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+)
+SELECT node, COUNT(*) AS n_triangles
+FROM (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+GROUP BY 1
+"""
+
+
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix with exact ppm
+    probabilities (``operators/analytics.py: markov_transitions``) — the
+    sequence-prior builder for next-event features."""
+    return analytics.markov_transitions(load_table(spark, sf_dir, "events"))
+
+
+MARKOV_SQL = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       (n * 1000000) // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+         AS p_ppm
+FROM counts
+"""
+
+
 QUERIES = {
     "funnel_analysis": funnel_view_click_purchase,
     "cohort_retention": cohort_retention_weekly,
@@ -232,6 +310,8 @@ QUERIES = {
     "pagerank": pagerank_trade_graph,
     "incremental_view": incremental_view_refresh,
     "rolling_median": rolling_median_values,
+    "triangle_count": triangle_parts_graph,
+    "markov_transitions": markov_event_transitions,
 }
 
 ORACLES = {
@@ -241,4 +321,6 @@ ORACLES = {
     "pagerank": PAGERANK_SQL,
     "incremental_view": VIEW_SQL,
     "rolling_median": ROLLING_MEDIAN_SQL,
+    "triangle_count": TRIANGLE_SQL,
+    "markov_transitions": MARKOV_SQL,
 }

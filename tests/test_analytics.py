@@ -110,3 +110,34 @@ def test_ewma_decay_prefers_recent(spark):
     out = {r.event_id: r.ewma_scaled for r in analytics.ewma_features(ev).collect()}
     assert out[1] == 100_000
     assert out[2] == 50_000  # old value halved, new value dominates
+
+
+def test_markov_transitions_exact_ppm(spark):
+    ev = _events(
+        spark,
+        [
+            # user 1: a -> b -> a -> c ; user 2: b -> a
+            (1, 1, 1 * US, "a", 0.0),
+            (2, 1, 2 * US, "b", 0.0),
+            (3, 1, 3 * US, "a", 0.0),
+            (4, 1, 4 * US, "c", 0.0),
+            (5, 2, 1 * US, "b", 0.0),
+            (6, 2, 2 * US, "a", 0.0),
+        ],
+    )
+    out = {
+        (r.from_type, r.to_type): (r.n, r.p_ppm)
+        for r in analytics.markov_transitions(ev).collect()
+    }
+    # from 'a': b once, c once → 500000 ppm each; from 'b': a twice → 1000000
+    assert out == {
+        ("a", "b"): (1, 500_000),
+        ("a", "c"): (1, 500_000),
+        ("b", "a"): (2, 1_000_000),
+    }
+
+
+def test_markov_transitions_no_cross_user_leak(spark):
+    # last event of user 1 must NOT chain into first event of user 2
+    ev = _events(spark, [(1, 1, 1 * US, "x", 0.0), (2, 2, 2 * US, "y", 0.0)])
+    assert analytics.markov_transitions(ev).count() == 0

@@ -188,3 +188,45 @@ def test_pagerank_dangling_and_sourceless_nodes(spark):
     got = {row.node: row.rank_scaled for row in pagerank(df, iters=1).collect()}
     assert got[1] == 150_000  # no in-edges: base only
     assert got[2] == 150_000 + (85 * 1_000_000) // 100
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 plus a pendant chain: every K4 node sits in C(3,2)=3 triangles,
+    chain nodes in none (absent from output)."""
+    from datalake2anomali_spark.llm.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    chain = [(3, 10), (10, 11)]
+    df = spark.createDataFrame(k4 + chain, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_duplicate_and_reversed_edges(spark):
+    from datalake2anomali_spark.llm.graph import triangle_counts
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (3, 3)], "src long, dst long"
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}  # dups/reversals/self-loop ignored
+
+
+def test_triangle_counts_matches_bruteforce_random(spark):
+    import itertools
+    import random
+
+    from datalake2anomali_spark.llm.graph import triangle_counts
+
+    rng = random.Random(11)
+    nodes = list(range(30))
+    edges = [(a, b) for a, b in itertools.combinations(nodes, 2) if rng.random() < 0.2]
+    adj = set(edges)
+    expect: dict[int, int] = {}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (x, y) in adj and (y, z) in adj and (x, z) in adj:
+            for n in (x, y, z):
+                expect[n] = expect.get(n, 0) + 1
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == expect

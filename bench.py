@@ -156,6 +156,7 @@ def main() -> None:
     # is attributable.  "value" stays the cold total for cross-round
     # comparability.
     warm_timings: dict[str, float] = {}
+    run_idx = 0
     for out, tag in ((timings, "cold"), (warm_timings, "warm")):
         for name, fn in qs.items():
             t0 = time.time()
@@ -166,6 +167,14 @@ def main() -> None:
             # query); drop them between timings so later queries aren't taxed
             # by storage-memory pressure from earlier ones
             spark.catalog.clearCache()
+            # ... and periodically force the weak-ref ContextCleaner to run:
+            # without a JVM GC, shuffle/broadcast/checkpoint blocks from
+            # EVERY prior query stay resident (measured 3-4x tail slowdown
+            # across an 84-query pass; periodicGC.interval=1min in
+            # session.py bounds long gaps, this bounds the within-pass pile)
+            run_idx += 1
+            if run_idx % 10 == 0:
+                spark.sparkContext._jvm.System.gc()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(

@@ -37,6 +37,15 @@ def get_spark(app_name: str = "datalake2anomali-spark", cpus: int | str | None =
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # ContextCleaner is weak-reference driven: shuffle files, broadcast
+        # blocks, and localCheckpoint RDDs are only released after a JVM GC
+        # enqueues their references, and a large mostly-idle heap can go the
+        # default 30 MINUTES without one.  Long many-query sessions (the
+        # bench, the driver's 50-query gate) otherwise degrade 3-4x by the
+        # tail as dead state accumulates; measured decontaminate 2.7s fresh
+        # vs 9.9s at position ~80 of a bench run.  One minute keeps cleanup
+        # bounded without measurable GC overhead at this heap size.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")

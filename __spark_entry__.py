@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "rolling_median",  # new: exact order-statistic window feature (operators/analytics.py)
     "triangle_count",  # new: degree-oriented triangle counting (llm/graph.py)
     "markov_transitions",  # new: exact-ppm transition matrix (operators/analytics.py)
+    "exact_quantiles",  # new: two-pass distributed selection (functions/selection.py)
 )
 
 #: Exactly the entries past the 50-row window (68 registered − 50 = 18).
@@ -115,7 +116,7 @@ _TAIL: tuple[str, ...] = (
     "range_join_error_clicks",  # temporal-join family sibling asof_join_tolerance
     "distinct_set_ops",  # relational-breadth family; rotates back in r6
     "ann_lsh_topk",  # sibling ann_cosine_topk (ANN family, in window)
-    "dedup_simhash",  # sibling dedup_minhash_lsh (near-dup blocking family)
+    "dedup_simhash",  # sibling dedup_ngram_jaccard (near-dup blocking family)
     "stream_tumbling_counts",  # siblings batch_windows + stream_interval_join
     "ann_ivf_topk",  # siblings ann_cosine_topk + ann_topk_quantized (in window)
     "decontaminate",  # sibling docs_clean_pipeline (broadcast-probe family)
@@ -129,6 +130,7 @@ _TAIL: tuple[str, ...] = (
     "embedding_neardup_lsh",  # sibling ann_cosine_topk (embedding-similarity family)
     "salted_skew_stats",  # sibling region_customer_stats (grouped-agg family); the
     # physical salted-vs-unsalted pair also runs every bench (skew_zipf_*)
+    "dedup_minhash_lsh",  # sibling dedup_ngram_jaccard (near-dup blocking family)
 )
 
 _MODULES = (

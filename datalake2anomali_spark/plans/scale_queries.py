@@ -318,8 +318,40 @@ ORDER BY 1
 """
 
 
+QUANTILES = [0.5, 0.95, 0.99]
+
+
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 of l_extendedprice in two bounded aggregate
+    passes (``functions/selection.py``) — distributed selection instead of
+    the global sort `percentile_disc` implies; the oracle ranks every row
+    with ROW_NUMBER and picks the same ``max(1, ceil(q·n))`` order
+    statistic, so a hash match proves the histogram-refinement walk exact.
+    """
+    from ..functions.selection import exact_quantiles
+
+    return exact_quantiles(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice", QUANTILES
+    )
+
+
+EXACT_QUANTILES_SQL = f"""
+WITH v AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS s FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+), n AS (SELECT COUNT(*) AS n FROM v),
+ranked AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn FROM v)
+SELECT qs.q, ranked.s AS value_scaled
+FROM (VALUES {", ".join(f"({q})" for q in QUANTILES)}) qs(q)
+CROSS JOIN n
+JOIN ranked ON ranked.rn = GREATEST(1, CAST(CEIL(qs.q * n.n) AS BIGINT))
+ORDER BY qs.q
+"""
+
+
 QUERIES = {
     "heavy_hitters": q_heavy_hitters,
+    "exact_quantiles": q_exact_quantiles,
     "zorder_key": q_zorder_key,
     "schema_evolution": q_schema_evolution,
     "merge_upsert": q_merge_upsert,
@@ -328,6 +360,7 @@ QUERIES = {
 
 ORACLES = {
     "heavy_hitters": HEAVY_HITTERS_SQL,
+    "exact_quantiles": EXACT_QUANTILES_SQL,
     "zorder_key": ZORDER_KEY_SQL,
     "schema_evolution": SCHEMA_EVOLUTION_SQL,
     "merge_upsert": MERGE_UPSERT_SQL,

@@ -27,3 +27,53 @@ def test_sketch_summary_tiny_group(spark):
     )
     r = sketch_summary(df, "k", "uid", "value").first()
     assert r.hll_ok and r.p50_ok and r.p95_ok
+
+
+def test_exact_quantiles_known_values(spark):
+    """100 distinct values 0.01..1.00: ceil-rank convention is directly
+    checkable (p50 → rank 50 → 0.50; p95 → 0.95; p99 → 0.99; p100 → max;
+    tiny q floors to rank 1 → min)."""
+    from datalake2anomali_spark.functions.selection import exact_quantiles
+
+    df = spark.createDataFrame([(i / 100.0,) for i in range(1, 101)], "v double")
+    out = dict(
+        (r.q, r.value_scaled)
+        for r in exact_quantiles(df, "v", [0.001, 0.5, 0.95, 0.99, 1.0]).collect()
+    )
+    assert out == {0.001: 1, 0.5: 50, 0.95: 95, 0.99: 99, 1.0: 100}
+
+
+def test_exact_quantiles_duplicates_negatives_and_nulls(spark):
+    from datalake2anomali_spark.functions.selection import exact_quantiles
+
+    rows = [(-5.0,)] * 10 + [(0.0,)] * 10 + [(7.25,)] * 10 + [(None,)] * 5
+    df = spark.createDataFrame(rows, "v double")
+    out = dict(
+        (r.q, r.value_scaled)
+        for r in exact_quantiles(df, "v", [0.2, 0.5, 0.9]).collect()
+    )
+    # n=30 non-null: rank 6 → -500; rank 15 → 0; rank 27 → 725
+    assert out == {0.2: -500, 0.5: 0, 0.9: 725}
+
+
+def test_exact_quantiles_spanning_bucket_boundary(spark):
+    """Values straddling a 2^16 coarse-bucket edge: the walk must order
+    buckets numerically (incl. the arithmetic-shift negative bucket)."""
+    from datalake2anomali_spark.functions.selection import exact_quantiles
+
+    vals = [-700.0, -1.0, 650.0, 660.0, 700.0]  # scaled: -70000, -100, 65000...
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = dict(
+        (r.q, r.value_scaled) for r in exact_quantiles(df, "v", [0.2, 0.6, 1.0]).collect()
+    )
+    assert out == {0.2: -70000, 0.6: 65000, 1.0: 70000}
+
+
+def test_exact_quantiles_empty_raises(spark):
+    import pytest
+
+    from datalake2anomali_spark.functions.selection import exact_quantiles
+
+    df = spark.createDataFrame([(None,)], "v double")
+    with pytest.raises(ValueError, match="no non-NULL"):
+        exact_quantiles(df, "v", [0.5])

@@ -91,6 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "triangle_count",  # new: degree-oriented triangle counting (llm/graph.py)
     "markov_transitions",  # new: exact-ppm transition matrix (operators/analytics.py)
     "exact_quantiles",  # new: two-pass distributed selection (functions/selection.py)
+    "stream_view_maintenance",  # new: foreachBatch mergeable-view refresh
 )
 
 #: Exactly the entries past the 50-row window (68 registered − 50 = 18).
@@ -131,6 +132,7 @@ _TAIL: tuple[str, ...] = (
     "salted_skew_stats",  # sibling region_customer_stats (grouped-agg family); the
     # physical salted-vs-unsalted pair also runs every bench (skew_zipf_*)
     "dedup_minhash_lsh",  # sibling dedup_ngram_jaccard (near-dup blocking family)
+    "dedup_clusters_star",  # siblings dedup_keep_best + pagerank (graph family)
 )
 
 _MODULES = (

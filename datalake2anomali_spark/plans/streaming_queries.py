@@ -30,6 +30,7 @@ restarts, idle-key timeout) are covered in ``tests/test_streaming.py``.
 
 from __future__ import annotations
 
+from datalake2anomali_spark.plans import analytics_queries as _analytics
 from datalake2anomali_spark.plans import temporal_queries as _temporal
 from datalake2anomali_spark.streaming import incremental, joins, stateful, windows
 
@@ -40,6 +41,7 @@ QUERIES = {
     "stream_tumbling_counts": incremental.stream_tumbling_counts,
     "stream_dedup_events": incremental.stream_dedup_events,
     "stream_sessionize": incremental.stream_sessionize,
+    "stream_view_maintenance": incremental.stream_view_maintenance,
     "stream_dedup_late": incremental.stream_dedup_late,
     "stateful_user_profiles": stateful.stateful_user_profiles,
 }
@@ -51,6 +53,8 @@ ORACLES = {
     "stream_tumbling_counts": windows.TUMBLING_SQL,
     "stream_dedup_events": incremental.STREAM_DEDUP_SQL,
     "stream_sessionize": windows.SESSION_WINDOW_SQL,
+    # the streaming refresh must converge to the batch rollup exactly
+    "stream_view_maintenance": _analytics.VIEW_SQL,
     "stream_dedup_late": incremental.STREAM_DEDUP_LATE_SQL,
     "stateful_user_profiles": stateful.STATEFUL_PROFILE_SQL,
 }

@@ -219,6 +219,110 @@ SELECT event_id, user_id, event_type FROM events
 """
 
 
+def maintain_rollup_view(
+    stream_df: DataFrame,
+    view_path: str,
+    keys: list[str],
+    sum_cols: dict[str, int] | None = None,
+    minmax_cols: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Continuously maintain a parquet rollup view from a stream via
+    ``foreachBatch`` + the mergeable-state algebra of
+    :mod:`..operators.views`: each micro-batch is aggregated to a delta
+    state vector and merged with the stored view — history is never
+    rescanned, the central claim of incremental view maintenance, here
+    wired to the streaming runtime.
+
+    Because state-vector merge is associative AND commutative (sums of
+    snapped ints, min/max), the final view is bit-identical to a full
+    batch recompute regardless of how the source happens to be split into
+    micro-batches — which is exactly what the driver's oracle checks.
+
+    The merged frame is eagerly ``localCheckpoint``-ed BEFORE the
+    overwrite: the new view's plan reads the old view's files, and
+    overwriting a path while a lazy plan still needs it is a
+    read-your-own-delete race.  (On a cluster: checkpoint to reliable
+    storage, or write-new-dir-then-swap.)
+    """
+    from ..operators.views import merge_states, rollup_state
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        delta = rollup_state(batch_df, keys, sum_cols, minmax_cols)
+        if any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(view_path)
+            for f in fs
+        ):
+            sp.catalog.refreshByPath(view_path)
+            merged = merge_states([sp.read.parquet(view_path), delta], keys)
+        else:
+            merged = delta
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            view_path
+        )
+
+    if checkpoint_dir is None:
+        checkpoint_dir = os.path.join(
+            _scratch_checkpoint_root(), f"view_{uuid.uuid4().hex[:12]}"
+        )
+    q = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming refresh of the per-(day, type) rollup view.
+
+    Fans the events table out as three parquet files, streams them back
+    with ``maxFilesPerTrigger=1`` (three real micro-batches), folds each
+    batch into the stored view with :func:`maintain_rollup_view`, and
+    returns the final view — which the full-table rollup oracle must
+    hash-match (same oracle as the batch ``incremental_view`` query; the
+    streaming path must converge to the identical state).
+    """
+    import shutil
+
+    e = load_sf_events(spark, sf_dir)
+    base = (
+        "/dev/shm"
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+        else tempfile.gettempdir()
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    src = os.path.join(base, f"d2a_viewsrc_{tag}")
+    view = os.path.join(base, f"d2a_view_{tag}")
+    shutil.rmtree(view, ignore_errors=True)  # pure function of the source
+    e.repartition(3).write.mode("overwrite").parquet(src)
+    spark.catalog.refreshByPath(src)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1).withColumn(
+        "day", F.expr("unix_micros(ts) div 86400000000")
+    )
+    maintain_rollup_view(
+        stream,
+        view,
+        keys=["day", "event_type"],
+        sum_cols={"value": 2},
+        minmax_cols=["event_id"],
+    )
+    spark.catalog.refreshByPath(view)
+    return spark.read.parquet(view).select(
+        "day", "event_type", "n_rows", "sum_value", "min_event_id", "max_event_id"
+    )
+
+
+def load_sf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake2anomali_spark.io.tables import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end Structured Streaming twin of
     ``windows.session_window_stats`` — the *stateful merging* session

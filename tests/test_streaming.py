@@ -479,3 +479,47 @@ def test_stream_sessionize_merges_open_sessions_across_batches(spark, tmp_path):
     assert (r.user_id, r.sess_start, r.n_events, r.duration_us) == (
         7, BASE, 4, 3600 * 1_000_000
     )
+
+
+def test_maintain_rollup_view_merges_across_batches(spark, tmp_path):
+    """foreachBatch view refresh: batch 2 must MERGE into batch 1's stored
+    state (counts add, min/max widen) rather than replace it."""
+    d = tmp_path / "events_in"
+    d.mkdir()
+    _write_events(
+        str(d / "b1.parquet"),
+        [(1, BASE, 7, "click", 1.25), (2, BASE + 60, 7, "click", 2.50)],
+        mtime=1_000_000,
+    )
+    _write_events(
+        str(d / "b2.parquet"),
+        [(3, BASE + 120, 7, "click", 4.00), (4, BASE + 180, 8, "view", 1.00)],
+        mtime=1_000_100,
+    )
+    batches = []
+    view = str(tmp_path / "view")
+    stream = incremental.read_events_stream(spark, str(d), max_files_per_trigger=1)
+
+    # wrap to count micro-batches without touching the operator
+    from datalake2anomali_spark.operators import views as _views
+
+    real_rollup = _views.rollup_state
+
+    def counting_rollup(df, keys, sum_cols=None, minmax_cols=None):
+        batches.append(1)
+        return real_rollup(df, keys, sum_cols, minmax_cols)
+
+    _views.rollup_state = counting_rollup
+    try:
+        incremental.maintain_rollup_view(
+            stream, view, keys=["event_type"], sum_cols={"value": 2},
+            minmax_cols=["event_id"],
+        )
+    finally:
+        _views.rollup_state = real_rollup
+
+    assert len(batches) == 2, "maxFilesPerTrigger=1 must yield two merge batches"
+    out = {r.event_type: r for r in spark.read.parquet(view).collect()}
+    assert (out["click"].n_rows, out["click"].sum_value) == (3, 775)
+    assert (out["click"].min_event_id, out["click"].max_event_id) == (1, 3)
+    assert (out["view"].n_rows, out["view"].sum_value) == (1, 100)

@@ -92,6 +92,7 @@ _PRIORITY: tuple[str, ...] = (
     "markov_transitions",  # new: exact-ppm transition matrix (operators/analytics.py)
     "exact_quantiles",  # new: two-pass distributed selection (functions/selection.py)
     "stream_view_maintenance",  # new: foreachBatch mergeable-view refresh
+    "json_flatten",  # new: schema-on-read UDTF over semi-structured props
 )
 
 #: Exactly the entries past the 50-row window (68 registered − 50 = 18).
@@ -133,6 +134,7 @@ _TAIL: tuple[str, ...] = (
     # physical salted-vs-unsalted pair also runs every bench (skew_zipf_*)
     "dedup_minhash_lsh",  # sibling dedup_ngram_jaccard (near-dup blocking family)
     "dedup_clusters_star",  # siblings dedup_keep_best + pagerank (graph family)
+    "embedding_kmeans",  # sibling ann_cosine_topk (embedding family); IVF trainer twin
 )
 
 _MODULES = (

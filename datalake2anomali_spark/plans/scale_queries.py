@@ -349,9 +349,36 @@ ORDER BY qs.q
 """
 
 
+def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON flattening via a Python UDTF
+    (``functions/udtfs.py: JsonFlatten``): one (path, leaf) row per scalar
+    leaf of each event's ``props`` payload, lateral-joined to the event id
+    — the semi-structured schema-discovery primitive ``from_json`` (known
+    schema) and ``explode`` (typed arrays) cannot express.  Arrow-batched;
+    the DuckDB oracle recomputes the same rows through its native
+    ``json_keys``/``json_extract``."""
+    from ..functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("d2a_props_src")
+    return spark.sql(
+        "SELECT e.event_id, f.path, f.leaf "
+        "FROM d2a_props_src e, LATERAL json_flatten(e.props) f"
+    )
+
+
+JSON_FLATTEN_SQL = """
+SELECT event_id,
+       '$.' || k AS path,
+       CAST(json_extract(props, '$.' || k) AS VARCHAR) AS leaf
+FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events) t
+"""
+
+
 QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "exact_quantiles": q_exact_quantiles,
+    "json_flatten": q_json_flatten,
     "zorder_key": q_zorder_key,
     "schema_evolution": q_schema_evolution,
     "merge_upsert": q_merge_upsert,
@@ -361,6 +388,7 @@ QUERIES = {
 ORACLES = {
     "heavy_hitters": HEAVY_HITTERS_SQL,
     "exact_quantiles": EXACT_QUANTILES_SQL,
+    "json_flatten": JSON_FLATTEN_SQL,
     "zorder_key": ZORDER_KEY_SQL,
     "schema_evolution": SCHEMA_EVOLUTION_SQL,
     "merge_upsert": MERGE_UPSERT_SQL,

@@ -106,3 +106,28 @@ def test_rolling_median_depth_eviction(spark):
     out = {r.event_id: r.median_scaled for r in analytics.rolling_median(ev, depth=3).collect()}
     assert out[3] == 2000  # [100,1,2] → median 2
     assert out[4] == 2000  # [1,2,3] → 100 evicted
+
+
+def test_json_flatten_udtf_nested_paths(spark):
+    from datalake2anomali_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [
+            (1, '{"a": {"b": [1, {"c": true}]}, "d": null}'),
+            (2, "not json"),  # corrupt → zero rows
+            (3, None),  # null → zero rows
+            (4, '{"s": "x"}'),
+        ],
+        "id long, js string",
+    ).createOrReplaceTempView("jf_src")
+    rows = spark.sql(
+        "SELECT s.id, f.path, f.leaf FROM jf_src s, LATERAL json_flatten(s.js) f"
+    ).collect()
+    got = {(r.id, r.path): r.leaf for r in rows}
+    assert got == {
+        (1, "$.a.b[0]"): "1",
+        (1, "$.a.b[1].c"): "true",
+        (1, "$.d"): "null",
+        (4, "$.s"): '"x"',  # strings stay JSON-quoted (json_extract contract)
+    }

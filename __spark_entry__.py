@@ -93,6 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "exact_quantiles",  # new: two-pass distributed selection (functions/selection.py)
     "stream_view_maintenance",  # new: foreachBatch mergeable-view refresh
     "json_flatten",  # new: schema-on-read UDTF over semi-structured props
+    "time_travel",  # new: point-in-time reconstruction over SCD2 intervals
 )
 
 #: Exactly the entries past the 50-row window (68 registered − 50 = 18).
@@ -135,6 +136,7 @@ _TAIL: tuple[str, ...] = (
     "dedup_minhash_lsh",  # sibling dedup_ngram_jaccard (near-dup blocking family)
     "dedup_clusters_star",  # siblings dedup_keep_best + pagerank (graph family)
     "embedding_kmeans",  # sibling ann_cosine_topk (embedding family); IVF trainer twin
+    "batch_windows",  # sibling stream_sessionize (window-agg family, in window)
 )
 
 _MODULES = (

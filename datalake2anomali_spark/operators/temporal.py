@@ -375,3 +375,38 @@ def scd2_history(
         F.expr(f"unix_micros({ts_col})").alias("valid_from_us"),
         F.lead(F.expr(f"unix_micros({ts_col})")).over(w2).alias("valid_to_us"),
     ).withColumn("is_current", F.col("valid_to_us").isNull())
+
+
+def state_at_times(
+    history: DataFrame,
+    at_us: list[int],
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Time travel over SCD2 validity intervals: reconstruct the dimension
+    state at each probe timestamp — (as_of_us, key, attr) rows for every
+    interval containing the probe.
+
+    One map-only pass: each history row explodes exactly the probes its
+    ``[valid_from_us, valid_to_us)`` interval contains via a higher-order
+    ``filter`` over the (tiny, literal) probe array — no join, no
+    shuffle, output bounded by |history| × |probes|.  The open interval
+    convention matches :func:`scd2_history`: ``valid_to_us`` NULL means
+    current, and a probe equal to ``valid_to_us`` belongs to the NEXT
+    interval (half-open).
+
+    Probing at arbitrary per-row timestamps (a probe *relation* rather
+    than a literal list) is the point-in-interval range join —
+    :func:`range_join` with interval bucketing; this operator is the
+    broadcast-degenerate case where the probe side fits in the plan.
+    """
+    arr = F.array(*[F.lit(int(t)).cast("long") for t in at_us])
+    contained = F.filter(
+        arr,
+        lambda t: (F.col("valid_from_us") <= t)
+        & (F.col("valid_to_us").isNull() | (F.col("valid_to_us") > t)),
+    )
+    return history.select(
+        F.explode(contained).alias("as_of_us"),
+        F.col(key_col),
+        F.col("attr"),
+    )

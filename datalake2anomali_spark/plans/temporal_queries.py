@@ -279,8 +279,47 @@ SELECT user_id, event_type AS attr, ts_us AS valid_from_us,
 FROM c
 """
 
+#: Probe instants for the time-travel query: days 5/15/25 of the event
+#: window (2024-01-01 epoch 1_704_067_200 s), in microseconds.
+TT_PROBES_US = [(1_704_067_200 + d * 86_400) * 1_000_000 for d in (5, 15, 25)]
+
+
+def time_travel_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension state as of three instants, reconstructed from the SCD2
+    history (``operators/temporal.py: state_at_times``): the half-open
+    interval filter runs as one map-only higher-order-function pass over
+    the history — no join.  Oracle replays the same SCD2 CTE and probes
+    with an explicit interval-containment join."""
+    from datalake2anomali_spark.operators.temporal import scd2_history, state_at_times
+
+    h = scd2_history(load_table(spark, sf_dir, "events"))
+    return state_at_times(h, TT_PROBES_US)
+
+
+TIME_TRAVEL_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+),
+c AS (SELECT * FROM o WHERE prev IS NULL OR prev <> event_type),
+h AS (
+  SELECT user_id, event_type AS attr, ts_us AS valid_from_us,
+         lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS valid_to_us
+  FROM c
+)
+SELECT t.as_of_us, h.user_id, h.attr
+FROM (VALUES {", ".join(f"({t})" for t in TT_PROBES_US)}) t(as_of_us)
+JOIN h ON h.valid_from_us <= t.as_of_us
+      AND (h.valid_to_us IS NULL OR h.valid_to_us > t.as_of_us)
+"""
+
+
 QUERIES = {
     "asof_join_click_error": asof_click_error,
+    "time_travel": time_travel_states,
     "asof_join_tolerance": asof_click_error_tolerance,
     "range_join_error_clicks": range_join_error_clicks,
     "hypertable_rollup": hypertable_rollup,
@@ -291,6 +330,7 @@ QUERIES = {
 
 ORACLES = {
     "asof_join_click_error": ASOF_SQL,
+    "time_travel": TIME_TRAVEL_SQL,
     "asof_join_tolerance": ASOF_TOLERANCE_SQL,
     "range_join_error_clicks": RANGE_SQL,
     "hypertable_rollup": ROLLUP_SQL,

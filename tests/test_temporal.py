@@ -232,3 +232,29 @@ def test_scd2_history_intervals(spark):
     assert u1[-1]["valid_to_us"] is None and u1[-1]["is_current"]
     u2 = [r for r in out if r["user_id"] == 2]
     assert len(u2) == 1 and u2[0]["is_current"]
+
+
+def test_state_at_times_half_open_intervals(spark):
+    """Probe exactly AT a boundary belongs to the NEXT interval; probes
+    before any history or in no interval yield nothing."""
+    from datalake2anomali_spark.operators.temporal import state_at_times
+
+    h = spark.createDataFrame(
+        [
+            (1, "a", 100, 200, False),
+            (1, "b", 200, None, True),
+            (2, "x", 150, None, True),
+        ],
+        "user_id long, attr string, valid_from_us long, valid_to_us long, is_current boolean",
+    )
+    out = {
+        (r.as_of_us, r.user_id): r.attr
+        for r in state_at_times(h, [50, 100, 200, 500]).collect()
+    }
+    assert out == {
+        (100, 1): "a",  # inclusive valid_from
+        (200, 1): "b",  # boundary probe → NEXT interval (half-open)
+        (500, 1): "b",  # open current interval
+        (200, 2): "x",
+        (500, 2): "x",
+    }

@@ -94,6 +94,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_view_maintenance",  # new: foreachBatch mergeable-view refresh
     "json_flatten",  # new: schema-on-read UDTF over semi-structured props
     "time_travel",  # new: point-in-time reconstruction over SCD2 intervals
+    "cms_counts",  # new: Count-Min point-frequency bounds (functions/sketches.py)
 )
 
 #: Exactly the entries past the 50-row window (68 registered − 50 = 18).
@@ -137,6 +138,7 @@ _TAIL: tuple[str, ...] = (
     "dedup_clusters_star",  # siblings dedup_keep_best + pagerank (graph family)
     "embedding_kmeans",  # sibling ann_cosine_topk (embedding family); IVF trainer twin
     "batch_windows",  # sibling stream_sessionize (window-agg family, in window)
+    "top_terms",  # sibling text_profile (corpus text-stats family, in window)
 )
 
 _MODULES = (

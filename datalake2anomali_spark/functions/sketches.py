@@ -104,3 +104,72 @@ def sketch_summary(
         .otherwise(F.abs(F.col("n_le_p95") - 0.95 * F.col("n_events")) <= slack)
         .alias("p95_ok"),
     )
+
+
+def cms_probe_summary(
+    df: DataFrame,
+    col: str,
+    probes: list[int],
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Count–Min sketch point-frequency estimates vs exact anchors.
+
+    The CMS is the mergeable frequency sketch: fixed ``d×w`` counter grid
+    (d = ln(1/δ) rows, w = e/ε columns), map-side partials merged by
+    cell-wise addition — O(1) shuffle rows per partition regardless of key
+    cardinality, the scale path when :func:`..heavy.heavy_hitters`' exact
+    two-pass is too much and only point lookups are needed.  With a fixed
+    seed the estimate is a pure function of the input *multiset* (counter
+    additions commute), so the derived checks below are deterministic
+    under any partitioning.
+
+    Output, one row per probe key: ``(key, exact_n, no_undercount,
+    within_eps)`` — CMS never undercounts (every row of the grid saw every
+    occurrence), and overcounts by at most ``ε·N`` with probability
+    ``1−δ``; the registered probe set keeps both checks structural
+    (absent keys included: their estimate is pure collision noise, still
+    bounded).  Exact anchors cost one filtered aggregate over the probe
+    set; the sketch itself is Spark's built-in ``df.stat.countMinSketch``
+    (JVM aggregate, one pass).  Same derived-check oracle scheme as
+    :func:`sketch_summary`.
+    """
+    import math
+
+    spark = df.sparkSession
+    n_total = df.count()
+    # F.count_min_sketch is the aggregate (one pass, cell-wise mergeable);
+    # Spark 4 exposes no SQL-side point estimator, so deserialize the
+    # sketch's binary form through the JVM sketch class for the probes —
+    # a driver-side decode of a fixed d×w grid, not a data collect.
+    sk_bytes = df.agg(
+        F.count_min_sketch(
+            F.col(col), F.lit(eps), F.lit(confidence), F.lit(seed)
+        ).alias("sk")
+    ).collect()[0]["sk"]
+    jvm = spark._jvm
+    sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(sk_bytes))
+    )
+    exact = {
+        r["k"]: r["n"]
+        for r in df.filter(F.col(col).isin(probes))
+        .groupBy(F.col(col).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    slack = math.ceil(eps * n_total)
+    rows = []
+    for p in probes:
+        # box explicitly as java.lang.Long: py4j would send a small python
+        # int as Integer, which the sketch hashes differently than the
+        # LongType column it aggregated
+        est = sk.estimateCount(jvm.java.lang.Long.parseLong(str(int(p))))
+        true_n = int(exact.get(p, 0))
+        rows.append(
+            (int(p), true_n, bool(est >= true_n), bool(est <= true_n + slack))
+        )
+    return spark.createDataFrame(
+        sorted(rows), "key long, exact_n long, no_undercount boolean, within_eps boolean"
+    )

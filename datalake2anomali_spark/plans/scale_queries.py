@@ -375,10 +375,42 @@ FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events) t
 """
 
 
+#: CMS probe keys: 40 real users + 8 keys absent from the data (their
+#: estimates are pure collision noise — still bounded by the ε·N slack).
+CMS_PROBES = list(range(40)) + [10_000_001 + i for i in range(8)]
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count–Min point-frequency estimates over events.user_id vs exact
+    anchors (``functions/sketches.py: cms_probe_summary``): the mergeable
+    frequency sketch with its two structural guarantees (never
+    undercounts; overcounts ≤ ε·N w.h.p.) pinned as derived booleans the
+    oracle sets TRUE, same scheme as ``sketch_stats``."""
+    from ..functions.sketches import cms_probe_summary
+
+    return cms_probe_summary(
+        load_table(spark, sf_dir, "events"), "user_id", CMS_PROBES
+    )
+
+
+CMS_SQL = f"""
+SELECT p.k AS key,
+       COALESCE(c.n, 0) AS exact_n,
+       TRUE AS no_undercount,
+       TRUE AS within_eps
+FROM (VALUES {", ".join(f"({p})" for p in CMS_PROBES)}) p(k)
+LEFT JOIN (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1
+) c ON c.user_id = p.k
+ORDER BY key
+"""
+
+
 QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "exact_quantiles": q_exact_quantiles,
     "json_flatten": q_json_flatten,
+    "cms_counts": q_cms_counts,
     "zorder_key": q_zorder_key,
     "schema_evolution": q_schema_evolution,
     "merge_upsert": q_merge_upsert,
@@ -389,6 +421,7 @@ ORACLES = {
     "heavy_hitters": HEAVY_HITTERS_SQL,
     "exact_quantiles": EXACT_QUANTILES_SQL,
     "json_flatten": JSON_FLATTEN_SQL,
+    "cms_counts": CMS_SQL,
     "zorder_key": ZORDER_KEY_SQL,
     "schema_evolution": SCHEMA_EVOLUTION_SQL,
     "merge_upsert": MERGE_UPSERT_SQL,

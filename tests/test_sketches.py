@@ -77,3 +77,31 @@ def test_exact_quantiles_empty_raises(spark):
     df = spark.createDataFrame([(None,)], "v double")
     with pytest.raises(ValueError, match="no non-NULL"):
         exact_quantiles(df, "v", [0.5])
+
+
+def test_cms_exactness_on_tiny_distinct_keys(spark):
+    """With few distinct keys and a wide grid there are no collisions:
+    estimates equal exact counts, and absent keys estimate 0 — both
+    structural guarantees hold with zero slack consumed."""
+    from datalake2anomali_spark.functions.sketches import cms_probe_summary
+
+    df = spark.createDataFrame(
+        [(k,) for k in [1] * 50 + [2] * 30 + [3] * 1], "user_id long"
+    )
+    out = {r.key: r for r in cms_probe_summary(df, "user_id", [1, 2, 3, 99]).collect()}
+    assert (out[1].exact_n, out[2].exact_n, out[3].exact_n, out[99].exact_n) == (50, 30, 1, 0)
+    assert all(r.no_undercount and r.within_eps for r in out.values())
+
+
+def test_cms_partitioning_invariance(spark):
+    """Same multiset, adversarial repartitioning: the derived rows must be
+    identical (CMS cell additions commute)."""
+    from datalake2anomali_spark.functions.sketches import cms_probe_summary
+
+    rows = [(k % 7,) for k in range(500)]
+    a = spark.createDataFrame(rows, "user_id long")
+    b = spark.createDataFrame(rows, "user_id long").repartition(13, "user_id")
+    probes = list(range(9))
+    ra = sorted(map(tuple, cms_probe_summary(a, "user_id", probes).collect()))
+    rb = sorted(map(tuple, cms_probe_summary(b, "user_id", probes).collect()))
+    assert ra == rb

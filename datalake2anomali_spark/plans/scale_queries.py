@@ -360,7 +360,12 @@ def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.udtfs import register_udtfs
 
     register_udtfs(spark)
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("d2a_props_src")
+    # a single-file scan is ONE partition; per-row Python eval (~100 µs)
+    # would run serially — spread the UDTF across the worker pool first
+    # (measured 11 s → ~1 s warm at sf0.1; the shuffle is cheap vs Python)
+    load_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    ).createOrReplaceTempView("d2a_props_src")
     return spark.sql(
         "SELECT e.event_id, f.path, f.leaf "
         "FROM d2a_props_src e, LATERAL json_flatten(e.props) f"

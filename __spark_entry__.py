@@ -93,6 +93,8 @@ _PRIORITY: tuple[str, ...] = (
     "json_flatten",  # new: schema-on-read UDTF over semi-structured props
     "time_travel",  # new: point-in-time reconstruction over SCD2 intervals
     "cms_counts",  # new: Count-Min point-frequency bounds (functions/sketches.py)
+    "robust_outliers",  # new: rolling median/MAD Hampel flags (operators/analytics.py)
+    "item_similarity",  # new: co-occurrence cosine related-items (operators/analytics.py)
 )
 
 #: Exactly the entries past the 50-row window (68 registered − 50 = 18).
@@ -137,6 +139,8 @@ _TAIL: tuple[str, ...] = (
     "embedding_kmeans",  # sibling ann_cosine_topk (embedding family); IVF trainer twin
     "batch_windows",  # sibling stream_sessionize (window-agg family, in window)
     "top_terms",  # sibling text_profile (corpus text-stats family, in window)
+    "ioc_upsert_routing",  # siblings ioc_incremental_cursor + merge_upsert (J4/K4)
+    "q1_pricing_summary",  # siblings q3/q5/region_customer_stats (TPC-H family)
 )
 
 _MODULES = (

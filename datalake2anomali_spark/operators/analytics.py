@@ -261,3 +261,121 @@ def markov_transitions(
         "n",
         F.expr(f"(n * {scale}) div _row_total").alias("p_ppm"),
     )
+
+
+def robust_outliers(
+    events: DataFrame,
+    value_col: str = "value",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    depth: int = 9,
+    scale: int = 3,
+    k_times_mad: int = 5,
+) -> DataFrame:
+    """Rolling median/MAD outlier flags — the robust anomaly detector
+    (mean/stddev z-scores break exactly when needed most: the outlier
+    drags both).  Per event, over the entity's trailing ``depth`` values:
+    ``med`` = rolling median, ``mad`` = median of |x − med|, outlier ⇔
+    |x − med| > k·mad.  Hampel-filter semantics with k applied to the
+    raw MAD (no 1.4826 normal-consistency factor — integer exactness
+    beats unit-matching for a flag).
+
+    All arithmetic on snapped integers (same shiftright floor-mean order
+    statistics as :func:`rolling_median`), so flags are bit-identical
+    across engines — no float epsilon at the decision boundary.  One
+    shuffle; per-row state 2·depth longs; both medians are row-local
+    higher-order expressions over the same window array (the array is
+    built once and reused via a projected column).
+    """
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(ts_col, order_col)
+        .rowsBetween(-(depth - 1), Window.currentRow)
+    )
+    snapped = F.round(F.col(value_col) * (10**scale)).cast("long")
+
+    def _median(arr: Column) -> Column:
+        s = F.array_sort(arr)
+        n = F.size(s)
+        lo = F.element_at(s, ((n + 1) / 2).cast("int"))
+        hi = F.element_at(s, (n / 2).cast("int") + 1)
+        return F.shiftright(lo + hi, 1)
+
+    base = events.select(
+        order_col,
+        F.col(entity_col).alias("entity"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        snapped.alias("_x"),
+        F.collect_list(snapped).over(w).alias("_arr"),
+    )
+    base = base.withColumn("_med", _median(F.col("_arr")))
+    dev = F.transform(F.col("_arr"), lambda v: F.abs(v - F.col("_med")))
+    base = base.withColumn("_mad", _median(dev))
+    return base.select(
+        order_col,
+        "entity",
+        "ts_us",
+        F.col("_med").alias("median_scaled"),
+        F.col("_mad").alias("mad_scaled"),
+        (F.abs(F.col("_x") - F.col("_med")) > k_times_mad * F.col("_mad")).alias(
+            "is_outlier"
+        ),
+    )
+
+
+def cooccurrence_similarity(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_support: int = 2,
+    max_basket: int = 256,
+) -> DataFrame:
+    """Item–item cosine similarity from basket co-occurrence — the
+    collaborative-filtering "related items" primitive:
+    ``cos(i,j) = c_ij / √(c_i·c_j)`` with ``c_ij`` = baskets containing
+    both, ``c_i`` = baskets containing i.
+
+    Plan: distinct (basket, item) → within-basket self-join (i < j) →
+    pair counts, filtered to ``min_pair_support`` BEFORE the marginals
+    join (the support filter is what keeps the pair relation from being
+    quadratic noise — same argument as the triangle query's affinity
+    threshold); item marginals are one groupBy, joined onto the surviving
+    pairs twice.  Baskets larger than ``max_basket`` are dropped whole:
+    a hot basket fans out quadratically and a 10⁶-item "basket" is
+    telemetry junk, not signal — the cap is the skew guard (logged
+    contract, not silent: it's in the function's signature).
+
+    Scores round to 6 digits — √ and ÷ are correctly-rounded IEEE ops,
+    identical across engines; the rounding only pins the final digit
+    (same convention as ``llm/search.py: bm25_scores``).
+
+    Output: (item_a, item_b, n_pair, cosine) with ``item_a < item_b``.
+    """
+    bi = baskets.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    sizes = bi.groupBy("b").agg(F.count(F.lit(1)).alias("_bn"))
+    bi = bi.join(sizes.filter(F.col("_bn") <= max_basket).select("b"), "b")
+    marg = bi.groupBy(F.col("i").alias("item")).agg(
+        F.count(F.lit(1)).alias("_ni")
+    )
+    a, c = bi.alias("a"), bi.alias("c")
+    pairs = (
+        a.join(c, (F.col("a.b") == F.col("c.b")) & (F.col("a.i") < F.col("c.i")))
+        .groupBy(F.col("a.i").alias("item_a"), F.col("c.i").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair_support)
+    )
+    return (
+        pairs.join(marg.select(F.col("item").alias("item_a"), F.col("_ni").alias("_na")), "item_a")
+        .join(marg.select(F.col("item").alias("item_b"), F.col("_ni").alias("_nb")), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_pair",
+            F.round(
+                F.col("n_pair") / F.sqrt(F.col("_na") * F.col("_nb")), 6
+            ).alias("cosine"),
+        )
+    )

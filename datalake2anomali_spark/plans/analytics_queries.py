@@ -303,8 +303,70 @@ FROM counts
 """
 
 
+def robust_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel-style rolling median/MAD outlier flags over each user's
+    value stream (``operators/analytics.py: robust_outliers``) — exact
+    integer order statistics, so the flag decision has no float epsilon;
+    the oracle recomputes both medians through DuckDB's list machinery."""
+    return analytics.robust_outliers(load_table(spark, sf_dir, "events"))
+
+
+ROBUST_OUTLIERS_SQL = """
+WITH arrs AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 1000) AS BIGINT) AS x,
+         list(CAST(ROUND(value * 1000) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 8 PRECEDING AND CURRENT ROW
+         ) AS arr
+  FROM events
+), med AS (
+  SELECT *,
+         (ls[(len(ls) + 1) // 2] + ls[len(ls) // 2 + 1]) >> 1 AS med
+  FROM (SELECT *, list_sort(arr) AS ls FROM arrs) t
+), mad AS (
+  SELECT *,
+         (ds[(len(ds) + 1) // 2] + ds[len(ds) // 2 + 1]) >> 1 AS mad
+  FROM (SELECT *, list_sort(list_transform(arr, v -> abs(v - med))) AS ds
+        FROM med) t
+)
+SELECT event_id, user_id AS entity, epoch_us(ts) AS ts_us,
+       med AS median_scaled, mad AS mad_scaled,
+       abs(x - med) > 5 * mad AS is_outlier
+FROM mad
+"""
+
+
+def item_similarity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-parts mining: item-item cosine from order co-occurrence
+    (``operators/analytics.py: cooccurrence_similarity``), support ≥ 2."""
+    return analytics.cooccurrence_similarity(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
+    )
+
+
+ITEM_SIMILARITY_SQL = """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), pairs AS (
+  SELECT a.i AS item_a, c.i AS item_b, COUNT(*) AS n_pair
+  FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), marg AS (
+  SELECT i AS item, COUNT(*) AS ni FROM bi GROUP BY 1
+)
+SELECT p.item_a, p.item_b, p.n_pair,
+       ROUND(p.n_pair / SQRT(ma.ni * mb.ni), 6) AS cosine
+FROM pairs p
+JOIN marg ma ON ma.item = p.item_a
+JOIN marg mb ON mb.item = p.item_b
+"""
+
+
 QUERIES = {
     "funnel_analysis": funnel_view_click_purchase,
+    "robust_outliers": robust_outlier_flags,
+    "item_similarity": item_similarity_parts,
     "cohort_retention": cohort_retention_weekly,
     "ewma_features": ewma_user_values,
     "pagerank": pagerank_trade_graph,
@@ -316,6 +378,8 @@ QUERIES = {
 
 ORACLES = {
     "funnel_analysis": FUNNEL_SQL,
+    "robust_outliers": ROBUST_OUTLIERS_SQL,
+    "item_similarity": ITEM_SIMILARITY_SQL,
     "cohort_retention": COHORT_SQL,
     "ewma_features": EWMA_SQL,
     "pagerank": PAGERANK_SQL,

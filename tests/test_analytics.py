@@ -141,3 +141,45 @@ def test_markov_transitions_no_cross_user_leak(spark):
     # last event of user 1 must NOT chain into first event of user 2
     ev = _events(spark, [(1, 1, 1 * US, "x", 0.0), (2, 2, 2 * US, "y", 0.0)])
     assert analytics.markov_transitions(ev).count() == 0
+
+
+def test_robust_outliers_flags_spike_not_regime_change(spark):
+    # stable stream at 10.0 with one spike: spike flagged; after a genuine
+    # regime change the window median adapts and stops flagging
+    vals = [10.0] * 5 + [500.0] + [10.0] * 3
+    rows = [(i, 1, i * US, "v", v) for i, v in enumerate(vals, 1)]
+    ev = _events(spark, rows)
+    out = {r.event_id: r for r in analytics.robust_outliers(ev, depth=5).collect()}
+    assert out[6].is_outlier  # the spike
+    assert not any(out[i].is_outlier for i in (1, 2, 3, 4, 5, 8, 9))
+    assert out[5].median_scaled == 10_000 and out[5].mad_scaled == 0
+
+
+def test_robust_outliers_mad_zero_means_any_deviation_flags(spark):
+    # constant history → MAD 0 → ANY deviation exceeds 5*0 (Hampel edge)
+    rows = [(1, 1, 1 * US, "v", 7.0), (2, 1, 2 * US, "v", 7.0),
+            (3, 1, 3 * US, "v", 7.001)]
+    ev = _events(spark, rows)
+    out = {r.event_id: r.is_outlier for r in analytics.robust_outliers(ev).collect()}
+    assert out == {1: False, 2: False, 3: True}
+
+
+def test_cooccurrence_similarity_exact_and_capped(spark):
+    df = spark.createDataFrame(
+        # items 1,2 co-occur in 2 of their baskets; item 3 only with 1
+        [(10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 3), (10, 1)],
+        "b long, i long",
+    )
+    out = {
+        (r.item_a, r.item_b): (r.n_pair, r.cosine)
+        for r in analytics.cooccurrence_similarity(df, "b", "i", min_pair_support=1).collect()
+    }
+    # c_1=3 baskets, c_2=2, c_12=2 → 2/sqrt(6)
+    assert out[(1, 2)] == (2, round(2 / (6 ** 0.5), 6))
+    assert out[(1, 3)] == (1, round(1 / (3 ** 0.5), 6))
+    # support filter drops the singleton pair
+    sup2 = analytics.cooccurrence_similarity(df, "b", "i", min_pair_support=2)
+    assert {(r.item_a, r.item_b) for r in sup2.collect()} == {(1, 2)}
+    # basket cap drops oversized baskets wholesale
+    big = spark.createDataFrame([(1, i) for i in range(5)], "b long, i long")
+    assert analytics.cooccurrence_similarity(big, "b", "i", 1, max_basket=4).count() == 0

@@ -123,3 +123,118 @@ def test_chunk_documents_covers_every_token_exactly(spark, n_tokens, chunk_len, 
     import math
 
     assert len(rows) == max(1, math.ceil((n_tokens - overlap) / stride))
+
+
+# -- round-5 operators: randomized references + invariances -------------------
+
+_event = st.tuples(
+    st.integers(min_value=1, max_value=3),  # user
+    st.integers(min_value=0, max_value=50),  # ts seconds
+    st.sampled_from(["view", "click", "purchase"]),
+)
+
+
+def _mk_events(spark, evs):
+    rows = [
+        (i, u, t * 1_000_000, ty, 0.0) for i, (u, t, ty) in enumerate(evs, 1)
+    ]
+    from pyspark.sql import functions as F
+
+    return (
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts_us long, event_type string, value double",
+        )
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .drop("ts_us")
+    )
+
+
+def _py_funnel(evs, steps=("view", "click", "purchase")):
+    """Reference implementation: literal chain-of-mins definition."""
+    out = {}
+    users = {u for u, _, _ in evs}
+    for u in users:
+        mine = sorted(
+            [(t, i, ty) for i, (uu, t, ty) in enumerate(evs, 1) if uu == u]
+        )
+        ts = []
+        prev = None
+        for step in steps:
+            cand = [
+                t for t, _, ty in mine
+                if ty == step and (prev is None or t > prev)
+            ]
+            cur = min(cand) if cand else None
+            ts.append(cur)
+            if cur is None:
+                break
+            prev = cur
+        ts += [None] * (len(steps) - len(ts))
+        out[u] = tuple(t * 1_000_000 if t is not None else None for t in ts)
+    return out
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_event, min_size=1, max_size=25))
+def test_funnel_matches_chain_of_mins_reference(spark, evs):
+    from datalake2anomali_spark.operators.analytics import funnel_steps
+
+    got = {
+        r.entity: (r.step1_us, r.step2_us, r.step3_us)
+        for r in funnel_steps(_mk_events(spark, evs), ("view", "click", "purchase")).collect()
+    }
+    assert got == _py_funnel(evs)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 4), st.integers(0, 30), st.integers(-500, 500)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=2, max_value=5),
+)
+def test_merge_states_invariant_under_any_split(spark, rows, nsplit):
+    """The mergeable-state contract: ANY partition of the input rows into
+    delta batches merges to the exact full-recompute state."""
+    from pyspark.sql import functions as F
+
+    from datalake2anomali_spark.operators import views
+
+    df = spark.createDataFrame(
+        [(k, float(v) / 7.0, i) for i, (k, _t, v) in enumerate(rows, 1)],
+        "k int, value double, event_id long",
+    )
+    kw = dict(sum_cols={"value": 3}, minmax_cols=["event_id"])
+    full = sorted(map(tuple, views.rollup_state(df, ["k"], **kw).collect()))
+    parts = [df.filter(F.col("event_id") % nsplit == i) for i in range(nsplit)]
+    merged = views.merge_states(
+        [views.rollup_state(p, ["k"], **kw) for p in parts], ["k"]
+    )
+    assert sorted(map(tuple, merged.collect())) == full
+
+
+@settings(**_SETTINGS)
+@given(
+    # centi-grid values: v*100 is an exact integer, so the python-reference
+    # round() below cannot diverge from Spark's HALF_UP on .5 boundaries
+    st.lists(
+        st.integers(min_value=-10_000, max_value=10_000).map(lambda n: n / 100.0),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_exact_quantiles_match_sorted_reference(spark, vals):
+    import math
+
+    from datalake2anomali_spark.functions.selection import exact_quantiles
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    qs = [0.1, 0.5, 0.9]
+    got = {r.q: r.value_scaled for r in exact_quantiles(df, "v", qs).collect()}
+    snapped = sorted(round(v * 100) for v in vals)
+    for q in qs:
+        rank = max(1, math.ceil(q * len(snapped)))
+        assert got[q] == snapped[rank - 1], (vals, q)

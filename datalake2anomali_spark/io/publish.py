@@ -1,0 +1,249 @@
+"""Atomic snapshot publishing for rewrite operators (manifest + versions).
+
+``merge_into`` / ``compact_dataset`` overwrite partitions in place, and an
+in-place overwrite is not atomic: a reader (or a crash) between the first
+and last partition write observes a half-rewritten table.  Table formats
+fix this with an immutable-files + atomic-metadata-swap protocol; this
+module is that protocol reduced to its two load-bearing pieces:
+
+- **Immutable version directories.** A writer never modifies published
+  bytes: it writes a brand-new ``_v{N}`` directory containing only the
+  partitions it rewrote.  Version numbers come from scanning existing
+  ``_v*`` directories (not the manifest), so a crashed writer's orphan
+  directory can never be reused by the next writer.
+- **One-file manifest, swapped atomically.** ``_MANIFEST.json`` maps each
+  live partition value to the version directory that owns it.  Publishing
+  is write-temp + ``os.replace`` — atomic on POSIX — so every reader sees
+  either the old mapping or the new one, never a mix.  A crash *before*
+  the swap leaves the old snapshot fully intact (the new version dir is
+  invisible garbage); a crash after the swap leaves the new snapshot
+  fully published.  (On an object store, the swap is a conditional PUT /
+  rename of the same single object — same contract.)
+
+:func:`read_snapshot` reconstructs the table as one pruned scan per live
+version: partitions are hive-encoded inside each version directory, so
+owned-partition selection is an ``isin`` filter that partition-prunes at
+planning time.  The live-version count stays small because every
+:func:`compact_versioned` collapses the table back to a single version.
+
+Partition values are compared as strings (their hive-directory encoding)
+throughout; driver-side state is bounded by the partition count of the
+batch (merge) or table (compact/read), never by rows.
+
+Reference parity: none — the reference writes through a remote API and
+has no table-storage surface.  Extension operator per the build brief
+(VERDICT r5 #5); the MERGE dataflow itself is shared with
+:mod:`..operators.merge`.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_MANIFEST.json"
+_VDIR = re.compile(r"^_v(\d+)$")
+
+
+def read_manifest(root: str) -> dict:
+    """The published snapshot: ``{"version": N, "partitions": {val: ver}}``.
+    Raises FileNotFoundError if the table was never published."""
+    with open(os.path.join(root, MANIFEST), encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def _commit_manifest(root: str, manifest: dict) -> None:
+    """Atomic publish: temp file in the same directory + ``os.replace``."""
+    fd, tmp = tempfile.mkstemp(
+        prefix="_MANIFEST.", suffix=".tmp", dir=root, text=True
+    )
+    with os.fdopen(fd, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh, sort_keys=True)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(root, MANIFEST))
+
+
+def _next_version(root: str) -> int:
+    """1 + the highest ``_v*`` directory ON DISK — published or orphaned —
+    so a crashed writer's leftovers are never written into again."""
+    vs = [0]
+    for name in os.listdir(root):
+        m = _VDIR.match(name)
+        if m and os.path.isdir(os.path.join(root, name)):
+            vs.append(int(m.group(1)))
+    return max(vs) + 1
+
+
+def version_dir(root: str, version: int) -> str:
+    return os.path.join(root, f"_v{version}")
+
+
+def init_table(
+    spark: SparkSession, df: DataFrame, root: str, partition_col: str
+) -> None:
+    """Create a versioned table at ``root`` from ``df`` (version 1)."""
+    os.makedirs(root, exist_ok=True)
+    v = _next_version(root)
+    vdir = version_dir(root, v)
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(vdir)
+    spark.catalog.refreshByPath(vdir)
+    parts = [
+        str(r[0])
+        for r in spark.read.parquet(vdir).select(partition_col).distinct().collect()
+    ]
+    _commit_manifest(
+        root, {"version": v, "partitions": {p: v for p in sorted(parts)}}
+    )
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, partition_col: str
+) -> DataFrame:
+    """The published table: for each live version, one partition-pruned
+    scan of its directory restricted to the partitions it still owns."""
+    manifest = read_manifest(root)
+    by_version: dict[int, list[str]] = {}
+    for pval, v in manifest["partitions"].items():
+        by_version.setdefault(int(v), []).append(pval)
+    pieces = []
+    for v, pvals in sorted(by_version.items()):
+        vdir = version_dir(root, v)
+        spark.catalog.refreshByPath(vdir)
+        pieces.append(
+            spark.read.parquet(vdir).filter(
+                F.col(partition_col).cast("string").isin(pvals)
+            )
+        )
+    if not pieces:
+        raise ValueError(f"versioned table at {root!r} has no live partitions")
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def merge_into_versioned(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+) -> int:
+    """MERGE ``source`` into the versioned table at ``root``, atomically.
+
+    Same merge semantics as :func:`..operators.merge.merge_into`
+    (source-presence resolution — NULL-ing updates stick; partition-moving
+    updates rewrite the key's old home; emptied partitions drop), but the
+    rewritten partitions land in a fresh ``_v{N}`` directory and become
+    visible only at the single manifest swap.  Returns the published
+    version.
+    """
+    from ..operators.merge import _affected_partitions, _merge_resolved
+
+    manifest = read_manifest(root)
+    target = read_snapshot(spark, root, partition_col)
+    data_cols = list(target.columns)
+    missing = set(data_cols) - set(source.columns)
+    if missing:
+        raise ValueError(f"source is missing target columns: {sorted(missing)}")
+
+    affected = _affected_partitions(target, source, key_cols, partition_col)
+    hit = target.join(F.broadcast(affected), [partition_col], "leftsemi")
+    merged = _merge_resolved(hit, source, key_cols, data_cols)
+
+    v = _next_version(root)
+    vdir = version_dir(root, v)
+    # fresh directory — no localCheckpoint needed: the plan's input files
+    # are never the write target, the core advantage of immutable versions
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(vdir)
+    spark.catalog.refreshByPath(vdir)
+
+    affected_vals = {str(r[0]) for r in affected.collect()}
+    written_vals = {
+        str(r[0])
+        for r in spark.read.parquet(vdir).select(partition_col).distinct().collect()
+    }
+    parts = {
+        p: ver
+        for p, ver in manifest["partitions"].items()
+        if p not in affected_vals  # untouched partitions keep their version
+    }
+    parts.update({p: v for p in written_vals})  # rewritten + new partitions
+    # affected-but-unwritten partitions were emptied: simply absent now
+    _commit_manifest(root, {"version": v, "partitions": parts})
+    return v
+
+
+def compact_versioned(
+    spark: SparkSession,
+    root: str,
+    partition_col: str,
+    order_col: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact the live snapshot into one fresh version (atomic OPTIMIZE).
+
+    Range-clusters on ``(partition_col, order_col)`` into size-targeted
+    files exactly as :func:`.compact.compact_dataset`, but publishes via
+    the manifest swap — readers never see the table half-compacted — and
+    collapses the live-version set back to one, which is what keeps
+    :func:`read_snapshot`'s per-version scan count bounded over a long
+    merge history.  Returns the published version.
+    """
+    from .compact import dataset_file_stats
+
+    manifest = read_manifest(root)
+    live_bytes = 0
+    by_version: dict[int, set[str]] = {}
+    for pval, ver in manifest["partitions"].items():
+        by_version.setdefault(int(ver), set()).add(pval)
+    for ver, owned in by_version.items():
+        for rel, (_n, b) in dataset_file_stats(version_dir(root, ver)).items():
+            if rel.split("=", 1)[-1] in owned:
+                live_bytes += b
+    n_ranges = max(1, math.ceil(live_bytes / target_file_bytes))
+
+    snap = read_snapshot(spark, root, partition_col)
+    v = _next_version(root)
+    vdir = version_dir(root, v)
+    (
+        snap.repartitionByRange(n_ranges, F.col(partition_col), F.col(order_col))
+        .sortWithinPartitions(partition_col, order_col)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(vdir)
+    )
+    spark.catalog.refreshByPath(vdir)
+    parts = [
+        str(r[0])
+        for r in spark.read.parquet(vdir).select(partition_col).distinct().collect()
+    ]
+    _commit_manifest(
+        root, {"version": v, "partitions": {p: v for p in sorted(parts)}}
+    )
+    return v
+
+
+def vacuum(root: str) -> list[int]:
+    """Delete version directories no live partition references (the GC half
+    of the protocol; safe any time after the swap for readers that re-open
+    the manifest — long-running readers holding old plans need a retention
+    window on a real deployment).  Returns the removed versions."""
+    import shutil
+
+    manifest = read_manifest(root)
+    live = {int(v) for v in manifest["partitions"].values()}
+    removed = []
+    for name in os.listdir(root):
+        m = _VDIR.match(name)
+        if m and int(m.group(1)) not in live:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            removed.append(int(m.group(1)))
+    return sorted(removed)

@@ -5,23 +5,36 @@ batch of updates/inserts to a huge partitioned table without rewriting the
 table.  Table formats (Delta/Iceberg) solve it transactionally; this is
 the same *dataflow* on raw parquet, and the cost model is identical:
 
-1. **Partition pruning by the source.** The distinct partition values of
-   the source batch (tiny — broadcast) semi-join the target, so only the
-   affected partitions' rows are ever read for rewrite.  Every other
-   partition is untouched bytes on disk.
-2. **Full-outer merge on the key.** Source-wins column resolution gives
-   UPDATE for matched keys, INSERT for source-only keys, and copies
-   target-only rows through — MERGE INTO semantics as one join.
+1. **Partition pruning by the source.** The affected-partition set is the
+   union of (a) the source batch's distinct partition values and (b) the
+   partitions of target rows whose key the source touches — (b) is what
+   makes a *partition-moving* update correct: the key's old partition is
+   rewritten without the row, so the key never exists twice.  (a) is a
+   tiny broadcast; (b) is one broadcast semi-join of the target against
+   the source's distinct keys — a key-indexed probe of the table, the
+   same cost a table format pays to find the files a MERGE touches.
+2. **Full-outer merge on the key.** Column resolution is by an explicit
+   source-presence marker (``_in_src``), NOT ``coalesce``: a matched
+   source row wins *even where its columns are NULL* (real MERGE
+   semantics — ``UPDATE SET c = NULL`` must stick), source-only keys are
+   INSERTs, and target-only rows in affected partitions copy through.
 3. **Dynamic partition overwrite.** ``partitionOverwriteMode=dynamic``
-   replaces exactly the partitions present in the merged output; the
-   write cost is proportional to the affected partitions, not the table.
+   replaces exactly the partitions present in the merged output; a
+   partition the merge *emptied* (every row moved out) produces no output
+   rows, so its stale directory is removed explicitly afterwards (local
+   ``shutil``; on a cluster this is the same bounded FileSystem delete a
+   table format logs as a remove-file action).  Write cost is
+   proportional to the affected partitions, not the table.
 
 Caveat vs a real table format (stated, not hidden): the rewrite is not
-atomic — a crash mid-write can leave an affected partition half-replaced,
-which Delta's transaction log would prevent.  The merged relation is
-``localCheckpoint``-materialized before the write both to keep executors
-from re-reading the partitions being overwritten and because Spark
-(correctly) refuses to overwrite a path its plan still scans.
+atomic — a crash mid-write can leave an affected partition half-replaced.
+:func:`..io.publish.merge_into_versioned` is the atomic variant: it
+writes a fresh version directory and flips a manifest with one
+``os.replace``, so readers observe the old snapshot or the new one, never
+a mix.  The merged relation is ``localCheckpoint``-materialized before
+the write both to keep executors from re-reading the partitions being
+overwritten and because Spark (correctly) refuses to overwrite a path
+its plan still scans.
 
 Reference parity: generalizes the reference's per-record upsert routing
 (`src/Datalake2Anomali.py:442-449`, SURVEY §2 K4/J4 — INSERT-vs-UPDATE
@@ -31,10 +44,54 @@ MERGE.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os
+import shutil
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _OVERWRITE_MODE = "spark.sql.sources.partitionOverwriteMode"
+
+
+def _merge_resolved(
+    hit: DataFrame, source: DataFrame, key_cols: list[str], data_cols: list[str]
+) -> DataFrame:
+    """Full-outer key merge with explicit source-presence resolution.
+
+    ``_in_src`` is a literal TRUE carried on the source side; after the
+    full outer join it is non-NULL exactly for rows that have a source
+    half, so ``when(_in_src, s.c).otherwise(t.c)`` takes the source value
+    *including source NULLs* — the semantics ``coalesce(s.c, t.c)`` gets
+    wrong (same marker scheme as ``operators/quality.py: snapshot_diff``).
+    """
+    t = hit.alias("t")
+    s = source.withColumn("_in_src", F.lit(True)).alias("s")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols]
+    resolved: list[Column] = [
+        F.when(F.col("s._in_src").isNotNull(), F.col(f"s.{c}"))
+        .otherwise(F.col(f"t.{c}"))
+        .alias(c)
+        for c in data_cols
+    ]
+    return t.join(s, cond, "full_outer").select(*resolved)
+
+
+def _affected_partitions(
+    target: DataFrame, source: DataFrame, key_cols: list[str], partition_col: str
+) -> DataFrame:
+    """Distinct partition values the merge must rewrite: the source rows'
+    own partitions plus the partitions currently holding a touched key
+    (so a key whose partition value *changes* gets its old home rewritten
+    too — without this, the old copy survives and the key duplicates)."""
+    src_parts = source.select(partition_col).distinct()
+    old_homes = (
+        target.join(
+            F.broadcast(source.select(*key_cols).distinct()), key_cols, "leftsemi"
+        )
+        .select(partition_col)
+        .distinct()
+    )
+    return src_parts.union(old_homes).distinct()
 
 
 def merge_into(
@@ -47,9 +104,12 @@ def merge_into(
     """Upsert ``source`` into the parquet table at ``target_path``.
 
     ``source`` must carry the full target schema (including the partition
-    column).  Matched keys take the source row (UPDATE), unmatched source
-    keys are appended (INSERT) — including into brand-new partitions —
-    and unmatched target rows in affected partitions are copied through.
+    column).  Matched keys take the source row (UPDATE — source NULLs
+    included), unmatched source keys are appended (INSERT) — including
+    into brand-new partitions — unmatched target rows in affected
+    partitions are copied through, and a matched key whose partition
+    value changed moves: written to its new partition, rewritten out of
+    its old one.
     """
     target = spark.read.parquet(target_path)
     data_cols = list(target.columns)
@@ -57,16 +117,12 @@ def merge_into(
     if missing:
         raise ValueError(f"source is missing target columns: {sorted(missing)}")
 
-    affected = source.select(partition_col).distinct()
+    affected = _affected_partitions(target, source, key_cols, partition_col)
     hit = target.join(F.broadcast(affected), [partition_col], "leftsemi")
-
-    t, s = hit.alias("t"), source.alias("s")
-    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols]
-    merged = t.join(s, cond, "full_outer").select(
-        *[F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c) for c in data_cols]
-    )
-    # materialize before touching the input path (bounded: affected
-    # partitions + source only)
+    merged = _merge_resolved(hit, source, key_cols, data_cols)
+    # materialize (merged + the affected set) before touching the input
+    # path — both plans read it.  Bounded: affected partitions + source.
+    affected_vals = {str(r[0]) for r in affected.collect()}
     merged = merged.localCheckpoint(eager=True)
 
     prior = spark.conf.get(_OVERWRITE_MODE, None)
@@ -82,6 +138,19 @@ def merge_into(
             spark.conf.unset(_OVERWRITE_MODE)
         else:
             spark.conf.set(_OVERWRITE_MODE, prior)
+
+    # Dynamic overwrite only replaces partitions PRESENT in the output; an
+    # affected partition the merge emptied (all rows moved elsewhere) keeps
+    # its stale directory — delete it.  Both collects are bounded by the
+    # affected-partition count (batch-sized, not table-sized).
+    written_vals = {
+        str(r[0]) for r in merged.select(partition_col).distinct().collect()
+    }
+    for val in affected_vals - written_vals:
+        shutil.rmtree(
+            os.path.join(target_path, f"{partition_col}={val}"),
+            ignore_errors=True,
+        )
     # the session caches the path's file listing; drop it so readers see
     # the rewritten partitions instead of the deleted pre-merge files
     spark.catalog.refreshByPath(target_path)

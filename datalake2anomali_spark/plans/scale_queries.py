@@ -198,13 +198,17 @@ ORDER BY lang
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MERGE INTO round-trip (operators/merge.py): reset a
     date-partitioned copy of events, upsert a source batch (purchase
-    values +100 as UPDATEs; next-day signup clones as INSERTs into new
-    partitions), read the table back, and aggregate per partition.
+    values +100 as UPDATEs; every-7th click's value set to NULL — the
+    NULL-ing update `coalesce` resolution gets wrong; next-day signup
+    clones as INSERTs into new partitions), read the table back, and
+    aggregate per partition.
 
     The oracle replays the same UPDATE+INSERT set-algebra directly over
     the source table, so a hash match certifies the whole write path —
-    partition-pruned rewrite, source-wins merge, dynamic partition
-    overwrite, new-partition creation — not just the join.
+    partition-pruned rewrite, source-presence merge resolution (NULLs
+    stick), dynamic partition overwrite, new-partition creation — not
+    just the join.  ``n_nulls`` makes the NULL-update observable on its
+    own, beyond its effect on ``v_sum``.
     """
     from ..operators.merge import merge_into
 
@@ -225,13 +229,22 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     upd = e.filter(F.col("event_type") == "purchase").withColumn(
         "value", F.col("value") + 100.0
     )
+    nul = e.filter(
+        (F.col("event_type") == "click") & (F.col("event_id") % 7 == 0)
+    ).withColumn("value", F.lit(None).cast("double"))
     ins = (
         e.filter(F.col("event_type") == "signup")
         .withColumn("event_id", F.col("event_id") + 10_000_000)
         .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
     )
     ins = ins.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
-    merge_into(spark, path, upd.unionByName(ins), ["event_id"], "event_date")
+    merge_into(
+        spark,
+        path,
+        upd.unionByName(nul).unionByName(ins),
+        ["event_id"],
+        "event_date",
+    )
 
     after = spark.read.parquet(path)
     return (
@@ -239,6 +252,9 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             dsum("value", 2).alias("v_sum"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nulls"),
         )
         .orderBy("event_date")
     )
@@ -247,7 +263,9 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 MERGE_UPSERT_SQL = f"""
 WITH merged AS (
   SELECT ts,
-         CASE WHEN event_type = 'purchase' THEN value + 100 ELSE value END
+         CASE WHEN event_type = 'purchase' THEN value + 100
+              WHEN event_type = 'click' AND event_id % 7 = 0 THEN NULL
+              ELSE value END
            AS value
   FROM events
   UNION ALL
@@ -256,7 +274,100 @@ WITH merged AS (
 )
 SELECT strftime(ts, '%Y-%m-%d') AS event_date,
        COUNT(*) AS n_rows,
-       {DSUM_SQL("value", 2)} AS v_sum
+       {DSUM_SQL("value", 2)} AS v_sum,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+FROM merged
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_merge_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic MERGE + OPTIMIZE + GC over a versioned table (io/publish.py).
+
+    Full protocol round-trip: publish events as a versioned table
+    (``init_table``), MERGE a batch that exercises all three hard cases —
+    NULL-ing updates (purchases), partition-MOVING updates (signups +2
+    days, old home rewritten), and new-key INSERTs (error clones, +1 day)
+    — through ``merge_into_versioned`` (fresh ``_v{{N}}`` dir + one
+    ``os.replace`` manifest swap: readers see old or new, never mixed),
+    then ``compact_versioned`` (atomic OPTIMIZE back to one live version)
+    and ``vacuum`` (GC unreferenced versions).  The per-day aggregate of
+    the final snapshot must hash-match the oracle's direct set-algebra
+    replay — certifying merge resolution, snapshot reconstruction,
+    compaction content-preservation, and GC safety in one row set.
+    Crash-injection (old-or-new, never mixed) is pinned in
+    tests/test_publish.py.
+    """
+    import shutil
+
+    from ..io.publish import (
+        compact_versioned,
+        init_table,
+        merge_into_versioned,
+        read_snapshot,
+        vacuum,
+    )
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    base = (
+        "/dev/shm"
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+        else tempfile.gettempdir()
+    )
+    root = os.path.join(base, "d2a_vtable_" + sf_dir.strip("/").replace("/", "_"))
+    shutil.rmtree(root, ignore_errors=True)  # pure function of the source
+    init_table(spark, e, root, "event_date")
+
+    nul = e.filter(F.col("event_type") == "purchase").withColumn(
+        "value", F.lit(None).cast("double")
+    )
+    mov = e.filter(F.col("event_type") == "signup").withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 2 DAY")
+    )
+    mov = mov.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+    ins = (
+        e.filter(F.col("event_type") == "error")
+        .withColumn("event_id", F.col("event_id") + 20_000_000)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+    )
+    ins = ins.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+    merge_into_versioned(
+        spark, root, nul.unionByName(mov).unionByName(ins), ["event_id"], "event_date"
+    )
+    compact_versioned(spark, root, "event_date", "event_id")
+    vacuum(root)
+
+    snap = read_snapshot(spark, root, "event_date")
+    return (
+        snap.groupBy(F.col("event_date").cast("string").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("value", 2).alias("v_sum"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nulls"),
+        )
+        .orderBy("event_date")
+    )
+
+
+MERGE_VERSIONED_SQL = f"""
+WITH merged AS (
+  SELECT ts, CAST(NULL AS DOUBLE) AS value FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT ts + INTERVAL 2 DAY AS ts, value FROM events WHERE event_type = 'signup'
+  UNION ALL
+  SELECT ts, value FROM events WHERE event_type NOT IN ('purchase', 'signup')
+  UNION ALL
+  SELECT ts + INTERVAL 1 DAY AS ts, value FROM events WHERE event_type = 'error'
+)
+SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+       COUNT(*) AS n_rows,
+       {DSUM_SQL("value", 2)} AS v_sum,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
 FROM merged
 GROUP BY 1
 ORDER BY 1
@@ -419,6 +530,7 @@ QUERIES = {
     "zorder_key": q_zorder_key,
     "schema_evolution": q_schema_evolution,
     "merge_upsert": q_merge_upsert,
+    "merge_versioned": q_merge_versioned,
     "compaction_roundtrip": q_compaction,
 }
 
@@ -430,5 +542,6 @@ ORACLES = {
     "zorder_key": ZORDER_KEY_SQL,
     "schema_evolution": SCHEMA_EVOLUTION_SQL,
     "merge_upsert": MERGE_UPSERT_SQL,
+    "merge_versioned": MERGE_VERSIONED_SQL,
     "compaction_roundtrip": COMPACTION_SQL,
 }

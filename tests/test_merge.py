@@ -94,3 +94,62 @@ def test_merge_rejects_missing_columns(spark, target):
     bad = spark.range(3).select(F.col("id").alias("event_id"))
     with pytest.raises(ValueError, match="missing target columns"):
         merge_into(spark, target, bad, ["event_id"], "event_date")
+
+def test_merge_null_update_sticks(spark, target):
+    """UPDATE SET value = NULL must write the NULL (real MERGE semantics),
+    not silently keep the stale target value — the coalesce bug."""
+    before = spark.read.parquet(target)
+    victim = before.filter(F.col("value").isNotNull()).limit(3)
+    ids = [r.event_id for r in victim.select("event_id").collect()]
+    source = victim.withColumn("value", F.lit(None).cast("double"))
+
+    merge_into(spark, target, source, ["event_id"], "event_date")
+
+    after = spark.read.parquet(target)
+    got = after.filter(F.col("event_id").isin(ids))
+    assert got.count() == len(ids)
+    assert got.filter(F.col("value").isNotNull()).count() == 0
+
+
+def test_merge_partition_move_rewrites_old_home(spark, target):
+    """A source row that changes the partition column MOVES the key: it
+    lands in the new partition and is rewritten out of the old one —
+    no duplicate, even when the old partition is emptied entirely."""
+    before = spark.read.parquet(target)
+    dates = sorted(r[0] for r in before.select("event_date").distinct().collect())
+    d_old = str(dates[1])
+    movers = before.filter(F.col("event_date") == d_old)
+    n_movers = movers.count()
+    ids = [r.event_id for r in movers.select("event_id").collect()]
+    n_before = before.count()
+    source = movers.withColumn("event_date", F.lit("2031-06-01"))
+
+    merge_into(spark, target, source, ["event_id"], "event_date")
+
+    after = spark.read.parquet(target)
+    assert after.count() == n_before  # moved, not duplicated
+    assert after.filter(F.col("event_date") == d_old).count() == 0
+    assert after.filter(F.col("event_date") == "2031-06-01").count() == n_movers
+    per_key = after.filter(F.col("event_id").isin(ids)).groupBy("event_id").count()
+    assert per_key.filter(F.col("count") > 1).count() == 0
+    # the emptied partition's directory is gone, not stale on disk
+    assert not os.path.isdir(os.path.join(target, f"event_date={d_old}"))
+
+
+def test_merge_partial_partition_move(spark, target):
+    """Moving SOME keys out of a partition keeps the remainder intact."""
+    before = spark.read.parquet(target)
+    dates = sorted(r[0] for r in before.select("event_date").distinct().collect())
+    d_old = str(dates[0])
+    here = before.filter(F.col("event_date") == d_old)
+    movers = here.filter(F.col("event_id") % 2 == 0)
+    stay_n = here.filter(F.col("event_id") % 2 != 0).count()
+    n_movers = movers.count()
+    assert n_movers > 0 and stay_n > 0
+    source = movers.withColumn("event_date", F.lit("2031-07-01"))
+
+    merge_into(spark, target, source, ["event_id"], "event_date")
+
+    after = spark.read.parquet(target)
+    assert after.filter(F.col("event_date") == d_old).count() == stay_n
+    assert after.filter(F.col("event_date") == "2031-07-01").count() == n_movers

@@ -1,0 +1,132 @@
+"""Atomic versioned publish (io/publish.py): snapshot isolation under a
+crash at ANY point before the manifest swap, merge semantics parity with
+operators/merge.py, compaction collapse, and vacuum GC."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake2anomali_spark.io.publish import (
+    compact_versioned,
+    init_table,
+    merge_into_versioned,
+    read_manifest,
+    read_snapshot,
+    vacuum,
+    version_dir,
+)
+from datalake2anomali_spark.io.tables import load_table
+
+
+@pytest.fixture()
+def vtable(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "events_v")
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    init_table(spark, e, root, "event_date")
+    return root
+
+
+def _snap_fingerprint(spark, root):
+    df = read_snapshot(spark, root, "event_date")
+    return (
+        df.count(),
+        df.agg(F.sum(F.hash(*df.columns)).alias("h")).collect()[0]["h"],
+    )
+
+
+def test_roundtrip_and_merge_semantics(spark, sf_dir, vtable):
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    snap = read_snapshot(spark, vtable, "event_date")
+    assert snap.count() == e.count()
+
+    # NULL-ing update + partition move + insert, in one source batch
+    upd = (
+        e.filter(F.col("event_type") == "purchase")
+        .withColumn("value", F.lit(None).cast("double"))
+    )
+    mov = (
+        e.filter(F.col("event_type") == "signup")
+        .withColumn("event_date", F.lit("2032-01-01"))
+    )
+    ins = e.filter(F.col("event_type") == "error").withColumn(
+        "event_id", F.col("event_id") + 50_000_000
+    )
+    source = upd.unionByName(mov).unionByName(ins)
+    merge_into_versioned(spark, vtable, source, ["event_id"], "event_date")
+
+    after = read_snapshot(spark, vtable, "event_date")
+    assert after.count() == e.count() + ins.count()
+    assert (
+        after.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        ).count()
+        == 0
+    )
+    assert after.filter(F.col("event_date") == "2032-01-01").count() == mov.count()
+    dup = after.groupBy("event_id").count().filter(F.col("count") > 1)
+    assert dup.count() == 0
+
+
+def test_crash_before_swap_is_invisible(spark, sf_dir, vtable):
+    """Simulate a writer that dies after writing ALL its data files but
+    before the manifest swap: readers still see exactly the old snapshot."""
+    before = _snap_fingerprint(spark, vtable)
+    e = read_snapshot(spark, vtable, "event_date")
+    # a would-be merge output, written straight into the next version slot
+    # (what a crashed merge_into_versioned leaves behind)
+    orphan = version_dir(vtable, read_manifest(vtable)["version"] + 1)
+    e.limit(100).withColumn("value", F.col("value") + 1).write.partitionBy(
+        "event_date"
+    ).parquet(orphan)
+
+    assert _snap_fingerprint(spark, vtable) == before  # old snapshot intact
+
+    # the next writer must NOT reuse the orphan's version number
+    upd = e.limit(5).withColumn("value", F.col("value") + 9.0)
+    v = merge_into_versioned(spark, vtable, upd, ["event_id"], "event_date")
+    assert version_dir(vtable, v) != orphan
+    assert os.path.isdir(orphan)  # untouched; vacuum owns its removal
+
+
+def test_crash_mid_write_is_invisible(spark, vtable):
+    """A half-written version directory (crash between partition writes)
+    never surfaces: the manifest still maps every partition to complete
+    versions."""
+    before = _snap_fingerprint(spark, vtable)
+    orphan = version_dir(vtable, 99)
+    os.makedirs(os.path.join(orphan, "event_date=2040-01-01"), exist_ok=True)
+    with open(
+        os.path.join(orphan, "event_date=2040-01-01", "part-00000.parquet"), "wb"
+    ) as fh:
+        fh.write(b"\x00garbage, not parquet")
+    assert _snap_fingerprint(spark, vtable) == before
+
+
+def test_compact_collapses_versions_and_vacuum(spark, sf_dir, vtable):
+    e = read_snapshot(spark, vtable, "event_date")
+    for bump in (1.0, 2.0):
+        upd = e.filter(F.col("event_type") == "click").withColumn(
+            "value", F.col("value") + bump
+        )
+        merge_into_versioned(spark, vtable, upd, ["event_id"], "event_date")
+    fp = _snap_fingerprint(spark, vtable)
+    manifest = read_manifest(vtable)
+    assert len({v for v in manifest["partitions"].values()}) >= 1
+
+    v = compact_versioned(spark, vtable, "event_date", "event_id")
+    manifest = read_manifest(vtable)
+    assert set(manifest["partitions"].values()) == {v}  # single live version
+    assert _snap_fingerprint(spark, vtable) == fp  # content-preserving
+
+    removed = vacuum(vtable)
+    assert removed  # old versions GC'd
+    live_dirs = [d for d in os.listdir(vtable) if d.startswith("_v")]
+    assert live_dirs == [f"_v{v}"]
+    assert _snap_fingerprint(spark, vtable) == fp

@@ -105,3 +105,39 @@ def test_cms_partitioning_invariance(spark):
     ra = sorted(map(tuple, cms_probe_summary(a, "user_id", probes).collect()))
     rb = sorted(map(tuple, cms_probe_summary(b, "user_id", probes).collect()))
     assert ra == rb
+
+
+def test_exact_quantiles_wide_domain_bounded(spark):
+    """Epoch-microsecond-scale values (≈2^50 span): the shift must derive
+    from observed min/max so every histogram stays ≤ 2^16 buckets — the
+    round-5 version collected range/2^16 buckets (unbounded) here."""
+    import math
+
+    from datalake2anomali_spark.functions.selection import exact_quantiles
+
+    base = 1_704_067_200_000_000  # 2024-01-01 in µs
+    vals = [base + i * 7_919_333_123 for i in range(500)]  # ~4e12 span
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    qs = [0.01, 0.5, 0.99]
+    got = {r.q: r.value_scaled for r in exact_quantiles(df, "v", qs, scale=0).collect()}
+    snapped = sorted(round(v) for v in vals)
+    for q in qs:
+        rank = max(1, math.ceil(q * len(snapped)))
+        assert got[q] == snapped[rank - 1], q
+
+
+def test_exact_quantiles_wide_domain_with_negatives(spark):
+    """Signed wide domain: arithmetic-shift bucketing must stay ordered
+    across every refinement level, not just the coarse one."""
+    import math
+
+    from datalake2anomali_spark.functions.selection import exact_quantiles
+
+    vals = [(-1) ** i * (i * 987_654_321 + i * i) for i in range(400)]
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    got = {r.q: r.value_scaled for r in exact_quantiles(df, "v", qs, scale=0).collect()}
+    snapped = sorted(round(v) for v in vals)
+    for q in qs:
+        rank = max(1, math.ceil(q * len(snapped)))
+        assert got[q] == snapped[rank - 1], q

@@ -342,6 +342,7 @@ def scd2_history(
     ts_col: str = "ts",
     attr_col: str = "event_type",
     tiebreak_col: str = "event_id",
+    keep_tiebreak: bool = False,
 ) -> DataFrame:
     """Slowly-changing-dimension type 2: collapse a change stream into
     validity intervals per key.
@@ -360,6 +361,11 @@ def scd2_history(
     Reference parity: generalizes the reference's latest-record upsert
     cursor (SURVEY §2 T2/J4 — it keeps only the newest state) into full
     history retention.
+
+    ``keep_tiebreak`` appends the opening event's tiebreak value as
+    ``tb`` — the streaming maintainer (``streaming/incremental.py:
+    maintain_scd2_history``) stores it so a stored current interval can be
+    replayed as a pseudo-event with its original deterministic sort key.
     """
     order = [F.expr(f"unix_micros({ts_col})").asc(), F.col(tiebreak_col).asc()]
     w = W.partitionBy(key_col).orderBy(*order)
@@ -369,12 +375,17 @@ def scd2_history(
         .drop("_prev")
     )
     w2 = W.partitionBy(key_col).orderBy(*order)
-    return changes.select(
-        key_col,
+    cols = [
+        F.col(key_col),
         F.col(attr_col).alias("attr"),
         F.expr(f"unix_micros({ts_col})").alias("valid_from_us"),
         F.lead(F.expr(f"unix_micros({ts_col})")).over(w2).alias("valid_to_us"),
-    ).withColumn("is_current", F.col("valid_to_us").isNull())
+    ]
+    if keep_tiebreak:
+        cols.append(F.col(tiebreak_col).alias("tb"))
+    return changes.select(*cols).withColumn(
+        "is_current", F.col("valid_to_us").isNull()
+    )
 
 
 def state_at_times(

@@ -154,14 +154,67 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
+def fuzzy_part_match2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-2 entity resolution over document-prefix strings + planted
+    misspellings (``operators/fuzzy.py: fuzzy_self_join_d2``): positional
+    q-gram count filtering (threshold ``max_len - 5``, ±2-position band
+    keys) plus the short-string band block — the exhaustive-cross-join
+    oracle hash-matching proves the blocked plan loses no pair at radius
+    2, exactly the contract the k=1 ``fuzzy_match`` row certifies for
+    radius 1.
+
+    The corpus is each document's 30-char text prefix (diverse,
+    natural-text-shaped keys) plus one-edit clones of every 3rd document
+    and two-edit clones of every 5th, so the result exercises
+    dist ∈ {0, 1, 2} — planted pairs and organic collisions both.
+    """
+    from datalake2anomali_spark.operators.fuzzy import fuzzy_self_join
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("substring(text, 1, 30)").alias("prefix")
+    )
+    base = d.select(F.col("doc_id").alias("id"), F.col("prefix").alias("txt"))
+    one = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("id"),
+        F.concat(F.lit("x"), F.expr("substring(prefix, 2)")).alias("txt"),
+    )
+    two = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("id"),
+        F.concat(F.lit("xy"), F.expr("substring(prefix, 3)")).alias("txt"),
+    )
+    corpus = base.unionByName(one).unionByName(two)
+    return fuzzy_self_join(corpus, "id", "txt", max_distance=2)
+
+
+FUZZY2_SQL = """
+WITH d AS (
+  SELECT doc_id, substring(text, 1, 30) AS prefix FROM documents
+), corpus AS (
+  SELECT doc_id AS id, prefix AS txt FROM d
+  UNION ALL
+  SELECT doc_id + 10000000, 'x' || substring(prefix, 2) FROM d
+  WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 20000000, 'xy' || substring(prefix, 3) FROM d
+  WHERE doc_id % 5 = 0
+)
+SELECT a.id AS id_a, b.id AS id_b, a.txt AS text_a, b.txt AS text_b,
+       CAST(levenshtein(a.txt, b.txt) AS INT) AS dist
+FROM corpus a JOIN corpus b ON a.id < b.id
+WHERE levenshtein(a.txt, b.txt) <= 2
+"""
+
+
 QUERIES = {
     "data_quality_audit": lineitem_audit,
     "table_diff": orders_snapshot_diff,
     "fuzzy_match": fuzzy_customer_match,
+    "fuzzy_match2": fuzzy_part_match2,
 }
 
 ORACLES = {
     "data_quality_audit": AUDIT_SQL,
     "table_diff": DIFF_SQL,
     "fuzzy_match": FUZZY_SQL,
+    "fuzzy_match2": FUZZY2_SQL,
 }

@@ -42,6 +42,7 @@ QUERIES = {
     "stream_dedup_events": incremental.stream_dedup_events,
     "stream_sessionize": incremental.stream_sessionize,
     "stream_view_maintenance": incremental.stream_view_maintenance,
+    "stream_scd2": incremental.stream_scd2,
     "stream_dedup_late": incremental.stream_dedup_late,
     "stateful_user_profiles": stateful.stateful_user_profiles,
 }
@@ -55,6 +56,8 @@ ORACLES = {
     "stream_sessionize": windows.SESSION_WINDOW_SQL,
     # the streaming refresh must converge to the batch rollup exactly
     "stream_view_maintenance": _analytics.VIEW_SQL,
+    # the streaming CDC-apply must converge to the batch SCD2 exactly
+    "stream_scd2": _temporal.SCD2_SQL,
     "stream_dedup_late": incremental.STREAM_DEDUP_LATE_SQL,
     "stateful_user_profiles": stateful.STATEFUL_PROFILE_SQL,
 }

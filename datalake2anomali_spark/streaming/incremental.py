@@ -460,6 +460,161 @@ WHERE event_id % 20 = 0
 """
 
 
+def maintain_scd2_history(
+    spark: SparkSession,
+    src_path: str,
+    hist_root: str,
+    checkpoint_dir: str,
+    key: str = "user_id",
+    ts: str = "ts",
+    attr: str = "event_type",
+    tiebreak: str = "event_id",
+) -> None:
+    """One tick of streaming SCD2 maintenance: CDC-apply a change stream
+    into a stored validity-interval history (the warehouse-feed shape —
+    every dimension load applies exactly this).
+
+    Storage is split by mutability so per-batch I/O is bounded by the
+    batch, never the history:
+
+    - ``{hist_root}/closed`` — closed intervals, APPEND-only.  A closed
+      interval is immutable (its ``valid_to`` is a fact), so history
+      never gets rewritten.
+    - ``{hist_root}/current`` — one open interval per key, OVERWRITTEN
+      each batch.  Size is the live-key count, the same state a
+      ``dropDuplicates`` store would hold.
+
+    Per micro-batch (``foreachBatch``): the stored current rows of the
+    batch's keys are replayed as pseudo-events at their ``valid_from``
+    with their original tiebreak (``scd2_history(keep_tiebreak=True)``
+    stored it for exactly this), unioned with the batch, and re-run
+    through the batch change-detection operator — so stitching across
+    the batch boundary (extend-if-same-attr vs close-and-open) falls out
+    of the one operator instead of being re-implemented.  Newly closed
+    intervals append; the recomputed open rows plus untouched keys'
+    current rows overwrite the current store.  Untouched keys join via a
+    broadcast of the batch's (small) key set.
+
+    Assumes batch boundaries respect per-key event-time order (the
+    watermark contract every stream here runs under; late rows that
+    would REVISE a closed interval are a history restatement, out of
+    scope).  Because each batch folds through the same deterministic
+    operator, the final stored history converges to the batch
+    ``scd2_history`` over the full table — which is what the driver's
+    oracle checks.
+    """
+    closed_path = os.path.join(hist_root, "closed")
+    cur_path = os.path.join(hist_root, "current")
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        from ..operators.temporal import scd2_history
+
+        sp = batch_df.sparkSession
+        batch = batch_df.select(key, ts, attr, tiebreak)
+        have_current = os.path.isdir(cur_path) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(cur_path) for f in fs
+        )
+        if have_current:
+            sp.catalog.refreshByPath(cur_path)
+            stored = sp.read.parquet(cur_path)
+            bkeys = batch.select(key).distinct()
+            untouched = stored.join(F.broadcast(bkeys), [key], "left_anti")
+            pseudo = stored.join(F.broadcast(bkeys), [key], "leftsemi").select(
+                F.col(key),
+                F.timestamp_micros("valid_from_us").alias(ts),
+                F.col("attr").alias(attr),
+                F.col("tb").alias(tiebreak),
+            )
+            rec = scd2_history(
+                pseudo.unionByName(batch), key, ts, attr, tiebreak,
+                keep_tiebreak=True,
+            )
+            new_cur = rec.filter(F.col("is_current")).unionByName(untouched)
+        else:
+            rec = scd2_history(batch, key, ts, attr, tiebreak, keep_tiebreak=True)
+            new_cur = rec.filter(F.col("is_current"))
+        rec.filter(~F.col("is_current")).write.mode("append").parquet(closed_path)
+        # overwrite reads its own path (untouched rows) — materialize first
+        new_cur.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            cur_path
+        )
+        sp.catalog.refreshByPath(cur_path)
+
+    stream = read_events_stream(spark, src_path)
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_scd2_history(spark: SparkSession, hist_root: str) -> DataFrame:
+    """The maintained history: closed intervals ∪ current rows, in the
+    batch ``scd2_history`` schema."""
+    pieces = []
+    for sub in ("closed", "current"):
+        p = os.path.join(hist_root, sub)
+        if os.path.isdir(p) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(p) for f in fs
+        ):
+            spark.catalog.refreshByPath(p)
+            pieces.append(spark.read.parquet(p))
+    out = pieces[0]
+    for df in pieces[1:]:
+        out = out.unionByName(df)
+    return out.select(
+        "user_id", "attr", "valid_from_us", "valid_to_us", "is_current"
+    )
+
+
+def stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming SCD2: the events table replayed as three
+    time-range slices through three real availableNow ticks sharing one
+    durable checkpoint (each tick sees only the newly arrived file, the
+    ``run_tick`` production shape), folded into the stored history by
+    :func:`maintain_scd2_history`.  The final history must hash-match the
+    batch ``scd2_history`` oracle over the full table — interval closure
+    across micro-batch boundaries included (also pinned in
+    tests/test_streaming.py).
+    """
+    import shutil
+
+    e = load_sf_events(spark, sf_dir).select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    base = (
+        "/dev/shm"
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+        else tempfile.gettempdir()
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    src = os.path.join(base, f"d2a_scd2src_{tag}")
+    hist = os.path.join(base, f"d2a_scd2hist_{tag}")
+    ckpt = os.path.join(base, f"d2a_scd2ckpt_{tag}")
+    for p in (src, hist, ckpt):  # pure function of the source table
+        shutil.rmtree(p, ignore_errors=True)
+
+    lo, hi = e.agg(
+        F.min(F.expr("unix_micros(ts)")), F.max(F.expr("unix_micros(ts)"))
+    ).collect()[0]
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    slices = [
+        e.filter(F.expr("unix_micros(ts)") <= cut1),
+        e.filter(
+            (F.expr("unix_micros(ts)") > cut1)
+            & (F.expr("unix_micros(ts)") <= cut2)
+        ),
+        e.filter(F.expr("unix_micros(ts)") > cut2),
+    ]
+    for s in slices:  # arrive → tick, three times
+        s.coalesce(1).write.mode("append").parquet(src)
+        spark.catalog.refreshByPath(src)
+        maintain_scd2_history(spark, src, hist, ckpt)
+    return read_scd2_history(spark, hist)
+
+
 def run_tick(
     stream_df: DataFrame,
     out_path: str,

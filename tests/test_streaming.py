@@ -523,3 +523,61 @@ def test_maintain_rollup_view_merges_across_batches(spark, tmp_path):
     assert (out["click"].n_rows, out["click"].sum_value) == (3, 775)
     assert (out["click"].min_event_id, out["click"].max_event_id) == (1, 3)
     assert (out["view"].n_rows, out["view"].sum_value) == (1, 100)
+
+
+def test_scd2_stream_closes_and_extends_across_batches(spark, tmp_path):
+    """Cross-batch stitching, both directions: an attr CHANGE arriving in a
+    later batch closes the stored current interval at the change's
+    timestamp; a same-attr continuation must NOT open a new interval."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datalake2anomali_spark.streaming.incremental import (
+        maintain_scd2_history,
+        read_scd2_history,
+    )
+
+    src = str(tmp_path / "src")
+    hist = str(tmp_path / "hist")
+    ckpt = str(tmp_path / "ckpt")
+    us = 1_000_000
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(u, F.lit(None), t, a, e) for (u, t, a, e) in rows],
+            "user_id long, _x string, ts_us long, event_type string, event_id long",
+        ).select(
+            "user_id",
+            F.timestamp_micros("ts_us").alias("ts"),
+            "event_type",
+            "event_id",
+        )
+
+    # batch 1: user 1 opens 'a'; user 2 opens 'x'
+    mk([(1, 10 * us, "a", 100), (2, 10 * us, "x", 101)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    maintain_scd2_history(spark, src, hist, ckpt)
+    h1 = {
+        (r.user_id, r.attr): (r.valid_from_us, r.valid_to_us, r.is_current)
+        for r in read_scd2_history(spark, hist).collect()
+    }
+    assert h1[(1, "a")] == (10 * us, None, True)
+
+    # batch 2: user 1 changes to 'b' (close + open); user 2 continues 'x'
+    # (extend — no new interval)
+    mk([(1, 20 * us, "b", 200), (2, 25 * us, "x", 201)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    maintain_scd2_history(spark, src, hist, ckpt)
+    rows = read_scd2_history(spark, hist).collect()
+    got = {(r.user_id, r.attr): (r.valid_from_us, r.valid_to_us, r.is_current) for r in rows}
+    assert got[(1, "a")] == (10 * us, 20 * us, False)  # closed at the change
+    assert got[(1, "b")] == (20 * us, None, True)
+    assert got[(2, "x")] == (10 * us, None, True)  # extended, not re-opened
+    assert len(rows) == 3
+
+    # the closed store is append-only: closing happened exactly once
+    closed = spark.read.parquet(os.path.join(hist, "closed"))
+    assert closed.count() == 1

@@ -91,22 +91,22 @@ def fuzzy_self_join(
     ).withColumn("dist", F.levenshtein("text_a", "text_b").cast("int"))
 
 
-#: q-gram width for the distance-2 path.  With q=2 and d=2 the count-filter
-#: threshold is max(|s|,|t|) - q + 1 - d·q = max_len - 5.
-_Q = 2
-_D2_SLACK = _Q - 1 + 2 * _Q  # 5
-#: positions within ±d of each other are banded into width-(2d+1) buckets so
-#: the positional constraint becomes (almost) an equi-key, not a residual
-_POS_BAND = 2 * 2 + 1  # 5
+#: strings this short make pair-filter thresholds vacuous (a distance-2 pair
+#: can share NOTHING: "ab" vs "cd"), so they pair via the length-band block
+_D2_SHORT = 5
 
 
-def positional_bigrams(text_col: str, len_col: str) -> F.Column:
-    """``[(gram, pos), …]`` — every positional 2-gram of the string, built
-    with JVM higher-order functions (no Python)."""
-    return F.expr(
-        f"transform(sequence(1, {len_col} - 1), "
-        f"i -> struct(substring({text_col}, i, 2) AS gram, i AS pos))"
-    )
+def _segment_bounds(i: F.Column, ls: F.Column) -> tuple[F.Column, F.Column]:
+    """(start, length) of segment ``i`` (1-based, of 3) in the even
+    partition of a string of length ``ls``: the first ``3 - ls%3``
+    segments get ``ls div 3`` chars, the rest one more.  Pure column
+    arithmetic — evaluated identically on the index and probe sides,
+    which is what makes the segment keys join-able."""
+    b = (ls / 3).cast("int")
+    rem = ls - b * 3
+    length = F.when(i > 3 - rem, b + 1).otherwise(b)
+    start = 1 + (i - 1) * b + F.greatest(F.lit(0), (i - 1) - (3 - rem))
+    return start, length
 
 
 def fuzzy_self_join_d2(
@@ -115,37 +115,35 @@ def fuzzy_self_join_d2(
     text_col: str,
 ) -> DataFrame:
     """All pairs with ``levenshtein <= 2``, ``id_a < id_b`` — exact, no
-    cross join, via positional q-gram count filtering (Gravano et al.,
-    "Approximate String Joins in a Database (Almost) for Free", VLDB
-    2001).
+    cross join, via segment-pigeonhole blocking (Pass-Join: Li, Deng,
+    Wang, Feng, "Can we beat the prefix filtering?", VLDB 2011).
 
-    Two complete candidate blocks, split by pair length so each block's
-    filter bound is actually a bound:
+    **Why not q-gram count filtering** (the textbook alternative): its
+    candidate join keys are 2-grams, and on low-entropy text (shared
+    vocabulary, common prefixes — exactly what entity names and template
+    documents look like) hot grams appear in a constant fraction of all
+    strings, making the gram join quadratic before the count threshold
+    ever runs (measured: >2 min on 7.7k 30-char vocabulary strings where
+    this implementation takes seconds).  Segment keys are ~|s|/3 chars
+    long — selective enough that candidates are plausible near-duplicates
+    only.
 
-    - **q-gram block** (``max(|s|,|t|) >= 6``): strings within edit
-      distance d share at least ``max(|s|,|t|) - q + 1 - d·q`` positional
-      q-grams whose positions differ by at most d (the count filter; the
-      join-pair count only over-approximates the multiset intersection,
-      so no true pair is lost).  Grams equi-join on ``(gram,
-      pos-band)`` — each probe side fans out to the 3 adjacent width-5
-      bands, turning the ``|pos_a - pos_b| <= 2`` constraint into a
-      bucketed key instead of a post-join residual, which caps the
-      per-key fan-in at the gram's frequency *within a 5-position
-      window*, not its global frequency.  A groupBy counts matches per
-      pair; pairs below the ``max_len - 5`` threshold drop before any
-      ``levenshtein`` runs.
-    - **short block** (both ``|s| <= 5``): the threshold is <= 0 there —
-      the filter admits pairs sharing zero grams ("ab" vs "cd" is
-      distance 2) — so short strings pair all-to-all within a ±2 length
-      band via an exploded length-key equi-join.  Driver-bounded by the
-      short-string population squared over the band; on text corpora
-      that population is tiny, and the band join keeps it off any
-      cross-product plan.
+    The pigeonhole: split every indexed string into 3 contiguous
+    segments; 2 edits can corrupt at most 2 of them, so any string within
+    distance 2 contains at least one segment VERBATIM, starting within ±2
+    of its home position.  Complete candidate generation is therefore an
+    equi-join: the index side emits its 3 ``(segment, i, len)`` keys
+    (linear); the probe side emits, for each candidate index length
+    ``ls ∈ [len−2, len+2]``, each segment slot, and each shift ``δ ∈
+    [−2, 2]``, the substring the lemma says must match (≤ 75 keys per
+    string, linear).  Candidates dedup before the exact ``levenshtein <=
+    2`` residual.
 
-    Both blocks end in the exact ``levenshtein <= 2`` residual, so the
-    result is *identical* to the exhaustive cross join — the DuckDB
-    oracle proves completeness on real data, same contract as the k=1
-    path.
+    Pairs where both strings are ≤ 5 chars pair all-to-all within a ±2
+    length band instead (segments degenerate below ~2 chars); the blocks
+    are disjoint (max-length ≥ 6 vs ≤ 5) and together complete, so the
+    result is *identical* to the exhaustive cross join — which the DuckDB
+    oracle verifies on real data, same contract as the k=1 path.
     """
     base = df.select(
         F.col(id_col).alias("_id"),
@@ -154,7 +152,7 @@ def fuzzy_self_join_d2(
     )
 
     # -- short block: both sides length <= 5, banded all-pairs ---------------
-    short = base.filter(F.col("_len") <= _D2_SLACK)
+    short = base.filter(F.col("_len") <= _D2_SHORT)
     sa = short.select(
         F.col("_id").alias("id_a"),
         F.col("_txt").alias("text_a"),
@@ -185,62 +183,59 @@ def fuzzy_self_join_d2(
         .distinct()
     )
 
-    # -- q-gram block: max(len) >= 6 (so min(len) >= 4 within the band) ------
-    grams = (
-        base.filter(F.col("_len") >= 4)
-        .select(
-            "_id",
-            "_txt",
-            "_len",
-            F.explode(positional_bigrams("_txt", "_len")).alias("_g"),
-        )
-        .select(
-            "_id",
-            "_txt",
-            "_len",
-            F.col("_g.gram").alias("_gram"),
-            F.col("_g.pos").alias("_pos"),
-        )
-    )
-    ga = grams.select(
-        F.col("_gram"),
-        (F.col("_pos") / _POS_BAND).cast("int").alias("_band"),
-        F.col("_pos").alias("pos_a"),
+    # -- segment block: pairs with max(len) >= 6 (so min(len) >= 4) ----------
+    eligible = base.filter(F.col("_len") >= 4)
+    i_col = F.explode(F.expr("sequence(1, 3)")).alias("_i")
+    idx = eligible.select(
         F.col("_id").alias("id_a"),
         F.col("_txt").alias("text_a"),
         F.col("_len").alias("len_a"),
+        i_col,
     )
-    gb = grams.select(
-        F.col("_gram"),
-        F.explode(
-            F.array(
-                (F.col("_pos") / _POS_BAND).cast("int") - 1,
-                (F.col("_pos") / _POS_BAND).cast("int"),
-                (F.col("_pos") / _POS_BAND).cast("int") + 1,
-            )
-        ).alias("_band"),
-        F.col("_pos").alias("pos_b"),
-        F.col("_id").alias("id_b"),
-        F.col("_txt").alias("text_b"),
-        F.col("_len").alias("len_b"),
+    st, ln = _segment_bounds(F.col("_i"), F.col("len_a"))
+    idx = idx.withColumn("_ls", F.col("len_a")).withColumn(
+        "_seg", F.col("text_a").substr(st, ln)
     )
-    gram_pairs = (
-        ga.join(gb, ["_gram", "_band"])
+
+    probe = (
+        eligible.select(
+            F.col("_id").alias("id_b"),
+            F.col("_txt").alias("text_b"),
+            F.col("_len").alias("len_b"),
+        )
+        .select(
+            "*",
+            F.explode(
+                F.expr("sequence(greatest(len_b - 2, 4), len_b + 2)")
+            ).alias("_ls"),
+        )
+        .select("*", F.explode(F.expr("sequence(1, 3)")).alias("_i"))
+        .select("*", F.explode(F.expr("sequence(-2, 2)")).alias("_delta"))
+    )
+    pst, pln = _segment_bounds(F.col("_i"), F.col("_ls"))
+    probe = (
+        probe.withColumn("_start", pst + F.col("_delta"))
+        .withColumn("_slen", pln)
+        .filter(
+            (F.col("_start") >= 1)
+            & (F.col("_start") + F.col("_slen") - 1 <= F.col("len_b"))
+        )
+        .withColumn("_seg", F.col("text_b").substr(F.col("_start"), F.col("_slen")))
+        .select("id_b", "text_b", "len_b", "_ls", "_i", "_seg")
+    )
+
+    seg_pairs = (
+        idx.join(probe, ["_seg", "_i", "_ls"])
         .filter(
             (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.col("pos_a") - F.col("pos_b")) <= 2)
             & (F.abs(F.col("len_a") - F.col("len_b")) <= 2)
             & (F.greatest("len_a", "len_b") >= 6)
         )
-        .groupBy("id_a", "id_b", "text_a", "text_b", "len_a", "len_b")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(
-            F.col("_n") >= F.greatest("len_a", "len_b") - F.lit(_D2_SLACK)
-        )
         .select("id_a", "id_b", "text_a", "text_b")
+        .distinct()
     )
 
-    cand = short_pairs.unionByName(gram_pairs)
+    cand = short_pairs.unionByName(seg_pairs)
     return cand.filter(F.levenshtein("text_a", "text_b") <= 2).withColumn(
         "dist", F.levenshtein("text_a", "text_b").cast("int")
     )

@@ -218,6 +218,57 @@ FROM enriched
 )
 
 
+#: Non-default expiration periods for the knob-honoring row: the reference
+#: DECLARES ``anomali_expiration_period`` (``src/config.py.default:20``,
+#: README.md:25-26) but hardcodes now+1h (``src/Datalake2Anomali.py:62``);
+#: we honor the knob (SURVEY §2 S3) and this query certifies each period
+#: produces its own expiration_ts.
+EXPIRATION_PERIODS = (1, 24, 168)
+
+
+def ioc_payload_expiration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 with the ``anomali_expiration_period`` knob exercised end-to-end:
+    every payload object rendered under each configured period, one row per
+    (object, period), with the period's own ``expiration_ts``.  The oracle
+    hardcodes the three expected timestamps independently, so a hash match
+    proves the knob — not just the default — drives the interval
+    arithmetic (``ioc/payload.py: payload_meta``)."""
+    objs = prepare_objects(
+        _indicators(spark, sf_dir), tags_tlp="white", add_dtl_tags=True
+    )
+    now = F.lit("2026-01-01 00:00:00").cast("timestamp")
+    variants = [
+        objs.select(
+            "value_key",
+            "value",
+            F.lit(h).cast("int").alias("expiration_hours"),
+            payload_meta(
+                classification="private", expiration_hours=h, now=now
+            ).getField("expiration_ts").alias("expiration_ts"),
+        )
+        for h in EXPIRATION_PERIODS
+    ]
+    out = variants[0]
+    for v in variants[1:]:
+        out = out.unionByName(v)
+    return out
+
+
+IOC_PAYLOAD_EXPIRATION_SQL = (
+    _IOC_CTES
+    + """
+SELECT anomali_type AS value_key,
+       CASE WHEN anomali_type = 'md5' THEN hashes_md5 ELSE atom_value END AS value,
+       p.h AS expiration_hours,
+       CASE p.h WHEN 1   THEN '2026-01-01T01:00:00'
+                WHEN 24  THEN '2026-01-02T00:00:00'
+                WHEN 168 THEN '2026-01-08T00:00:00' END AS expiration_ts
+FROM enriched
+CROSS JOIN (VALUES (CAST(1 AS INTEGER)), (CAST(24 AS INTEGER)), (CAST(168 AS INTEGER))) p(h)
+"""
+)
+
+
 def ioc_upsert_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP-B J4: batch MERGE routing against sink state."""
     adv = derive_advisories(spark, sf_dir)
@@ -444,6 +495,7 @@ QUERIES = {
     "ioc_indicators_observed": ioc_indicators_observed,
     "ioc_payload_objects": ioc_payload_objects,
     "ioc_payload_json": ioc_payload_json,
+    "ioc_payload_expiration": ioc_payload_expiration,
     "ioc_upsert_routing": ioc_upsert_routing,
     "ioc_incremental_cursor": ioc_incremental_cursor,
     "ioc_rest_source_pipeline": ioc_rest_source_pipeline,
@@ -454,6 +506,7 @@ ORACLES = {
     "ioc_indicators_observed": IOC_INDICATORS_SQL,
     "ioc_payload_objects": IOC_PAYLOAD_OBJECTS_SQL,
     "ioc_payload_json": IOC_PAYLOAD_JSON_SQL,
+    "ioc_payload_expiration": IOC_PAYLOAD_EXPIRATION_SQL,
     "ioc_upsert_routing": IOC_UPSERT_ROUTING_SQL,
     "ioc_incremental_cursor": IOC_INCREMENTAL_CURSOR_SQL,
     "ioc_rest_source_pipeline": IOC_REST_SOURCE_SQL,

@@ -156,12 +156,12 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 
 def fuzzy_part_match2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance-2 entity resolution over document-prefix strings + planted
-    misspellings (``operators/fuzzy.py: fuzzy_self_join_d2``): positional
-    q-gram count filtering (threshold ``max_len - 5``, ±2-position band
-    keys) plus the short-string band block — the exhaustive-cross-join
-    oracle hash-matching proves the blocked plan loses no pair at radius
-    2, exactly the contract the k=1 ``fuzzy_match`` row certifies for
-    radius 1.
+    misspellings (``operators/fuzzy.py: fuzzy_self_join_d2``): Pass-Join
+    segment-pigeonhole blocking (one of 3 segments must appear verbatim
+    within ±2 positions) plus the short-string band block — the
+    exhaustive-cross-join oracle hash-matching proves the blocked plan
+    loses no pair at radius 2, exactly the contract the k=1
+    ``fuzzy_match`` row certifies for radius 1.
 
     The corpus is each document's 30-char text prefix (diverse,
     natural-text-shaped keys) plus one-edit clones of every 3rd document

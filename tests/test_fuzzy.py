@@ -128,7 +128,7 @@ def test_d2_exhaustive_agreement_mixed_lengths(spark):
 
 def test_d2_exhaustive_agreement_long_strings(spark):
     """Realistic-entity shape: long strings with shared vocabulary; the
-    count-filter threshold (max_len - 5) must not drop any true pair."""
+    segment blocking must not drop any true pair on low-entropy text."""
     import random
 
     rng = random.Random(99)

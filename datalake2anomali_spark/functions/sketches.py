@@ -138,7 +138,11 @@ def cms_probe_summary(
     import math
 
     spark = df.sparkSession
-    n_total = df.count()
+    # count(col), not count(*): the sketch aggregate skips NULLs, so the
+    # ε·N slack must use the item count the sketch actually ingested — an
+    # all-rows N would loosen the documented CMS guarantee on NULL-bearing
+    # columns (ADVICE r5)
+    n_total = df.agg(F.count(F.col(col)).alias("n")).collect()[0]["n"]
     # F.count_min_sketch is the aggregate (one pass, cell-wise mergeable);
     # Spark 4 exposes no SQL-side point estimator, so deserialize the
     # sketch's binary form through the JVM sketch class for the probes —

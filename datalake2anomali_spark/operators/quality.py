@@ -92,7 +92,15 @@ def audit(
         if c.kind == "non_null":
             expr = F.count(F.col(c.cols[0]))
         elif c.kind == "unique":
-            expr = F.countDistinct(*[F.col(x) for x in c.cols])
+            # distinct over a null-safe struct, NOT countDistinct(cols):
+            # the latter drops any row with a NULL key column, which both
+            # diverges from the oracle's COUNT(DISTINCT (a,b)) row-struct
+            # semantics and fails uniqueness on tables whose distinct
+            # tuples merely contain NULLs (ADVICE r5).  The struct itself
+            # is never NULL, so every row counts; NULL keys compare equal
+            # within it (GROUP BY semantics) — duplicate NULL-keyed tuples
+            # still lower the count, as they should.
+            expr = F.countDistinct(F.struct(*[F.col(x) for x in c.cols]))
         elif c.kind == "in_range":
             col = F.col(c.cols[0])
             expr = F.sum(

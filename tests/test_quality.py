@@ -105,3 +105,25 @@ def test_snapshot_diff_all_null_payload_presence(spark):
     new = spark.createDataFrame([], "k long, s string")
     out = quality.snapshot_diff(old, new, keys=["k"]).collect()
     assert len(out) == 1 and out[0].change_type == "removed"
+
+
+def test_unique_check_null_key_semantics(spark):
+    """NULL-bearing key tuples count like the oracle's row-structs: all
+    tuples distinct (incl. NULL-containing ones) → unique PASSES; a
+    duplicated NULL-keyed tuple → FAILS."""
+    from datalake2anomali_spark.operators import quality
+
+    distinct_rows = spark.createDataFrame(
+        [(1, "a"), (None, "a"), (None, "b"), (2, None)], "k int, s string"
+    )
+    row = (
+        quality.audit(distinct_rows, [quality.unique("k", "s")])
+        .collect()[0]
+    )
+    assert row.observed == 4 and row.passed
+
+    dup_null = spark.createDataFrame(
+        [(None, "a"), (None, "a"), (1, "b")], "k int, s string"
+    )
+    row = quality.audit(dup_null, [quality.unique("k", "s")]).collect()[0]
+    assert row.observed == 2 and not row.passed

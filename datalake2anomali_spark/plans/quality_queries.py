@@ -205,11 +205,70 @@ WHERE levenshtein(a.txt, b.txt) <= 2
 """
 
 
+def setsim_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set similarity join (``operators/setsim.py``): all
+    document pairs whose word-TRIGRAM-set Jaccard ≥ 0.8, found by
+    AllPairs/PPJoin prefix filtering — rarest-token prefixes make the
+    candidate equi-join complete with zero recall cap, the exact
+    counterpart of the MinHash row.  Word trigrams, not words: this
+    corpus's tiny vocabulary makes 1-gram sets near-identical across
+    documents (quadratic result) and even bigrams too hot (~400 distinct
+    over 5.7k docs) — trigrams restore the rarity prefix filtering
+    feeds on; same low-entropy lesson as the fuzzy fixtures.  Clones of
+    every 7th
+    document (mutated head) guarantee true positives; the exhaustive
+    cross-join oracle proves completeness.
+    """
+    from datalake2anomali_spark.operators.setsim import jaccard_self_join
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("xx yy "), F.expr("substring(text, 7)")).alias("text"),
+    )
+    corpus = d.unionByName(clones)
+    out = jaccard_self_join(corpus, "doc_id", "text", threshold=0.8, shingle=3)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("uni").cast("long").alias("uni"),
+        "jaccard",
+    )
+
+
+SETSIM_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, 'xx yy ' || substring(text, 7) FROM documents
+  WHERE doc_id % 7 = 0
+), w AS (
+  SELECT id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM corpus
+), t AS (
+  SELECT id,
+         list_distinct(list_transform(range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS toks
+  FROM w WHERE len(ws) >= 3
+), s AS (SELECT id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+       CAST(a.n + b.n - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS uni,
+       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / (a.n + b.n - len(list_intersect(a.toks, b.toks))) AS jaccard
+FROM s a JOIN s b ON a.id < b.id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / (a.n + b.n - len(list_intersect(a.toks, b.toks))) >= 0.8
+"""
+
+
 QUERIES = {
     "data_quality_audit": lineitem_audit,
     "table_diff": orders_snapshot_diff,
     "fuzzy_match": fuzzy_customer_match,
     "fuzzy_match2": fuzzy_part_match2,
+    "setsim_join": setsim_documents,
 }
 
 ORACLES = {
@@ -217,4 +276,5 @@ ORACLES = {
     "table_diff": DIFF_SQL,
     "fuzzy_match": FUZZY_SQL,
     "fuzzy_match2": FUZZY2_SQL,
+    "setsim_join": SETSIM_SQL,
 }

@@ -99,11 +99,10 @@ _PRIORITY: tuple[str, ...] = (
     "top_terms",
     "ioc_upsert_routing",
     "q1_pricing_summary",
-    # round-5-certified fillers chosen so tail families keep a sibling in
-    # the window (text/ANN/IOC-source anchors)
-    "text_profile",
-    "ann_cosine_topk",
-    "ioc_rest_source_pipeline",
+    # new in round 6, second wave — first-exposure driver rows
+    "setsim_join",  # new: exact prefix-filtered set-similarity join (setsim.py)
+    "percentile_cont",  # new: exact interpolated percentiles (selection.py)
+    "snapshot_pruned_scan",  # new: zone-map partition skipping (io/publish.py)
 )
 
 #: Exactly the entries past the gate window (asserted, not counted, in
@@ -149,11 +148,14 @@ _TAIL: tuple[str, ...] = (
     "json_flatten",  # sibling scalar_datetime_json (semi-structured family)
     "time_travel",  # sibling stream_scd2 (SCD2-interval family, in window)
     "robust_outliers",  # sibling rolling-median family via running_window
-    "item_similarity",  # sibling ann_cosine_topk (similarity family, in window)
-    "ioc_indicators_observed",  # sibling ioc_rest_source_pipeline (F2/A3 family)
-    "ioc_incremental_cursor",  # sibling ioc_rest_source_pipeline (SRC/T2 family)
+    "item_similarity",  # sibling setsim_join (similarity-join family, in window)
+    "ioc_indicators_observed",  # sibling ioc_advisory_enrichment (SRC family, in window)
+    "ioc_incremental_cursor",  # sibling ioc_advisory_enrichment (SRC/T2 family, in window)
     "dedup_ngram_jaccard",  # siblings dedup_simhash + dedup_minhash_lsh (in window)
-    "corpus_stats",  # sibling text_profile (corpus text-stats family, in window)
+    "corpus_stats",  # sibling top_terms (corpus text-stats family, in window)
+    "text_profile",  # sibling top_terms (text-stats family, in window)
+    "ann_cosine_topk",  # siblings ann_lsh/ann_ivf/ann_quantized (in window)
+    "ioc_rest_source_pipeline",  # sibling ioc_advisory_enrichment (SRC family)
 )
 
 _MODULES = (

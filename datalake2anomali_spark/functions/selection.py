@@ -40,43 +40,49 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def exact_quantiles(
-    df: DataFrame,
-    col: str,
-    qs: list[float],
-    scale: int = 2,
-    level_bits: int = 16,
-) -> DataFrame:
-    """(q, value_scaled) rows: the exact ``max(1, ceil(q·n))``-th smallest
-    snapped value per requested quantile.  NULLs are excluded (SQL
-    aggregate convention); raises on an empty/all-NULL column.
-
-    ``level_bits`` caps every histogram at ``2^level_bits`` buckets per
-    located parent; the starting shift is derived from the observed
-    min/max so the cap holds for ANY value domain.
-    """
-    spark = df.sparkSession
-    snapped = df.select(
+def _snap(df: DataFrame, col: str, scale: int) -> DataFrame:
+    return df.select(
         F.round(F.col(col) * (10**scale)).cast("long").alias("s")
     ).filter(F.col("s").isNotNull())
 
+
+def _count(snapped: DataFrame) -> int:
+    return snapped.agg(F.count("s")).collect()[0][0]
+
+
+def order_statistics(
+    snapped: DataFrame,
+    ranks: list[int],
+    level_bits: int = 16,
+) -> dict[int, int]:
+    """Exact 1-indexed ascending order statistics of column ``s`` (long):
+    ``{rank: value}`` via histogram refinement — the shared core of
+    :func:`exact_quantiles` and :func:`exact_percentile_cont`.
+
+    Every driver collect is ≤ ``len(ranks) · 2^level_bits`` rows for ANY
+    value domain: the starting shift comes from an observed min/max
+    bounds pass, each refinement restricts to the located parent buckets
+    (``isin`` pushes to the scan) and cuts the shift by ``level_bits``.
+    """
     bounds = snapped.agg(
         F.min("s").alias("lo"), F.max("s").alias("hi"), F.count("s").alias("n")
     ).collect()[0]
     n = bounds["n"]
     if n == 0:
-        raise ValueError(f"exact_quantiles: no non-NULL values in {col!r}")
-    # smallest shift whose top-bits histogram over [lo, hi] fits the cap
+        raise ValueError("order_statistics: empty input")
+    bad = [r for r in ranks if not 1 <= r <= n]
+    if bad:
+        raise ValueError(f"ranks out of [1, {n}]: {bad}")
+    # smallest whole-level shift whose top-bits histogram fits the cap
     span_bits = int(bounds["hi"] - bounds["lo"]).bit_length()
     shift = max(0, span_bits - level_bits)
-    shift = math.ceil(shift / level_bits) * level_bits  # whole levels
+    shift = math.ceil(shift / level_bits) * level_bits
 
-    targets = {q: max(1, math.ceil(q * n)) for q in qs}
-    # (q, rank) -> rank counted within the current candidate bucket set;
-    # starts global (single implicit root bucket)
-    intra: dict[float, int] = dict(targets)
+    # rank -> rank re-based within its current candidate bucket; starts
+    # global (single implicit root bucket)
+    intra: dict[int, int] = {r: r for r in set(ranks)}
     parents: list[int] | None = None  # None = unrestricted first pass
-    located_parent: dict[float, int] = {}
+    located_parent: dict[int, int] = {}
 
     while True:
         bucket = F.shiftright("s", shift) if shift else F.col("s")
@@ -92,31 +98,111 @@ def exact_quantiles(
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()
         )
-        # locate each rank's bucket at this level; recompute intra-bucket
-        # ranks for the next level.  Walking the full sorted histogram is
-        # correct even when it covers several parents, because ranks were
-        # re-based per-parent: walk within each parent's children.
-        located: dict[float, tuple[int, int]] = {}
+        # locate each rank's bucket at this level, walking each parent's
+        # children separately (ranks were re-based per parent)
+        located: dict[int, tuple[int, int]] = {}
         if parents is None:
             groups = {None: hist}
         else:
             groups = {}
             for b, c in hist:
                 groups.setdefault(b >> level_bits, []).append((b, c))
-        for q, rank in intra.items():
-            parent = None if parents is None else located_parent[q]
+        for r0, rank in intra.items():
+            parent = None if parents is None else located_parent[r0]
             below = 0
             for b, c in groups[parent]:
                 if rank <= below + c:
-                    located[q] = (b, rank - below)
+                    located[r0] = (b, rank - below)
                     break
                 below += c
         if shift == 0:
-            out = [(float(q), int(b)) for q, (b, _r) in located.items()]
-            return spark.createDataFrame(
-                sorted(out), "q double, value_scaled long"
-            )
+            return {r0: int(b) for r0, (b, _r) in located.items()}
         parents = sorted({b for b, _r in located.values()})
-        located_parent = {q: b for q, (b, _r) in located.items()}
-        intra = {q: r for q, (_b, r) in located.items()}
+        located_parent = {r0: b for r0, (b, _r) in located.items()}
+        intra = {r0: r for r0, (_b, r) in located.items()}
         shift -= level_bits
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    scale: int = 2,
+    level_bits: int = 16,
+) -> DataFrame:
+    """(q, value_scaled) rows: the exact ``max(1, ceil(q·n))``-th smallest
+    snapped value per requested quantile (``quantile_disc`` convention).
+    NULLs are excluded (SQL aggregate convention); raises on an
+    empty/all-NULL column."""
+    spark = df.sparkSession
+    snapped = _snap(df, col, scale)
+    n = _count(snapped)
+    if n == 0:
+        raise ValueError(f"exact_quantiles: no non-NULL values in {col!r}")
+    targets = {q: max(1, math.ceil(q * n)) for q in qs}
+    stats = order_statistics(snapped, list(targets.values()), level_bits)
+    out = [(float(q), stats[r]) for q, r in targets.items()]
+    return spark.createDataFrame(sorted(out), "q double, value_scaled long")
+
+
+#: denominator of the exact decimal quantile fractions: qs are snapped to
+#: this many digits so the interpolation weight is an integer ratio
+_Q_DIGITS = 6
+_Q_DEN = 10**_Q_DIGITS
+
+
+def exact_percentile_cont(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    scale: int = 2,
+    level_bits: int = 16,
+) -> DataFrame:
+    """Exact *interpolated* percentiles (``percentile_cont`` convention:
+    index ``h = q·(n−1)``, linear interpolation between the two bracketing
+    order statistics) — without a global sort, and without floating-point
+    divergence: the interpolated value is ``lo + interp_rem/10⁶`` in
+    scaled units, where ``interp_rem = frac·(hi − lo)`` and ``frac =
+    (q·10⁶·(n−1)) mod 10⁶`` are exact integers — the same fixed-point
+    discipline as ``functions/exact.py``, bit-identical in any engine.
+    (Relative to ``lo``, not absolute: an absolute ``value·10⁶`` overflows
+    int64 on epoch-scale domains; ``interp_rem`` only needs the GAP
+    between two adjacent order statistics ×10⁶ to fit, and a gap over
+    9.2·10¹² scaled units raises rather than wrapping.)  One bounds pass
+    + the shared :func:`order_statistics` refinement fetches both
+    bracketing ranks for all qs together.
+
+    Output: ``(q, lo_scaled, hi_scaled, frac_num, interp_rem)``.
+    """
+    spark = df.sparkSession
+    snapped = _snap(df, col, scale)
+    n = _count(snapped)
+    if n == 0:
+        raise ValueError(
+            f"exact_percentile_cont: no non-NULL values in {col!r}"
+        )
+    locs: dict[float, tuple[int, int, int]] = {}
+    ranks: set[int] = set()
+    for q in qs:
+        p = round(q * _Q_DEN)  # exact decimal numerator of q
+        num = p * (n - 1)
+        lo0, frac = num // _Q_DEN, num % _Q_DEN
+        r_lo, r_hi = lo0 + 1, min(lo0 + 2, n)
+        locs[q] = (r_lo, r_hi, frac)
+        ranks.update((r_lo, r_hi))
+    stats = order_statistics(snapped, sorted(ranks), level_bits)
+    out = []
+    for q, (r_lo, r_hi, frac) in locs.items():
+        lo, hi = stats[r_lo], stats[r_hi]
+        rem = frac * (hi - lo)
+        if not -(2**63) <= rem < 2**63:
+            raise ValueError(
+                f"exact_percentile_cont: order-statistic gap {hi - lo} at "
+                f"q={q} overflows the 10^{_Q_DIGITS} fixed-point remainder"
+            )
+        out.append((float(q), lo, hi, frac, rem))
+    return spark.createDataFrame(
+        sorted(out),
+        "q double, lo_scaled long, hi_scaled long, frac_num long, "
+        "interp_rem long",
+    )

@@ -85,10 +85,42 @@ def version_dir(root: str, version: int) -> str:
     return os.path.join(root, f"_v{version}")
 
 
+def _partition_stats(
+    spark: SparkSession,
+    vdir: str,
+    partition_col: str,
+    stats_cols: list[str],
+) -> dict[str, dict[str, list]]:
+    """Per-partition ``{pval: {col: [min, max]}}`` over a freshly written
+    version directory — ONE aggregate scan of exactly the partitions the
+    writer just produced, collected driver-side bounded by partition
+    count.  This is the zone-map half of a table format's metadata:
+    min/max per partition for NON-partition columns, so readers can skip
+    partitions on predicates the directory layout can't prune."""
+    aggs = []
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+    rows = (
+        spark.read.parquet(vdir).groupBy(partition_col).agg(*aggs).collect()
+    )
+    return {
+        str(r[partition_col]): {
+            c: [r[f"_lo_{c}"], r[f"_hi_{c}"]] for c in stats_cols
+        }
+        for r in rows
+    }
+
+
 def init_table(
-    spark: SparkSession, df: DataFrame, root: str, partition_col: str
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    partition_col: str,
+    stats_cols: list[str] | None = None,
 ) -> None:
-    """Create a versioned table at ``root`` from ``df`` (version 1)."""
+    """Create a versioned table at ``root`` from ``df`` (version 1),
+    optionally recording per-partition min/max zone maps for
+    ``stats_cols``."""
     os.makedirs(root, exist_ok=True)
     v = _next_version(root)
     vdir = version_dir(root, v)
@@ -98,19 +130,44 @@ def init_table(
         str(r[0])
         for r in spark.read.parquet(vdir).select(partition_col).distinct().collect()
     ]
-    _commit_manifest(
-        root, {"version": v, "partitions": {p: v for p in sorted(parts)}}
-    )
+    manifest = {"version": v, "partitions": {p: v for p in sorted(parts)}}
+    if stats_cols:
+        manifest["stats"] = _partition_stats(
+            spark, vdir, partition_col, stats_cols
+        )
+    _commit_manifest(root, manifest)
 
 
 def read_snapshot(
-    spark: SparkSession, root: str, partition_col: str
+    spark: SparkSession,
+    root: str,
+    partition_col: str,
+    predicate: tuple[str, float, float] | None = None,
 ) -> DataFrame:
     """The published table: for each live version, one partition-pruned
-    scan of its directory restricted to the partitions it still owns."""
+    scan of its directory restricted to the partitions it still owns.
+
+    ``predicate = (col, lo, hi)`` applies ``col BETWEEN lo AND hi`` AND
+    uses the manifest's zone maps to skip partitions whose recorded
+    [min, max] cannot intersect — the reader-side payoff of
+    ``stats_cols``.  Skipping is advisory-safe: partitions without stats
+    for ``col`` are conservatively read, and the row filter is always
+    applied, so the result never depends on stats being present or tight.
+    """
     manifest = read_manifest(root)
+    stats = manifest.get("stats", {})
     by_version: dict[int, list[str]] = {}
     for pval, v in manifest["partitions"].items():
+        if predicate is not None:
+            col, lo, hi = predicate
+            rng = stats.get(pval, {}).get(col)
+            if (
+                rng is not None
+                and rng[0] is not None
+                and rng[1] is not None
+                and (rng[1] < lo or rng[0] > hi)
+            ):
+                continue  # zone map proves no row can match
         by_version.setdefault(int(v), []).append(pval)
     pieces = []
     for v, pvals in sorted(by_version.items()):
@@ -122,10 +179,19 @@ def read_snapshot(
             )
         )
     if not pieces:
+        if predicate is not None and manifest["partitions"]:
+            # every partition zone-mapped out: empty relation, full schema
+            any_v = min(int(v) for v in manifest["partitions"].values())
+            empty = spark.read.parquet(version_dir(root, any_v)).limit(0)
+            col, lo, hi = predicate
+            return empty.filter(F.col(col).between(lo, hi))
         raise ValueError(f"versioned table at {root!r} has no live partitions")
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
+    if predicate is not None:
+        col, lo, hi = predicate
+        out = out.filter(F.col(col).between(lo, hi))
     return out
 
 
@@ -177,7 +243,18 @@ def merge_into_versioned(
     }
     parts.update({p: v for p in written_vals})  # rewritten + new partitions
     # affected-but-unwritten partitions were emptied: simply absent now
-    _commit_manifest(root, {"version": v, "partitions": parts})
+    new_manifest = {"version": v, "partitions": parts}
+    old_stats = manifest.get("stats")
+    if old_stats:
+        # zone maps follow the same ownership rules: untouched keep theirs,
+        # rewritten/new recompute from the fresh version dir, emptied drop
+        stats_cols = sorted(next(iter(old_stats.values())).keys())
+        kept = {
+            p: st for p, st in old_stats.items() if p not in affected_vals
+        }
+        kept.update(_partition_stats(spark, vdir, partition_col, stats_cols))
+        new_manifest["stats"] = {p: kept[p] for p in parts if p in kept}
+    _commit_manifest(root, new_manifest)
     return v
 
 
@@ -225,9 +302,14 @@ def compact_versioned(
         str(r[0])
         for r in spark.read.parquet(vdir).select(partition_col).distinct().collect()
     ]
-    _commit_manifest(
-        root, {"version": v, "partitions": {p: v for p in sorted(parts)}}
-    )
+    new_manifest = {"version": v, "partitions": {p: v for p in sorted(parts)}}
+    old_stats = manifest.get("stats")
+    if old_stats:
+        stats_cols = sorted(next(iter(old_stats.values())).keys())
+        new_manifest["stats"] = _partition_stats(
+            spark, vdir, partition_col, stats_cols
+        )
+    _commit_manifest(root, new_manifest)
     return v
 
 

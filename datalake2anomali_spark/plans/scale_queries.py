@@ -429,6 +429,71 @@ ORDER BY 1
 """
 
 
+def q_snapshot_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruned scan over a versioned table (``io/publish.py``).
+
+    Publishes events as a versioned table with per-partition min/max
+    stats on ``event_id`` (the zone-map half of a table format's
+    metadata), then reads the middle-fifth id range through
+    ``read_snapshot(predicate=…)`` — partitions whose recorded range
+    cannot intersect are skipped BEFORE any file is opened (actual
+    skipping pinned in tests/test_publish.py; sequential ids make date
+    partitions id-disjoint, the layout this serves).  The oracle applies
+    the identical BETWEEN directly, so a hash match proves skipping
+    never changes results — zone maps are I/O advice, not semantics.
+    """
+    import shutil
+
+    from ..io.publish import init_table, read_snapshot
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    base = (
+        "/dev/shm"
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+        else tempfile.gettempdir()
+    )
+    root = os.path.join(base, "d2a_zone_" + sf_dir.strip("/").replace("/", "_"))
+    shutil.rmtree(root, ignore_errors=True)  # pure function of the source
+    init_table(spark, e, root, "event_date", stats_cols=["event_id"])
+
+    b = e.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+    span = int(b[1]) - int(b[0])
+    lo, hi = int(b[0]) + span * 2 // 5, int(b[0]) + span * 3 // 5
+    snap = read_snapshot(
+        spark, root, "event_date", predicate=("event_id", lo, hi)
+    )
+    return (
+        snap.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("value", 2).alias("v_sum"),
+            F.min("event_id").alias("id_lo"),
+            F.max("event_id").alias("id_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SNAPSHOT_PRUNED_SQL = f"""
+WITH b AS (SELECT MIN(event_id) AS lo0, MAX(event_id) AS hi0 FROM events),
+sel AS (
+  SELECT e.* FROM events e, b
+  WHERE e.event_id BETWEEN b.lo0 + (b.hi0 - b.lo0) * 2 // 5
+                       AND b.lo0 + (b.hi0 - b.lo0) * 3 // 5
+)
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       {DSUM_SQL("value", 2)} AS v_sum,
+       MIN(event_id) AS id_lo,
+       MAX(event_id) AS id_hi
+FROM sel
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUANTILES = [0.5, 0.95, 0.99]
 
 
@@ -457,6 +522,51 @@ FROM (VALUES {", ".join(f"({q})" for q in QUANTILES)}) qs(q)
 CROSS JOIN n
 JOIN ranked ON ranked.rn = GREATEST(1, CAST(CEIL(qs.q * n.n) AS BIGINT))
 ORDER BY qs.q
+"""
+
+
+PCONT_QS = [0.25, 0.5, 0.95, 0.99]
+
+
+def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact INTERPOLATED percentiles of l_extendedprice
+    (``functions/selection.py: exact_percentile_cont``): the
+    ``percentile_cont`` convention (index ``h = q·(n−1)``, linear
+    interpolation between bracketing order statistics) through the same
+    bounded histogram-refinement core as ``exact_quantiles`` — both
+    bracketing ranks for all qs fetched in one refinement.  The
+    interpolation ships as exact integers (``frac_num``/``interp_rem``
+    over fixed 10⁶ denominators), so the oracle's independent
+    ROW_NUMBER + integer-arithmetic replay must hash-match bit-for-bit —
+    no cross-engine floating-point appeal."""
+    from ..functions.selection import exact_percentile_cont
+
+    return exact_percentile_cont(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice", PCONT_QS
+    )
+
+
+PCONT_SQL = f"""
+WITH v AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS s FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+), n AS (SELECT COUNT(*) AS n FROM v),
+ranked AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn FROM v),
+loc AS (
+  SELECT q.q,
+         (CAST(q.p AS BIGINT) * (n.n - 1)) // 1000000 AS lo0,
+         (CAST(q.p AS BIGINT) * (n.n - 1)) % 1000000 AS frac,
+         n.n AS n
+  FROM (VALUES {", ".join(f"(CAST({q} AS DOUBLE), {round(q * 10**6)})" for q in PCONT_QS)}) q(q, p)
+  CROSS JOIN n
+)
+SELECT l.q, rl.s AS lo_scaled, rh.s AS hi_scaled,
+       CAST(l.frac AS BIGINT) AS frac_num,
+       CAST(l.frac * (rh.s - rl.s) AS BIGINT) AS interp_rem
+FROM loc l
+JOIN ranked rl ON rl.rn = l.lo0 + 1
+JOIN ranked rh ON rh.rn = CASE WHEN l.lo0 + 2 > l.n THEN l.n ELSE l.lo0 + 2 END
+ORDER BY l.q
 """
 
 
@@ -525,23 +635,27 @@ ORDER BY key
 QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "exact_quantiles": q_exact_quantiles,
+    "percentile_cont": q_percentile_cont,
     "json_flatten": q_json_flatten,
     "cms_counts": q_cms_counts,
     "zorder_key": q_zorder_key,
     "schema_evolution": q_schema_evolution,
     "merge_upsert": q_merge_upsert,
     "merge_versioned": q_merge_versioned,
+    "snapshot_pruned_scan": q_snapshot_pruned,
     "compaction_roundtrip": q_compaction,
 }
 
 ORACLES = {
     "heavy_hitters": HEAVY_HITTERS_SQL,
     "exact_quantiles": EXACT_QUANTILES_SQL,
+    "percentile_cont": PCONT_SQL,
     "json_flatten": JSON_FLATTEN_SQL,
     "cms_counts": CMS_SQL,
     "zorder_key": ZORDER_KEY_SQL,
     "schema_evolution": SCHEMA_EVOLUTION_SQL,
     "merge_upsert": MERGE_UPSERT_SQL,
     "merge_versioned": MERGE_VERSIONED_SQL,
+    "snapshot_pruned_scan": SNAPSHOT_PRUNED_SQL,
     "compaction_roundtrip": COMPACTION_SQL,
 }

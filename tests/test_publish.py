@@ -130,3 +130,80 @@ def test_compact_collapses_versions_and_vacuum(spark, sf_dir, vtable):
     live_dirs = [d for d in os.listdir(vtable) if d.startswith("_v")]
     assert live_dirs == [f"_v{v}"]
     assert _snap_fingerprint(spark, vtable) == fp
+
+
+def _live_partitions_for(root, col, lo, hi):
+    """Partitions a zone-mapped read would scan (mirrors read_snapshot)."""
+    m = read_manifest(root)
+    stats = m.get("stats", {})
+    keep = []
+    for p in m["partitions"]:
+        rng = stats.get(p, {}).get(col)
+        if rng is not None and (rng[1] < lo or rng[0] > hi):
+            continue
+        keep.append(p)
+    return keep
+
+
+def test_zone_map_prunes_and_stays_correct(spark, sf_dir, tmp_path):
+    from datalake2anomali_spark.io.publish import init_table as init
+
+    root = str(tmp_path / "events_z")
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    init(spark, e, root, "event_date", stats_cols=["event_id"])
+    m = read_manifest(root)
+    assert m["stats"] and all("event_id" in s for s in m["stats"].values())
+
+    b = e.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+    span = b[1] - b[0]
+    lo, hi = b[0] + span * 2 // 5, b[0] + span * 3 // 5
+
+    pruned = read_snapshot(spark, root, "event_date", predicate=("event_id", lo, hi))
+    full = read_snapshot(spark, root, "event_date").filter(
+        F.col("event_id").between(lo, hi)
+    )
+    assert pruned.count() == full.count()
+    assert (
+        pruned.agg(F.sum(F.hash(*sorted(pruned.columns)))).collect()
+        == full.select(*sorted(pruned.columns))
+        .agg(F.sum(F.hash(*sorted(pruned.columns))))
+        .collect()
+    )
+    # the zone map must actually skip: sequential event_ids mean a 20%
+    # id range cannot touch every date partition
+    scanned = _live_partitions_for(root, "event_id", lo, hi)
+    assert len(scanned) < len(m["partitions"])
+
+
+def test_zone_maps_follow_merge_ownership(spark, sf_dir, tmp_path):
+    """Rewritten partitions get fresh stats; untouched keep theirs; the
+    pruned read stays exact after a merge widens one partition's range."""
+    from datalake2anomali_spark.io.publish import init_table as init
+
+    root = str(tmp_path / "events_zm")
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    init(spark, e, root, "event_date", stats_cols=["event_id"])
+    before = read_manifest(root)["stats"]
+
+    dates = sorted(r[0] for r in e.select("event_date").distinct().collect())
+    d0 = str(dates[0])
+    # move a huge-id clone INTO the first partition: its zone map must widen
+    src = (
+        e.limit(1)
+        .withColumn("event_id", F.lit(999_999_999))
+        .withColumn("event_date", F.lit(d0))
+    )
+    merge_into_versioned(spark, root, src, ["event_id"], "event_date")
+    after = read_manifest(root)["stats"]
+    assert after[d0]["event_id"][1] == 999_999_999
+    untouched = [d for d in after if d != d0]
+    assert all(after[d] == before[d] for d in untouched)
+
+    got = read_snapshot(
+        spark, root, "event_date", predicate=("event_id", 999_999_998, 10**10)
+    )
+    assert got.count() == 1

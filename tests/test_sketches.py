@@ -141,3 +141,55 @@ def test_exact_quantiles_wide_domain_with_negatives(spark):
     for q in qs:
         rank = max(1, math.ceil(q * len(snapped)))
         assert got[q] == snapped[rank - 1], q
+
+
+def _pcont_reference(vals, q, scale=2):
+    """NumPy-style linear interpolation reference in exact integers."""
+    s = sorted(round(v * 10**scale) for v in vals)
+    n = len(s)
+    p = round(q * 10**6)
+    num = p * (n - 1)
+    lo0, frac = num // 10**6, num % 10**6
+    lo, hi = s[lo0], s[min(lo0 + 1, n - 1)]
+    return lo, hi, frac, frac * (hi - lo)
+
+
+def test_percentile_cont_matches_reference(spark):
+    from datalake2anomali_spark.functions.selection import exact_percentile_cont
+
+    vals = [1.07, 2.11, 2.11, 3.99, 10.5, -4.25, 0.0, 7.77]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = {
+        r.q: (r.lo_scaled, r.hi_scaled, r.frac_num, r.interp_rem)
+        for r in exact_percentile_cont(df, "v", qs).collect()
+    }
+    for q in qs:
+        assert got[q] == _pcont_reference(vals, q), q
+
+
+def test_percentile_cont_wide_domain(spark):
+    from datalake2anomali_spark.functions.selection import exact_percentile_cont
+
+    base = 1_704_067_200_000_000
+    vals = [float(base + i * 9_876_543_210) for i in range(300)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {
+        r.q: (r.lo_scaled, r.hi_scaled, r.frac_num, r.interp_rem)
+        for r in exact_percentile_cont(df, "v", [0.5, 0.999], scale=0).collect()
+    }
+    for q in (0.5, 0.999):
+        assert got[q] == _pcont_reference(vals, q, scale=0), q
+
+
+def test_order_statistics_rank_bounds(spark):
+    import pytest
+
+    from datalake2anomali_spark.functions.selection import order_statistics
+
+    df = spark.createDataFrame([(1,), (2,)], "s long")
+    with pytest.raises(ValueError, match="out of"):
+        order_statistics(df, [0])
+    with pytest.raises(ValueError, match="out of"):
+        order_statistics(df, [3])
+    assert order_statistics(df, [1, 2]) == {1: 1, 2: 2}

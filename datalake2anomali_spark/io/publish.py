@@ -26,6 +26,14 @@ owned-partition selection is an ``isin`` filter that partition-prunes at
 planning time.  The live-version count stays small because every
 :func:`compact_versioned` collapses the table back to a single version.
 
+The manifest optionally carries **zone maps** — per-partition min/max for
+chosen non-partition columns (``stats_cols``), recorded at write time and
+maintained under the same ownership rules as the partition mapping.  A
+``read_snapshot(predicate=(col, lo, hi))`` skips partitions the stats
+prove empty before any file opens and still applies the row filter, so
+stats are I/O advice, never semantics — the Iceberg/Delta file-skipping
+metadata, reduced to its partition-granularity core.
+
 Partition values are compared as strings (their hive-directory encoding)
 throughout; driver-side state is bounded by the partition count of the
 batch (merge) or table (compact/read), never by rows.

@@ -107,7 +107,11 @@ _PRIORITY: tuple[str, ...] = (
 
 #: Exactly the entries past the gate window (asserted, not counted, in
 #: tests/test_entry_contract.py).  Every one has a green round-5 driver
-#: row (CORRECTNESS_r05.json) and keeps an in-window family sibling:
+#: row (CORRECTNESS_r05.json) and keeps an in-window family sibling —
+#: except the entries marked "new in r6 (post-window)": the window was
+#: already full of first-exposure + rotation obligations, so these three
+#: carry tools/check_oracle.py + pytest certification this round and are
+#: mandatory leads for the round-7 window:
 _TAIL: tuple[str, ...] = (
     "q3_shipping_priority",  # siblings q1_pricing_summary + grouped_rollup (TPC-H)
     "q5_local_supplier",  # TPC-H family; also the flagship entry() query
@@ -156,6 +160,9 @@ _TAIL: tuple[str, ...] = (
     "text_profile",  # sibling top_terms (text-stats family, in window)
     "ann_cosine_topk",  # siblings ann_lsh/ann_ivf/ann_quantized (in window)
     "ioc_rest_source_pipeline",  # sibling ioc_advisory_enrichment (SRC family)
+    "attribution_credit",  # new in r6 (post-window) — U-shaped multi-touch credit
+    "global_rank",  # new in r6 (post-window) — distributed global row numbering
+    "cube_stats",  # new in r6 (post-window) — CUBE grouping sets + grouping_id
 )
 
 _MODULES = (

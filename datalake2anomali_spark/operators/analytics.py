@@ -379,3 +379,91 @@ def cooccurrence_similarity(
             ).alias("cosine"),
         )
     )
+
+
+def attribution_credit(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Multi-touch attribution: split each conversion's credit across the
+    touchpoints that preceded it, U-shaped (40% first touch, 40% last,
+    the rest linear across the middle) — the standard marketing-analytics
+    position-based model, in EXACT parts-per-``scale`` integers (single
+    touch gets ``scale``; two get ``scale div 2`` each; middles get the
+    integer share with the remainder pinned to the first middle), so the
+    per-channel totals are engine-identical — same fixed-point discipline
+    as :func:`markov_transitions`.
+
+    Journey segmentation is window-only, one shuffle on the entity key:
+    a running prior-conversion count assigns every row its journey group
+    (touches between conversion k−1 and k belong to k), a semi-join
+    against the conversion list drops trailing touches with no following
+    conversion, and rank/size windows over (entity, group) reuse the same
+    partitioning.  No self-join of the fact table against itself per
+    position — the k-join formulation this replaces is quadratic in
+    journey length.
+
+    Output: ``(channel, n_touches, credit_ppm_sum)`` per touch channel.
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col, order_col)
+    is_conv = F.when(F.col("event_type") == conversion_type, 1).otherwise(0)
+    seq = events.select(
+        F.col(entity_col),
+        F.col("event_type"),
+        F.col(ts_col),
+        F.col(order_col),
+        F.coalesce(
+            F.sum(is_conv).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("conv_before"),
+    )
+    convs = seq.filter(F.col("event_type") == conversion_type).select(
+        F.col(entity_col), (F.col("conv_before") + 1).alias("k")
+    )
+    touches = seq.filter(F.col("event_type").isin(*touch_types)).select(
+        F.col(entity_col),
+        F.col("conv_before").alias("grp"),
+        F.col("event_type").alias("channel"),
+        F.col(ts_col),
+        F.col(order_col),
+    )
+    valid = touches.join(
+        convs,
+        (touches[entity_col] == convs[entity_col])
+        & (convs["k"] == touches["grp"] + 1),
+        "leftsemi",
+    )
+    wg = Window.partitionBy(entity_col, "grp")
+    ranked = valid.select(
+        "channel",
+        F.row_number().over(wg.orderBy(ts_col, order_col)).alias("r"),
+        F.count(F.lit(1))
+        .over(wg.orderBy(ts_col, order_col).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        ))
+        .alias("n"),
+    )
+    end = 2 * scale // 5
+    mid_pool = scale - 2 * end
+    credit = F.expr(
+        f"CASE WHEN n = 1 THEN {scale} "
+        f"WHEN n = 2 THEN {scale // 2} "
+        f"WHEN r = 1 OR r = n THEN {end} "
+        f"ELSE {mid_pool} div (n - 2) "
+        f"     + CASE WHEN r = 2 THEN {mid_pool} % (n - 2) ELSE 0 END END"
+    )
+    return (
+        ranked.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum(credit).cast("long").alias("credit_ppm_sum"),
+        )
+        .orderBy("channel")
+    )

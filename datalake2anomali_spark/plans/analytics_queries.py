@@ -363,7 +363,86 @@ JOIN marg mb ON mb.item = p.item_b
 """
 
 
+def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution over the events
+    journey stream (``operators/analytics.py: attribution_credit``):
+    window-only journey segmentation, one fact-table shuffle, exact
+    ppm credit (remainder pinned deterministically) — the oracle replays
+    the same running-count/rank algebra in SQL windows, so a hash match
+    proves journey grouping, trailing-touch exclusion, and the integer
+    credit split all at once."""
+    return analytics.attribution_credit(load_table(spark, sf_dir, "events"))
+
+
+ATTRIBUTION_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS conv_before
+  FROM events
+),
+convs AS (
+  SELECT user_id, conv_before + 1 AS k FROM o WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, conv_before AS grp, event_type AS channel, ts_us, event_id
+  FROM o WHERE event_type IN ('view', 'click')
+),
+valid AS (
+  SELECT t.* FROM touches t
+  WHERE EXISTS (SELECT 1 FROM convs c
+                WHERE c.user_id = t.user_id AND c.k = t.grp + 1)
+),
+ranked AS (
+  SELECT channel,
+         ROW_NUMBER() OVER (PARTITION BY user_id, grp
+                            ORDER BY ts_us, event_id) AS r,
+         COUNT(*) OVER (PARTITION BY user_id, grp) AS n
+  FROM valid
+)
+SELECT channel,
+       COUNT(*) AS n_touches,
+       CAST(SUM(CASE WHEN n = 1 THEN 1000000
+                     WHEN n = 2 THEN 500000
+                     WHEN r = 1 OR r = n THEN 400000
+                     ELSE 200000 // (n - 2)
+                          + CASE WHEN r = 2 THEN 200000 % (n - 2) ELSE 0 END
+                END) AS BIGINT) AS credit_ppm_sum
+FROM ranked
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+def global_rank_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global row numbers over lineitem's (orderkey, linenumber)
+    total order (``operators/ranking.py: global_row_numbers``) — range
+    partitioning + driver-prefix-summed partition offsets + one
+    Arrow-batched numbering pass, replacing the one-task global-sort
+    window ``ROW_NUMBER() OVER (ORDER BY …)`` implies.  The ROW_NUMBER
+    oracle proves every rank exact, i.e. the partition offsets and batch
+    counters compose with zero gaps or overlaps."""
+    from datalake2anomali_spark.operators.ranking import global_row_numbers
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    out = global_row_numbers(li, ["l_orderkey", "l_linenumber"])
+    return out.select("l_orderkey", "l_linenumber", "rn")
+
+
+GLOBAL_RANK_SQL = """
+SELECT l_orderkey, l_linenumber,
+       ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+FROM lineitem
+"""
+
+
 QUERIES = {
+    "attribution_credit": attribution_u_shaped,
+    "global_rank": global_rank_export,
     "funnel_analysis": funnel_view_click_purchase,
     "robust_outliers": robust_outlier_flags,
     "item_similarity": item_similarity_parts,
@@ -377,6 +456,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "attribution_credit": ATTRIBUTION_SQL,
+    "global_rank": GLOBAL_RANK_SQL,
     "funnel_analysis": FUNNEL_SQL,
     "robust_outliers": ROBUST_OUTLIERS_SQL,
     "item_similarity": ITEM_SIMILARITY_SQL,

@@ -86,6 +86,35 @@ FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
+# -- cube: all grouping-set combinations over two dims ------------------------
+
+
+def cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping sets in one
+    pass (rollup's sibling — §2.5 grouping-set family).  ``gid`` is the
+    grouping-ID bitmask so all-NULL subtotal rows are distinguishable
+    from genuine NULL groups without relying on the fixture's
+    non-nullness; DuckDB's GROUPING() bits replay it."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_quantity", 2).alias("qty"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "qty")
+    )
+
+
+CUBE_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS n, {DSUM_SQL('l_quantity', 2)} AS qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
 # -- pivot: orderstatus × orderpriority contingency ---------------------------
 
 
@@ -320,6 +349,7 @@ QUERIES = {
     "topk_per_group": topk_per_group,
     "distinct_set_ops": distinct_set_ops,
     "grouped_rollup": grouped_rollup,
+    "cube_stats": cube_stats,
     "status_priority_pivot": status_priority_pivot,
     "scalar_datetime_json": scalar_datetime_json,
     "running_window": running_window,
@@ -333,6 +363,7 @@ ORACLES = {
     "topk_per_group": TOPK_SQL,
     "distinct_set_ops": SET_OPS_SQL,
     "grouped_rollup": ROLLUP_SQL,
+    "cube_stats": CUBE_SQL,
     "status_priority_pivot": PIVOT_SQL,
     "scalar_datetime_json": SCALAR_SQL,
     "running_window": RUNNING_SQL,

@@ -163,6 +163,7 @@ _TAIL: tuple[str, ...] = (
     "attribution_credit",  # new in r6 (post-window) — U-shaped multi-touch credit
     "global_rank",  # new in r6 (post-window) — distributed global row numbering
     "cube_stats",  # new in r6 (post-window) — CUBE grouping sets + grouping_id
+    "khop_features",  # new in r6 (post-window) — 1/2-hop graph neighborhood features
 )
 
 _MODULES = (

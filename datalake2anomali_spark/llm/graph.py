@@ -422,3 +422,65 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def khop_features(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node 1- and 2-hop neighborhood features over an undirected
+    edge list (``src < dst`` convention, no duplicates): ``degree``,
+    ``nbr_deg_sum`` (Σ degree over direct neighbors — the first
+    message-passing aggregation every GNN feature pipeline starts with),
+    and ``n_2hop`` (distinct nodes at graph distance exactly 2).
+
+    Plan: symmetrize once; degree is one count; neighbor-degree-sum is
+    one join of the edge list against the (node-sized, broadcastable)
+    degree table plus a groupBy; the 2-hop set is one edge-edge wedge
+    join with the center dropped, dedup'd, then anti-joined against the
+    direct-neighbor list so "distance exactly 2" is literal.  Wedge
+    fan-out is Σ deg(v)² — the same bound
+    :func:`triangle_counts` faces, and the same mitigation applies
+    (support-filtered or degree-capped input graphs; hubs make 2-hop
+    neighborhoods quadratic by definition, not by plan choice).
+
+    Reference parity: none — extension operator (graph-feature family
+    alongside pagerank/triangles).
+    """
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    und = und.localCheckpoint(eager=True)  # feeds degree + 2 join branches
+
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    nds = (
+        und.join(
+            deg.select(F.col("u").alias("v"), F.col("degree").alias("_d")),
+            "v",
+        )
+        .groupBy("u")
+        .agg(F.sum("_d").alias("nbr_deg_sum"))
+    )
+    wedge = (
+        und.select(F.col("u"), F.col("v").alias("_mid"))
+        .join(
+            und.select(F.col("u").alias("_mid"), F.col("v").alias("w")),
+            "_mid",
+        )
+        .filter(F.col("w") != F.col("u"))
+        .select("u", "w")
+        .distinct()
+    )
+    two_hop = (
+        wedge.join(und.select("u", F.col("v").alias("w")), ["u", "w"], "left_anti")
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n_2hop"))
+    )
+    return (
+        deg.join(nds, "u")
+        .join(two_hop, "u", "left")
+        .select(
+            F.col("u").alias("node"),
+            "degree",
+            "nbr_deg_sum",
+            F.coalesce("n_2hop", F.lit(0)).alias("n_2hop"),
+        )
+    )

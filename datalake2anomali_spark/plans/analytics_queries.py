@@ -440,7 +440,65 @@ FROM lineitem
 """
 
 
+def khop_parts_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-/2-hop neighborhood features over the same ≥2-support part
+    affinity graph as the triangle row (``llm/graph.py: khop_features``):
+    degree, neighbor-degree sum (the first GNN message-passing
+    aggregation), distinct distance-2 count via wedge join + direct-
+    neighbor anti-join.  The oracle recomputes all three from the raw
+    edge CTE independently."""
+    from datalake2anomali_spark.llm.graph import khop_features
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .drop("_n")
+    )
+    return khop_features(edges)
+
+
+KHOP_SQL = """
+WITH und0 AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), und AS (
+  SELECT u, v FROM und0 UNION ALL SELECT v, u FROM und0
+), deg AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS degree FROM und GROUP BY u
+), nds AS (
+  SELECT e.u, CAST(SUM(d.degree) AS BIGINT) AS nbr_deg_sum
+  FROM und e JOIN deg d ON d.u = e.v GROUP BY e.u
+), wedge AS (
+  SELECT DISTINCT e1.u, e2.v AS w
+  FROM und e1 JOIN und e2 ON e2.u = e1.v
+  WHERE e2.v <> e1.u
+), two_hop AS (
+  SELECT w2.u, CAST(COUNT(*) AS BIGINT) AS n_2hop
+  FROM wedge w2
+  WHERE NOT EXISTS (SELECT 1 FROM und n WHERE n.u = w2.u AND n.v = w2.w)
+  GROUP BY w2.u
+)
+SELECT d.u AS node, d.degree, n.nbr_deg_sum, COALESCE(t.n_2hop, 0) AS n_2hop
+FROM deg d
+JOIN nds n ON n.u = d.u
+LEFT JOIN two_hop t ON t.u = d.u
+"""
+
+
 QUERIES = {
+    "khop_features": khop_parts_graph,
     "attribution_credit": attribution_u_shaped,
     "global_rank": global_rank_export,
     "funnel_analysis": funnel_view_click_purchase,
@@ -456,6 +514,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "khop_features": KHOP_SQL,
     "attribution_credit": ATTRIBUTION_SQL,
     "global_rank": GLOBAL_RANK_SQL,
     "funnel_analysis": FUNNEL_SQL,

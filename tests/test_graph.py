@@ -230,3 +230,36 @@ def test_triangle_counts_matches_bruteforce_random(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
     assert got == expect
+
+
+def test_khop_features_hand_graph(spark):
+    """Path 1-2-3-4 plus triangle 4-5-6: every feature hand-checkable."""
+    from datalake2anomali_spark.llm.graph import khop_features
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6)], "src long, dst long"
+    )
+    got = {
+        r.node: (r.degree, r.nbr_deg_sum, r.n_2hop)
+        for r in khop_features(edges).collect()
+    }
+    # degrees: 1:1, 2:2, 3:2, 4:3, 5:2, 6:2
+    assert got[1] == (1, 2, 1)           # nbr {2}; 2-hop {3}
+    assert got[2] == (2, 3, 1)           # nbrs {1,3}; 2-hop {4}
+    assert got[3] == (2, 5, 3)           # nbrs {2,4}; 2-hop {1,5,6}
+    assert got[4] == (3, 6, 1)           # nbrs {3,5,6}; 2-hop {2}
+    assert got[5] == (2, 5, 1)           # nbrs {4,6}; 2-hop {3}
+    assert got[6] == (2, 5, 1)
+    # triangle neighbors are distance 1, never double-counted at 2
+    assert sum(v[2] for v in got.values()) == 8
+
+
+def test_khop_isolated_pair(spark):
+    from datalake2anomali_spark.llm.graph import khop_features
+
+    edges = spark.createDataFrame([(7, 8)], "src long, dst long")
+    got = {
+        r.node: (r.degree, r.nbr_deg_sum, r.n_2hop)
+        for r in khop_features(edges).collect()
+    }
+    assert got == {7: (1, 1, 0), 8: (1, 1, 0)}

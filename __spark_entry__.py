@@ -164,6 +164,7 @@ _TAIL: tuple[str, ...] = (
     "global_rank",  # new in r6 (post-window) — distributed global row numbering
     "cube_stats",  # new in r6 (post-window) — CUBE grouping sets + grouping_id
     "khop_features",  # new in r6 (post-window) — 1/2-hop graph neighborhood features
+    "stream_interval_join_outer",  # new in r6 (post-window) — watermark null emission
 )
 
 _MODULES = (

@@ -37,6 +37,7 @@ from datalake2anomali_spark.streaming import incremental, joins, stateful, windo
 QUERIES = {
     "stream_burst_alerts": stateful.stream_burst_alerts,
     "stream_interval_join": joins.stream_click_error_join,
+    "stream_interval_join_outer": joins.stream_click_error_join_outer,
     "batch_windows": windows.batch_windows_query,
     "stream_tumbling_counts": incremental.stream_tumbling_counts,
     "stream_dedup_events": incremental.stream_dedup_events,
@@ -50,6 +51,7 @@ QUERIES = {
 ORACLES = {
     "stream_burst_alerts": _temporal.BURST_SQL,
     "stream_interval_join": joins.STREAM_INTERVAL_JOIN_SQL,
+    "stream_interval_join_outer": joins.STREAM_INTERVAL_JOIN_OUTER_SQL,
     "batch_windows": windows.BATCH_WINDOWS_SQL,
     "stream_tumbling_counts": windows.TUMBLING_SQL,
     "stream_dedup_events": incremental.STREAM_DEDUP_SQL,

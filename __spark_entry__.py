@@ -165,6 +165,7 @@ _TAIL: tuple[str, ...] = (
     "cube_stats",  # new in r6 (post-window) — CUBE grouping sets + grouping_id
     "khop_features",  # new in r6 (post-window) — 1/2-hop graph neighborhood features
     "stream_interval_join_outer",  # new in r6 (post-window) — watermark null emission
+    "table_changes",  # new in r6 (post-window) — version time travel + change feed
 )
 
 _MODULES = (

@@ -59,20 +59,36 @@ MANIFEST = "_MANIFEST.json"
 _VDIR = re.compile(r"^_v(\d+)$")
 
 
-def read_manifest(root: str) -> dict:
-    """The published snapshot: ``{"version": N, "partitions": {val: ver}}``.
-    Raises FileNotFoundError if the table was never published."""
-    with open(os.path.join(root, MANIFEST), encoding="utf-8") as fh:
+def read_manifest(root: str, version: int | None = None) -> dict:
+    """The published snapshot — current (``{"version": N, "partitions":
+    {val: ver}}``) or, with ``version``, the immutable historical manifest
+    of that commit (time travel).  Raises FileNotFoundError if the table
+    was never published / that version never committed."""
+    name = MANIFEST if version is None else f"_MANIFEST.v{version}.json"
+    with open(os.path.join(root, name), encoding="utf-8") as fh:
         return json.load(fh)
 
 
 def _commit_manifest(root: str, manifest: dict) -> None:
-    """Atomic publish: temp file in the same directory + ``os.replace``."""
+    """Atomic publish: temp file in the same directory + ``os.replace``.
+
+    The same content is also written to an immutable per-version history
+    file (``_MANIFEST.v{N}.json``, BEFORE the pointer swap — a crash
+    between the two leaves an orphan history file, never a dangling
+    pointer) so every committed snapshot stays addressable for
+    time-travel reads and change feeds until :func:`vacuum` reclaims its
+    data directories."""
+    payload = json.dumps(manifest, sort_keys=True)
+    hist = os.path.join(root, f"_MANIFEST.v{manifest['version']}.json")
+    with open(hist, "w", encoding="utf-8") as fh:
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
     fd, tmp = tempfile.mkstemp(
         prefix="_MANIFEST.", suffix=".tmp", dir=root, text=True
     )
     with os.fdopen(fd, "w", encoding="utf-8") as fh:
-        json.dump(manifest, fh, sort_keys=True)
+        fh.write(payload)
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, os.path.join(root, MANIFEST))
@@ -151,6 +167,7 @@ def read_snapshot(
     root: str,
     partition_col: str,
     predicate: tuple[str, float, float] | None = None,
+    version: int | None = None,
 ) -> DataFrame:
     """The published table: for each live version, one partition-pruned
     scan of its directory restricted to the partitions it still owns.
@@ -161,8 +178,13 @@ def read_snapshot(
     ``stats_cols``.  Skipping is advisory-safe: partitions without stats
     for ``col`` are conservatively read, and the row filter is always
     applied, so the result never depends on stats being present or tight.
+
+    ``version`` reads the table AS OF that commit via its immutable
+    historical manifest (valid until :func:`vacuum` reclaims the data
+    directories the old snapshot references — the standard VACUUM
+    retention trade every table format makes).
     """
-    manifest = read_manifest(root)
+    manifest = read_manifest(root, version)
     stats = manifest.get("stats", {})
     by_version: dict[int, list[str]] = {}
     for pval, v in manifest["partitions"].items():
@@ -337,3 +359,26 @@ def vacuum(root: str) -> list[int]:
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
             removed.append(int(m.group(1)))
     return sorted(removed)
+
+
+def table_changes(
+    spark: SparkSession,
+    root: str,
+    partition_col: str,
+    key_cols: list[str],
+    v_from: int,
+    v_to: int,
+) -> DataFrame:
+    """Change data feed between two committed versions: the row-level
+    added/removed/changed classification of :func:`..operators.quality
+    .snapshot_diff` applied to the two snapshots' versioned reads — what
+    a downstream consumer replays to catch up from ``v_from`` to
+    ``v_to`` without rescanning the table's full history (Delta CDF /
+    Iceberg changelog shape, derived rather than stored: correct for any
+    pair of live versions, at the cost of diffing two snapshot reads).
+    """
+    from ..operators.quality import snapshot_diff
+
+    old = read_snapshot(spark, root, partition_col, version=v_from)
+    new = read_snapshot(spark, root, partition_col, version=v_to)
+    return snapshot_diff(old, new, key_cols)

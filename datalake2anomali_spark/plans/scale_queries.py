@@ -494,6 +494,99 @@ ORDER BY event_type
 """
 
 
+def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between two committed versions of a versioned
+    table (``io/publish.py: table_changes``): publish events (v1), MERGE
+    a batch of value updates + NULL-ing updates + inserts (v2), then
+    diff the two TIME-TRAVEL reads — immutable per-version manifests make
+    v1 addressable after v2 commits.  Result: per (change_type,
+    changed_cols) counts; the oracle replays the merge set-algebra and
+    the null-safe diff directly over the source table, so a hash match
+    certifies versioned reads, the diff classification, AND the
+    changed-column attribution in one row set."""
+    import shutil
+
+    from ..io.publish import init_table, merge_into_versioned, table_changes
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    base = (
+        "/dev/shm"
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+        else tempfile.gettempdir()
+    )
+    root = os.path.join(base, "d2a_cdf_" + sf_dir.strip("/").replace("/", "_"))
+    shutil.rmtree(root, ignore_errors=True)  # pure function of the source
+    init_table(spark, e, root, "event_date")
+
+    upd = e.filter(F.col("event_type") == "purchase").withColumn(
+        "value", F.col("value") + 100.0
+    )
+    nul = e.filter(
+        (F.col("event_type") == "view") & (F.col("event_id") % 11 == 0)
+    ).withColumn("value", F.lit(None).cast("double"))
+    ins = (
+        e.filter(F.col("event_type") == "error")
+        .withColumn("event_id", F.col("event_id") + 30_000_000)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+    )
+    ins = ins.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+    v2 = merge_into_versioned(
+        spark, root, upd.unionByName(nul).unionByName(ins), ["event_id"], "event_date"
+    )
+    cdf = table_changes(spark, root, "event_date", ["event_id"], 1, v2)
+    return (
+        cdf.groupBy("change_type", "changed_cols")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("change_type", "changed_cols")
+    )
+
+
+TABLE_CHANGES_SQL = """
+WITH old AS (
+  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props,
+         strftime(ts, '%Y-%m-%d') AS event_date
+  FROM events
+), new AS (
+  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+         CASE WHEN event_type = 'purchase' THEN value + 100
+              WHEN event_type = 'view' AND event_id % 11 = 0 THEN NULL
+              ELSE value END AS value,
+         props, strftime(ts, '%Y-%m-%d') AS event_date
+  FROM events
+  UNION ALL
+  SELECT event_id + 30000000, epoch_us(ts + INTERVAL 1 DAY), user_id,
+         event_type, value, props,
+         strftime(ts + INTERVAL 1 DAY, '%Y-%m-%d')
+  FROM events WHERE event_type = 'error'
+), j AS (
+  SELECT CASE WHEN o.event_id IS NULL THEN 'added'
+              WHEN n.event_id IS NULL THEN 'removed'
+              WHEN o.ts_us       IS DISTINCT FROM n.ts_us
+                OR o.user_id     IS DISTINCT FROM n.user_id
+                OR o.event_type  IS DISTINCT FROM n.event_type
+                OR o.value       IS DISTINCT FROM n.value
+                OR o.props       IS DISTINCT FROM n.props
+                OR o.event_date  IS DISTINCT FROM n.event_date
+              THEN 'changed' END AS change_type,
+         CASE WHEN o.event_id IS NULL OR n.event_id IS NULL THEN ''
+              ELSE concat_ws(',',
+                CASE WHEN o.ts_us IS DISTINCT FROM n.ts_us THEN 'ts' END,
+                CASE WHEN o.user_id IS DISTINCT FROM n.user_id THEN 'user_id' END,
+                CASE WHEN o.event_type IS DISTINCT FROM n.event_type THEN 'event_type' END,
+                CASE WHEN o.value IS DISTINCT FROM n.value THEN 'value' END,
+                CASE WHEN o.props IS DISTINCT FROM n.props THEN 'props' END,
+                CASE WHEN o.event_date IS DISTINCT FROM n.event_date THEN 'event_date' END)
+         END AS changed_cols
+  FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+)
+SELECT change_type, changed_cols, COUNT(*) AS n
+FROM j WHERE change_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUANTILES = [0.5, 0.95, 0.99]
 
 
@@ -643,6 +736,7 @@ QUERIES = {
     "merge_upsert": q_merge_upsert,
     "merge_versioned": q_merge_versioned,
     "snapshot_pruned_scan": q_snapshot_pruned,
+    "table_changes": q_table_changes,
     "compaction_roundtrip": q_compaction,
 }
 
@@ -657,5 +751,6 @@ ORACLES = {
     "merge_upsert": MERGE_UPSERT_SQL,
     "merge_versioned": MERGE_VERSIONED_SQL,
     "snapshot_pruned_scan": SNAPSHOT_PRUNED_SQL,
+    "table_changes": TABLE_CHANGES_SQL,
     "compaction_roundtrip": COMPACTION_SQL,
 }

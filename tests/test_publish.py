@@ -207,3 +207,37 @@ def test_zone_maps_follow_merge_ownership(spark, sf_dir, tmp_path):
         spark, root, "event_date", predicate=("event_id", 999_999_998, 10**10)
     )
     assert got.count() == 1
+
+
+def test_time_travel_and_table_changes(spark, sf_dir, vtable):
+    """v1 stays addressable after v2 commits; the change feed classifies
+    exactly the merged delta."""
+    from datalake2anomali_spark.io.publish import table_changes
+
+    e = read_snapshot(spark, vtable, "event_date")
+    fp1 = _snap_fingerprint(spark, vtable)
+    upd = e.filter(F.col("event_type") == "click").withColumn(
+        "value", F.col("value") + 5.0
+    )
+    ins = e.limit(3).withColumn("event_id", F.col("event_id") + 70_000_000)
+    v2 = merge_into_versioned(
+        spark, vtable, upd.unionByName(ins), ["event_id"], "event_date"
+    )
+
+    # time travel: version 1 read is bit-identical to the pre-merge table
+    old = read_snapshot(spark, vtable, "event_date", version=1)
+    assert (
+        old.count(),
+        old.agg(F.sum(F.hash(*old.columns))).collect()[0][0],
+    ) == fp1
+
+    cdf = table_changes(spark, vtable, "event_date", ["event_id"], 1, v2)
+    by_type = {
+        (r.change_type, r.changed_cols): r.n
+        for r in cdf.groupBy("change_type", "changed_cols")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by_type[("added", "")] == 3
+    assert by_type[("changed", "value")] == upd.count()
+    assert len(by_type) == 2  # nothing removed, nothing else changed

@@ -94,6 +94,13 @@ def _commit_manifest(root: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(root, MANIFEST))
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this writer's snapshot read and
+    its manifest swap — the optimistic-concurrency conflict.  The loser's
+    version directory is orphaned garbage (``vacuum`` reclaims it); retry
+    the whole operation against the new snapshot."""
+
+
 def _next_version(root: str) -> int:
     """1 + the highest ``_v*`` directory ON DISK — published or orphaned —
     so a crashed writer's leftovers are never written into again."""
@@ -103,6 +110,36 @@ def _next_version(root: str) -> int:
         if m and os.path.isdir(os.path.join(root, name)):
             vs.append(int(m.group(1)))
     return max(vs) + 1
+
+
+def _claim_version(root: str) -> int:
+    """Atomically claim the next version slot: ``os.makedirs(exist_ok=
+    False)`` on the version directory IS the lock — two racing writers
+    cannot both create it, and the loser simply claims the next number.
+    (On an object store this is a conditional PUT of a marker object.)"""
+    while True:
+        v = _next_version(root)
+        try:
+            os.makedirs(version_dir(root, v), exist_ok=False)
+            return v
+        except FileExistsError:
+            continue
+
+
+def _commit_checked(root: str, manifest: dict, base_version: int) -> None:
+    """Optimistic commit: re-read the pointer immediately before the swap
+    and refuse if another writer advanced it past ``base_version`` —
+    last-write-wins would silently drop the other writer's partitions.
+    The check-then-replace window is not itself atomic (a true CAS needs
+    the filesystem/object-store conditional primitive); it shrinks the
+    race to microseconds and makes every detected conflict loud."""
+    current = read_manifest(root)["version"]
+    if current != base_version:
+        raise ConcurrentWriteError(
+            f"table at {root!r} moved from v{base_version} to v{current} "
+            "during this write; retry against the new snapshot"
+        )
+    _commit_manifest(root, manifest)
 
 
 def version_dir(root: str, version: int) -> str:
@@ -146,7 +183,7 @@ def init_table(
     optionally recording per-partition min/max zone maps for
     ``stats_cols``."""
     os.makedirs(root, exist_ok=True)
-    v = _next_version(root)
+    v = _claim_version(root)
     vdir = version_dir(root, v)
     df.write.mode("overwrite").partitionBy(partition_col).parquet(vdir)
     spark.catalog.refreshByPath(vdir)
@@ -254,10 +291,10 @@ def merge_into_versioned(
     hit = target.join(F.broadcast(affected), [partition_col], "leftsemi")
     merged = _merge_resolved(hit, source, key_cols, data_cols)
 
-    v = _next_version(root)
+    v = _claim_version(root)
     vdir = version_dir(root, v)
-    # fresh directory — no localCheckpoint needed: the plan's input files
-    # are never the write target, the core advantage of immutable versions
+    # fresh claimed directory — no localCheckpoint needed: the plan's input
+    # files are never the write target, the core advantage of immutability
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(vdir)
     spark.catalog.refreshByPath(vdir)
 
@@ -284,7 +321,7 @@ def merge_into_versioned(
         }
         kept.update(_partition_stats(spark, vdir, partition_col, stats_cols))
         new_manifest["stats"] = {p: kept[p] for p in parts if p in kept}
-    _commit_manifest(root, new_manifest)
+    _commit_checked(root, new_manifest, manifest["version"])
     return v
 
 
@@ -318,7 +355,7 @@ def compact_versioned(
     n_ranges = max(1, math.ceil(live_bytes / target_file_bytes))
 
     snap = read_snapshot(spark, root, partition_col)
-    v = _next_version(root)
+    v = _claim_version(root)
     vdir = version_dir(root, v)
     (
         snap.repartitionByRange(n_ranges, F.col(partition_col), F.col(order_col))
@@ -339,7 +376,7 @@ def compact_versioned(
         new_manifest["stats"] = _partition_stats(
             spark, vdir, partition_col, stats_cols
         )
-    _commit_manifest(root, new_manifest)
+    _commit_checked(root, new_manifest, manifest["version"])
     return v
 
 

@@ -241,3 +241,32 @@ def test_time_travel_and_table_changes(spark, sf_dir, vtable):
     assert by_type[("added", "")] == 3
     assert by_type[("changed", "value")] == upd.count()
     assert len(by_type) == 2  # nothing removed, nothing else changed
+
+
+def test_optimistic_concurrency_conflict(spark, sf_dir, vtable):
+    """A writer whose base snapshot was superseded must FAIL its commit
+    (last-write-wins would silently drop the winner's partitions), and
+    its claimed version directory stays orphaned for vacuum."""
+    from datalake2anomali_spark.io.publish import (
+        ConcurrentWriteError,
+        _claim_version,
+        _commit_checked,
+    )
+
+    base = read_manifest(vtable)["version"]
+    # writer A claims a slot and "works" (nothing written is fine)
+    v_a = _claim_version(vtable)
+    # writer B lands a whole merge meanwhile
+    e = read_snapshot(spark, vtable, "event_date")
+    upd = e.limit(5).withColumn("value", F.col("value") + 1.0)
+    v_b = merge_into_versioned(spark, vtable, upd, ["event_id"], "event_date")
+    assert v_b != v_a  # claims never collide
+
+    with pytest.raises(ConcurrentWriteError, match="retry"):
+        _commit_checked(
+            vtable, {"version": v_a, "partitions": {}}, base_version=base
+        )
+    # the loser's dir is unreferenced garbage; vacuum reclaims it
+    assert v_a not in set(read_manifest(vtable)["partitions"].values())
+    removed = vacuum(vtable)
+    assert v_a in removed

@@ -166,6 +166,7 @@ _TAIL: tuple[str, ...] = (
     "khop_features",  # new in r6 (post-window) — 1/2-hop graph neighborhood features
     "stream_interval_join_outer",  # new in r6 (post-window) — watermark null emission
     "table_changes",  # new in r6 (post-window) — version time travel + change feed
+    "equi_depth_hist",  # new in r6 (post-window) — exact CBO-statistics histogram
 )
 
 _MODULES = (

@@ -206,3 +206,51 @@ def exact_percentile_cont(
         "q double, lo_scaled long, hi_scaled long, frac_num long, "
         "interp_rem long",
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    col: str,
+    n_bins: int,
+    scale: int = 2,
+    level_bits: int = 16,
+) -> DataFrame:
+    """Exact equi-depth (equal-frequency) histogram: bin ``i``'s upper
+    edge is the exact ``⌈i·n/B⌉``-th order statistic (integer form
+    ``(i·n + B − 1) div B`` — engine-identical), fetched for ALL bins in
+    one :func:`order_statistics` refinement; one further aggregate counts
+    ``s ≤ edge_i`` per bin (map-side combined, B counters).  With heavy
+    duplicates a cumulative count may exceed its rank — bins are then
+    genuinely unequal, which an equi-depth histogram must REPORT, not
+    hide: ``n_rows`` carries the true per-bin mass (possibly 0 for bins
+    swallowed by a duplicate run).
+
+    The optimizer-statistics primitive (equi-depth histograms are what
+    CBOs feed on) and the exact twin of ``approx_percentile``-based
+    binning.  Output: ``(bin, hi_scaled, cum_rows, n_rows)``.
+    """
+    spark = df.sparkSession
+    snapped = _snap(df, col, scale)
+    n = _count(snapped)
+    if n == 0:
+        raise ValueError(
+            f"equi_depth_histogram: no non-NULL values in {col!r}"
+        )
+    ranks = {i: (i * n + n_bins - 1) // n_bins for i in range(1, n_bins + 1)}
+    stats = order_statistics(snapped, sorted(set(ranks.values())), level_bits)
+    edges = {i: stats[r] for i, r in ranks.items()}
+    cums_row = snapped.agg(
+        *[
+            F.sum((F.col("s") <= F.lit(e)).cast("long")).alias(f"_c_{i}")
+            for i, e in edges.items()
+        ]
+    ).collect()[0]
+    out = []
+    prev = 0
+    for i in range(1, n_bins + 1):
+        cum = cums_row[f"_c_{i}"]
+        out.append((i, edges[i], cum, cum - prev))
+        prev = cum
+    return spark.createDataFrame(
+        out, "bin int, hi_scaled long, cum_rows long, n_rows long"
+    )

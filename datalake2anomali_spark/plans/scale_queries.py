@@ -663,6 +663,45 @@ ORDER BY l.q
 """
 
 
+HIST_BINS = 8
+
+
+def q_equi_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 8-bin equi-depth histogram of l_extendedprice
+    (``functions/selection.py: equi_depth_histogram``): edges from one
+    bounded order-statistics refinement, masses from one B-counter
+    aggregate — the CBO-statistics primitive, no global sort; the oracle
+    recomputes edges by ROW_NUMBER and masses by direct counting."""
+    from ..functions.selection import equi_depth_histogram
+
+    return equi_depth_histogram(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice", HIST_BINS
+    )
+
+
+EQUI_DEPTH_SQL = f"""
+WITH v AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS s FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+), n AS (SELECT COUNT(*) AS n FROM v),
+ranked AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn FROM v),
+edges AS (
+  SELECT ib.i, r.s AS hi
+  FROM (VALUES {", ".join(f"({i})" for i in range(1, 9))}) ib(i)
+  CROSS JOIN n
+  JOIN ranked r ON r.rn = (ib.i * n.n + {8} - 1) // {8}
+),
+cums AS (
+  SELECT e.i, e.hi,
+         (SELECT COUNT(*) FROM v WHERE v.s <= e.hi) AS cum
+  FROM edges e
+)
+SELECT CAST(i AS INTEGER) AS bin, hi AS hi_scaled, cum AS cum_rows,
+       cum - COALESCE(LAG(cum) OVER (ORDER BY i), 0) AS n_rows
+FROM cums ORDER BY bin
+"""
+
+
 def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-on-read JSON flattening via a Python UDTF
     (``functions/udtfs.py: JsonFlatten``): one (path, leaf) row per scalar
@@ -729,6 +768,7 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "exact_quantiles": q_exact_quantiles,
     "percentile_cont": q_percentile_cont,
+    "equi_depth_hist": q_equi_depth_hist,
     "json_flatten": q_json_flatten,
     "cms_counts": q_cms_counts,
     "zorder_key": q_zorder_key,
@@ -744,6 +784,7 @@ ORACLES = {
     "heavy_hitters": HEAVY_HITTERS_SQL,
     "exact_quantiles": EXACT_QUANTILES_SQL,
     "percentile_cont": PCONT_SQL,
+    "equi_depth_hist": EQUI_DEPTH_SQL,
     "json_flatten": JSON_FLATTEN_SQL,
     "cms_counts": CMS_SQL,
     "zorder_key": ZORDER_KEY_SQL,

@@ -193,3 +193,26 @@ def test_order_statistics_rank_bounds(spark):
     with pytest.raises(ValueError, match="out of"):
         order_statistics(df, [3])
     assert order_statistics(df, [1, 2]) == {1: 1, 2: 2}
+
+
+def test_equi_depth_histogram_known_and_duplicates(spark):
+    from datalake2anomali_spark.functions.selection import equi_depth_histogram
+
+    # 1..100 ×0.01, 4 bins: edges 0.25/0.50/0.75/1.00, 25 rows each
+    df = spark.createDataFrame([(i / 100.0,) for i in range(1, 101)], "v double")
+    rows = {r.bin: (r.hi_scaled, r.cum_rows, r.n_rows)
+            for r in equi_depth_histogram(df, "v", 4).collect()}
+    assert rows == {1: (25, 25, 25), 2: (50, 50, 25),
+                    3: (75, 75, 25), 4: (100, 100, 25)}
+
+    # a 90%-duplicate run: the dup value swallows earlier bins, which must
+    # report their true (possibly zero) mass, not a smoothed lie
+    dup = spark.createDataFrame(
+        [(1.0,)] * 90 + [(float(2 + i),) for i in range(10)], "v double"
+    )
+    rows = {r.bin: (r.hi_scaled, r.cum_rows, r.n_rows)
+            for r in equi_depth_histogram(dup, "v", 4).collect()}
+    assert rows[1] == (100, 90, 90)   # edge at the dup, true cum mass
+    assert rows[2] == (100, 90, 0)    # swallowed bin reports zero
+    assert rows[4][1] == 100
+    assert sum(v[2] for v in rows.values()) == 100

@@ -167,6 +167,8 @@ _TAIL: tuple[str, ...] = (
     "stream_interval_join_outer",  # new in r6 (post-window) — watermark null emission
     "table_changes",  # new in r6 (post-window) — version time travel + change feed
     "equi_depth_hist",  # new in r6 (post-window) — exact CBO-statistics histogram
+    "window_rank_funcs",  # new in r6 (post-window) — full rank-function surface
+    "groupwise_quantiles",  # new in r6 (post-window) — per-group exact order stats
 )
 
 _MODULES = (

@@ -115,6 +115,111 @@ FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
+# -- rank-function family + group-wise exact quantiles ------------------------
+
+
+def window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full rank-function surface over one window: row_number, rank,
+    dense_rank, ntile, percent_rank, cume_dist, lag, lead — each with
+    identical ANSI semantics in DuckDB.  percent_rank/cume_dist are
+    int/int divisions of exact counts (correctly-rounded, deterministic
+    cross-engine); the unique (price, orderkey) tiebreak keeps every
+    function's output stable under any partitioning."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 13 == 0  # keep the row set bench-sized
+    )
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT o_orderpriority, o_orderkey,
+       ROW_NUMBER() OVER w AS rn,
+       RANK() OVER w AS rk,
+       DENSE_RANK() OVER w AS drk,
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cum_dist,
+       LAG(o_orderkey) OVER w AS prev_key,
+       LEAD(o_orderkey) OVER w AS next_key
+FROM orders
+WHERE o_orderkey % 13 = 0
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
+GROUP_QS = (0.5, 0.95)
+
+
+def groupwise_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group order statistics (p50/p95 of value per event_type,
+    ``quantile_disc`` rank convention) via ONE ranked window — the
+    group-keyed complement of the global ``exact_quantiles`` refinement
+    (per-group sort is fine when groups are many and individually
+    bounded; the refinement is for the single global order).  Values pass
+    through the 2-decimal snap so both engines pick identical rows."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    snapped = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("s")
+    )
+    w = W.partitionBy("event_type").orderBy("s")
+    ranked = snapped.select(
+        "event_type",
+        "s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            W.partitionBy("event_type").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    picks = [
+        ranked.filter(
+            F.col("rn")
+            == F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("n")).cast("long"))
+        ).select(
+            "event_type", F.lit(q).alias("q"), F.col("s").alias("value_scaled")
+        )
+        for q in GROUP_QS
+    ]
+    out = picks[0]
+    for pdf in picks[1:]:
+        out = out.unionByName(pdf)
+    return out.orderBy("event_type", "q")
+
+
+GROUPWISE_Q_SQL = f"""
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS s FROM events
+  WHERE value IS NOT NULL
+), ranked AS (
+  SELECT event_type, s,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY s) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+)
+SELECT event_type, q.q, s AS value_scaled
+FROM ranked
+CROSS JOIN (VALUES {", ".join(f"(CAST({q} AS DOUBLE))" for q in GROUP_QS)}) q(q)
+WHERE rn = GREATEST(1, CAST(CEIL(q.q * n) AS BIGINT))
+ORDER BY event_type, q.q
+"""
+
+
 # -- pivot: orderstatus × orderpriority contingency ---------------------------
 
 
@@ -350,6 +455,8 @@ QUERIES = {
     "distinct_set_ops": distinct_set_ops,
     "grouped_rollup": grouped_rollup,
     "cube_stats": cube_stats,
+    "window_rank_funcs": window_rank_funcs,
+    "groupwise_quantiles": groupwise_quantiles,
     "status_priority_pivot": status_priority_pivot,
     "scalar_datetime_json": scalar_datetime_json,
     "running_window": running_window,
@@ -364,6 +471,8 @@ ORACLES = {
     "distinct_set_ops": SET_OPS_SQL,
     "grouped_rollup": ROLLUP_SQL,
     "cube_stats": CUBE_SQL,
+    "window_rank_funcs": WINDOW_RANK_SQL,
+    "groupwise_quantiles": GROUPWISE_Q_SQL,
     "status_priority_pivot": PIVOT_SQL,
     "scalar_datetime_json": SCALAR_SQL,
     "running_window": RUNNING_SQL,

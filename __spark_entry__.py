@@ -169,6 +169,9 @@ _TAIL: tuple[str, ...] = (
     "equi_depth_hist",  # new in r6 (post-window) — exact CBO-statistics histogram
     "window_rank_funcs",  # new in r6 (post-window) — full rank-function surface
     "groupwise_quantiles",  # new in r6 (post-window) — per-group exact order stats
+    "q7_volume_shipping",  # new in r6 (post-window) — TPC-H Q7 two-nation snowflake
+    "q8_market_share",  # new in r6 (post-window) — TPC-H Q8 conditional share
+    "k_anonymity",  # new in r6 (post-window) — privacy equivalence-class audit
 )
 
 _MODULES = (

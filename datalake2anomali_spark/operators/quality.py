@@ -205,3 +205,29 @@ def snapshot_diff(
             .alias("changed_cols"),
         )
     )
+
+
+def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int) -> DataFrame:
+    """Privacy-audit report over the quasi-identifier equivalence classes:
+    one row ``(n_classes, n_violating_classes, n_rows_at_risk,
+    min_class_size)`` — a dataset is k-anonymous iff no class is smaller
+    than ``k`` (Sweeney 2002); training-data releases run exactly this
+    gate before publishing joined user-adjacent tables.
+
+    One groupBy on the quasi columns (NULL quasi values form their own
+    class, GROUP BY semantics — matching the oracle) + one tiny aggregate
+    over the class-size relation; nothing row-scale leaves the first
+    map-side-combined exchange.
+    """
+    classes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    small = F.col("_n") < k
+    return classes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(small.cast("long")).alias("n_violating_classes"),
+        F.sum(F.when(small, F.col("_n")).otherwise(0)).cast("long").alias(
+            "n_rows_at_risk"
+        ),
+        F.min("_n").cast("long").alias("min_class_size"),
+    )

@@ -263,12 +263,52 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 """
 
 
+K_ANON_K = 5
+
+
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity gate over customer quasi-identifiers (nation, market
+    segment, account-balance kilo-bucket) — the pre-release privacy audit
+    (``operators/quality.py: k_anonymity``): one row reporting class
+    count, violating classes, rows at re-identification risk, and the
+    smallest class.  The balance bucket makes violations real (exact
+    balances would make every row unique; coarse buckets model the
+    generalization step of an anonymization pipeline)."""
+    from datalake2anomali_spark.operators.quality import k_anonymity
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_k"),
+    )
+    return k_anonymity(c, ["c_nationkey", "c_mktsegment", "bal_k"], K_ANON_K)
+
+
+K_ANON_SQL = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_k,
+         COUNT(*) AS n
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN n < {K_ANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_classes,
+       CAST(SUM(CASE WHEN n < {K_ANON_K} THEN n ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       CAST(MIN(n) AS BIGINT) AS min_class_size
+FROM classes
+"""
+
+
 QUERIES = {
     "data_quality_audit": lineitem_audit,
     "table_diff": orders_snapshot_diff,
     "fuzzy_match": fuzzy_customer_match,
     "fuzzy_match2": fuzzy_part_match2,
     "setsim_join": setsim_documents,
+    "k_anonymity": customer_k_anonymity,
 }
 
 ORACLES = {
@@ -277,4 +317,5 @@ ORACLES = {
     "fuzzy_match": FUZZY_SQL,
     "fuzzy_match2": FUZZY2_SQL,
     "setsim_join": SETSIM_SQL,
+    "k_anonymity": K_ANON_SQL,
 }

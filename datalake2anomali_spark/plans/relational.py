@@ -152,13 +152,166 @@ GROUP BY n_name
 ORDER BY revenue DESC, n_name ASC
 """
 
+# -- q7_volume_shipping: two-nation trade flow (TPC-H Q7 shape) ---------------
+
+Q7_NATIONS = ("NATION_1", "NATION_2")
+Q7_YEARS = (1999, 2000)
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: revenue shipped between two nations, by (supplier nation,
+    customer nation, ship year) — a 6-table snowflake where BOTH nation
+    roles join the same dimension.  The nation dim broadcasts twice under
+    different aliases; the OR-of-two-direction filter sits on the joined
+    pair so Catalyst can push each leg; the fact tables meet in AQE's
+    choice of join.  Fixed-point revenue keeps the hash exact."""
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(*Q7_YEARS)
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    a, b = Q7_NATIONS
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(su, li["l_suppkey"] == su["s_suppkey"])
+        .join(F.broadcast(n1), su["s_nationkey"] == F.col("s_nk"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == a) & (F.col("cust_nation") == b))
+            | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dsum(rev, 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       {DSUM_SQL("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE year(l_shipdate) IN {Q7_YEARS}
+  AND ((n1.n_name = '{Q7_NATIONS[0]}' AND n2.n_name = '{Q7_NATIONS[1]}')
+    OR (n1.n_name = '{Q7_NATIONS[1]}' AND n2.n_name = '{Q7_NATIONS[0]}'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# -- q8_market_share: conditional-share snowflake (TPC-H Q8 shape) ------------
+
+Q8_REGION = "EUROPE"
+Q8_NATION = "NATION_3"
+Q8_TYPE = "PROMO"
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of PROMO-part revenue sold to one
+    region's customers, per order year — the conditional-aggregate-ratio
+    shape (CASE inside SUM).  Share ships as one double division of two
+    exact scaled-long sums (identical operands both engines → identical
+    IEEE quotient), keeping the hash comparison strict."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == Q8_TYPE)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n_c = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    n_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    vol = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    j = (
+        li.join(F.broadcast(part.select("p_partkey")), li["l_partkey"] == F.col("p_partkey"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(su, li["l_suppkey"] == su["s_suppkey"])
+        .join(F.broadcast(n_c), c["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(n_s), su["s_nationkey"] == F.col("sn_key"))
+        .join(
+            F.broadcast(r.select("r_regionkey")),
+            F.col("cr_key") == F.col("r_regionkey"),
+        )
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == Q8_NATION, vol).otherwise(F.lit(0))
+    )
+    den = F.sum(vol)
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            num.alias("_num"),
+            den.alias("_den"),
+        )
+        .select(
+            "o_year",
+            (F.col("_num").cast("double") / F.col("_den").cast("double")).alias(
+                "mkt_share"
+            ),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = f"""
+WITH j AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS vol,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  WHERE r_name = '{Q8_REGION}' AND p_type = '{Q8_TYPE}'
+)
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN supp_nation = '{Q8_NATION}' THEN vol ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+FROM j
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
 }
 
 ORACLES = {
+    "q7_volume_shipping": Q7_SQL,
+    "q8_market_share": Q8_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier": Q5_SQL,

@@ -172,6 +172,7 @@ _TAIL: tuple[str, ...] = (
     "q7_volume_shipping",  # new in r6 (post-window) — TPC-H Q7 two-nation snowflake
     "q8_market_share",  # new in r6 (post-window) — TPC-H Q8 conditional share
     "k_anonymity",  # new in r6 (post-window) — privacy equivalence-class audit
+    "stream_upsert_exactly_once",  # new in r6 (post-window) — ledger + ACID merge
 )
 
 _MODULES = (

@@ -44,6 +44,7 @@ QUERIES = {
     "stream_sessionize": incremental.stream_sessionize,
     "stream_view_maintenance": incremental.stream_view_maintenance,
     "stream_scd2": incremental.stream_scd2,
+    "stream_upsert_exactly_once": incremental.stream_upsert_exactly_once,
     "stream_dedup_late": incremental.stream_dedup_late,
     "stateful_user_profiles": stateful.stateful_user_profiles,
 }
@@ -60,6 +61,8 @@ ORACLES = {
     "stream_view_maintenance": _analytics.VIEW_SQL,
     # the streaming CDC-apply must converge to the batch SCD2 exactly
     "stream_scd2": _temporal.SCD2_SQL,
+    # exactly-once ingestion must converge to the plain batch rollup
+    "stream_upsert_exactly_once": incremental.STREAM_EXACTLY_ONCE_SQL,
     "stream_dedup_late": incremental.STREAM_DEDUP_LATE_SQL,
     "stateful_user_profiles": stateful.STATEFUL_PROFILE_SQL,
 }

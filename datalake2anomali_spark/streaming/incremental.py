@@ -707,3 +707,120 @@ def incremental_pull(
     batch = events if wm is None else events.filter(c > F.timestamp_micros(F.lit(int(wm))))
     row = batch.agg(F.max(F.unix_micros(c)).alias("m")).collect()[0]
     return batch, (int(row.m) if row.m is not None else wm)
+
+
+def exactly_once_batch(apply_fn, ledger_dir: str):
+    """Wrap a ``foreachBatch`` function with an idempotence ledger:
+    batch ids already marked committed are skipped, others are applied
+    then marked (atomic ``O_CREAT|O_EXCL`` marker file per batch).
+
+    Structured Streaming's checkpoint gives at-least-once ``foreachBatch``
+    delivery — after a crash the last batch REPLAYS with the same
+    ``batch_id`` and identical contents.  The ledger turns that into
+    exactly-once EFFECTS provided ``apply_fn`` is idempotent for the one
+    crash window between apply and mark (a keyed MERGE re-applying the
+    identical batch converges to the same table — which is why this pairs
+    with :func:`..io.publish.merge_into_versioned`; a blind APPEND would
+    not qualify and must not use this wrapper).  This is the same
+    ledger-plus-idempotent-apply recipe Spark's own transactional sinks
+    use, reduced to its visible core.
+    """
+    os.makedirs(ledger_dir, exist_ok=True)
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(ledger_dir, f"batch-{batch_id}.done")
+        if os.path.exists(marker):
+            return  # replayed batch: effects already committed
+        apply_fn(batch_df, batch_id)
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+
+    return _fn
+
+
+def stream_upsert_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exactly-once streaming ingestion into the ACID table:
+    events replayed as three availableNow ticks over one durable
+    checkpoint, each micro-batch MERGEd into a versioned table
+    (``io/publish.py``) through the idempotence ledger — and tick 2 is
+    deliberately RUN TWICE against a rolled-back ledger+checkpoint copy
+    in tests (tests/test_streaming.py) to prove replay converges.  Here
+    the driver row certifies the happy path end to end: the final
+    snapshot aggregate must hash-match the plain batch rollup of the
+    source table — any duplicate or dropped batch effect would break it.
+    """
+    import shutil
+
+    from ..io.publish import init_table, merge_into_versioned, read_snapshot
+
+    e = load_sf_events(spark, sf_dir).withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    base = (
+        "/dev/shm"
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+        else tempfile.gettempdir()
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    src = os.path.join(base, f"d2a_eosrc_{tag}")
+    root = os.path.join(base, f"d2a_eotable_{tag}")
+    ckpt = os.path.join(base, f"d2a_eockpt_{tag}")
+    ledger = os.path.join(base, f"d2a_eoledger_{tag}")
+    for p in (src, root, ckpt, ledger):  # pure function of the source
+        shutil.rmtree(p, ignore_errors=True)
+
+    # seed the table with the earliest third so every batch is a true
+    # MERGE against existing state, then stream the rest in two ticks
+    lo, hi = e.agg(
+        F.min(F.expr("unix_micros(ts)")), F.max(F.expr("unix_micros(ts)"))
+    ).collect()[0]
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+    us = F.expr("unix_micros(ts)")
+    init_table(spark, e.filter(us <= cut1), root, "event_date")
+
+    def _apply(batch_df: DataFrame, _bid: int) -> None:
+        batch = batch_df.withColumn(
+            "event_date", F.date_format("ts", "yyyy-MM-dd")
+        )
+        merge_into_versioned(
+            batch_df.sparkSession, root, batch, ["event_id"], "event_date"
+        )
+
+    wrapped = exactly_once_batch(_apply, ledger)
+    for s in (
+        e.filter((us > cut1) & (us <= cut2)),
+        e.filter(us > cut2),
+    ):
+        s.drop("event_date").coalesce(1).write.mode("append").parquet(src)
+        spark.catalog.refreshByPath(src)
+        stream = read_events_stream(spark, src)
+        q = (
+            stream.writeStream.foreachBatch(wrapped)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    snap = read_snapshot(spark, root, "event_date")
+    return (
+        snap.groupBy(F.col("event_date").cast("string").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("v_cents"),
+            F.countDistinct("event_id").alias("n_ids"),
+        )
+        .orderBy("event_date")
+    )
+
+
+STREAM_EXACTLY_ONCE_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v_cents,
+       COUNT(DISTINCT event_id) AS n_ids
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""

@@ -581,3 +581,59 @@ def test_scd2_stream_closes_and_extends_across_batches(spark, tmp_path):
     # the closed store is append-only: closing happened exactly once
     closed = spark.read.parquet(os.path.join(hist, "closed"))
     assert closed.count() == 1
+
+
+def test_exactly_once_ledger_replay_and_crash_window(spark, sf_dir, tmp_path):
+    """The ledger skips replayed batch ids outright; and for the one crash
+    window it cannot cover (applied but not yet marked), the keyed MERGE
+    apply is idempotent — re-applying the identical batch converges to
+    the same table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datalake2anomali_spark.io.publish import init_table, read_snapshot
+    from datalake2anomali_spark.io.tables import load_table
+    from datalake2anomali_spark.streaming.incremental import exactly_once_batch
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    root = str(tmp_path / "table")
+    ledger = str(tmp_path / "ledger")
+    init_table(spark, e.limit(200), root, "event_date")
+
+    applied = []
+
+    def _apply(batch_df, bid):
+        from datalake2anomali_spark.io.publish import merge_into_versioned
+
+        applied.append(bid)
+        merge_into_versioned(
+            spark, root, batch_df, ["event_id"], "event_date"
+        )
+
+    wrapped = exactly_once_batch(_apply, ledger)
+    batch = e.filter(F.col("event_type") == "purchase").withColumn(
+        "value", F.col("value") + 7.0
+    )
+
+    wrapped(batch, 42)
+    fp = read_snapshot(spark, root, "event_date").agg(
+        F.count(F.lit(1)), F.sum(F.round(F.col("value") * 100).cast("long"))
+    ).collect()[0]
+
+    # checkpoint replay: same batch id arrives again — skipped entirely
+    wrapped(batch, 42)
+    assert applied == [42]
+
+    # crash window: marker lost after a successful apply; the replay
+    # re-applies, and the idempotent MERGE leaves the table unchanged
+    os.remove(os.path.join(ledger, "batch-42.done"))
+    wrapped(batch, 42)
+    assert applied == [42, 42]
+    fp2 = read_snapshot(spark, root, "event_date").agg(
+        F.count(F.lit(1)), F.sum(F.round(F.col("value") * 100).cast("long"))
+    ).collect()[0]
+    assert tuple(fp2) == tuple(fp)
+    assert os.path.exists(os.path.join(ledger, "batch-42.done"))

@@ -238,3 +238,147 @@ def test_exact_quantiles_match_sorted_reference(spark, vals):
     for q in qs:
         rank = max(1, math.ceil(q * len(snapped)))
         assert got[q] == snapped[rank - 1], (vals, q)
+
+
+# -- round-6 operators --------------------------------------------------------
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # key
+            st.integers(min_value=0, max_value=2),   # partition
+            st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=3),
+            st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_merge_into_matches_dict_reference(spark, tmp_path_factory, target_rows, source_rows):
+    """merge_into == pure-Python dict upsert, including NULL-ing updates,
+    partition MOVES, and emptied partitions — randomized over every case
+    the round-6 fix covers."""
+    from pyspark.sql import functions as F
+
+    from datalake2anomali_spark.operators.merge import merge_into
+
+    path = str(tmp_path_factory.mktemp("mrg") / "t")
+    tdf = spark.createDataFrame(
+        [(k, f"p{p}", v) for k, p, v in target_rows], "k long, part string, v long"
+    )
+    tdf.write.partitionBy("part").parquet(path)
+    sdf = spark.createDataFrame(
+        [(k, f"p{p}", v) for k, p, v in source_rows], "k long, part string, v long"
+    )
+    merge_into(spark, path, sdf, ["k"], "part")
+
+    expect = {k: (f"p{p}", v) for k, p, v in target_rows}
+    expect.update({k: (f"p{p}", v) for k, p, v in source_rows})
+    got = {
+        r.k: (r.part, r.v)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=50),
+    st.integers(min_value=2, max_value=6),
+)
+def test_equi_depth_histogram_invariants(spark, vals, n_bins):
+    """Masses are non-negative, total exactly n, cum is monotone, edges are
+    sorted, and each edge is the exact ceil(i*n/B) order statistic."""
+    from datalake2anomali_spark.functions.selection import equi_depth_histogram
+
+    df = spark.createDataFrame([(v / 100.0,) for v in vals], "v double")
+    rows = sorted(equi_depth_histogram(df, "v", n_bins).collect())
+    n = len(vals)
+    s = sorted(vals)
+    assert sum(r.n_rows for r in rows) == n
+    cums = [r.cum_rows for r in rows]
+    assert cums == sorted(cums) and all(r.n_rows >= 0 for r in rows)
+    for r in rows:
+        rank = (r.bin * n + n_bins - 1) // n_bins
+        assert r.hi_scaled == s[rank - 1], (vals, n_bins, r.bin)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60, unique=True),
+    st.integers(min_value=1, max_value=9),
+)
+def test_global_row_numbers_permutation_invariant(spark, keys, nparts):
+    """rn is the exact sorted position regardless of input order or
+    partition count — gapless, no overlaps."""
+    import random
+
+    from datalake2anomali_spark.operators.ranking import global_row_numbers
+
+    shuffled = list(keys)
+    random.Random(1).shuffle(shuffled)
+    df = spark.createDataFrame([(k,) for k in shuffled], "k long").repartition(3)
+    got = {r.k: r.rn for r in global_row_numbers(df, ["k"], nparts).collect()}
+    assert got == {k: i + 1 for i, k in enumerate(sorted(keys))}
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),          # user
+            st.integers(min_value=0, max_value=50),          # ts (s)
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_attribution_total_credit_is_exact(spark, evs):
+    """Every attributed journey hands out EXACTLY 1_000_000 ppm across its
+    touches — no rounding leakage for any n (the remainder pinning)."""
+    from pyspark.sql import functions as F
+
+    from datalake2anomali_spark.operators.analytics import attribution_credit
+
+    rows = [(u, t * 1_000_000, ty, i) for i, (u, t, ty) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_type string, event_id long"
+    ).select(
+        "user_id", F.timestamp_micros("ts_us").alias("ts"), "event_type", "event_id"
+    )
+    got = attribution_credit(df).agg(F.sum("credit_ppm_sum")).collect()[0][0]
+
+    # reference: count journeys that have >= 1 touch before a conversion
+    by_user = {}
+    for u, t, ty in evs:
+        by_user.setdefault(u, []).append((t, ty))
+    n_journeys = 0
+    for u, seq in by_user.items():
+        # stable sort by ts: same-ts events keep input order, which matches
+        # the Spark side's (ts, event_id) order since event_id enumerates
+        # the input
+        seq.sort(key=lambda x: (x[0],))
+        cnt = 0
+        pending = 0
+        for t, ty in seq:
+            if ty == "purchase":
+                if pending > 0:
+                    cnt += 1
+                pending = 0
+            else:
+                pending += 1
+        n_journeys += cnt
+    assert (got or 0) == n_journeys * 1_000_000

@@ -173,6 +173,7 @@ _TAIL: tuple[str, ...] = (
     "q8_market_share",  # new in r6 (post-window) — TPC-H Q8 conditional share
     "k_anonymity",  # new in r6 (post-window) — privacy equivalence-class audit
     "stream_upsert_exactly_once",  # new in r6 (post-window) — ledger + ACID merge
+    "cdf_probe",  # new in r6 (post-window) — exact empirical-CDF evaluation
 )
 
 _MODULES = (

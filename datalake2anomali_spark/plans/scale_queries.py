@@ -702,6 +702,45 @@ FROM cums ORDER BY bin
 """
 
 
+CDF_PROBES = (900.0, 25000.0, 50000.0, 75000.0, 200000.0)
+
+
+def q_cdf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact empirical-CDF evaluation at literal probe prices: one
+    aggregate computes ``count(x <= p)`` for every probe (map-side
+    combined, |probes| counters — the inverse lookup of the quantile
+    family: quantiles map rank→value, this maps value→rank).  The
+    fraction ships as exact ppm integers (``(n_le · 10⁶) div n``), so
+    the oracle's direct recount must hash-match bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.col("l_extendedprice")).alias("_n")] + [
+        F.sum((F.col("l_extendedprice") <= F.lit(p)).cast("long")).alias(f"_c{i}")
+        for i, p in enumerate(CDF_PROBES)
+    ]
+    one = li.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(float(p)).alias("probe"),
+            F.col(f"_c{i}").alias("n_le"),
+            F.expr(f"(_c{i} * 1000000) div _n").alias("frac_ppm"),
+        )
+        for i, p in enumerate(CDF_PROBES)
+    ]
+    return one.select(F.inline(F.array(*structs))).orderBy("probe")
+
+
+CDF_PROBE_SQL = f"""
+SELECT p.probe,
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= p.probe)
+            AS BIGINT) AS n_le,
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= p.probe)
+            AS BIGINT) * 1000000
+         // (SELECT COUNT(l_extendedprice) FROM lineitem) AS frac_ppm
+FROM (VALUES {", ".join(f"(CAST({p} AS DOUBLE))" for p in CDF_PROBES)}) p(probe)
+ORDER BY p.probe
+"""
+
+
 def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-on-read JSON flattening via a Python UDTF
     (``functions/udtfs.py: JsonFlatten``): one (path, leaf) row per scalar
@@ -769,6 +808,7 @@ QUERIES = {
     "exact_quantiles": q_exact_quantiles,
     "percentile_cont": q_percentile_cont,
     "equi_depth_hist": q_equi_depth_hist,
+    "cdf_probe": q_cdf_probe,
     "json_flatten": q_json_flatten,
     "cms_counts": q_cms_counts,
     "zorder_key": q_zorder_key,
@@ -785,6 +825,7 @@ ORACLES = {
     "exact_quantiles": EXACT_QUANTILES_SQL,
     "percentile_cont": PCONT_SQL,
     "equi_depth_hist": EQUI_DEPTH_SQL,
+    "cdf_probe": CDF_PROBE_SQL,
     "json_flatten": JSON_FLATTEN_SQL,
     "cms_counts": CMS_SQL,
     "zorder_key": ZORDER_KEY_SQL,

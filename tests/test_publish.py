@@ -266,7 +266,142 @@ def test_optimistic_concurrency_conflict(spark, sf_dir, vtable):
         _commit_checked(
             vtable, {"version": v_a, "partitions": {}}, base_version=base
         )
-    # the loser's dir is unreferenced garbage; vacuum reclaims it
+    # the loser's dir is unreferenced garbage; vacuum reclaims it (the
+    # detected conflict released its in-flight claim marker)
     assert v_a not in set(read_manifest(vtable)["partitions"].values())
     removed = vacuum(vtable)
     assert v_a in removed
+
+
+def test_concurrent_writers_interleaved_race(spark, sf_dir, vtable):
+    """Two threads merge disjoint keys from the SAME base snapshot and
+    reach the commit point together: the commit lock serializes them, so
+    exactly one wins and the other gets ConcurrentWriteError (not a
+    silent last-write-wins).  The loser's retry then lands, the final
+    table equals the serial application of both batches, and the loser's
+    first (orphaned) version directory is vacuumable."""
+    import threading
+
+    from datalake2anomali_spark.io.publish import ConcurrentWriteError
+
+    e = read_snapshot(spark, vtable, "event_date")
+    batch_a = e.filter(F.col("event_type") == "click").withColumn(
+        "value", F.col("value") + 100.0
+    )
+    batch_b = e.filter(F.col("event_type") == "purchase").withColumn(
+        "value", F.col("value") + 200.0
+    )
+    assert (
+        batch_a.join(batch_b, ["event_id"], "inner").count() == 0
+    )  # disjoint keys: the conflict is purely structural, not data overlap
+
+    barrier = threading.Barrier(2, timeout=120)
+    outcome: dict[str, object] = {}
+
+    def writer(name, batch):
+        try:
+            outcome[name] = merge_into_versioned(
+                spark, vtable, batch, ["event_id"], "event_date",
+                commit_hook=barrier.wait,
+            )
+        except ConcurrentWriteError as exc:
+            outcome[name] = exc
+
+    threads = [
+        threading.Thread(target=writer, args=("a", batch_a)),
+        threading.Thread(target=writer, args=("b", batch_b)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    losers = [k for k, v in outcome.items() if isinstance(v, Exception)]
+    assert len(losers) == 1, f"expected exactly one conflict, got {outcome}"
+    loser = losers[0]
+    loser_batch = batch_a if loser == "a" else batch_b
+
+    # the loser's claimed dir is orphaned; record it before the retry
+    live_before_retry = set(read_manifest(vtable)["partitions"].values())
+    orphans = [
+        int(d[2:])
+        for d in os.listdir(vtable)
+        if d.startswith("_v") and int(d[2:]) not in live_before_retry
+    ]
+    assert orphans, "loser should have left an orphaned version dir"
+
+    merge_into_versioned(spark, vtable, loser_batch, ["event_id"], "event_date")
+
+    # final state == serial application of both disjoint-key updates
+    final = read_snapshot(spark, vtable, "event_date")
+    assert final.count() == e.count()
+    assert (
+        final.filter(F.col("event_type") == "click")
+        .join(batch_a.select("event_id", F.col("value").alias("want")), "event_id")
+        .filter(F.col("value") != F.col("want"))
+        .count()
+        == 0
+    )
+    assert (
+        final.filter(F.col("event_type") == "purchase")
+        .join(batch_b.select("event_id", F.col("value").alias("want")), "event_id")
+        .filter(F.col("value") != F.col("want"))
+        .count()
+        == 0
+    )
+
+    removed = vacuum(vtable)
+    assert set(orphans) <= set(removed)
+
+
+def test_vacuum_retention_window(spark, sf_dir, vtable):
+    """retain_last keeps committed snapshots time-travel-readable through
+    a vacuum; past the window the read fails fast with a clear error; and
+    unreferenced orphan directories are still reclaimed."""
+    from datalake2anomali_spark.io.publish import table_changes
+
+    e = read_snapshot(spark, vtable, "event_date")
+    n0 = e.count()  # materialize now: e's plan dies with the vacuumed files
+    fp1 = _snap_fingerprint(spark, vtable)
+    upd = e.filter(F.col("event_type") == "click").withColumn(
+        "value", F.col("value") + 1.0
+    )
+    n_upd = upd.count()
+    v2 = merge_into_versioned(spark, vtable, upd, ["event_id"], "event_date")
+    v3 = compact_versioned(spark, vtable, "event_date", "event_id")
+
+    # plant a marker-less orphan: always reclaimable
+    orphan = version_dir(vtable, 95)
+    os.makedirs(orphan)
+    removed = vacuum(vtable, retain_last=3)
+    assert 95 in removed
+
+    # within retention: v1 data must still read bit-identically, and the
+    # change feed over a retained pair survives the vacuum
+    old = read_snapshot(spark, vtable, "event_date", version=1)
+    assert (
+        old.count(),
+        old.agg(F.sum(F.hash(*old.columns))).collect()[0][0],
+    ) == fp1
+    cdf = table_changes(spark, vtable, "event_date", ["event_id"], 1, v2)
+    assert cdf.filter(F.col("change_type") == "changed").count() == n_upd
+
+    # shrink retention to current-only: v1/v2 manifests go; reads fail fast
+    vacuum(vtable, retain_last=1)
+    with pytest.raises(FileNotFoundError, match="vacuumed|never committed"):
+        read_snapshot(spark, vtable, "event_date", version=1)
+    assert _snap_fingerprint(spark, vtable)[0] == n0
+    assert set(read_manifest(vtable)["partitions"].values()) == {v3}
+
+
+def test_vacuum_spares_inflight_claims(spark, vtable):
+    """A directory whose claim marker is live is an in-flight writer and
+    must survive vacuum (deleting it would corrupt that writer's commit);
+    once the claim is stale past the TTL it is reclaimed."""
+    from datalake2anomali_spark.io.publish import _claim_version
+
+    v = _claim_version(vtable)
+    assert v not in vacuum(vtable)  # live claim: protected
+    assert os.path.isdir(version_dir(vtable, v))
+    removed = vacuum(vtable, claim_ttl_seconds=0.0)  # claim now "stale"
+    assert v in removed
+    assert not os.path.isdir(version_dir(vtable, v))

@@ -263,10 +263,17 @@ def init_table(
     vdir = version_dir(root, v)
     df.write.mode("overwrite").partitionBy(partition_col).parquet(vdir)
     spark.catalog.refreshByPath(vdir)
-    parts = [
-        str(r[0])
+    raw_parts = [
+        r[0]
         for r in spark.read.parquet(vdir).select(partition_col).distinct().collect()
     ]
+    if any(p is None for p in raw_parts):
+        raise ValueError(
+            "versioned tables require non-NULL partition values: the "
+            "manifest is string-keyed and the pruned read cannot express "
+            "the __HIVE_DEFAULT_PARTITION__ sentinel"
+        )
+    parts = [str(p) for p in raw_parts]
     manifest = {"version": v, "partitions": {p: v for p in sorted(parts)}}
     if stats_cols:
         manifest["stats"] = _partition_stats(
@@ -379,7 +386,14 @@ def merge_into_versioned(
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(vdir)
     spark.catalog.refreshByPath(vdir)
 
-    affected_vals = {str(r[0]) for r in affected.collect()}
+    raw_affected = [r[0] for r in affected.collect()]
+    if any(v is None for v in raw_affected):
+        raise ValueError(
+            "versioned tables require non-NULL partition values: the "
+            "manifest is string-keyed and the pruned read cannot express "
+            "the __HIVE_DEFAULT_PARTITION__ sentinel"
+        )
+    affected_vals = {str(v) for v in raw_affected}
     written_vals = {
         str(r[0])
         for r in spark.read.parquet(vdir).select(partition_col).distinct().collect()

@@ -52,6 +52,29 @@ from pyspark.sql import functions as F
 
 _OVERWRITE_MODE = "spark.sql.sources.partitionOverwriteMode"
 
+#: Characters Spark's writer percent-escapes in hive partition directory
+#: names (ExternalCatalogUtils.charToEscape): ASCII control chars plus the
+#: path/URI-special set.
+_HIVE_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\{[]^\x7f') | frozenset(
+    chr(c) for c in range(0x01, 0x20)
+)
+_HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _hive_partition_dir(partition_col: str, val) -> str:
+    """The directory name Spark's parquet writer produced for ``val`` —
+    percent-escaped exactly as ExternalCatalogUtils.escapePathName, with
+    NULL mapping to the ``__HIVE_DEFAULT_PARTITION__`` sentinel.  Building
+    the path from the raw value instead (ADVICE r6) misses the stale
+    directory for any value containing ``:``, ``/`` etc., so the moved-out
+    rows resurface and the key duplicates."""
+    if val is None:
+        return f"{partition_col}={_HIVE_DEFAULT_PARTITION}"
+    escaped = "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE_CHARS else ch for ch in str(val)
+    )
+    return f"{partition_col}={escaped}"
+
 
 def _merge_resolved(
     hit: DataFrame, source: DataFrame, key_cols: list[str], data_cols: list[str]
@@ -118,11 +141,18 @@ def merge_into(
         raise ValueError(f"source is missing target columns: {sorted(missing)}")
 
     affected = _affected_partitions(target, source, key_cols, partition_col)
-    hit = target.join(F.broadcast(affected), [partition_col], "leftsemi")
+    # null-safe semijoin: a NULL partition (__HIVE_DEFAULT_PARTITION__) must
+    # select its rows like any other — plain equality would exclude them,
+    # and a partial move out of the NULL partition would then drop stayers
+    hit = target.join(
+        F.broadcast(affected.withColumnRenamed(partition_col, "_ap")),
+        F.col(partition_col).eqNullSafe(F.col("_ap")),
+        "leftsemi",
+    )
     merged = _merge_resolved(hit, source, key_cols, data_cols)
     # materialize (merged + the affected set) before touching the input
     # path — both plans read it.  Bounded: affected partitions + source.
-    affected_vals = {str(r[0]) for r in affected.collect()}
+    affected_vals = {r[0] for r in affected.collect()}
     merged = merged.localCheckpoint(eager=True)
 
     prior = spark.conf.get(_OVERWRITE_MODE, None)
@@ -144,11 +174,11 @@ def merge_into(
     # its stale directory — delete it.  Both collects are bounded by the
     # affected-partition count (batch-sized, not table-sized).
     written_vals = {
-        str(r[0]) for r in merged.select(partition_col).distinct().collect()
+        r[0] for r in merged.select(partition_col).distinct().collect()
     }
     for val in affected_vals - written_vals:
         shutil.rmtree(
-            os.path.join(target_path, f"{partition_col}={val}"),
+            os.path.join(target_path, _hive_partition_dir(partition_col, val)),
             ignore_errors=True,
         )
     # the session caches the path's file listing; drop it so readers see

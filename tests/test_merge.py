@@ -153,3 +153,59 @@ def test_merge_partial_partition_move(spark, target):
     after = spark.read.parquet(target)
     assert after.filter(F.col("event_date") == d_old).count() == stay_n
     assert after.filter(F.col("event_date") == "2031-07-01").count() == n_movers
+
+
+def test_merge_escaped_and_null_partition_cleanup(spark, tmp_path):
+    """Emptying a partition whose value needs hive percent-escaping (':',
+    '/') or is NULL must remove the directory Spark actually wrote
+    (escaped / __HIVE_DEFAULT_PARTITION__), not a raw-format sibling —
+    otherwise the moved-out rows resurface and keys duplicate."""
+    from datalake2anomali_spark.operators.merge import _hive_partition_dir
+
+    path = str(tmp_path / "weird_parts")
+    rows = [
+        (1, "a:b/c", 1.0),
+        (2, "a:b/c", 2.0),
+        (3, None, 3.0),
+        (4, "plain", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, bucket string, value double")
+    df.write.partitionBy("bucket").parquet(path)
+    # sanity: our escape matches what Spark's writer produced
+    assert os.path.isdir(os.path.join(path, _hive_partition_dir("bucket", "a:b/c")))
+    assert os.path.isdir(os.path.join(path, _hive_partition_dir("bucket", None)))
+
+    # move every row out of the escaped and NULL partitions
+    source = spark.createDataFrame(
+        [(1, "dest", 1.0), (2, "dest", 2.0), (3, "dest", 3.0)],
+        "id bigint, bucket string, value double",
+    )
+    merge_into(spark, path, source, ["id"], "bucket")
+
+    after = spark.read.parquet(path)
+    assert after.count() == 4  # moved, not duplicated
+    dup = after.groupBy("id").count().filter(F.col("count") > 1)
+    assert dup.count() == 0
+    assert after.filter(F.col("bucket") == "a:b/c").count() == 0
+    assert after.filter(F.col("bucket").isNull()).count() == 0
+    assert not os.path.isdir(os.path.join(path, _hive_partition_dir("bucket", "a:b/c")))
+    assert not os.path.isdir(os.path.join(path, _hive_partition_dir("bucket", None)))
+
+
+def test_merge_partial_move_out_of_null_partition(spark, tmp_path):
+    """Rows that STAY in the NULL partition while siblings move out must
+    survive the rewrite (requires the null-safe affected-partition join)."""
+    path = str(tmp_path / "null_part_stay")
+    rows = [(1, None, 1.0), (2, None, 2.0), (3, "x", 3.0)]
+    df = spark.createDataFrame(rows, "id bigint, bucket string, value double")
+    df.write.partitionBy("bucket").parquet(path)
+
+    source = spark.createDataFrame(
+        [(1, "dest", 1.0)], "id bigint, bucket string, value double"
+    )
+    merge_into(spark, path, source, ["id"], "bucket")
+
+    after = spark.read.parquet(path)
+    assert after.count() == 3
+    assert after.filter(F.col("bucket").isNull()).count() == 1  # id=2 stayed
+    assert after.filter((F.col("id") == 1) & (F.col("bucket") == "dest")).count() == 1

@@ -22,6 +22,7 @@ pull pushes ``ts > watermark`` down to the parquet scan (visible as
 from __future__ import annotations
 
 import os
+import re
 import tempfile
 import uuid
 
@@ -475,14 +476,22 @@ def maintain_scd2_history(
     every dimension load applies exactly this).
 
     Storage is split by mutability so per-batch I/O is bounded by the
-    batch, never the history:
+    batch, never the history — and laid out per batch id so the
+    at-least-once ``foreachBatch`` replay contract is idempotent
+    (ADVICE r6):
 
-    - ``{hist_root}/closed`` — closed intervals, APPEND-only.  A closed
-      interval is immutable (its ``valid_to`` is a fact), so history
-      never gets rewritten.
-    - ``{hist_root}/current`` — one open interval per key, OVERWRITTEN
-      each batch.  Size is the live-key count, the same state a
-      ``dropDuplicates`` store would hold.
+    - ``{hist_root}/closed/batch={id}`` — the intervals batch ``id``
+      closed, written with OVERWRITE.  A replayed batch replaces its own
+      directory with identical content instead of appending duplicates.
+    - ``{hist_root}/current/batch={id}`` — the full open-interval set AS
+      OF batch ``id`` (live-key count rows, the same state a
+      ``dropDuplicates`` store would hold).  Each batch reads the newest
+      COMMITTED directory strictly below its own id — so a replay after
+      any crash recomputes from exactly the pre-batch state and both
+      outputs are bit-identical pure functions of (previous current,
+      batch).  Directories older than the immediate predecessor are
+      garbage-collected in the same tick; ``_SUCCESS`` is the commit
+      marker, so a half-written directory from a crash is never read.
 
     Per micro-batch (``foreachBatch``): the stored current rows of the
     batch's keys are replayed as pseudo-events at their ``valid_from``
@@ -506,17 +515,22 @@ def maintain_scd2_history(
     closed_path = os.path.join(hist_root, "closed")
     cur_path = os.path.join(hist_root, "current")
 
-    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
         from ..operators.temporal import scd2_history
 
         sp = batch_df.sparkSession
         batch = batch_df.select(key, ts, attr, tiebreak)
-        have_current = os.path.isdir(cur_path) and any(
-            f.endswith(".parquet") for _, _, fs in os.walk(cur_path) for f in fs
-        )
-        if have_current:
-            sp.catalog.refreshByPath(cur_path)
-            stored = sp.read.parquet(cur_path)
+        # newest committed current strictly below this batch id: on a
+        # replay, our own (possibly half-written or even committed)
+        # batch_id directory is excluded, so the recompute always starts
+        # from the exact pre-batch state
+        prev_ids = [i for i in _committed_batch_ids(cur_path) if i < batch_id]
+        if prev_ids:
+            prev_dir = os.path.join(cur_path, f"batch={prev_ids[-1]}")
+            sp.catalog.refreshByPath(prev_dir)
+            stored = sp.read.parquet(prev_dir)
             bkeys = batch.select(key).distinct()
             untouched = stored.join(F.broadcast(bkeys), [key], "left_anti")
             pseudo = stored.join(F.broadcast(bkeys), [key], "leftsemi").select(
@@ -533,12 +547,23 @@ def maintain_scd2_history(
         else:
             rec = scd2_history(batch, key, ts, attr, tiebreak, keep_tiebreak=True)
             new_cur = rec.filter(F.col("is_current"))
-        rec.filter(~F.col("is_current")).write.mode("append").parquet(closed_path)
-        # overwrite reads its own path (untouched rows) — materialize first
-        new_cur.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            cur_path
+        # both writes replace this batch's own directories (idempotent);
+        # the plans read prev_dir, never the write target, so no
+        # materialization barrier is needed
+        rec.filter(~F.col("is_current")).write.mode("overwrite").parquet(
+            os.path.join(closed_path, f"batch={batch_id}")
+        )
+        new_cur.write.mode("overwrite").parquet(
+            os.path.join(cur_path, f"batch={batch_id}")
         )
         sp.catalog.refreshByPath(cur_path)
+        # GC: once batch_id is committed, only it and its predecessor (the
+        # replay base while batch_id's checkpoint commit is in flight) are
+        # ever read again
+        for old in prev_ids[:-1]:
+            shutil.rmtree(
+                os.path.join(cur_path, f"batch={old}"), ignore_errors=True
+            )
 
     stream = read_events_stream(spark, src_path)
     q = (
@@ -548,25 +573,64 @@ def maintain_scd2_history(
         .start()
     )
     q.awaitTermination()
+    # awaitTermination can return a beat before the manager unregisters the
+    # query; a back-to-back tick on the same checkpoint then trips the
+    # "multiple streaming queries are concurrently using <ckpt>" guard
+    import time as _time
+
+    deadline = _time.monotonic() + 30.0
+    while (
+        any(a.id == q.id for a in spark.streams.active)
+        and _time.monotonic() < deadline
+    ):
+        _time.sleep(0.02)
 
 
-def read_scd2_history(spark: SparkSession, hist_root: str) -> DataFrame:
-    """The maintained history: closed intervals ∪ current rows, in the
-    batch ``scd2_history`` schema."""
+def _committed_batch_ids(root: str) -> list[int]:
+    """Sorted batch ids with a ``_SUCCESS``-committed ``batch={id}``
+    directory under ``root`` — a crashed half-written directory is
+    invisible to readers and to the next tick's replay base."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        m = re.match(r"^batch=(\d+)$", name)
+        if m and os.path.exists(os.path.join(root, name, "_SUCCESS")):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def read_scd2_history(
+    spark: SparkSession, hist_root: str, key: str = "user_id"
+) -> DataFrame:
+    """The maintained history: committed closed intervals ∪ the newest
+    committed current rows, in the batch ``scd2_history`` schema.  ``key``
+    must match the column :func:`maintain_scd2_history` was run with
+    (previously hardcoded — ADVICE r6)."""
+    cols = [key, "attr", "valid_from_us", "valid_to_us", "is_current"]
     pieces = []
-    for sub in ("closed", "current"):
-        p = os.path.join(hist_root, sub)
-        if os.path.isdir(p) and any(
-            f.endswith(".parquet") for _, _, fs in os.walk(p) for f in fs
-        ):
-            spark.catalog.refreshByPath(p)
-            pieces.append(spark.read.parquet(p))
+    cur_ids = _committed_batch_ids(os.path.join(hist_root, "current"))
+    if cur_ids:
+        p = os.path.join(hist_root, "current", f"batch={cur_ids[-1]}")
+        spark.catalog.refreshByPath(p)
+        pieces.append(spark.read.parquet(p).select(*cols))
+    closed_root = os.path.join(hist_root, "closed")
+    closed_ids = _committed_batch_ids(closed_root)
+    if closed_ids:
+        spark.catalog.refreshByPath(closed_root)
+        # one partition-discovered scan; the id filter excludes a crashed
+        # uncommitted trailing directory (always > every committed id)
+        pieces.append(
+            spark.read.parquet(closed_root)
+            .filter(F.col("batch") <= closed_ids[-1])
+            .select(*cols)
+        )
+    if not pieces:
+        raise ValueError(f"no SCD2 history committed under {hist_root!r}")
     out = pieces[0]
     for df in pieces[1:]:
         out = out.unionByName(df)
-    return out.select(
-        "user_id", "attr", "valid_from_us", "valid_to_us", "is_current"
-    )
+    return out
 
 
 def stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:

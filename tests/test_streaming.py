@@ -637,3 +637,67 @@ def test_exactly_once_ledger_replay_and_crash_window(spark, sf_dir, tmp_path):
     ).collect()[0]
     assert tuple(fp2) == tuple(fp)
     assert os.path.exists(os.path.join(ledger, "batch-42.done"))
+
+
+def test_scd2_replay_is_idempotent_and_key_parameterized(spark, tmp_path):
+    """At-least-once replay of the LAST batch (checkpoint commit lost
+    between the history write and the commit log) must leave the stored
+    history bit-identical — the per-batch-directory layout recomputes the
+    replayed batch from exactly its pre-batch current state.  Run with a
+    non-default key column to pin the reader's key parameter too."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datalake2anomali_spark.streaming.incremental import (
+        maintain_scd2_history,
+        read_scd2_history,
+    )
+
+    src = str(tmp_path / "src")
+    hist = str(tmp_path / "hist")
+    ckpt = str(tmp_path / "ckpt")
+    us = 1_000_000
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(u, t, a, e) for (u, t, a, e) in rows],
+            "device_id long, ts_us long, event_type string, event_id long",
+        ).select(
+            "device_id",
+            F.timestamp_micros("ts_us").alias("ts"),
+            "event_type",
+            "event_id",
+        )
+
+    mk([(1, 10 * us, "a", 100), (2, 10 * us, "x", 101)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    maintain_scd2_history(spark, src, hist, ckpt, key="device_id")
+    mk([(1, 20 * us, "b", 200), (2, 25 * us, "x", 201)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    maintain_scd2_history(spark, src, hist, ckpt, key="device_id")
+
+    def snap():
+        return sorted(
+            (r.device_id, r.attr, r.valid_from_us, r.valid_to_us, r.is_current)
+            for r in read_scd2_history(spark, hist, key="device_id").collect()
+        )
+
+    before = snap()
+    assert (1, "a", 10 * us, 20 * us, False) in before
+    assert len(before) == 3
+
+    # crash window: the history writes landed but the checkpoint commit
+    # didn't — drop the newest commit record; the next tick replays the
+    # batch with identical contents
+    commits = os.path.join(ckpt, "commits")
+    newest = max(os.listdir(commits), key=lambda n: int(n) if n.isdigit() else -1)
+    os.remove(os.path.join(commits, newest))
+    crc = os.path.join(commits, f".{newest}.crc")  # checksum-FS sidecar
+    if os.path.exists(crc):
+        os.remove(crc)
+    maintain_scd2_history(spark, src, hist, ckpt, key="device_id")
+
+    assert snap() == before  # no duplicated closed intervals, same current

@@ -71,6 +71,9 @@ _PRIORITY: tuple[str, ...] = (
     "k_anonymity",
     "stream_upsert_exactly_once",
     "cdf_probe",
+    # new in round 7 — first driver exposure
+    "pagerank_dangling",  # dangling-mass redistribution (VERDICT r6 #6)
+    "groupwise_percentile_cont",  # per-group interpolated pct (VERDICT r6 #7)
     # stalest round-5-certified entries, standing rotation order
     "q3_shipping_priority",
     "q5_local_supplier",
@@ -106,8 +109,6 @@ _PRIORITY: tuple[str, ...] = (
     "rolling_median",
     "triangle_count",
     "markov_transitions",
-    "stream_view_maintenance",
-    "json_flatten",
 )
 
 #: Exactly the overflow past the gate window (asserted in
@@ -115,6 +116,8 @@ _PRIORITY: tuple[str, ...] = (
 _TAIL: tuple[str, ...] = (
     # last driver row round 5 — mandatory round-8 window leads
     # (staleness deadline = round 8 under the 3-round bound)
+    "stream_view_maintenance",
+    "json_flatten",
     "time_travel",
     "robust_outliers",
     "item_similarity",

@@ -292,6 +292,7 @@ def pagerank(
     iters: int = 3,
     scale: int = 1_000_000,
     damping_pct: int = 85,
+    dangling: str = "leak",
 ) -> DataFrame:
     """Fixed-iteration PageRank with exact scaled-integer arithmetic.
 
@@ -311,10 +312,22 @@ def pagerank(
     the edge list ONCE up front.  ``iters`` is a fixed small constant so
     the plan is a straight-line declarative chain (no driver loop, no
     checkpoint needed; for tens of iterations re-introduce the per-round
-    ``localCheckpoint`` of :func:`connected_components`).  Dangling nodes
-    (out-degree 0) leak their damped mass, as in the original formulation;
-    symmetrize the edge list if that matters for your graph.
+    ``localCheckpoint`` of :func:`connected_components`).
+
+    ``dangling`` pins what happens to the mass of out-degree-0 nodes
+    (VERDICT r6 #6): ``"leak"`` keeps the plain recurrence — their damped
+    mass vanishes each iteration, fine for symmetrized graphs which have
+    no danglers; ``"redistribute"`` applies the standard correction —
+    each iteration adds ``(Σ dangling rank) div N`` to every node's
+    incoming sum before damping (exact integer share; the sub-``1/scale``
+    division remainder is dropped deterministically).  Cost: one extra
+    rank-vector semijoin + 1-row aggregate per iteration, crossed in as
+    a broadcast literal.
     """
+    if dangling not in ("leak", "redistribute"):
+        raise ValueError(
+            f"dangling must be 'leak' or 'redistribute', got {dangling!r}"
+        )
     # Checkpoint the degree-annotated edge list and node set once: every
     # iteration joins e2 and every rank vector re-derives from nodes, so
     # without this the plan that PRODUCED the edges (often an expensive
@@ -333,6 +346,11 @@ def pagerank(
     )
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank_scaled"))
     base = round(scale * (100 - damping_pct) / 100)
+    if dangling == "redistribute":
+        n_nodes = nodes.count()
+        dang = nodes.join(
+            deg.select(F.col("_s").alias("node")), "node", "left_anti"
+        ).localCheckpoint(eager=True)
     for _ in range(iters):
         msgs = (
             e2.join(ranks.withColumnRenamed("node", "_s"), "_s")
@@ -343,11 +361,22 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("_c").alias("_in"))
         )
-        ranks = nodes.join(msgs, "node", "left").select(
+        incoming = F.coalesce(F.col("_in"), F.lit(0).cast("long"))
+        joined = nodes.join(msgs, "node", "left")
+        if dangling == "redistribute":
+            share = ranks.join(dang, "node", "leftsemi").agg(
+                F.expr(f"coalesce(sum(rank_scaled), 0L) div {n_nodes}").alias(
+                    "_dshare"
+                )
+            )
+            joined = joined.crossJoin(F.broadcast(share))
+            incoming = incoming + F.col("_dshare")
+        # exact integer damping: base + (d * incoming) div 100
+        ranks = joined.withColumn("_inc", incoming).select(
             "node",
             (
                 F.lit(base).cast("long")
-                + F.expr(f"({damping_pct} * coalesce(_in, 0L)) div 100")
+                + F.expr(f"({damping_pct} * _inc) div 100")
             ).alias("rank_scaled"),
         )
     return ranks
@@ -425,7 +454,11 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
 
 
 def khop_features(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
+    on_hub: str = "raise",
 ) -> DataFrame:
     """Per-node 1- and 2-hop neighborhood features over an undirected
     edge list (``src < dst`` convention, no duplicates): ``degree``,
@@ -438,17 +471,52 @@ def khop_features(
     degree table plus a groupBy; the 2-hop set is one edge-edge wedge
     join with the center dropped, dedup'd, then anti-joined against the
     direct-neighbor list so "distance exactly 2" is literal.  Wedge
-    fan-out is Σ deg(v)² — the same bound
-    :func:`triangle_counts` faces, and the same mitigation applies
-    (support-filtered or degree-capped input graphs; hubs make 2-hop
-    neighborhoods quadratic by definition, not by plan choice).
+    fan-out is Σ deg(v)² — the same bound :func:`triangle_counts` faces,
+    and ``max_degree`` ENFORCES the mitigation in-operator (VERDICT r6
+    #5) instead of delegating it to the caller: with ``on_hub="raise"``
+    (default) the operator refuses a graph containing a node above the
+    cap — loudly, with the offending count — because one celebrity key
+    makes the wedge join quadratic; with ``on_hub="filter"`` hub nodes
+    and ALL their incident edges are removed first, so every feature
+    (including neighbors' degrees) is computed over the hub-filtered
+    subgraph — a semantics change the caller opts into, the same
+    discipline as ``triangle_counts``' support-filtered graph.
+    ``max_degree=None`` keeps the uncapped behavior for trusted inputs.
 
     Reference parity: none — extension operator (graph-feature family
     alongside pagerank/triangles).
     """
+    if on_hub not in ("raise", "filter"):
+        raise ValueError(f"on_hub must be 'raise' or 'filter', got {on_hub!r}")
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     und = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
     und = und.localCheckpoint(eager=True)  # feeds degree + 2 join branches
+
+    if max_degree is not None:
+        full_deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+        hubs = full_deg.filter(F.col("degree") > max_degree)
+        if on_hub == "raise":
+            row = hubs.agg(
+                F.count(F.lit(1)).alias("n"), F.max("degree").alias("worst")
+            ).collect()[0]
+            if row["n"]:
+                raise ValueError(
+                    f"{row['n']} node(s) exceed max_degree={max_degree} "
+                    f"(worst degree {row['worst']}): the 2-hop wedge join "
+                    "would be quadratic around them; pass on_hub='filter' "
+                    "to drop hubs or raise max_degree"
+                )
+        else:
+            hub_ids = hubs.select("u")
+            und = (
+                und.join(F.broadcast(hub_ids), "u", "left_anti")
+                .join(
+                    F.broadcast(hub_ids.select(F.col("u").alias("v"))),
+                    "v",
+                    "left_anti",
+                )
+                .localCheckpoint(eager=True)
+            )
 
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
     nds = (

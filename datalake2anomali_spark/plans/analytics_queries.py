@@ -160,6 +160,65 @@ SELECT node, r AS rank_scaled FROM r3
 """
 
 
+def pagerank_dangling_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with dangling-mass redistribution over the DIRECTED
+    customer→supplier trade graph — every supplier is a pure sink
+    (out-degree 0), so this fixture exercises exactly the dangling-node
+    path (VERDICT r6 #6): each iteration the sinks' summed rank is
+    shared equally (exact integer ``div N``) into every node's incoming
+    mass before damping.  The oracle unrolls the same corrected integer
+    recurrence; a hash match proves the per-iteration semijoin + 1-row
+    broadcast share matches the textbook formulation."""
+    from pyspark.sql import functions as F
+
+    from datalake2anomali_spark.llm.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(pairs, iters=3, dangling="redistribute")
+
+
+def _prd_iter_sql(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT n.node,
+         CAST(150000
+              + (85 * (COALESCE(m.s, 0) + ds.v)) // 100 AS BIGINT) AS r
+  FROM nodes n
+  CROSS JOIN (
+    SELECT COALESCE(SUM(r.r), 0) // (SELECT COUNT(*) FROM nodes) AS v
+    FROM {prev} r WHERE r.node NOT IN (SELECT src FROM deg)
+  ) ds
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.r // d.deg) AS s
+    FROM g e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY 1
+  ) m ON m.node = n.node
+)"""
+
+
+PAGERANK_DANGLING_SQL = f"""
+WITH g AS (
+  SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), deg AS (
+  SELECT src, COUNT(*) AS deg FROM g GROUP BY 1
+), nodes AS (
+  SELECT src AS node FROM g UNION SELECT dst FROM g
+), r0 AS (
+  SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes
+), {_prd_iter_sql("r0", "r1")}, {_prd_iter_sql("r1", "r2")}, {_prd_iter_sql("r2", "r3")}
+SELECT node, r AS rank_scaled FROM r3
+"""
+
+
 #: Epoch-day split for the incremental-view query: history < this day,
 #: delta >= (2024-01-21; events span 2024-01-01..01-30).
 VIEW_SPLIT_DAY = 19_743
@@ -507,6 +566,7 @@ QUERIES = {
     "cohort_retention": cohort_retention_weekly,
     "ewma_features": ewma_user_values,
     "pagerank": pagerank_trade_graph,
+    "pagerank_dangling": pagerank_dangling_graph,
     "incremental_view": incremental_view_refresh,
     "rolling_median": rolling_median_values,
     "triangle_count": triangle_parts_graph,
@@ -523,6 +583,7 @@ ORACLES = {
     "cohort_retention": COHORT_SQL,
     "ewma_features": EWMA_SQL,
     "pagerank": PAGERANK_SQL,
+    "pagerank_dangling": PAGERANK_DANGLING_SQL,
     "incremental_view": VIEW_SQL,
     "rolling_median": ROLLING_MEDIAN_SQL,
     "triangle_count": TRIANGLE_SQL,

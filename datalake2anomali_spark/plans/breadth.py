@@ -220,6 +220,62 @@ ORDER BY event_type, q.q
 """
 
 
+#: (q, exact decimal numerator q·10⁶) for the interpolated variant
+GROUP_CONT_QS = (0.25, 0.5, 0.95)
+
+
+def groupwise_percentile_cont_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-group exact INTERPOLATED percentiles of value per event_type
+    (``functions/selection.py: groupwise_percentile_cont``) — completes
+    the selection family: global disc + cont and per-group disc existed;
+    this is the per-group cont a per-dataset SLA report needs (VERDICT
+    r6 #7).  The oracle replays the identical integer bracketing and
+    fixed-point remainder, so the hash match pins the interpolation
+    arithmetic, not a float approximation."""
+    from datalake2anomali_spark.functions.selection import (
+        groupwise_percentile_cont,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return groupwise_percentile_cont(
+        e, ["event_type"], "value", list(GROUP_CONT_QS)
+    ).orderBy("event_type", "q")
+
+
+GROUPWISE_CONT_SQL = f"""
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS s FROM events
+  WHERE value IS NOT NULL
+), ranked AS (
+  SELECT event_type, s,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY s) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+), marked AS (
+  SELECT event_type, q.q, s, rn,
+         (q.p * (n - 1)) // 1000000 + 1 AS r_lo,
+         LEAST((q.p * (n - 1)) // 1000000 + 2, n) AS r_hi,
+         (q.p * (n - 1)) % 1000000 AS frac
+  FROM ranked
+  CROSS JOIN (VALUES {", ".join(f"(CAST({q} AS DOUBLE), CAST({round(q * 1_000_000)} AS BIGINT))" for q in GROUP_CONT_QS)}) q(q, p)
+  WHERE rn = (q.p * (n - 1)) // 1000000 + 1
+     OR rn = LEAST((q.p * (n - 1)) // 1000000 + 2, n)
+), agg AS (
+  SELECT event_type, q,
+         MAX(CASE WHEN rn = r_lo THEN s END) AS lo_scaled,
+         MAX(CASE WHEN rn = r_hi THEN s END) AS hi_scaled,
+         MAX(frac) AS frac_num
+  FROM marked GROUP BY 1, 2
+)
+SELECT event_type, q, lo_scaled, hi_scaled, frac_num,
+       frac_num * (hi_scaled - lo_scaled) AS interp_rem
+FROM agg
+ORDER BY event_type, q
+"""
+
+
 # -- pivot: orderstatus × orderpriority contingency ---------------------------
 
 
@@ -457,6 +513,7 @@ QUERIES = {
     "cube_stats": cube_stats,
     "window_rank_funcs": window_rank_funcs,
     "groupwise_quantiles": groupwise_quantiles,
+    "groupwise_percentile_cont": groupwise_percentile_cont_events,
     "status_priority_pivot": status_priority_pivot,
     "scalar_datetime_json": scalar_datetime_json,
     "running_window": running_window,
@@ -473,6 +530,7 @@ ORACLES = {
     "cube_stats": CUBE_SQL,
     "window_rank_funcs": WINDOW_RANK_SQL,
     "groupwise_quantiles": GROUPWISE_Q_SQL,
+    "groupwise_percentile_cont": GROUPWISE_CONT_SQL,
     "status_priority_pivot": PIVOT_SQL,
     "scalar_datetime_json": SCALAR_SQL,
     "running_window": RUNNING_SQL,

@@ -263,3 +263,61 @@ def test_khop_isolated_pair(spark):
         for r in khop_features(edges).collect()
     }
     assert got == {7: (1, 1, 0), 8: (1, 1, 0)}
+
+
+def test_pagerank_redistribute_dangling_mass(spark):
+    """dangling='redistribute': each iteration the sinks' summed rank is
+    shared equally (integer div N) into every node's incoming mass —
+    pinned against the recurrence recomputed in python ints."""
+    from datalake2anomali_spark.llm.graph import pagerank
+
+    # 1→2, 1→3, 2→3: node 3 is a pure sink (dangling)
+    edges = [(1, 2), (1, 3), (2, 3)]
+    deg = {1: 2, 2: 1}
+    nodes = [1, 2, 3]
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(3):
+        inbox = {n: 0 for n in nodes}
+        for s, d in edges:
+            inbox[d] += r[s] // deg[s]
+        share = r[3] // len(nodes)  # node 3 is the only dangler
+        r = {n: 150_000 + (85 * (inbox[n] + share)) // 100 for n in nodes}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        row.node: row.rank_scaled
+        for row in pagerank(df, iters=3, dangling="redistribute").collect()
+    }
+    assert got == r
+    # sanity: redistribution strictly raises the sourceless node above base
+    assert got[1] > 150_000
+
+    with pytest.raises(ValueError, match="redistribute"):
+        pagerank(df, dangling="bogus")
+
+
+def test_khop_max_degree_cap(spark):
+    """The wedge bound is enforced in-operator: a hub above max_degree
+    raises loudly by default; on_hub='filter' removes the hub and its
+    incident edges, and the features equal khop_features over the
+    hub-filtered edge list."""
+    from datalake2anomali_spark.llm.graph import khop_features
+
+    hub_edges = [(100, i) for i in range(1, 21)]  # hub degree 20
+    tail = [(1, 2), (2, 3), (4, 5)]
+    df = spark.createDataFrame(hub_edges + tail, "src long, dst long")
+
+    with pytest.raises(ValueError, match="max_degree=5"):
+        khop_features(df, max_degree=5).collect()
+
+    got = khop_features(df, max_degree=5, on_hub="filter")
+    want = khop_features(spark.createDataFrame(tail, "src long, dst long"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.filter(F.col("node") == 100).count() == 0
+
+    # a graph already under the cap is untouched by the cap
+    ok = khop_features(spark.createDataFrame(tail, "src long, dst long"), max_degree=5)
+    assert sorted(map(tuple, ok.collect())) == sorted(map(tuple, want.collect()))
+
+    with pytest.raises(ValueError, match="on_hub"):
+        khop_features(df, max_degree=5, on_hub="nope")

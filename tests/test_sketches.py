@@ -216,3 +216,26 @@ def test_equi_depth_histogram_known_and_duplicates(spark):
     assert rows[2] == (100, 90, 0)    # swallowed bin reports zero
     assert rows[4][1] == 100
     assert sum(v[2] for v in rows.values()) == 100
+
+
+def test_groupwise_percentile_cont_hand_values(spark):
+    """Hand-computed interpolation per group, including a 1-row group
+    (lo == hi, frac irrelevant, interp_rem 0 when bracketing collapses)."""
+    from datalake2anomali_spark.functions.selection import (
+        groupwise_percentile_cont,
+    )
+
+    rows = [("a", v) for v in (1.0, 2.0, 3.0, 4.0)] + [("b", 10.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = {
+        (r.g, r.q): (r.lo_scaled, r.hi_scaled, r.frac_num, r.interp_rem)
+        for r in groupwise_percentile_cont(df, ["g"], "x", [0.5, 0.25]).collect()
+    }
+    # group a (snapped: 100,200,300,400), n=4:
+    #   q=0.5 : h = 0.5*3 = 1.5  -> r_lo=2 (200), r_hi=3 (300), frac=500000
+    #   q=0.25: h = 0.75         -> r_lo=1 (100), r_hi=2 (200), frac=750000
+    assert out[("a", 0.5)] == (200, 300, 500_000, 500_000 * 100)
+    assert out[("a", 0.25)] == (100, 200, 750_000, 750_000 * 100)
+    # group b: single row, both brackets collapse to it
+    assert out[("b", 0.5)] == (1000, 1000, 0, 0)
+    assert out[("b", 0.25)] == (1000, 1000, 0, 0)

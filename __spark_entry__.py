@@ -74,6 +74,8 @@ _PRIORITY: tuple[str, ...] = (
     # new in round 7 — first driver exposure
     "pagerank_dangling",  # dangling-mass redistribution (VERDICT r6 #6)
     "groupwise_percentile_cont",  # per-group interpolated pct (VERDICT r6 #7)
+    "q9_product_profit",  # TPC-H Q9 shape (substring dim filter + profit rollup)
+    "snapshot_bloom_scan",  # bloom-filter point-lookup partition skipping
     # stalest round-5-certified entries, standing rotation order
     "q3_shipping_priority",
     "q5_local_supplier",
@@ -107,8 +109,6 @@ _PRIORITY: tuple[str, ...] = (
     "phrase_search",
     "incremental_view",
     "rolling_median",
-    "triangle_count",
-    "markov_transitions",
 )
 
 #: Exactly the overflow past the gate window (asserted in
@@ -116,6 +116,8 @@ _PRIORITY: tuple[str, ...] = (
 _TAIL: tuple[str, ...] = (
     # last driver row round 5 — mandatory round-8 window leads
     # (staleness deadline = round 8 under the 3-round bound)
+    "triangle_count",
+    "markov_transitions",
     "stream_view_maintenance",
     "json_flatten",
     "time_travel",

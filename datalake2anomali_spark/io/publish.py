@@ -248,16 +248,102 @@ def _partition_stats(
     }
 
 
+#: Bloom-filter geometry: bits per per-partition filter / hash functions.
+#: 1024 bits ≈ 256 hex chars per (partition, column) in the manifest; at
+#: k=3 the false-positive rate stays under ~1% up to ~100 distinct values
+#: per partition and degrades gracefully (a saturated filter only stops
+#: skipping — it can never drop a row).
+_BLOOM_M = 1024
+_BLOOM_K = 3
+
+
+def bloom_probe_positions(
+    value, m: int = _BLOOM_M, k: int = _BLOOM_K
+) -> list[int]:
+    """The ``k`` bit positions a value hashes to — pure-Python twin of the
+    Spark-side expression in :func:`_partition_blooms` (both sides take
+    the first 15 hex chars of ``md5("{value}:{seed}")``, so a manifest
+    written by a cluster is probed identically by any reader)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{value}:{seed}".encode()).hexdigest()[:15], 16) % m
+        for seed in range(k)
+    ]
+
+
+def _bloom_position_exprs(col: str, m: int, k: int):
+    return [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col(col).cast("string"), F.lit(str(seed))
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m
+        )
+        for seed in range(k)
+    ]
+
+
+def _partition_blooms(
+    spark: SparkSession,
+    vdir: str,
+    partition_col: str,
+    bloom_cols: list[str],
+    m: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+) -> dict[str, dict[str, str]]:
+    """Per-partition bloom bitmaps ``{pval: {col: hex}}`` over a freshly
+    written version directory — the equality-predicate complement of
+    :func:`_partition_stats`' range zone maps (Delta/Iceberg bloom-index
+    metadata reduced to partition granularity).  One aggregate scan per
+    column; driver-side state is bounded by partitions × ``m`` bits.
+    NULLs are not represented (an equality probe is never NULL)."""
+    df = spark.read.parquet(vdir)
+    out: dict[str, dict[str, str]] = {}
+    for c in bloom_cols:
+        pos = F.explode(F.array(*_bloom_position_exprs(c, m, k))).alias("_pos")
+        rows = (
+            df.filter(F.col(c).isNotNull())
+            .select(F.col(partition_col), pos)
+            .groupBy(partition_col)
+            .agg(F.collect_set("_pos").alias("_ps"))
+            .collect()
+        )
+        for r in rows:
+            bits = 0
+            for p in r["_ps"]:
+                bits |= 1 << int(p)
+            out.setdefault(str(r[partition_col]), {})[c] = f"{bits:x}"
+    return out
+
+
+def _bloom_may_contain(hex_bits: str, value, m: int = _BLOOM_M, k: int = _BLOOM_K) -> bool:
+    bits = int(hex_bits, 16)
+    return all((bits >> p) & 1 for p in bloom_probe_positions(value, m, k))
+
+
 def init_table(
     spark: SparkSession,
     df: DataFrame,
     root: str,
     partition_col: str,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> None:
     """Create a versioned table at ``root`` from ``df`` (version 1),
     optionally recording per-partition min/max zone maps for
-    ``stats_cols``."""
+    ``stats_cols`` and/or per-partition bloom filters for
+    ``bloom_cols`` (equality-probe skipping)."""
     os.makedirs(root, exist_ok=True)
     v = _claim_version(root)
     vdir = version_dir(root, v)
@@ -279,6 +365,10 @@ def init_table(
         manifest["stats"] = _partition_stats(
             spark, vdir, partition_col, stats_cols
         )
+    if bloom_cols:
+        manifest["bloom"] = _partition_blooms(
+            spark, vdir, partition_col, bloom_cols
+        )
     _commit_manifest(root, manifest)
 
 
@@ -288,6 +378,7 @@ def read_snapshot(
     partition_col: str,
     predicate: tuple[str, float, float] | None = None,
     version: int | None = None,
+    eq_predicate: tuple[str, object] | None = None,
 ) -> DataFrame:
     """The published table: for each live version, one partition-pruned
     scan of its directory restricted to the partitions it still owns.
@@ -295,9 +386,14 @@ def read_snapshot(
     ``predicate = (col, lo, hi)`` applies ``col BETWEEN lo AND hi`` AND
     uses the manifest's zone maps to skip partitions whose recorded
     [min, max] cannot intersect — the reader-side payoff of
-    ``stats_cols``.  Skipping is advisory-safe: partitions without stats
-    for ``col`` are conservatively read, and the row filter is always
-    applied, so the result never depends on stats being present or tight.
+    ``stats_cols``.  ``eq_predicate = (col, value)`` applies
+    ``col = value`` AND uses the manifest's bloom filters (``bloom_cols``)
+    to skip partitions the filter proves cannot hold the value — the
+    point-lookup complement (a bloom false positive only reads an extra
+    partition; a negative is definitive).  Both kinds of skipping are
+    advisory-safe: partitions without metadata for ``col`` are
+    conservatively read, and the row filter is always applied, so the
+    result never depends on metadata being present or tight.
 
     ``version`` reads the table AS OF that commit via its immutable
     historical manifest (valid until :func:`vacuum` reclaims the data
@@ -306,6 +402,7 @@ def read_snapshot(
     """
     manifest = read_manifest(root, version)
     stats = manifest.get("stats", {})
+    blooms = manifest.get("bloom", {})
     by_version: dict[int, list[str]] = {}
     for pval, v in manifest["partitions"].items():
         if predicate is not None:
@@ -318,6 +415,11 @@ def read_snapshot(
                 and (rng[1] < lo or rng[0] > hi)
             ):
                 continue  # zone map proves no row can match
+        if eq_predicate is not None:
+            col, val = eq_predicate
+            hx = blooms.get(pval, {}).get(col)
+            if hx is not None and not _bloom_may_contain(hx, val):
+                continue  # bloom negative is definitive
         by_version.setdefault(int(v), []).append(pval)
     pieces = []
     for v, pvals in sorted(by_version.items()):
@@ -328,21 +430,28 @@ def read_snapshot(
                 F.col(partition_col).cast("string").isin(pvals)
             )
         )
+    def _row_filters(df: DataFrame) -> DataFrame:
+        if predicate is not None:
+            col, lo, hi = predicate
+            df = df.filter(F.col(col).between(lo, hi))
+        if eq_predicate is not None:
+            col, val = eq_predicate
+            df = df.filter(F.col(col) == F.lit(val))
+        return df
+
     if not pieces:
-        if predicate is not None and manifest["partitions"]:
-            # every partition zone-mapped out: empty relation, full schema
+        if (
+            predicate is not None or eq_predicate is not None
+        ) and manifest["partitions"]:
+            # every partition skipped by metadata: empty relation, full schema
             any_v = min(int(v) for v in manifest["partitions"].values())
             empty = spark.read.parquet(version_dir(root, any_v)).limit(0)
-            col, lo, hi = predicate
-            return empty.filter(F.col(col).between(lo, hi))
+            return _row_filters(empty)
         raise ValueError(f"versioned table at {root!r} has no live partitions")
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
-    if predicate is not None:
-        col, lo, hi = predicate
-        out = out.filter(F.col(col).between(lo, hi))
-    return out
+    return _row_filters(out)
 
 
 def merge_into_versioned(
@@ -416,6 +525,15 @@ def merge_into_versioned(
         }
         kept.update(_partition_stats(spark, vdir, partition_col, stats_cols))
         new_manifest["stats"] = {p: kept[p] for p in parts if p in kept}
+    old_blooms = manifest.get("bloom")
+    if old_blooms:
+        # same ownership rules as the zone maps
+        bloom_cols = sorted(next(iter(old_blooms.values())).keys())
+        keptb = {
+            p: bm for p, bm in old_blooms.items() if p not in affected_vals
+        }
+        keptb.update(_partition_blooms(spark, vdir, partition_col, bloom_cols))
+        new_manifest["bloom"] = {p: keptb[p] for p in parts if p in keptb}
     if commit_hook is not None:
         commit_hook()
     _commit_checked(root, new_manifest, manifest["version"])
@@ -472,6 +590,12 @@ def compact_versioned(
         stats_cols = sorted(next(iter(old_stats.values())).keys())
         new_manifest["stats"] = _partition_stats(
             spark, vdir, partition_col, stats_cols
+        )
+    old_blooms = manifest.get("bloom")
+    if old_blooms:
+        bloom_cols = sorted(next(iter(old_blooms.values())).keys())
+        new_manifest["bloom"] = _partition_blooms(
+            spark, vdir, partition_col, bloom_cols
         )
     _commit_checked(root, new_manifest, manifest["version"])
     return v

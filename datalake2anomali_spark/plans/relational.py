@@ -301,7 +301,64 @@ ORDER BY 1
 """
 
 
+# -- q9_product_profit: per-nation-year profit (TPC-H Q9 shape) ---------------
+
+Q9_NAME_FRAGMENT = "red"
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on parts whose name contains a fragment,
+    by (supplier nation, order year).  The testdata has no ``partsupp``
+    table, so supply cost is proxied as ``0.6 · p_retailprice`` — the
+    shape is what matters: a substring filter on the part dim that
+    CANNOT be pushed as a range predicate (contains, not prefix), two
+    broadcast dims (part pre-filtered, nation), the orders/lineitem fact
+    join left to AQE, and a two-key rollup.  Reference parity: none —
+    extension (TPC-H family: Q1/Q3/Q5/Q7/Q8 + this).
+    """
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(Q9_NAME_FRAGMENT))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation")
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(su, li["l_suppkey"] == su["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), su["s_nationkey"] == F.col("nk"))
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(dsum(amount, 4).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {DSUM_SQL("l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity", 4)} AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%{Q9_NAME_FRAGMENT}%'
+GROUP BY 1, 2
+ORDER BY 1, 2 DESC
+"""
+
+
 QUERIES = {
+    "q9_product_profit": q9_product_profit,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q1_pricing_summary": q1_pricing_summary,
@@ -310,6 +367,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q9_product_profit": Q9_SQL,
     "q7_volume_shipping": Q7_SQL,
     "q8_market_share": Q8_SQL,
     "q1_pricing_summary": Q1_SQL,

@@ -803,6 +803,64 @@ ORDER BY key
 """
 
 
+def q_snapshot_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter point lookup over a versioned table (``io/publish.py``).
+
+    Publishes events with per-partition bloom filters on ``event_id``
+    (the equality-probe complement of ``snapshot_pruned_scan``'s range
+    zone maps — Delta/Iceberg bloom-index metadata at partition
+    granularity), then reads one concrete id through
+    ``read_snapshot(eq_predicate=…)``: partitions whose filter proves the
+    id absent are skipped before any file opens; a false positive only
+    costs an extra partition read, never a wrong row (skipping pinned in
+    tests/test_publish.py).  The oracle applies the identical equality
+    directly — bloom metadata is I/O advice, never semantics."""
+    import shutil
+
+    from ..io.publish import init_table, read_snapshot
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    base = (
+        "/dev/shm"
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+        else tempfile.gettempdir()
+    )
+    root = os.path.join(base, "d2a_bloom_" + sf_dir.strip("/").replace("/", "_"))
+    shutil.rmtree(root, ignore_errors=True)  # pure function of the source
+    init_table(spark, e, root, "event_date", bloom_cols=["event_id"])
+
+    b = e.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+    thr = int(b[0]) + (int(b[1]) - int(b[0])) * 7 // 10
+    probe = int(
+        e.filter(F.col("event_id") >= thr).agg(F.min("event_id")).collect()[0][0]
+    )
+    snap = read_snapshot(
+        spark, root, "event_date", eq_predicate=("event_id", probe)
+    )
+    return snap.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_scaled"),
+    ).orderBy("event_id")
+
+
+SNAPSHOT_BLOOM_SQL = """
+WITH b AS (SELECT MIN(event_id) AS lo0, MAX(event_id) AS hi0 FROM events),
+p AS (
+  SELECT MIN(event_id) AS probe FROM events, b
+  WHERE event_id >= b.lo0 + (b.hi0 - b.lo0) * 7 // 10
+)
+SELECT event_id, event_type, user_id,
+       CAST(ROUND(value * 100) AS BIGINT) AS value_scaled
+FROM events, p
+WHERE event_id = p.probe
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "exact_quantiles": q_exact_quantiles,
@@ -816,6 +874,7 @@ QUERIES = {
     "merge_upsert": q_merge_upsert,
     "merge_versioned": q_merge_versioned,
     "snapshot_pruned_scan": q_snapshot_pruned,
+    "snapshot_bloom_scan": q_snapshot_bloom,
     "table_changes": q_table_changes,
     "compaction_roundtrip": q_compaction,
 }
@@ -833,6 +892,7 @@ ORACLES = {
     "merge_upsert": MERGE_UPSERT_SQL,
     "merge_versioned": MERGE_VERSIONED_SQL,
     "snapshot_pruned_scan": SNAPSHOT_PRUNED_SQL,
+    "snapshot_bloom_scan": SNAPSHOT_BLOOM_SQL,
     "table_changes": TABLE_CHANGES_SQL,
     "compaction_roundtrip": COMPACTION_SQL,
 }

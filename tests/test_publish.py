@@ -405,3 +405,83 @@ def test_vacuum_spares_inflight_claims(spark, vtable):
     removed = vacuum(vtable, claim_ttl_seconds=0.0)  # claim now "stale"
     assert v in removed
     assert not os.path.isdir(version_dir(vtable, v))
+
+
+def test_bloom_filters_skip_and_stay_correct(spark, sf_dir, tmp_path):
+    """Bloom metadata must actually skip partitions on a point probe
+    (sequential event_ids: one date holds any given id) while the result
+    stays identical to the plain filtered read; partitions without a
+    filter are conservatively read."""
+    from datalake2anomali_spark.io.publish import (
+        _bloom_may_contain,
+        init_table as init,
+    )
+
+    root = str(tmp_path / "events_b")
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    init(spark, e, root, "event_date", bloom_cols=["event_id"])
+    m = read_manifest(root)
+    assert m["bloom"] and all("event_id" in b for b in m["bloom"].values())
+
+    probe = int(e.agg(F.max("event_id")).collect()[0][0])
+    scanned = [
+        p
+        for p in m["partitions"]
+        if _bloom_may_contain(m["bloom"][p]["event_id"], probe)
+    ]
+    assert len(scanned) < len(m["partitions"])  # skipping is real
+
+    got = read_snapshot(
+        spark, root, "event_date", eq_predicate=("event_id", probe)
+    )
+    want = read_snapshot(spark, root, "event_date").filter(
+        F.col("event_id") == probe
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # a value absent from the whole table: every partition may be skipped,
+    # and the read degrades to an empty relation with the full schema
+    missing = probe + 999_999
+    none = read_snapshot(
+        spark, root, "event_date", eq_predicate=("event_id", missing)
+    )
+    assert none.count() == 0
+    assert set(none.columns) == set(want.columns)
+
+
+def test_bloom_filters_follow_merge_ownership(spark, sf_dir, tmp_path):
+    """A merge must refresh the rewritten partition's bloom filter (the
+    new value probes positive there) and keep untouched partitions'
+    filters byte-identical."""
+    from datalake2anomali_spark.io.publish import (
+        _bloom_may_contain,
+        init_table as init,
+    )
+
+    root = str(tmp_path / "events_bm")
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    init(spark, e, root, "event_date", bloom_cols=["event_id"])
+    before = read_manifest(root)["bloom"]
+
+    d0 = str(sorted(r[0] for r in e.select("event_date").distinct().collect())[0])
+    new_id = 888_777_666
+    src = (
+        e.limit(1)
+        .withColumn("event_id", F.lit(new_id))
+        .withColumn("event_date", F.lit(d0))
+    )
+    merge_into_versioned(spark, root, src, ["event_id"], "event_date")
+    after = read_manifest(root)["bloom"]
+
+    assert _bloom_may_contain(after[d0]["event_id"], new_id)
+    untouched = [d for d in after if d != d0]
+    assert untouched and all(after[d] == before[d] for d in untouched)
+
+    got = read_snapshot(
+        spark, root, "event_date", eq_predicate=("event_id", new_id)
+    )
+    assert got.count() == 1

@@ -53,6 +53,8 @@ REGISTERED_ROUND: dict[str, int] = {
     "cdf_probe": 6,
     "pagerank_dangling": 7,
     "groupwise_percentile_cont": 7,
+    "q9_product_profit": 7,
+    "snapshot_bloom_scan": 7,
 }
 
 

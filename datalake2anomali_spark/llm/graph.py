@@ -379,6 +379,14 @@ def pagerank(
                 + F.expr(f"({damping_pct} * _inc) div 100")
             ).alias("rank_scaled"),
         )
+        if dangling == "redistribute":
+            # the rank vector feeds TWO consumers next round (messages +
+            # the dangling-share aggregate); without a per-iteration
+            # materialization each reuse re-executes the whole preceding
+            # chain and the plan grows multiplicatively (36 exchanges vs
+            # 10 for 3 iterations, measured in docs/PLANS.md) — the same
+            # iterative-plan hygiene as connected_components
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

@@ -18,6 +18,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 SKIP = {
+    "pagerank_dangling": "iterative loop with per-iteration localCheckpoint (plan-growth hygiene); per-iteration shape = pagerank's message join/agg pair + dangling semijoin + 1-row share broadcast",
     # these execute a streaming runner (or an iterative driver loop) when the
     # plan is built, so a static single-plan row would be misleading
     "stream_tumbling_counts": "streaming runner; batch twin = streaming/windows.py: tumbling_counts (same transform + oracle)",

@@ -382,3 +382,88 @@ def test_attribution_total_credit_is_exact(spark, evs):
                 pending += 1
         n_journeys += cnt
     assert (got or 0) == n_journeys * 1_000_000
+
+
+# -- round-7 operators --------------------------------------------------------
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.integers(min_value=-10_000, max_value=10_000).map(lambda n: n / 100.0),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_groupwise_percentile_cont_matches_sorted_reference(spark, rows):
+    """Per-group interpolation == the numpy-free python reference on the
+    same snapped integers: h = q*(n-1), lo = s[floor(h)], hi = s[floor(h)+1],
+    frac = fractional part in exact millionths."""
+    from datalake2anomali_spark.functions.selection import (
+        groupwise_percentile_cont,
+    )
+
+    qs = [0.1, 0.5, 0.9]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r.g, r.q): (r.lo_scaled, r.hi_scaled, r.frac_num, r.interp_rem)
+        for r in groupwise_percentile_cont(df, ["g"], "v", qs).collect()
+    }
+    by_g: dict[str, list[int]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(round(v * 100))
+    for g, vals in by_g.items():
+        s = sorted(vals)
+        n = len(s)
+        for q in qs:
+            num = round(q * 1_000_000) * (n - 1)
+            lo0, frac = divmod(num, 1_000_000)
+            lo, hi = s[lo0], s[min(lo0 + 1, n - 1)]
+            assert got[(g, q)] == (lo, hi, frac, frac * (hi - lo)), (g, q, s)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=50),
+    st.integers(min_value=-(2**40), max_value=2**40),
+)
+def test_bloom_filter_never_false_negative(spark, present, probe):
+    """Every inserted value must probe positive (no false negatives —
+    the property that makes skipping safe); an absent value may or may
+    not probe positive, but the Spark-side hash must agree bit-for-bit
+    with the pure-Python probe."""
+    from pyspark.sql import functions as F
+
+    from datalake2anomali_spark.io.publish import (
+        _bloom_position_exprs,
+        _BLOOM_K,
+        _BLOOM_M,
+        bloom_probe_positions,
+    )
+
+    df = spark.createDataFrame([(v,) for v in present], "x long")
+    rows = (
+        df.select(
+            F.explode(F.array(*_bloom_position_exprs("x", _BLOOM_M, _BLOOM_K))).alias("p")
+        )
+        .collect()
+    )
+    bits = 0
+    for r in rows:
+        bits |= 1 << int(r.p)
+    hexmap = f"{bits:x}"
+    from datalake2anomali_spark.io.publish import _bloom_may_contain
+
+    for v in present:
+        assert _bloom_may_contain(hexmap, v), v
+    # cross-engine hash agreement for the probe value
+    spark_pos = sorted(
+        int(r[0])
+        for r in spark.createDataFrame([(probe,)], "x long")
+        .select(F.explode(F.array(*_bloom_position_exprs("x", _BLOOM_M, _BLOOM_K))))
+        .collect()
+    )
+    assert spark_pos == sorted(bloom_probe_positions(probe))

@@ -701,3 +701,60 @@ def test_scd2_replay_is_idempotent_and_key_parameterized(spark, tmp_path):
     maintain_scd2_history(spark, src, hist, ckpt, key="device_id")
 
     assert snap() == before  # no duplicated closed intervals, same current
+
+
+def test_scd2_half_written_batch_dir_is_invisible(spark, tmp_path):
+    """A crash mid-write leaves a batch directory without _SUCCESS; both
+    the reader and the next tick's replay base must ignore it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datalake2anomali_spark.streaming.incremental import (
+        maintain_scd2_history,
+        read_scd2_history,
+    )
+
+    src = str(tmp_path / "src")
+    hist = str(tmp_path / "hist")
+    ckpt = str(tmp_path / "ckpt")
+    us = 1_000_000
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts_us long, event_type string, event_id long"
+        ).select(
+            "user_id",
+            F.timestamp_micros("ts_us").alias("ts"),
+            "event_type",
+            "event_id",
+        )
+
+    mk([(1, 10 * us, "a", 100)]).coalesce(1).write.mode("append").parquet(src)
+    maintain_scd2_history(spark, src, hist, ckpt)
+    before = sorted(
+        tuple(r) for r in read_scd2_history(spark, hist).collect()
+    )
+
+    # crash leftovers: half-written current and closed dirs for a batch
+    # id that never committed (no _SUCCESS)
+    for sub in ("current", "closed"):
+        d = os.path.join(hist, sub, "batch=9")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "part-0.parquet"), "wb") as fh:
+            fh.write(b"\x00not parquet")
+
+    assert (
+        sorted(tuple(r) for r in read_scd2_history(spark, hist).collect())
+        == before
+    )
+
+    # the next tick must fold from the last COMMITTED current, not the junk
+    mk([(1, 20 * us, "b", 200)]).coalesce(1).write.mode("append").parquet(src)
+    maintain_scd2_history(spark, src, hist, ckpt)
+    got = {
+        (r.user_id, r.attr): (r.valid_from_us, r.valid_to_us, r.is_current)
+        for r in read_scd2_history(spark, hist).collect()
+    }
+    assert got[(1, "a")] == (10 * us, 20 * us, False)
+    assert got[(1, "b")] == (20 * us, None, True)

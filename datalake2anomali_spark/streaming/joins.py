@@ -234,6 +234,128 @@ def stream_click_error_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     return out
 
 
+def interval_join_full(
+    clicks: DataFrame,
+    errors: DataFrame,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """FULL OUTER watermarked interval join — the last cell of the
+    stream–stream join matrix (inner / left outer above).
+
+    Null emission is now two-sided and ASYMMETRIC in time, because the
+    interval condition holds each side for a different horizon: an
+    unmatched click evicts (emitting its null-error row) once the joint
+    watermark passes ``click_ts`` — no later error can satisfy
+    ``err_ts ≤ click_ts`` — but an unmatched error must wait until the
+    watermark passes ``err_ts + horizon``, since any click in the next 6
+    hours could still match it.  Both cutoffs are pinned BY VALUE in the
+    registered query's oracle; rows the final watermark never covers
+    stay in state and are never emitted (bounded state over
+    completeness, the streaming contract).
+    """
+    c = clicks.withWatermark("click_ts", watermark)
+    e = errors.withWatermark("err_ts", watermark)
+    joined = c.join(
+        e,
+        F.expr(
+            "user_id = err_user_id AND "
+            "click_ts >= err_ts AND "
+            "click_ts <= err_ts + INTERVAL 6 HOURS"
+        ),
+        "full_outer",
+    )
+    return joined.select(
+        "err_event_id",
+        "click_event_id",
+        F.coalesce("user_id", "err_user_id").alias("join_user_id"),
+        (F.unix_micros("click_ts") - F.unix_micros("err_ts")).alias("lag_us"),
+    )
+
+
+def stream_click_error_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end FULL OUTER streaming interval join, three real
+    micro-batches (time-sliced replay): matched pairs + null-error rows
+    for watermark-expired clicks + null-click rows for watermark-expired
+    errors, each side against its own eviction deadline."""
+    inp = _build_sliced_replay(spark, sf_dir)
+    clicks = (
+        read_events_stream(spark, inp, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    errors = (
+        read_events_stream(spark, inp, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_event_id"),
+            F.col("user_id").alias("err_user_id"),
+            F.col("ts").alias("err_ts"),
+        )
+    )
+    stream = interval_join_full(clicks, errors).withColumn(
+        "side",
+        F.when(
+            F.col("err_event_id").isNotNull()
+            & F.col("click_event_id").isNotNull(),
+            F.lit("both"),
+        )
+        .when(F.col("click_event_id").isNotNull(), F.lit("click_only"))
+        .otherwise(F.lit("error_only")),
+    )
+    out = run_to_completion(stream, output_mode="append", state_partitions=2)
+    return out
+
+
+#: Oracle for the FULL outer join: the inner matches, plus each side's
+#: unmatched rows restricted by ITS eviction deadline under the joint
+#: final watermark w = min(max click_ts, max err_ts) − delay — clicks cut
+#: at click_ts < w, errors at err_ts + horizon < w.
+STREAM_INTERVAL_JOIN_FULL_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+), wm AS (
+  SELECT LEAST((SELECT MAX(epoch_us(ts)) FROM clicks),
+               (SELECT MAX(epoch_us(ts)) FROM errors)) - 600000000 AS w
+)
+SELECT r.event_id AS err_event_id, l.event_id AS click_event_id,
+       l.user_id AS join_user_id,
+       epoch_us(l.ts) - epoch_us(r.ts) AS lag_us,
+       'both' AS side
+FROM clicks l JOIN errors r
+  ON l.user_id = r.user_id
+ AND l.ts >= r.ts
+ AND epoch_us(l.ts) <= epoch_us(r.ts) + 21600000000
+UNION ALL
+SELECT CAST(NULL AS BIGINT), l.event_id, l.user_id,
+       CAST(NULL AS BIGINT), 'click_only'
+FROM clicks l, wm
+WHERE epoch_us(l.ts) < wm.w
+  AND NOT EXISTS (
+    SELECT 1 FROM errors r
+    WHERE r.user_id = l.user_id
+      AND l.ts >= r.ts
+      AND epoch_us(l.ts) <= epoch_us(r.ts) + 21600000000
+  )
+UNION ALL
+SELECT r.event_id, CAST(NULL AS BIGINT), r.user_id,
+       CAST(NULL AS BIGINT), 'error_only'
+FROM errors r, wm
+WHERE epoch_us(r.ts) + 21600000000 < wm.w
+  AND NOT EXISTS (
+    SELECT 1 FROM clicks l
+    WHERE l.user_id = r.user_id
+      AND l.ts >= r.ts
+      AND epoch_us(l.ts) <= epoch_us(r.ts) + 21600000000
+  )
+"""
+
+
 #: Oracle for the outer join: batch left join RESTRICTED by the streaming
 #: completeness cutoff.  The joint final watermark under the default
 #: multipleWatermarkPolicy=min is min(max click_ts, max err_ts) − delay

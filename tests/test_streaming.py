@@ -758,3 +758,77 @@ def test_scd2_half_written_batch_dir_is_invisible(spark, tmp_path):
     }
     assert got[(1, "a")] == (10 * us, 20 * us, False)
     assert got[(1, "b")] == (20 * us, None, True)
+
+
+def test_full_outer_interval_join_matches_cutoff_oracle(spark, sf_dir):
+    """FULL outer stream-stream interval join over a 3-micro-batch replay:
+    matched pairs + click-side nulls (evicted at wm > click_ts) +
+    error-side nulls (evicted at wm > err_ts + horizon) must equal the
+    batch reference with both eviction deadlines applied by value."""
+    from pyspark.sql import functions as F
+
+    from datalake2anomali_spark.io.tables import load_table
+    from datalake2anomali_spark.streaming.joins import (
+        HORIZON_US,
+        stream_click_error_join_full,
+    )
+
+    got = set(tuple(r) for r in stream_click_error_join_full(spark, sf_dir).collect())
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id", F.col("ts").alias("cts")
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("eid"),
+        F.col("user_id").alias("euid"),
+        F.col("ts").alias("ets"),
+    )
+    wm = (
+        min(
+            clicks.agg(F.max(F.unix_micros("cts"))).collect()[0][0],
+            errors.agg(F.max(F.unix_micros("ets"))).collect()[0][0],
+        )
+        - 600 * US
+    )
+    cond = (
+        (F.col("user_id") == F.col("euid"))
+        & (F.col("cts") >= F.col("ets"))
+        & (F.unix_micros("cts") <= F.unix_micros("ets") + HORIZON_US)
+    )
+    matched = clicks.join(errors, cond).select(
+        "eid", "cid", F.col("user_id").alias("ju"),
+        (F.unix_micros("cts") - F.unix_micros("ets")).alias("lag"),
+        F.lit("both").alias("side"),
+    )
+    un_click = (
+        clicks.join(errors, cond, "left_anti")
+        .filter(F.unix_micros("cts") < wm)
+        .select(
+            F.lit(None).cast("long").alias("eid"), "cid",
+            F.col("user_id").alias("ju"),
+            F.lit(None).cast("long").alias("lag"),
+            F.lit("click_only").alias("side"),
+        )
+    )
+    un_err = (
+        errors.join(
+            clicks,
+            (F.col("euid") == F.col("user_id"))
+            & (F.col("cts") >= F.col("ets"))
+            & (F.unix_micros("cts") <= F.unix_micros("ets") + HORIZON_US),
+            "left_anti",
+        )
+        .filter(F.unix_micros("ets") + HORIZON_US < wm)
+        .select(
+            "eid",
+            F.lit(None).cast("long").alias("cid"),
+            F.col("euid").alias("ju"),
+            F.lit(None).cast("long").alias("lag"),
+            F.lit("error_only").alias("side"),
+        )
+    )
+    want = set(
+        tuple(r) for r in matched.unionByName(un_click).unionByName(un_err).collect()
+    )
+    assert got == want

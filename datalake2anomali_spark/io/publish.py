@@ -360,7 +360,11 @@ def init_table(
             "the __HIVE_DEFAULT_PARTITION__ sentinel"
         )
     parts = [str(p) for p in raw_parts]
-    manifest = {"version": v, "partitions": {p: v for p in sorted(parts)}}
+    manifest = {
+        "version": v,
+        "partitions": {p: v for p in sorted(parts)},
+        "operation": "create",
+    }
     if stats_cols:
         manifest["stats"] = _partition_stats(
             spark, vdir, partition_col, stats_cols
@@ -514,7 +518,7 @@ def merge_into_versioned(
     }
     parts.update({p: v for p in written_vals})  # rewritten + new partitions
     # affected-but-unwritten partitions were emptied: simply absent now
-    new_manifest = {"version": v, "partitions": parts}
+    new_manifest = {"version": v, "partitions": parts, "operation": "merge"}
     old_stats = manifest.get("stats")
     if old_stats:
         # zone maps follow the same ownership rules: untouched keep theirs,
@@ -584,7 +588,11 @@ def compact_versioned(
         str(r[0])
         for r in spark.read.parquet(vdir).select(partition_col).distinct().collect()
     ]
-    new_manifest = {"version": v, "partitions": {p: v for p in sorted(parts)}}
+    new_manifest = {
+        "version": v,
+        "partitions": {p: v for p in sorted(parts)},
+        "operation": "optimize",
+    }
     old_stats = manifest.get("stats")
     if old_stats:
         stats_cols = sorted(next(iter(old_stats.values())).keys())
@@ -686,6 +694,64 @@ def vacuum(
             except FileNotFoundError:
                 pass
     return sorted(removed)
+
+
+def restore_version(root: str, version: int) -> int:
+    """Delta-style RESTORE: make the table's CURRENT state equal snapshot
+    ``version`` again — as a NEW commit, never by rewinding the pointer
+    in place (history stays append-only; the restore itself is visible in
+    :func:`table_history` and can itself be restored away).
+
+    No data moves: the new manifest re-references the old snapshot's
+    version directories, so the restored snapshot must still be within
+    the :func:`vacuum` retention window (a reclaimed version raises the
+    same clear FileNotFoundError as a time-travel read).  Runs under the
+    optimistic-concurrency commit like every writer.  Returns the new
+    version number.
+    """
+    current = read_manifest(root)
+    target = read_manifest(root, version)  # raises if vacuumed/never committed
+    for v in {int(x) for x in target["partitions"].values()}:
+        if not os.path.isdir(version_dir(root, v)):
+            raise FileNotFoundError(
+                f"cannot restore to v{version}: its data directory _v{v} "
+                "was vacuumed; only versions within the retention window "
+                "are restorable"
+            )
+    v_new = _claim_version(root)
+    manifest = {
+        "version": v_new,
+        "partitions": dict(target["partitions"]),
+        "operation": f"restore(v{version})",
+    }
+    for extra in ("stats", "bloom"):
+        if extra in target:
+            manifest[extra] = target[extra]
+    _commit_checked(root, manifest, current["version"])
+    return v_new
+
+
+def table_history(root: str) -> list[dict]:
+    """DESCRIBE HISTORY: one record per committed snapshot still
+    addressable (within vacuum retention), oldest first — version,
+    recorded operation (manifests written before the operation field
+    default to "write"), live-partition count, and the set of version
+    directories the snapshot references."""
+    out = []
+    for name in sorted(os.listdir(root)):
+        m = _HIST.match(name)
+        if not m:
+            continue
+        snap = read_manifest(root, int(m.group(1)))
+        out.append(
+            {
+                "version": snap["version"],
+                "operation": snap.get("operation", "write"),
+                "n_partitions": len(snap["partitions"]),
+                "refs": sorted({int(v) for v in snap["partitions"].values()}),
+            }
+        )
+    return sorted(out, key=lambda r: r["version"])
 
 
 def table_changes(

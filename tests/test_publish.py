@@ -485,3 +485,48 @@ def test_bloom_filters_follow_merge_ownership(spark, sf_dir, tmp_path):
         spark, root, "event_date", eq_predicate=("event_id", new_id)
     )
     assert got.count() == 1
+
+
+def test_restore_and_history(spark, sf_dir, vtable):
+    """RESTORE makes the current snapshot equal an old version again as a
+    NEW commit (no data movement, history append-only); table_history
+    records every commit's operation; restoring to a vacuumed version
+    fails with a clear error."""
+    from datalake2anomali_spark.io.publish import (
+        restore_version,
+        table_history,
+    )
+
+    e = read_snapshot(spark, vtable, "event_date")
+    fp1 = _snap_fingerprint(spark, vtable)
+    upd = e.filter(F.col("event_type") == "click").withColumn(
+        "value", F.col("value") + 9.0
+    )
+    v2 = merge_into_versioned(spark, vtable, upd, ["event_id"], "event_date")
+    fp2 = _snap_fingerprint(spark, vtable)
+    assert fp2 != fp1
+
+    v3 = restore_version(vtable, 1)
+    assert v3 > v2
+    assert _snap_fingerprint(spark, vtable) == fp1  # content == v1 again
+    # v2 still time-travel-addressable: the restore rewound nothing
+    old2 = read_snapshot(spark, vtable, "event_date", version=v2)
+    assert (
+        old2.count(),
+        old2.agg(F.sum(F.hash(*old2.columns))).collect()[0][0],
+    ) == fp2
+
+    hist = table_history(vtable)
+    ops = {h["version"]: h["operation"] for h in hist}
+    assert ops[1] == "create"
+    assert ops[v2] == "merge"
+    assert ops[v3] == f"restore(v1)"
+    assert [h["version"] for h in hist] == sorted(ops)
+
+    # beyond retention the restore target is gone: loud failure
+    v4 = merge_into_versioned(
+        spark, vtable, upd.limit(3), ["event_id"], "event_date"
+    )
+    vacuum(vtable, retain_last=1)
+    with pytest.raises(FileNotFoundError, match="v2|vacuumed|never committed"):
+        restore_version(vtable, v2)

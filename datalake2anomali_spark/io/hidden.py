@@ -1,0 +1,190 @@
+"""Hidden partitioning: Iceberg-style partition transforms over the
+versioned table (:mod:`.publish`).
+
+The lakehouse ergonomics problem at 100 TB: hive-style layouts make the
+LAYOUT part of the query contract — users must filter on the derived
+``event_date`` column or lose pruning, and changing the layout breaks
+every query.  Iceberg's answer is *hidden* partitioning: the table
+records a TRANSFORM from a source column to a partition value
+(``days(ts)``, ``bucket(16, user_id)``, ``truncate(100, col)``), writers
+derive it mechanically, and readers keep filtering on the SOURCE column
+— the engine maps source predicates to partition pruning through the
+recorded transform.  This module is that contract on top of
+:func:`..publish.init_table` / :func:`..publish.read_snapshot`:
+
+- The transform spec is stored next to the manifest
+  (``_PARTITION_SPEC.json``), so the layout is table metadata, not query
+  text.
+- Writer-side derivation and reader-side pruning share one definition
+  per transform; ``bucket`` hashes via the same first-15-hex-chars-of-md5
+  scheme as the manifest bloom filters, so the pure-Python reader probe
+  agrees bit-for-bit with the Spark writer expression.
+- Pruning is advisory-safe by construction: ``may_match`` must only
+  reject a partition that provably cannot hold a matching row, and the
+  source-column row filter is ALWAYS applied — so a wrong spec can cost
+  I/O, never correctness (pinned by the result-equality tests).
+
+Supported predicates: ``("between", col, lo, hi)`` for ``days``/
+``hours`` (bounds in epoch microseconds) and ``truncate`` (native
+units); ``("eq", col, value)`` for every transform.  Predicates on any
+other column fall back to a full (unpruned) snapshot read with the row
+filter applied.
+
+Reference parity: none — extension (table-format family, alongside
+zone maps / bloom skipping / time travel in ``publish.py``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .publish import init_table, read_snapshot
+
+SPEC_FILE = "_PARTITION_SPEC.json"
+#: Hidden partition column name (never part of the user-facing schema).
+HIDDEN_COL = "_p"
+
+_US_PER_DAY = 86_400_000_000
+_US_PER_HOUR = 3_600_000_000
+
+
+def transform_column(spec: list):
+    """The Spark expression deriving the hidden partition value."""
+    kind = spec[0]
+    if kind == "days":
+        return F.date_format(F.col(spec[1]), "yyyy-MM-dd")
+    if kind == "hours":
+        return F.date_format(F.col(spec[1]), "yyyy-MM-dd-HH")
+    if kind == "truncate":
+        w, col = int(spec[1]), spec[2]
+        return (F.floor(F.col(col) / F.lit(w)) * w).cast("long").cast("string")
+    if kind == "bucket":
+        n, col = int(spec[1]), spec[2]
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col(col).cast("string"), F.lit("b"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(n),
+        ).cast("string")
+    raise ValueError(f"unknown partition transform {kind!r}")
+
+
+def bucket_of(value, n: int) -> int:
+    """Pure-Python twin of the ``bucket`` writer expression."""
+    return int(hashlib.md5(f"{value}:b".encode()).hexdigest()[:15], 16) % n
+
+
+def _day_bounds_us(pval: str, hourly: bool) -> tuple[int, int]:
+    fmt = "%Y-%m-%d-%H" if hourly else "%Y-%m-%d"
+    start = datetime.strptime(pval, fmt).replace(tzinfo=timezone.utc)
+    width = timedelta(hours=1) if hourly else timedelta(days=1)
+    lo = int(start.timestamp() * 1_000_000)
+    hi = int((start + width).timestamp() * 1_000_000)
+    return lo, hi  # [lo, hi)
+
+
+def may_match(spec: list, pval: str, predicate: tuple) -> bool:
+    """Could partition ``pval`` hold a row satisfying ``predicate``?
+    Only a definitive NO skips the partition (advisory-safe)."""
+    kind = spec[0]
+    src = spec[1] if kind in ("days", "hours") else spec[2]
+    if predicate[1] != src:
+        return True  # predicate on another column: cannot prune
+    if predicate[0] == "eq":
+        val = predicate[2]
+        if kind in ("days", "hours"):
+            lo, hi = _day_bounds_us(pval, kind == "hours")
+            return lo <= int(val) < hi
+        if kind == "truncate":
+            w = int(spec[1])
+            p = int(pval)
+            return p <= int(val) < p + w
+        return pval == str(bucket_of(val, int(spec[1])))
+    if predicate[0] == "between":
+        _, _, lo_q, hi_q = predicate
+        if kind in ("days", "hours"):
+            lo, hi = _day_bounds_us(pval, kind == "hours")
+            return hi > int(lo_q) and lo <= int(hi_q)
+        if kind == "truncate":
+            w = int(spec[1])
+            p = int(pval)
+            return p + w > int(lo_q) and p <= int(hi_q)
+        return True  # bucket cannot serve range predicates
+    raise ValueError(f"unknown predicate kind {predicate[0]!r}")
+
+
+def init_hidden_table(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    spec: list,
+    **init_kwargs,
+) -> None:
+    """Publish ``df`` as a versioned table hidden-partitioned by
+    ``spec`` (e.g. ``["days", "ts"]``, ``["bucket", 16, "user_id"]``,
+    ``["truncate", 100, "event_id"]``).  The derived column never leaks
+    into reads."""
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, SPEC_FILE), "w", encoding="utf-8") as fh:
+        json.dump(list(spec), fh)
+    init_table(
+        spark,
+        df.withColumn(HIDDEN_COL, transform_column(spec)),
+        root,
+        HIDDEN_COL,
+        **init_kwargs,
+    )
+
+
+def read_spec(root: str) -> list:
+    with open(os.path.join(root, SPEC_FILE), encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def read_hidden(
+    spark: SparkSession,
+    root: str,
+    predicate: tuple | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Read the hidden-partitioned table, pruning through the recorded
+    transform when ``predicate`` is on the transform's source column.
+
+    ``predicate``: ``("between", col, lo, hi)`` (inclusive; epoch
+    microseconds for time transforms) or ``("eq", col, value)``.  The
+    matching row filter is always applied on the SOURCE column — pruning
+    is I/O advice, never semantics — and the hidden column is dropped.
+    """
+    spec = read_spec(root)
+    pf = None
+    if predicate is not None:
+        pf = lambda pval: may_match(spec, pval, predicate)  # noqa: E731
+    out = read_snapshot(
+        spark, root, HIDDEN_COL, version=version, partition_filter=pf
+    )
+    if predicate is not None:
+        col = predicate[1]
+        time_src = spec[0] in ("days", "hours") and col == spec[1]
+        # time transforms carry epoch-us predicate bounds
+        lhs = F.unix_micros(F.col(col)) if time_src else F.col(col)
+        if predicate[0] == "eq":
+            rhs = int(predicate[2]) if time_src else predicate[2]
+            out = out.filter(lhs == F.lit(rhs))
+        else:
+            _, _, lo, hi = predicate
+            if time_src:
+                lo, hi = int(lo), int(hi)
+            out = out.filter((lhs >= F.lit(lo)) & (lhs <= F.lit(hi)))
+    return out.drop(HIDDEN_COL)

@@ -383,6 +383,7 @@ def read_snapshot(
     predicate: tuple[str, float, float] | None = None,
     version: int | None = None,
     eq_predicate: tuple[str, object] | None = None,
+    partition_filter=None,
 ) -> DataFrame:
     """The published table: for each live version, one partition-pruned
     scan of its directory restricted to the partitions it still owns.
@@ -403,12 +404,20 @@ def read_snapshot(
     historical manifest (valid until :func:`vacuum` reclaims the data
     directories the old snapshot references — the standard VACUUM
     retention trade every table format makes).
+
+    ``partition_filter`` is the generic skipping hook: a
+    ``Callable[[str], bool]`` over partition values; values it rejects
+    are skipped like a metadata miss.  Callers own its safety contract
+    (it must never reject a partition that could hold a matching row) —
+    :mod:`.hidden` uses it for transform-derived pruning.
     """
     manifest = read_manifest(root, version)
     stats = manifest.get("stats", {})
     blooms = manifest.get("bloom", {})
     by_version: dict[int, list[str]] = {}
     for pval, v in manifest["partitions"].items():
+        if partition_filter is not None and not partition_filter(pval):
+            continue
         if predicate is not None:
             col, lo, hi = predicate
             rng = stats.get(pval, {}).get(col)
@@ -445,7 +454,9 @@ def read_snapshot(
 
     if not pieces:
         if (
-            predicate is not None or eq_predicate is not None
+            predicate is not None
+            or eq_predicate is not None
+            or partition_filter is not None
         ) and manifest["partitions"]:
             # every partition skipped by metadata: empty relation, full schema
             any_v = min(int(v) for v in manifest["partitions"].values())

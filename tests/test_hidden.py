@@ -1,0 +1,111 @@
+"""Hidden partitioning (io/hidden.py): transform-derived pruning must
+actually skip partitions, never change results, and survive the merge
+path of the underlying versioned table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake2anomali_spark.io.hidden import (
+    HIDDEN_COL,
+    bucket_of,
+    init_hidden_table,
+    may_match,
+    read_hidden,
+    read_spec,
+)
+from datalake2anomali_spark.io.publish import read_manifest
+from datalake2anomali_spark.io.tables import load_table
+
+
+def _pruned_set(root, predicate):
+    spec = read_spec(root)
+    m = read_manifest(root)
+    return [p for p in m["partitions"] if may_match(spec, p, predicate)]
+
+
+def test_days_transform_prunes_and_is_exact(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "h_days")
+    e = load_table(spark, sf_dir, "events")
+    init_hidden_table(spark, e, root, ["days", "ts"])
+
+    b = e.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    span = b[1] - b[0]
+    lo, hi = b[0] + span * 2 // 5, b[0] + span * 3 // 5
+    pred = ("between", "ts", lo, hi)
+
+    m = read_manifest(root)
+    scanned = _pruned_set(root, pred)
+    assert 0 < len(scanned) < len(m["partitions"])  # pruning is real
+
+    got = read_hidden(spark, root, predicate=pred)
+    assert HIDDEN_COL not in got.columns  # layout never leaks
+    want = e.filter(
+        (F.unix_micros("ts") >= lo) & (F.unix_micros("ts") <= hi)
+    )
+    assert got.count() == want.count()
+    cols = sorted(want.columns)
+    assert (
+        got.select(*cols).exceptAll(want.select(*cols)).count() == 0
+        and want.select(*cols).exceptAll(got.select(*cols)).count() == 0
+    )
+
+
+def test_bucket_transform_point_lookup(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "h_bucket")
+    e = load_table(spark, sf_dir, "events")
+    n = 8
+    init_hidden_table(spark, e, root, ["bucket", n, "user_id"])
+    m = read_manifest(root)
+    assert len(m["partitions"]) <= n
+
+    probe = int(e.agg(F.max("user_id")).collect()[0][0])
+    pred = ("eq", "user_id", probe)
+    scanned = _pruned_set(root, pred)
+    assert scanned == [str(bucket_of(probe, n))]  # exactly one bucket
+
+    got = read_hidden(spark, root, predicate=pred)
+    want = e.filter(F.col("user_id") == probe)
+    assert got.count() == want.count() > 0
+
+    # a range predicate cannot prune buckets, but stays correct
+    rng = read_hidden(spark, root, predicate=("between", "user_id", 0, probe))
+    assert rng.count() == e.filter(F.col("user_id").between(0, probe)).count()
+
+
+def test_truncate_transform_range(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "h_trunc")
+    e = load_table(spark, sf_dir, "events")
+    w = 200
+    init_hidden_table(spark, e, root, ["truncate", w, "event_id"])
+    b = e.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+    lo = int(b[0]) + (int(b[1]) - int(b[0])) * 2 // 5
+    hi = lo + 3 * w
+    pred = ("between", "event_id", lo, hi)
+
+    m = read_manifest(root)
+    scanned = _pruned_set(root, pred)
+    assert 0 < len(scanned) <= 4 < len(m["partitions"])
+
+    got = read_hidden(spark, root, predicate=pred)
+    assert got.count() == e.filter(F.col("event_id").between(lo, hi)).count()
+
+
+def test_predicate_on_other_column_falls_back_unpruned(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "h_other")
+    e = load_table(spark, sf_dir, "events")
+    init_hidden_table(spark, e, root, ["days", "ts"])
+    pred = ("eq", "event_type", "click")
+    assert len(_pruned_set(root, pred)) == len(read_manifest(root)["partitions"])
+    got = read_hidden(spark, root, predicate=pred)
+    assert got.count() == e.filter(F.col("event_type") == "click").count()
+
+
+def test_unknown_transform_rejected(spark, sf_dir, tmp_path):
+    from datalake2anomali_spark.io.hidden import transform_column
+
+    with pytest.raises(ValueError, match="unknown partition transform"):
+        transform_column(["months", "ts"])

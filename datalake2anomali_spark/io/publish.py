@@ -555,6 +555,85 @@ def merge_into_versioned(
     return v
 
 
+def delete_from_versioned(
+    spark: SparkSession,
+    root: str,
+    partition_col: str,
+    condition,
+) -> int:
+    """DELETE FROM the versioned table, atomically and partition-pruned
+    (the missing third of the DML surface next to MERGE and OPTIMIZE).
+
+    Copy-on-write: one pass finds the partitions holding a matching row,
+    only those rewrite (survivors copy through into the fresh version
+    directory), untouched partitions keep their manifest entry, and a
+    fully-emptied partition drops.  SQL DELETE semantics for the
+    predicate: rows where ``condition`` is TRUE go; FALSE **and NULL**
+    survive.  Zone maps / bloom filters follow the same ownership rules
+    as MERGE.  A predicate matching nothing commits nothing (the current
+    version is returned unchanged).  Returns the published version.
+    """
+    manifest = read_manifest(root)
+    target = read_snapshot(spark, root, partition_col)
+    affected = (
+        target.filter(condition).select(partition_col).distinct().collect()
+    )
+    affected_vals = {str(r[0]) for r in affected}
+    if not affected_vals:
+        return manifest["version"]  # nothing to delete: no empty commit
+
+    hit = target.filter(
+        F.col(partition_col).cast("string").isin(sorted(affected_vals))
+    )
+    # NULL-condition rows survive (ANSI DELETE), hence coalesce not ~cond
+    survivors = hit.filter(F.coalesce(~condition, F.lit(True)))
+
+    v = _claim_version(root)
+    vdir = version_dir(root, v)
+    survivors.write.mode("overwrite").partitionBy(partition_col).parquet(vdir)
+    spark.catalog.refreshByPath(vdir)
+    try:
+        written_vals = {
+            str(r[0])
+            for r in spark.read.parquet(vdir)
+            .select(partition_col)
+            .distinct()
+            .collect()
+        }
+    except Exception:
+        written_vals = set()  # every affected partition fully emptied
+
+    parts = {
+        p: ver
+        for p, ver in manifest["partitions"].items()
+        if p not in affected_vals
+    }
+    parts.update({p: v for p in written_vals})
+    new_manifest = {"version": v, "partitions": parts, "operation": "delete"}
+    old_stats = manifest.get("stats")
+    if old_stats and written_vals:
+        stats_cols = sorted(next(iter(old_stats.values())).keys())
+        kept = {p: st for p, st in old_stats.items() if p not in affected_vals}
+        kept.update(_partition_stats(spark, vdir, partition_col, stats_cols))
+        new_manifest["stats"] = {p: kept[p] for p in parts if p in kept}
+    elif old_stats:
+        new_manifest["stats"] = {
+            p: st for p, st in old_stats.items() if p in parts
+        }
+    old_blooms = manifest.get("bloom")
+    if old_blooms and written_vals:
+        bloom_cols = sorted(next(iter(old_blooms.values())).keys())
+        keptb = {p: bm for p, bm in old_blooms.items() if p not in affected_vals}
+        keptb.update(_partition_blooms(spark, vdir, partition_col, bloom_cols))
+        new_manifest["bloom"] = {p: keptb[p] for p in parts if p in keptb}
+    elif old_blooms:
+        new_manifest["bloom"] = {
+            p: bm for p, bm in old_blooms.items() if p in parts
+        }
+    _commit_checked(root, new_manifest, manifest["version"])
+    return v
+
+
 def compact_versioned(
     spark: SparkSession,
     root: str,

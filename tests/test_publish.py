@@ -530,3 +530,76 @@ def test_restore_and_history(spark, sf_dir, vtable):
     vacuum(vtable, retain_last=1)
     with pytest.raises(FileNotFoundError, match="v2|vacuumed|never committed"):
         restore_version(vtable, v2)
+
+
+def test_delete_from_partition_pruned_and_null_semantics(spark, sf_dir, vtable):
+    """DELETE rewrites only partitions holding a match, NULL-condition
+    rows survive (ANSI), an emptied partition drops, time travel still
+    reaches the pre-delete snapshot, and a no-match delete commits
+    nothing."""
+    from datalake2anomali_spark.io.publish import (
+        delete_from_versioned,
+        table_history,
+    )
+
+    e = read_snapshot(spark, vtable, "event_date")
+    n0 = e.count()
+    fp1 = _snap_fingerprint(spark, vtable)
+    dates = sorted(r[0] for r in e.select("event_date").distinct().collect())
+    d0 = str(dates[0])
+    v0 = read_manifest(vtable)["version"]
+
+    # NULL a few values so the NULL-condition branch is exercised
+    nul = (
+        e.filter((F.col("event_date") == d0) & (F.col("event_id") % 5 == 0))
+        .withColumn("value", F.lit(None).cast("double"))
+    )
+    n_null = nul.count()
+    merge_into_versioned(spark, vtable, nul, ["event_id"], "event_date")
+    before = read_manifest(vtable)
+
+    n_doomed = (
+        read_snapshot(spark, vtable, "event_date")
+        .filter((F.col("event_date") == d0) & (F.col("value") > 0))
+        .count()
+    )
+    v_del = delete_from_versioned(
+        spark, vtable, "event_date",
+        (F.col("event_date") == d0) & (F.col("value") > 0),
+    )
+    after = read_manifest(vtable)
+    assert after["operation"] == "delete"
+    # only d0 changed owner; every other partition kept its version
+    assert all(
+        after["partitions"][p] == v
+        for p, v in before["partitions"].items()
+        if p != d0
+    )
+    snap = read_snapshot(spark, vtable, "event_date")
+    assert snap.count() == n0 - n_doomed
+    # the NULL-value rows in d0 survived the predicate
+    assert (
+        snap.filter((F.col("event_date") == d0) & F.col("value").isNull()).count()
+        == n_null
+    )
+    # pre-delete snapshot still addressable
+    old = read_snapshot(spark, vtable, "event_date", version=before["version"])
+    assert old.count() == n0
+
+    # no-match delete: version unchanged, no commit recorded
+    v_same = delete_from_versioned(
+        spark, vtable, "event_date", F.col("event_id") == -12345
+    )
+    assert v_same == v_del == read_manifest(vtable)["version"]
+
+    # delete EVERYTHING in one partition: it drops from the manifest
+    v_drop = delete_from_versioned(
+        spark, vtable, "event_date", F.col("event_date") == d0
+    )
+    m = read_manifest(vtable)
+    assert d0 not in m["partitions"]
+    assert read_snapshot(spark, vtable, "event_date").filter(
+        F.col("event_date") == d0
+    ).count() == 0
+    ops = [h["operation"] for h in table_history(vtable)]
+    assert ops.count("delete") == 2

@@ -851,6 +851,7 @@ def table_changes(
     key_cols: list[str],
     v_from: int,
     v_to: int,
+    include_images: bool = False,
 ) -> DataFrame:
     """Change data feed between two committed versions: the row-level
     added/removed/changed classification of :func:`..operators.quality
@@ -864,4 +865,4 @@ def table_changes(
 
     old = read_snapshot(spark, root, partition_col, version=v_from)
     new = read_snapshot(spark, root, partition_col, version=v_to)
-    return snapshot_diff(old, new, key_cols)
+    return snapshot_diff(old, new, key_cols, include_images=include_images)

@@ -156,6 +156,7 @@ def snapshot_diff(
     old: DataFrame,
     new: DataFrame,
     keys: list[str],
+    include_images: bool = False,
 ) -> DataFrame:
     """Row-level diff between two snapshots of the same table.
 
@@ -164,6 +165,12 @@ def snapshot_diff(
     empty for added/removed).  Unchanged keys are filtered out before
     anything widens.  Comparison is null-safe per column (NULL == NULL is
     *unchanged*), so schema-identical snapshots diff exactly.
+
+    ``include_images=True`` additionally carries the before/after row
+    payloads as ``pre_<c>`` / ``post_<c>`` per non-key column (Delta
+    CDF's update_preimage/postimage shape) — what a retraction-based
+    consumer (``operators/views.py: apply_changes``) needs to subtract
+    the old contribution and add the new one.
     """
     compare = [c for c in old.columns if c not in keys]
     if old.columns != new.columns:
@@ -194,6 +201,12 @@ def snapshot_diff(
     changed_cols = F.concat_ws(
         ",", *[F.when(F.col(f"_d_{c}"), F.lit(c)) for c in compare]
     )
+    image_cols = (
+        [F.col(f"_o_{c}").alias(f"pre_{c}") for c in compare]
+        + [F.col(f"_n_{c}").alias(f"post_{c}") for c in compare]
+        if include_images
+        else []
+    )
     return (
         j.withColumn("change_type", change)
         .filter(F.col("change_type").isNotNull())
@@ -203,6 +216,7 @@ def snapshot_diff(
             F.when(F.col("change_type") == "changed", changed_cols)
             .otherwise(F.lit(""))
             .alias("changed_cols"),
+            *image_cols,
         )
     )
 

@@ -131,3 +131,83 @@ def test_json_flatten_udtf_nested_paths(spark):
         (1, "$.d"): "null",
         (4, "$.s"): '"x"',  # strings stay JSON-quoted (json_extract contract)
     }
+
+
+def test_apply_changes_equals_full_recompute(spark, sf_dir, tmp_path):
+    """CDC-driven view maintenance: retract pre-images, add post-images,
+    recompute extrema only for touched groups — the refreshed view must
+    be bit-identical to rollup_state over the post-change table, across
+    updates (incl. NULL-ing and group moves), inserts, and deletes."""
+    from pyspark.sql import functions as F
+
+    from datalake2anomali_spark.io.publish import (
+        delete_from_versioned,
+        init_table,
+        merge_into_versioned,
+        read_snapshot,
+        table_changes,
+    )
+    from datalake2anomali_spark.io.tables import load_table
+    from datalake2anomali_spark.operators.views import apply_changes, rollup_state
+
+    root = str(tmp_path / "cdc_view")
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    init_table(spark, e, root, "event_date")
+    keys = ["event_date", "event_type"]
+    view = rollup_state(
+        read_snapshot(spark, root, "event_date"),
+        keys,
+        sum_cols={"value": 2},
+        minmax_cols=["event_id"],
+    ).localCheckpoint(eager=True)
+
+    snap0 = read_snapshot(spark, root, "event_date")
+    upd = snap0.filter(F.col("event_type") == "click").withColumn(
+        "value", F.col("value") + 50.0
+    )
+    nul = (
+        snap0.filter((F.col("event_type") == "purchase") & (F.col("event_id") % 3 == 0))
+        .withColumn("value", F.lit(None).cast("double"))
+    )
+    mov = (
+        snap0.filter(F.col("event_type") == "signup")
+        .limit(20)
+        .withColumn("event_date", F.lit("2033-05-05"))
+    )
+    ins = snap0.limit(7).withColumn("event_id", F.col("event_id") + 90_000_000)
+    v2 = merge_into_versioned(
+        spark, root,
+        upd.unionByName(nul).unionByName(mov).unionByName(ins),
+        ["event_id"], "event_date",
+    )
+    v3 = delete_from_versioned(
+        spark, root, "event_date", F.col("event_type") == "error"
+    )
+
+    cdf = table_changes(
+        spark, root, "event_date", ["event_id"], 1, v3, include_images=True
+    )
+    new_snap = read_snapshot(spark, root, "event_date")
+    got = apply_changes(
+        view, cdf, ["event_id"], keys,
+        sum_cols={"value": 2}, minmax_cols=["event_id"],
+        new_snapshot=new_snap,
+    )
+    want = rollup_state(
+        new_snap, keys, sum_cols={"value": 2}, minmax_cols=["event_id"]
+    )
+    cols = sorted(want.columns)
+    assert got.count() == want.count()
+    assert (
+        got.select(*cols).exceptAll(want.select(*cols)).count() == 0
+        and want.select(*cols).exceptAll(got.select(*cols)).count() == 0
+    )
+
+
+def test_apply_changes_requires_snapshot_for_minmax(spark):
+    from datalake2anomali_spark.operators.views import apply_changes
+
+    with pytest.raises(ValueError, match="min/max"):
+        apply_changes(None, None, ["k"], ["g"], {}, minmax_cols=["x"])

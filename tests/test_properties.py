@@ -467,3 +467,110 @@ def test_bloom_filter_never_false_negative(spark, present, probe):
         .collect()
     )
     assert spark_pos == sorted(bloom_probe_positions(probe))
+
+
+_vt_op = st.one_of(
+    st.tuples(
+        st.just("merge"),
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=25),  # key
+                st.integers(min_value=0, max_value=2),   # partition
+                st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+            ),
+            min_size=1,
+            max_size=8,
+            unique_by=lambda t: t[0],
+        ),
+    ),
+    st.tuples(st.just("delete"), st.integers(min_value=0, max_value=2)),
+    st.tuples(st.just("compact"), st.none()),
+    st.tuples(st.just("restore"), st.none()),
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=25),
+            st.integers(min_value=0, max_value=2),
+            st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+        ),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(_vt_op, min_size=1, max_size=4),
+)
+def test_versioned_table_model_based(spark, tmp_path_factory, init_rows, ops):
+    """Model-based check of the whole versioned-table protocol: a random
+    sequence of MERGE / DELETE / OPTIMIZE / RESTORE ops must keep the
+    published snapshot equal to a pure-Python dict model at every step,
+    every committed version time-travel-readable, and the history's
+    operations in order."""
+    from pyspark.sql import functions as F
+
+    from datalake2anomali_spark.io.publish import (
+        compact_versioned,
+        delete_from_versioned,
+        init_table,
+        merge_into_versioned,
+        read_manifest,
+        read_snapshot,
+        restore_version,
+        table_history,
+    )
+
+    root = str(tmp_path_factory.mktemp("vt") / "t")
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [(k, f"p{p}", v) for k, p, v in rows], "k long, part string, v long"
+        )
+
+    init_table(spark, df_of(init_rows), root, "part")
+    model = {k: (f"p{p}", v) for k, p, v in init_rows}
+    model_by_version = {read_manifest(root)["version"]: dict(model)}
+    expected_ops = ["create"]
+
+    def check():
+        got = {r.k: (r.part, r.v) for r in read_snapshot(spark, root, "part").collect()}
+        assert got == model, (got, model)
+
+    for kind, arg in ops:
+        if kind == "merge":
+            merge_into_versioned(spark, root, df_of(arg), ["k"], "part")
+            model.update({k: (f"p{p}", v) for k, p, v in arg})
+            expected_ops.append("merge")
+        elif kind == "delete":
+            part = f"p{arg}"
+            if not any(p == part for p, _v in model.values()):
+                continue  # no-op delete commits nothing
+            delete_from_versioned(spark, root, "part", F.col("part") == part)
+            model = {k: pv for k, pv in model.items() if pv[0] != part}
+            expected_ops.append("delete")
+            if not model:
+                break  # empty table: read_snapshot legitimately raises
+        elif kind == "compact":
+            compact_versioned(spark, root, "part", "k")
+            expected_ops.append("optimize")
+        else:  # restore to the oldest still-known version
+            target = min(model_by_version)
+            restore_version(root, target)
+            model = dict(model_by_version[target])
+            expected_ops.append(f"restore(v{target})")
+        v_now = read_manifest(root)["version"]
+        model_by_version[v_now] = dict(model)
+        check()
+
+    # every committed version still reads back as its recorded model
+    for v, snap_model in model_by_version.items():
+        if not snap_model:
+            continue
+        got = {
+            r.k: (r.part, r.v)
+            for r in read_snapshot(spark, root, "part", version=v).collect()
+        }
+        assert got == snap_model, f"time travel to v{v} diverged"
+    assert [h["operation"] for h in table_history(root)] == expected_ops

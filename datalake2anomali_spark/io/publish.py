@@ -218,6 +218,13 @@ def _commit_checked(root: str, manifest: dict, base_version: int) -> None:
             pass
 
 
+def _schema_record(df: DataFrame) -> list[list[str]]:
+    """Manifest-recorded schema: [name, DDL type] per column — what lets
+    the reader back-fill typed NULLs for partitions written before a
+    schema-widening merge."""
+    return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+
 def version_dir(root: str, version: int) -> str:
     return os.path.join(root, f"_v{version}")
 
@@ -364,6 +371,7 @@ def init_table(
         "version": v,
         "partitions": {p: v for p in sorted(parts)},
         "operation": "create",
+        "schema": _schema_record(df),
     }
     if stats_cols:
         manifest["stats"] = _partition_stats(
@@ -465,7 +473,20 @@ def read_snapshot(
         raise ValueError(f"versioned table at {root!r} has no live partitions")
     out = pieces[0]
     for p in pieces[1:]:
-        out = out.unionByName(p)
+        # mixed per-version schemas appear after a schema-widening merge;
+        # missing columns fill with NULLs here and the recorded schema
+        # below pins names, order and types
+        out = out.unionByName(p, allowMissingColumns=True)
+    schema_rec = manifest.get("schema")
+    if schema_rec:
+        out = out.select(
+            *[
+                F.col(name)
+                if name in out.columns
+                else F.lit(None).cast(ddl).alias(name)
+                for name, ddl in schema_rec
+            ]
+        )
     return _row_filters(out)
 
 
@@ -476,6 +497,7 @@ def merge_into_versioned(
     key_cols: list[str],
     partition_col: str,
     commit_hook=None,
+    allow_schema_evolution: bool = False,
 ) -> int:
     """MERGE ``source`` into the versioned table at ``root``, atomically.
 
@@ -498,6 +520,24 @@ def merge_into_versioned(
     missing = set(data_cols) - set(source.columns)
     if missing:
         raise ValueError(f"source is missing target columns: {sorted(missing)}")
+    new_cols = [c for c in source.columns if c not in data_cols]
+    if new_cols and not allow_schema_evolution:
+        raise ValueError(
+            f"source adds columns {new_cols}; pass "
+            "allow_schema_evolution=True to widen the table schema"
+        )
+    if new_cols:
+        # ADD COLUMN via merge (Delta mergeSchema shape): existing rows in
+        # rewritten partitions take typed NULLs; untouched partitions keep
+        # their old files and the reader back-fills NULLs through the
+        # manifest-recorded schema.  Note a change feed ACROSS the widening
+        # boundary needs schema alignment first (snapshot_diff refuses
+        # mismatched schemas by design).
+        for c in new_cols:
+            target = target.withColumn(
+                c, F.lit(None).cast(source.schema[c].dataType)
+            )
+        data_cols = data_cols + new_cols
 
     affected = _affected_partitions(target, source, key_cols, partition_col)
     hit = target.join(F.broadcast(affected), [partition_col], "leftsemi")
@@ -529,7 +569,12 @@ def merge_into_versioned(
     }
     parts.update({p: v for p in written_vals})  # rewritten + new partitions
     # affected-but-unwritten partitions were emptied: simply absent now
-    new_manifest = {"version": v, "partitions": parts, "operation": "merge"}
+    new_manifest = {
+        "version": v,
+        "partitions": parts,
+        "operation": "merge",
+        "schema": _schema_record(merged),
+    }
     old_stats = manifest.get("stats")
     if old_stats:
         # zone maps follow the same ownership rules: untouched keep theirs,
@@ -609,7 +654,12 @@ def delete_from_versioned(
         if p not in affected_vals
     }
     parts.update({p: v for p in written_vals})
-    new_manifest = {"version": v, "partitions": parts, "operation": "delete"}
+    new_manifest = {
+        "version": v,
+        "partitions": parts,
+        "operation": "delete",
+        "schema": _schema_record(survivors),
+    }
     old_stats = manifest.get("stats")
     if old_stats and written_vals:
         stats_cols = sorted(next(iter(old_stats.values())).keys())
@@ -682,6 +732,7 @@ def compact_versioned(
         "version": v,
         "partitions": {p: v for p in sorted(parts)},
         "operation": "optimize",
+        "schema": _schema_record(snap),
     }
     old_stats = manifest.get("stats")
     if old_stats:
@@ -814,7 +865,7 @@ def restore_version(root: str, version: int) -> int:
         "partitions": dict(target["partitions"]),
         "operation": f"restore(v{version})",
     }
-    for extra in ("stats", "bloom"):
+    for extra in ("stats", "bloom", "schema"):
         if extra in target:
             manifest[extra] = target[extra]
     _commit_checked(root, manifest, current["version"])

@@ -603,3 +603,57 @@ def test_delete_from_partition_pruned_and_null_semantics(spark, sf_dir, vtable):
     ).count() == 0
     ops = [h["operation"] for h in table_history(vtable)]
     assert ops.count("delete") == 2
+
+
+def test_schema_evolution_merge_widens_table(spark, sf_dir, vtable):
+    """ADD COLUMN via merge: rewritten partitions carry the new column,
+    untouched partitions back-fill typed NULLs through the recorded
+    manifest schema, time travel to the pre-widening version returns the
+    OLD schema, and a widening source without the opt-in flag raises."""
+    e = read_snapshot(spark, vtable, "event_date")
+    n0 = e.count()
+    dates = sorted(r[0] for r in e.select("event_date").distinct().collect())
+    d0 = str(dates[0])
+    old_cols = list(e.columns)
+
+    src = (
+        e.filter(F.col("event_date") == d0)
+        .withColumn("score", (F.col("event_id") % 100).cast("double"))
+    )
+    n_src = src.count()
+    with pytest.raises(ValueError, match="allow_schema_evolution"):
+        merge_into_versioned(spark, vtable, src, ["event_id"], "event_date")
+
+    v2 = merge_into_versioned(
+        spark, vtable, src, ["event_id"], "event_date",
+        allow_schema_evolution=True,
+    )
+    snap = read_snapshot(spark, vtable, "event_date")
+    assert snap.columns == old_cols + ["score"]
+    assert snap.count() == n0
+    assert dict(snap.dtypes)["score"] == "double"
+    assert snap.filter(F.col("score").isNotNull()).count() == n_src
+    assert (
+        snap.filter(F.col("event_date") != d0)
+        .filter(F.col("score").isNotNull())
+        .count()
+        == 0
+    )
+
+    # pre-widening snapshot keeps the old schema exactly
+    old = read_snapshot(spark, vtable, "event_date", version=1)
+    assert old.columns == old_cols
+
+    # the widened table keeps merging normally (full new schema source)
+    upd = snap.filter(F.col("event_date") == d0).withColumn(
+        "score", F.coalesce(F.col("score"), F.lit(0.0)) + 1.0
+    )
+    merge_into_versioned(spark, vtable, upd, ["event_id"], "event_date")
+    snap2 = read_snapshot(spark, vtable, "event_date")
+    assert snap2.count() == n0
+    assert (
+        snap2.filter(F.col("event_date") == d0)
+        .filter(F.col("score").isNull())
+        .count()
+        == 0
+    )

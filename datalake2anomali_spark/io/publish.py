@@ -225,6 +225,22 @@ def _schema_record(df: DataFrame) -> list[list[str]]:
     return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
 
 
+def _written_partition_counts(
+    spark: SparkSession, vdir: str, partition_col: str
+) -> dict:
+    """{raw_pval: row_count} over a freshly written version directory —
+    the same single scan that used to fetch distinct partition values,
+    upgraded to carry per-partition row counts for free (one groupBy on
+    the partition column; collect bounded by partition count)."""
+    return {
+        r[0]: r[1]
+        for r in spark.read.parquet(vdir)
+        .groupBy(partition_col)
+        .agg(F.count(F.lit(1)))
+        .collect()
+    }
+
+
 def version_dir(root: str, version: int) -> str:
     return os.path.join(root, f"_v{version}")
 
@@ -356,10 +372,8 @@ def init_table(
     vdir = version_dir(root, v)
     df.write.mode("overwrite").partitionBy(partition_col).parquet(vdir)
     spark.catalog.refreshByPath(vdir)
-    raw_parts = [
-        r[0]
-        for r in spark.read.parquet(vdir).select(partition_col).distinct().collect()
-    ]
+    counts = _written_partition_counts(spark, vdir, partition_col)
+    raw_parts = list(counts)
     if any(p is None for p in raw_parts):
         raise ValueError(
             "versioned tables require non-NULL partition values: the "
@@ -372,6 +386,7 @@ def init_table(
         "partitions": {p: v for p in sorted(parts)},
         "operation": "create",
         "schema": _schema_record(df),
+        "rows": {str(p): n for p, n in counts.items()},
     }
     if stats_cols:
         manifest["stats"] = _partition_stats(
@@ -558,10 +573,11 @@ def merge_into_versioned(
             "the __HIVE_DEFAULT_PARTITION__ sentinel"
         )
     affected_vals = {str(v) for v in raw_affected}
-    written_vals = {
-        str(r[0])
-        for r in spark.read.parquet(vdir).select(partition_col).distinct().collect()
+    written_counts = {
+        str(p): n
+        for p, n in _written_partition_counts(spark, vdir, partition_col).items()
     }
+    written_vals = set(written_counts)
     parts = {
         p: ver
         for p, ver in manifest["partitions"].items()
@@ -569,11 +585,18 @@ def merge_into_versioned(
     }
     parts.update({p: v for p in written_vals})  # rewritten + new partitions
     # affected-but-unwritten partitions were emptied: simply absent now
+    rows = {
+        p: n
+        for p, n in manifest.get("rows", {}).items()
+        if p not in affected_vals
+    }
+    rows.update(written_counts)
     new_manifest = {
         "version": v,
         "partitions": parts,
         "operation": "merge",
         "schema": _schema_record(merged),
+        "rows": {p: rows[p] for p in parts if p in rows},
     }
     old_stats = manifest.get("stats")
     if old_stats:
@@ -638,15 +661,15 @@ def delete_from_versioned(
     survivors.write.mode("overwrite").partitionBy(partition_col).parquet(vdir)
     spark.catalog.refreshByPath(vdir)
     try:
-        written_vals = {
-            str(r[0])
-            for r in spark.read.parquet(vdir)
-            .select(partition_col)
-            .distinct()
-            .collect()
+        written_counts = {
+            str(p): n
+            for p, n in _written_partition_counts(
+                spark, vdir, partition_col
+            ).items()
         }
     except Exception:
-        written_vals = set()  # every affected partition fully emptied
+        written_counts = {}  # every affected partition fully emptied
+    written_vals = set(written_counts)
 
     parts = {
         p: ver
@@ -654,11 +677,18 @@ def delete_from_versioned(
         if p not in affected_vals
     }
     parts.update({p: v for p in written_vals})
+    rows = {
+        p: n
+        for p, n in manifest.get("rows", {}).items()
+        if p not in affected_vals
+    }
+    rows.update(written_counts)
     new_manifest = {
         "version": v,
         "partitions": parts,
         "operation": "delete",
         "schema": _schema_record(survivors),
+        "rows": {p: rows[p] for p in parts if p in rows},
     }
     old_stats = manifest.get("stats")
     if old_stats and written_vals:
@@ -724,15 +754,17 @@ def compact_versioned(
         .parquet(vdir)
     )
     spark.catalog.refreshByPath(vdir)
-    parts = [
-        str(r[0])
-        for r in spark.read.parquet(vdir).select(partition_col).distinct().collect()
-    ]
+    counts = {
+        str(p): n
+        for p, n in _written_partition_counts(spark, vdir, partition_col).items()
+    }
+    parts = sorted(counts)
     new_manifest = {
         "version": v,
-        "partitions": {p: v for p in sorted(parts)},
+        "partitions": {p: v for p in parts},
         "operation": "optimize",
         "schema": _schema_record(snap),
+        "rows": counts,
     }
     old_stats = manifest.get("stats")
     if old_stats:
@@ -865,11 +897,27 @@ def restore_version(root: str, version: int) -> int:
         "partitions": dict(target["partitions"]),
         "operation": f"restore(v{version})",
     }
-    for extra in ("stats", "bloom", "schema"):
+    for extra in ("stats", "bloom", "schema", "rows"):
         if extra in target:
             manifest[extra] = target[extra]
     _commit_checked(root, manifest, current["version"])
     return v_new
+
+
+def snapshot_rowcount(root: str, version: int | None = None) -> int:
+    """SELECT COUNT(*) answered from metadata alone — no file opens.
+    Every commit records per-partition row counts (gathered by the same
+    scan that finds the written partitions), so the table's cardinality
+    is a manifest sum, exactly the metadata-only count Delta/Iceberg
+    serve.  Raises if the manifest predates row-count recording."""
+    manifest = read_manifest(root, version)
+    rows = manifest.get("rows")
+    if rows is None or set(rows) != set(manifest["partitions"]):
+        raise ValueError(
+            f"manifest v{manifest['version']} at {root!r} lacks complete "
+            "row counts (written before metadata counts); count with a scan"
+        )
+    return sum(int(n) for n in rows.values())
 
 
 def table_history(root: str) -> list[dict]:
@@ -884,11 +932,15 @@ def table_history(root: str) -> list[dict]:
         if not m:
             continue
         snap = read_manifest(root, int(m.group(1)))
+        rows = snap.get("rows")
         out.append(
             {
                 "version": snap["version"],
                 "operation": snap.get("operation", "write"),
                 "n_partitions": len(snap["partitions"]),
+                "n_rows": sum(int(n) for n in rows.values())
+                if rows is not None and set(rows) == set(snap["partitions"])
+                else None,
                 "refs": sorted({int(v) for v in snap["partitions"].values()}),
             }
         )

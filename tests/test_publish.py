@@ -657,3 +657,48 @@ def test_schema_evolution_merge_widens_table(spark, sf_dir, vtable):
         .count()
         == 0
     )
+
+
+def test_metadata_only_rowcount(spark, sf_dir, vtable):
+    """COUNT(*) from the manifest must track the real cardinality through
+    merge (update+insert), delete, compact, and restore — and per-version
+    time travel counts match their snapshots."""
+    from datalake2anomali_spark.io.publish import (
+        compact_versioned,
+        delete_from_versioned,
+        restore_version,
+        snapshot_rowcount,
+        table_history,
+    )
+
+    e = read_snapshot(spark, vtable, "event_date")
+    n0 = e.count()
+    assert snapshot_rowcount(vtable) == n0
+
+    ins = e.limit(9).withColumn("event_id", F.col("event_id") + 77_000_000)
+    upd = e.filter(F.col("event_type") == "click").withColumn(
+        "value", F.col("value") + 1.0
+    )
+    merge_into_versioned(
+        spark, vtable, upd.unionByName(ins), ["event_id"], "event_date"
+    )
+    assert snapshot_rowcount(vtable) == n0 + 9
+
+    n_err = read_snapshot(spark, vtable, "event_date").filter(
+        F.col("event_type") == "error"
+    ).count()
+    delete_from_versioned(
+        spark, vtable, "event_date", F.col("event_type") == "error"
+    )
+    assert snapshot_rowcount(vtable) == n0 + 9 - n_err
+
+    compact_versioned(spark, vtable, "event_date", "event_id")
+    assert snapshot_rowcount(vtable) == n0 + 9 - n_err
+
+    restore_version(vtable, 1)
+    assert snapshot_rowcount(vtable) == n0
+    assert snapshot_rowcount(vtable, version=2) == n0 + 9
+
+    hist = table_history(vtable)
+    assert all(h["n_rows"] is not None for h in hist)
+    assert hist[0]["n_rows"] == n0 and hist[-1]["n_rows"] == n0

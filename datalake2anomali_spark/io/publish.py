@@ -623,6 +623,97 @@ def merge_into_versioned(
     return v
 
 
+def optimize_partitions(
+    spark: SparkSession,
+    root: str,
+    partition_col: str,
+    order_col: str,
+    min_files: int = 2,
+    max_partitions: int | None = None,
+) -> tuple[int, list[str]]:
+    """Partial OPTIMIZE: rewrite only the partitions fragmented past
+    ``min_files`` small files — what a real table format's OPTIMIZE does
+    at 100 TB, where :func:`compact_versioned`'s full collapse would
+    rewrite the entire table to fix a handful of hot partitions.
+
+    Fragmentation is read from the live version directories' file
+    listings (metadata, no data scan); the ``max_partitions`` cap bounds
+    one maintenance tick's write amplification so OPTIMIZE can run as an
+    incremental background loop (worst-fragmented first).  Selected
+    partitions rewrite sorted by ``order_col`` into a fresh version under
+    the usual ownership/commit rules; zone maps and bloom filters
+    recompute for exactly the rewritten partitions.  Returns
+    ``(published_version, rewritten_partition_values)`` — the current
+    version unchanged with ``[]`` when nothing is fragmented.
+    """
+    from .compact import dataset_file_stats
+
+    manifest = read_manifest(root)
+    frag: list[tuple[int, str]] = []
+    by_version: dict[int, set[str]] = {}
+    for pval, ver in manifest["partitions"].items():
+        by_version.setdefault(int(ver), set()).add(pval)
+    for ver, owned in by_version.items():
+        for rel, (n_files, _b) in dataset_file_stats(
+            version_dir(root, ver)
+        ).items():
+            pv = rel.split("=", 1)[-1]
+            if pv in owned and n_files >= min_files:
+                frag.append((n_files, pv))
+    frag.sort(reverse=True)  # worst-fragmented first under the cap
+    chosen = [pv for _n, pv in frag[: max_partitions or len(frag)]]
+    if not chosen:
+        return manifest["version"], []
+
+    target = read_snapshot(spark, root, partition_col)
+    # the isin filter partition-prunes at planning time, so the rewrite
+    # reads only the chosen partitions; one task per partition coalesces
+    # its fragments into a single sorted file
+    hit = (
+        target.filter(F.col(partition_col).cast("string").isin(chosen))
+        .repartition(len(chosen), F.col(partition_col))
+        .sortWithinPartitions(partition_col, order_col)
+    )
+
+    v = _claim_version(root)
+    vdir = version_dir(root, v)
+    hit.write.mode("overwrite").partitionBy(partition_col).parquet(vdir)
+    spark.catalog.refreshByPath(vdir)
+    written_counts = {
+        str(p): n
+        for p, n in _written_partition_counts(spark, vdir, partition_col).items()
+    }
+    chosen_set = set(chosen)
+    parts = {
+        p: (v if p in chosen_set else ver)
+        for p, ver in manifest["partitions"].items()
+    }
+    rows = dict(manifest.get("rows", {}))
+    rows.update(written_counts)
+    new_manifest = {
+        "version": v,
+        "partitions": parts,
+        "operation": f"optimize({len(chosen)} partitions)",
+        "rows": {p: rows[p] for p in parts if p in rows},
+    }
+    if "schema" in manifest:
+        new_manifest["schema"] = manifest["schema"]
+    old_stats = manifest.get("stats")
+    if old_stats:
+        stats_cols = sorted(next(iter(old_stats.values())).keys())
+        kept = {p: st for p, st in old_stats.items() if p not in chosen_set}
+        kept.update(_partition_stats(spark, vdir, partition_col, stats_cols))
+        new_manifest["stats"] = {p: kept[p] for p in parts if p in kept}
+    old_blooms = manifest.get("bloom")
+    if old_blooms:
+        bloom_cols = sorted(next(iter(old_blooms.values())).keys())
+        keptb = {p: bm for p, bm in old_blooms.items() if p not in chosen_set}
+        keptb.update(_partition_blooms(spark, vdir, partition_col, bloom_cols))
+        new_manifest["bloom"] = {p: keptb[p] for p in parts if p in keptb}
+    _commit_checked(root, new_manifest, manifest["version"])
+    return v, sorted(chosen)
+
+
 def delete_from_versioned(
     spark: SparkSession,
     root: str,

@@ -702,3 +702,65 @@ def test_metadata_only_rowcount(spark, sf_dir, vtable):
     hist = table_history(vtable)
     assert all(h["n_rows"] is not None for h in hist)
     assert hist[0]["n_rows"] == n0 and hist[-1]["n_rows"] == n0
+
+
+def test_partial_optimize_rewrites_only_fragmented(spark, sf_dir, tmp_path):
+    """optimize_partitions compacts exactly the fragmented partitions:
+    content preserved, fragmented partitions coalesce to one file, every
+    untouched partition keeps its version (and its bytes), the cap
+    bounds one tick's work, and a clean table is a no-op."""
+    from datalake2anomali_spark.io.compact import dataset_file_stats
+    from datalake2anomali_spark.io.publish import (
+        init_table,
+        optimize_partitions,
+    )
+    from datalake2anomali_spark.io.tables import load_table
+
+    root = str(tmp_path / "frag")
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    # fragment the ingest the way real pipelines do: an 8-task write
+    # scatters every hive partition across small files (localCheckpoint
+    # pins the task count — a shuffle before the write would let AQE
+    # coalesce it back to one file)
+    init_table(
+        spark, e.repartition(8).localCheckpoint(eager=True), root, "event_date"
+    )
+    before = read_manifest(root)
+    fp = _snap_fingerprint(spark, root)
+    stats0 = dataset_file_stats(version_dir(root, 1))
+    dates = sorted(p.split("=", 1)[1] for p in stats0)
+    assert all(n >= 2 for n, _b in stats0.values())  # genuinely fragmented
+
+    # capped run: only the single worst partition rewrites
+    v_a, done_a = optimize_partitions(
+        spark, root, "event_date", "event_id", min_files=2, max_partitions=1
+    )
+    assert len(done_a) == 1
+    m_a = read_manifest(root)
+    assert m_a["partitions"][done_a[0]] == v_a
+    assert all(
+        m_a["partitions"][p] == v
+        for p, v in before["partitions"].items()
+        if p != done_a[0]
+    )
+    assert _snap_fingerprint(spark, root) == fp
+
+    # full run: remaining fragmentation clears; content bit-identical
+    v_b, done_b = optimize_partitions(
+        spark, root, "event_date", "event_id", min_files=2
+    )
+    assert sorted(done_a + done_b) == dates
+    assert _snap_fingerprint(spark, root) == fp
+    m = read_manifest(root)
+    for p in done_a + done_b:
+        vdir = version_dir(root, m["partitions"][p])
+        n_files = dataset_file_stats(vdir)[f"event_date={p}"][0]
+        assert n_files == 1, (p, n_files)
+
+    # idempotent: nothing fragmented -> no commit
+    v_c, done_c = optimize_partitions(
+        spark, root, "event_date", "event_id", min_files=2
+    )
+    assert done_c == [] and v_c == m["version"]

@@ -960,6 +960,86 @@ def vacuum(
     return sorted(removed)
 
 
+class TableFollower:
+    """Incremental change-feed consumer over a versioned table — the
+    table-as-a-stream-source shape (Delta's ``readChangeFeed`` +
+    checkpoint, reduced to its cursor core, and the reference's T2
+    high-watermark pull applied to table versions instead of timestamps).
+
+    Each :meth:`poll` returns the CDF (with before/after images) from the
+    cursor's last committed version to the table's current version, plus
+    that target version; :meth:`commit` advances the durable cursor
+    (atomic ``os.replace``).  Crash between apply and commit replays the
+    same version span — at-least-once, turned into exactly-once effects
+    by an idempotent apply (``views.apply_changes`` re-deriving from the
+    same span, or ``streaming/incremental.exactly_once_batch``).  The
+    first poll bootstraps: the starting snapshot arrives as pure
+    ``added`` rows, so a downstream view needs no separate backfill path.
+
+    Per-poll work is the diff of the two snapshot reads — bounded by the
+    table, not its history; the followed versions must stay within
+    :func:`vacuum`'s retention window (``retain_last`` must cover the
+    polling lag), else poll fails with the standard vacuumed-version
+    error rather than returning a gap.
+    """
+
+    def __init__(self, root: str, partition_col: str, key_cols: list[str], cursor_dir: str):
+        self.root = root
+        self.partition_col = partition_col
+        self.key_cols = list(key_cols)
+        os.makedirs(cursor_dir, exist_ok=True)
+        self._path = os.path.join(cursor_dir, "version.cursor")
+
+    def position(self) -> int | None:
+        try:
+            with open(self._path, encoding="utf-8") as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def poll(self, spark: SparkSession) -> tuple[DataFrame | None, int]:
+        """(changes, target_version); changes is None when caught up."""
+        target = read_manifest(self.root)["version"]
+        cur = self.position()
+        if cur is None:
+            snap = read_snapshot(
+                spark, self.root, self.partition_col, version=target
+            )
+            compare = [c for c in snap.columns if c not in self.key_cols]
+            dtypes = dict(snap.dtypes)
+            boot = snap.select(
+                *self.key_cols,
+                F.lit("added").alias("change_type"),
+                F.lit("").alias("changed_cols"),
+                *[
+                    F.lit(None).cast(dtypes[c]).alias(f"pre_{c}")
+                    for c in compare
+                ],
+                *[F.col(c).alias(f"post_{c}") for c in compare],
+            )
+            return boot, target
+        if cur == target:
+            return None, target
+        changes = table_changes(
+            spark,
+            self.root,
+            self.partition_col,
+            self.key_cols,
+            cur,
+            target,
+            include_images=True,
+        )
+        return changes, target
+
+    def commit(self, version: int) -> None:
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self._path), text=True)
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            fh.write(str(version))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._path)
+
+
 def restore_version(root: str, version: int) -> int:
     """Delta-style RESTORE: make the table's CURRENT state equal snapshot
     ``version`` again — as a NEW commit, never by rewinding the pointer

@@ -764,3 +764,64 @@ def test_partial_optimize_rewrites_only_fragmented(spark, sf_dir, tmp_path):
         spark, root, "event_date", "event_id", min_files=2
     )
     assert done_c == [] and v_c == m["version"]
+
+
+def test_table_follower_incremental_view_end_to_end(spark, sf_dir, vtable, tmp_path):
+    """Follow the table's change feed with a durable version cursor and
+    fold each span into a rollup view via retraction: bootstrap arrives
+    as pure adds, each poll sees exactly the committed delta, an
+    uncommitted poll replays (at-least-once), a committed one advances,
+    and the maintained view tracks a full recompute at every step."""
+    from datalake2anomali_spark.io.publish import TableFollower
+    from datalake2anomali_spark.operators.views import apply_changes, rollup_state
+
+    keys = ["event_date", "event_type"]
+    f = TableFollower(vtable, "event_date", ["event_id"], str(tmp_path / "cur"))
+
+    # bootstrap: the whole snapshot as 'added'
+    changes, v1 = f.poll(spark)
+    assert changes.filter(F.col("change_type") != "added").count() == 0
+    empty_view = rollup_state(
+        read_snapshot(spark, vtable, "event_date").limit(0), keys,
+        sum_cols={"value": 2},
+    )
+    view = apply_changes(
+        empty_view, changes, ["event_id"], keys, sum_cols={"value": 2}
+    ).localCheckpoint(eager=True)
+    f.commit(v1)
+
+    want = rollup_state(
+        read_snapshot(spark, vtable, "event_date"), keys, sum_cols={"value": 2}
+    )
+    cols = sorted(want.columns)
+    assert view.select(*cols).exceptAll(want.select(*cols)).count() == 0
+    assert want.select(*cols).exceptAll(view.select(*cols)).count() == 0
+
+    # caught up: nothing to do
+    none, _ = f.poll(spark)
+    assert none is None
+
+    # a merge lands; the poll sees exactly that span
+    e = read_snapshot(spark, vtable, "event_date")
+    src = e.filter(F.col("event_type") == "click").withColumn(
+        "value", F.col("value") + 3.0
+    )
+    v2 = merge_into_versioned(spark, vtable, src, ["event_id"], "event_date")
+    changes2, v_t = f.poll(spark)
+    assert v_t == v2
+    assert changes2.filter(F.col("change_type") == "changed").count() == src.count()
+
+    # crash window: poll again WITHOUT commit -> identical replay span
+    replay, v_r = f.poll(spark)
+    assert v_r == v2 and replay.count() == changes2.count()
+
+    view = apply_changes(
+        view, changes2, ["event_id"], keys, sum_cols={"value": 2}
+    ).localCheckpoint(eager=True)
+    f.commit(v2)
+    want2 = rollup_state(
+        read_snapshot(spark, vtable, "event_date"), keys, sum_cols={"value": 2}
+    )
+    assert view.select(*cols).exceptAll(want2.select(*cols)).count() == 0
+    assert want2.select(*cols).exceptAll(view.select(*cols)).count() == 0
+    assert f.poll(spark)[0] is None

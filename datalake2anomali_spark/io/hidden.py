@@ -153,6 +153,41 @@ def read_spec(root: str) -> list:
         return json.load(fh)
 
 
+def merge_into_hidden(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    key_cols: list[str],
+    **merge_kwargs,
+) -> int:
+    """MERGE into a hidden-partitioned table: the layout column is derived
+    from the recorded spec — the caller never computes (or even sees) it,
+    which is the entire point of hidden partitioning.  A row whose source
+    column moved it across partition values relocates exactly like an
+    explicit partition-moving update in
+    :func:`..publish.merge_into_versioned`."""
+    from .publish import merge_into_versioned
+
+    spec = read_spec(root)
+    src = source.withColumn(HIDDEN_COL, transform_column(spec))
+    return merge_into_versioned(
+        spark, root, src, key_cols, HIDDEN_COL, **merge_kwargs
+    )
+
+
+def delete_from_hidden(
+    spark: SparkSession,
+    root: str,
+    condition,
+) -> int:
+    """DELETE FROM a hidden-partitioned table; the predicate is on source
+    columns and partition pruning falls out of the copy-on-write rewrite's
+    affected-partition discovery."""
+    from .publish import delete_from_versioned
+
+    return delete_from_versioned(spark, root, HIDDEN_COL, condition)
+
+
 def read_hidden(
     spark: SparkSession,
     root: str,

@@ -108,6 +108,43 @@ def _commit_manifest(root: str, manifest: dict) -> None:
     _release_claim(root, manifest["version"])
 
 
+class ConstraintViolationError(ValueError):
+    """A write would commit rows that fail a table CHECK constraint; it
+    is refused before any version directory is even claimed, so a
+    rejected write leaves no garbage behind."""
+
+
+def _check_constraints(df: DataFrame, constraints: dict[str, str]) -> None:
+    """Validate ``df`` against named SQL CHECK expressions in ONE
+    aggregate pass (ANSI semantics: a row passes when the expression is
+    TRUE **or NULL**).  Raises :class:`ConstraintViolationError` naming
+    every violated constraint with its row count — enforcement happens on
+    the data being written (batch-bounded), matching Delta's model where
+    existing data was validated by the write that produced it."""
+    if not constraints:
+        return
+    aggs = [
+        F.sum(
+            (~F.coalesce(F.expr(expr), F.lit(True))).cast("long")
+        ).alias(name)
+        for name, expr in constraints.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {
+        name: int(row[name])
+        for name in constraints
+        if row[name] and int(row[name]) > 0
+    }
+    if bad:
+        detail = ", ".join(
+            f"{name} ({constraints[name]!r}): {n} row(s)"
+            for name, n in sorted(bad.items())
+        )
+        raise ConstraintViolationError(
+            f"write rejected by CHECK constraint(s): {detail}"
+        )
+
+
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed between this writer's snapshot read and
     its manifest swap — the optimistic-concurrency conflict.  The loser's
@@ -362,11 +399,14 @@ def init_table(
     partition_col: str,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    constraints: dict[str, str] | None = None,
 ) -> None:
     """Create a versioned table at ``root`` from ``df`` (version 1),
     optionally recording per-partition min/max zone maps for
-    ``stats_cols`` and/or per-partition bloom filters for
-    ``bloom_cols`` (equality-probe skipping)."""
+    ``stats_cols``, per-partition bloom filters for ``bloom_cols``
+    (equality-probe skipping), and/or named SQL CHECK ``constraints``
+    enforced on this and every later write."""
+    _check_constraints(df, constraints or {})
     os.makedirs(root, exist_ok=True)
     v = _claim_version(root)
     vdir = version_dir(root, v)
@@ -388,6 +428,8 @@ def init_table(
         "schema": _schema_record(df),
         "rows": {str(p): n for p, n in counts.items()},
     }
+    if constraints:
+        manifest["constraints"] = dict(constraints)
     if stats_cols:
         manifest["stats"] = _partition_stats(
             spark, vdir, partition_col, stats_cols
@@ -557,6 +599,9 @@ def merge_into_versioned(
     affected = _affected_partitions(target, source, key_cols, partition_col)
     hit = target.join(F.broadcast(affected), [partition_col], "leftsemi")
     merged = _merge_resolved(hit, source, key_cols, data_cols)
+    # CHECK constraints validate the rows being written (batch-bounded;
+    # untouched partitions were validated by the write that produced them)
+    _check_constraints(merged, manifest.get("constraints", {}))
 
     v = _claim_version(root)
     vdir = version_dir(root, v)
@@ -595,6 +640,11 @@ def merge_into_versioned(
         "version": v,
         "partitions": parts,
         "operation": "merge",
+        **(
+            {"constraints": manifest["constraints"]}
+            if "constraints" in manifest
+            else {}
+        ),
         "schema": _schema_record(merged),
         "rows": {p: rows[p] for p in parts if p in rows},
     }
@@ -696,6 +746,8 @@ def optimize_partitions(
         "operation": f"optimize({len(chosen)} partitions)",
         "rows": {p: rows[p] for p in parts if p in rows},
     }
+    if "constraints" in manifest:
+        new_manifest["constraints"] = manifest["constraints"]
     if "schema" in manifest:
         new_manifest["schema"] = manifest["schema"]
     old_stats = manifest.get("stats")
@@ -778,6 +830,11 @@ def delete_from_versioned(
         "version": v,
         "partitions": parts,
         "operation": "delete",
+        **(
+            {"constraints": manifest["constraints"]}
+            if "constraints" in manifest
+            else {}
+        ),
         "schema": _schema_record(survivors),
         "rows": {p: rows[p] for p in parts if p in rows},
     }
@@ -857,6 +914,8 @@ def compact_versioned(
         "schema": _schema_record(snap),
         "rows": counts,
     }
+    if "constraints" in manifest:
+        new_manifest["constraints"] = manifest["constraints"]
     old_stats = manifest.get("stats")
     if old_stats:
         stats_cols = sorted(next(iter(old_stats.values())).keys())
@@ -1068,7 +1127,7 @@ def restore_version(root: str, version: int) -> int:
         "partitions": dict(target["partitions"]),
         "operation": f"restore(v{version})",
     }
-    for extra in ("stats", "bloom", "schema", "rows"):
+    for extra in ("stats", "bloom", "schema", "rows", "constraints"):
         if extra in target:
             manifest[extra] = target[extra]
     _commit_checked(root, manifest, current["version"])

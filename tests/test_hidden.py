@@ -109,3 +109,44 @@ def test_unknown_transform_rejected(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="unknown partition transform"):
         transform_column(["months", "ts"])
+
+
+def test_hidden_dml_merge_and_delete(spark, sf_dir, tmp_path):
+    """MERGE/DELETE on a hidden table never require the caller to touch
+    the layout column: updates that move a row's day relocate it, the
+    pruned read still finds it at its new home, and a source-column
+    DELETE removes exactly its rows."""
+    from pyspark.sql import functions as F
+
+    from datalake2anomali_spark.io.hidden import (
+        delete_from_hidden,
+        merge_into_hidden,
+    )
+
+    root = str(tmp_path / "h_dml")
+    e = load_table(spark, sf_dir, "events")
+    init_hidden_table(spark, e, root, ["days", "ts"])
+    n0 = e.count()
+
+    # move 5 rows 40 days forward (changes their hidden day partition)
+    mov = e.limit(5).withColumn("ts", F.col("ts") + F.expr("INTERVAL 40 DAYS"))
+    ids = [r.event_id for r in mov.select("event_id").collect()]
+    merge_into_hidden(spark, root, mov, ["event_id"])
+
+    snap = read_hidden(spark, root)
+    assert snap.count() == n0  # moved, not duplicated
+    moved_ts = [
+        r.ts for r in snap.filter(F.col("event_id").isin(ids)).collect()
+    ]
+    assert len(moved_ts) == 5
+
+    # a pruned read around the NEW location finds the movers
+    lo = int(
+        mov.agg(F.min(F.unix_micros("ts"))).collect()[0][0]
+    )
+    hi = int(mov.agg(F.max(F.unix_micros("ts"))).collect()[0][0])
+    got = read_hidden(spark, root, predicate=("between", "ts", lo, hi))
+    assert got.filter(F.col("event_id").isin(ids)).count() == 5
+
+    delete_from_hidden(spark, root, F.col("event_id").isin(ids))
+    assert read_hidden(spark, root).count() == n0 - 5

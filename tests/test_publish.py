@@ -825,3 +825,53 @@ def test_table_follower_incremental_view_end_to_end(spark, sf_dir, vtable, tmp_p
     assert view.select(*cols).exceptAll(want2.select(*cols)).count() == 0
     assert want2.select(*cols).exceptAll(view.select(*cols)).count() == 0
     assert f.poll(spark)[0] is None
+
+
+def test_check_constraints_enforced_on_writes(spark, sf_dir, tmp_path):
+    """CHECK constraints gate every write: a violating init refuses, a
+    clean init records them, a violating merge refuses (old snapshot
+    intact, orphan dir vacuumable), NULL expressions pass (ANSI), and
+    the constraint set survives merge/optimize commits."""
+    from datalake2anomali_spark.io.publish import (
+        ConstraintViolationError,
+        compact_versioned,
+        init_table,
+        vacuum,
+    )
+
+    root = str(tmp_path / "events_c")
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    cons = {
+        "positive_id": "event_id >= 0",
+        "known_type": "event_type IN ('view','click','purchase','signup','error')",
+    }
+    with pytest.raises(ConstraintViolationError, match="positive_id.*row"):
+        init_table(
+            spark,
+            e.withColumn("event_id", F.col("event_id") - 10**12),
+            str(tmp_path / "bad"),
+            "event_date",
+            constraints=cons,
+        )
+
+    init_table(spark, e, root, "event_date", constraints=cons)
+    fp = _snap_fingerprint(spark, root)
+
+    # NULL constraint expression passes (ANSI CHECK)
+    ok = e.limit(3).withColumn("event_type", F.lit(None).cast("string"))
+    merge_into_versioned(spark, root, ok, ["event_id"], "event_date")
+
+    bad = e.limit(4).withColumn("event_type", F.lit("zzz"))
+    with pytest.raises(ConstraintViolationError, match="known_type.*4 row"):
+        merge_into_versioned(spark, root, bad, ["event_id"], "event_date")
+    # refused commit: snapshot unchanged except the earlier OK merge
+    snap = read_snapshot(spark, root, "event_date")
+    assert snap.filter(F.col("event_type") == "zzz").count() == 0
+    # the check ran BEFORE any version claim: no orphan dir, no stale claim
+    assert not [f for f in os.listdir(root) if f.startswith("_CLAIM.")]
+    assert vacuum(root, claim_ttl_seconds=0.0) == []
+
+    compact_versioned(spark, root, "event_date", "event_id")
+    assert read_manifest(root)["constraints"] == cons

@@ -766,6 +766,122 @@ def optimize_partitions(
     return v, sorted(chosen)
 
 
+def cdc_apply_versioned(
+    spark: SparkSession,
+    root: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+    op_col: str = "_op",
+) -> int:
+    """Apply a mixed CDC batch — upserts AND key-level deletes — in ONE
+    atomic commit (the ``WHEN MATCHED DELETE`` arm real CDC ingestion
+    needs: an upstream feed ships ``U``/``I``/``D`` rows together, and
+    applying them in two commits would expose an intermediate state).
+
+    ``changes[op_col]`` ∈ {``"upsert"``, ``"delete"``}; delete rows need
+    only their key columns populated.  Affected partitions are the union
+    of both ops' footprints (a deleted key's current home rewrites
+    without it); resolution is the standard source-presence merge with a
+    final anti-join on the delete keys, so a key that is both upserted
+    and deleted in one batch resolves to deleted — the last-writer
+    convention, stated rather than accidental.  Constraints, schema,
+    stats/bloom ownership and row counts follow the MERGE path.  Returns
+    the published version.
+    """
+    from ..operators.merge import _affected_partitions, _merge_resolved
+
+    ops = changes.select(op_col).distinct()
+    bad_ops = [r[0] for r in ops.collect() if r[0] not in ("upsert", "delete")]
+    if bad_ops:
+        raise ValueError(f"unknown CDC op values: {bad_ops}")
+
+    manifest = read_manifest(root)
+    target = read_snapshot(spark, root, partition_col)
+    data_cols = list(target.columns)
+    ups = changes.filter(F.col(op_col) == "upsert").drop(op_col)
+    dels = changes.filter(F.col(op_col) == "delete").select(*key_cols).distinct()
+    missing = set(data_cols) - set(ups.columns)
+    if missing:
+        raise ValueError(f"upsert rows are missing target columns: {sorted(missing)}")
+
+    all_keys = ups.select(*key_cols).unionByName(dels).distinct()
+    # affected = upsert rows' partitions ∪ every touched key's current home
+    affected = _affected_partitions(
+        target, ups.select(*data_cols), key_cols, partition_col
+    ).union(
+        target.join(F.broadcast(all_keys), key_cols, "leftsemi")
+        .select(partition_col)
+        .distinct()
+    ).distinct()
+
+    hit = target.join(F.broadcast(affected), [partition_col], "leftsemi")
+    merged = _merge_resolved(hit, ups.select(*data_cols), key_cols, data_cols)
+    merged = merged.join(F.broadcast(dels), key_cols, "left_anti")
+    _check_constraints(merged, manifest.get("constraints", {}))
+
+    v = _claim_version(root)
+    vdir = version_dir(root, v)
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(vdir)
+    spark.catalog.refreshByPath(vdir)
+
+    raw_affected = [r[0] for r in affected.collect()]
+    affected_vals = {str(x) for x in raw_affected}
+    try:
+        written_counts = {
+            str(p): n
+            for p, n in _written_partition_counts(
+                spark, vdir, partition_col
+            ).items()
+        }
+    except Exception:
+        written_counts = {}
+    written_vals = set(written_counts)
+    parts = {
+        p: ver
+        for p, ver in manifest["partitions"].items()
+        if p not in affected_vals
+    }
+    parts.update({p: v for p in written_vals})
+    rows = {
+        p: n
+        for p, n in manifest.get("rows", {}).items()
+        if p not in affected_vals
+    }
+    rows.update(written_counts)
+    new_manifest = {
+        "version": v,
+        "partitions": parts,
+        "operation": "cdc_apply",
+        "schema": _schema_record(merged),
+        "rows": {p: rows[p] for p in parts if p in rows},
+    }
+    if "constraints" in manifest:
+        new_manifest["constraints"] = manifest["constraints"]
+    old_stats = manifest.get("stats")
+    if old_stats and written_vals:
+        stats_cols = sorted(next(iter(old_stats.values())).keys())
+        kept = {p: st for p, st in old_stats.items() if p not in affected_vals}
+        kept.update(_partition_stats(spark, vdir, partition_col, stats_cols))
+        new_manifest["stats"] = {p: kept[p] for p in parts if p in kept}
+    elif old_stats:
+        new_manifest["stats"] = {
+            p: st for p, st in old_stats.items() if p in parts
+        }
+    old_blooms = manifest.get("bloom")
+    if old_blooms and written_vals:
+        bloom_cols = sorted(next(iter(old_blooms.values())).keys())
+        keptb = {p: bm for p, bm in old_blooms.items() if p not in affected_vals}
+        keptb.update(_partition_blooms(spark, vdir, partition_col, bloom_cols))
+        new_manifest["bloom"] = {p: keptb[p] for p in parts if p in keptb}
+    elif old_blooms:
+        new_manifest["bloom"] = {
+            p: bm for p, bm in old_blooms.items() if p in parts
+        }
+    _commit_checked(root, new_manifest, manifest["version"])
+    return v
+
+
 def delete_from_versioned(
     spark: SparkSession,
     root: str,

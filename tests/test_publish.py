@@ -875,3 +875,55 @@ def test_check_constraints_enforced_on_writes(spark, sf_dir, tmp_path):
 
     compact_versioned(spark, root, "event_date", "event_id")
     assert read_manifest(root)["constraints"] == cons
+
+
+def test_cdc_apply_mixed_upserts_and_deletes(spark, sf_dir, vtable):
+    """One atomic commit applies a mixed CDC batch: updates stick,
+    inserts land, deleted keys vanish (their old partitions rewritten
+    without them), a key both upserted and deleted resolves to deleted,
+    and malformed op values refuse."""
+    from datalake2anomali_spark.io.publish import cdc_apply_versioned
+
+    e = read_snapshot(spark, vtable, "event_date")
+    n0 = e.count()
+
+    upd = (
+        e.filter(F.col("event_type") == "click")
+        .limit(20)
+        .withColumn("value", F.col("value") + 500.0)
+        .withColumn("_op", F.lit("upsert"))
+    )
+    ins = (
+        e.limit(4)
+        .withColumn("event_id", F.col("event_id") + 60_000_000)
+        .withColumn("_op", F.lit("upsert"))
+    )
+    del_ids = [r.event_id for r in e.filter(F.col("event_type") == "error").limit(6).collect()]
+    dels = (
+        e.filter(F.col("event_id").isin(del_ids))
+        .withColumn("_op", F.lit("delete"))
+    )
+    # one key is both upserted and deleted in the same batch -> deleted
+    both_id = [r.event_id for r in upd.limit(1).collect()][0]
+    both_del = (
+        e.filter(F.col("event_id") == both_id).withColumn("_op", F.lit("delete"))
+    )
+    batch = upd.unionByName(ins).unionByName(dels).unionByName(both_del)
+
+    cdc_apply_versioned(spark, vtable, batch, ["event_id"], "event_date")
+    snap = read_snapshot(spark, vtable, "event_date")
+    assert snap.count() == n0 + 4 - 6 - 1
+    assert snap.filter(F.col("event_id").isin(del_ids + [both_id])).count() == 0
+    survivors_upd = snap.filter(
+        F.col("event_id").isin([r.event_id for r in upd.collect()])
+    )
+    assert survivors_upd.filter(F.col("value") < 400).count() == 0
+    dup = snap.groupBy("event_id").count().filter(F.col("count") > 1)
+    assert dup.count() == 0
+
+    with pytest.raises(ValueError, match="unknown CDC op"):
+        cdc_apply_versioned(
+            spark, vtable,
+            e.limit(1).withColumn("_op", F.lit("upsertt")),
+            ["event_id"], "event_date",
+        )

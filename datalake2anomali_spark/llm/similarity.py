@@ -459,3 +459,119 @@ def cosine_topk_quantized(
         "vec_id", dequantize_col(F.col("q8"), F.col("q_scale")).alias("embedding")
     )
     return cosine_topk(dq, queries, k=k, round_digits=round_digits)
+
+
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iters: int = 3,
+    seed: int = 42,
+    train_pct: int = 25,
+    max_train: int = 100_000,
+) -> np.ndarray:
+    """Product-quantization codebooks [m, k, d/m]: the vector space split
+    into ``m`` subspaces, each with its own ``k``-centroid k-means — the
+    compression tier between scalar int8 (4×) and IVF's coarse cells:
+    codes are ``m`` bytes per vector (16× at d=64, m=8 over float32)
+    while keeping per-subspace resolution (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI'11 — the FAISS PQ
+    trainer shape).
+
+    Training mirrors :func:`ivf_train_centroids`: a deterministic
+    hash-sample bounded by ``max_train`` collects once, then pure-numpy
+    Lloyd per subspace (seeded hash-order init, so codebooks are
+    identical across partitionings and reruns).
+    """
+    rows = (
+        embeddings.filter(
+            F.pmod(F.xxhash64(F.col("vec_id"), F.lit(seed + 1)), 100) < train_pct
+        )
+        .select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)), F.col("vec_id"))
+        .limit(max_train)
+        .collect()
+    )
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    k = min(k, len(X))
+    books = np.zeros((m, k, dsub))
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[:k].copy()  # hash-order init per subspace
+        for _ in range(n_iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            sums = np.zeros_like(C)
+            np.add.at(sums, assign, S)
+            counts = np.bincount(assign, minlength=k)
+            nonempty = counts > 0
+            C[nonempty] = sums[nonempty] / counts[nonempty, None]
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame, codebooks: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Map-only PQ encoding: per subspace, the nearest centroid's index —
+    ``m`` tinyint codes per vector, Arrow-batched (the codebooks ride the
+    UDF closure as a broadcast-sized constant; no shuffle at any scale)."""
+    m, k, dsub = codebooks.shape
+
+    @F.pandas_udf("array<tinyint>")
+    def enc(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy())
+        out = np.empty((X.shape[0], m), dtype=np.int8)
+        for j in range(m):
+            S = X[:, j * dsub : (j + 1) * dsub]
+            d2 = ((S[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = d2.argmin(axis=1).astype(np.int8)
+        return pd.Series(list(out))
+
+    return embeddings.select(
+        *[c for c in embeddings.columns if c != vec_col],
+        enc(F.col(vec_col)).alias("pq_codes"),
+    )
+
+
+def pq_decode_col(codes: Column, codebooks: np.ndarray) -> Column:
+    """Reconstructed vector from PQ codes: per-subspace centroid lookup,
+    concatenated — the decode half of the encode/decode pair."""
+    m, k, dsub = codebooks.shape
+
+    @F.pandas_udf("array<double>")
+    def dec(c: pd.Series) -> pd.Series:
+        C = np.stack(c.to_numpy()).astype(np.int64)
+        out = np.empty((C.shape[0], m * dsub))
+        for j in range(m):
+            out[:, j * dsub : (j + 1) * dsub] = codebooks[j][C[:, j]]
+        return pd.Series(list(out))
+
+    return dec(codes)
+
+
+def cosine_topk_pq(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k over PQ-reconstructed vectors:
+    train → encode → decode → the exact ranking kernel, mirroring the
+    int8 path so the quality gate is the same recall@k-vs-float check.
+    The scan-side payoff at scale is the code size (m bytes/vector); the
+    asymmetric-distance LUT variant would cut the decode flops too, at
+    the cost of a per-query table — the compression is the load-bearing
+    part and is what this certifies.
+    """
+    books = pq_train_codebooks(embeddings, m=m, k=k_codes)
+    approx = pq_encode(embeddings, books).select(
+        "vec_id", pq_decode_col(F.col("pq_codes"), books).alias("embedding")
+    )
+    return cosine_topk(approx, queries, k=k, round_digits=round_digits)

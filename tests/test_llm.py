@@ -508,3 +508,46 @@ def test_dedup_substrings_within_document_repeat(spark):
     # the repeat is entirely inside doc0: global occurrence count still >= 2
     assert out[0].n_spans == 2 and out[0].n_tokens_removed == 8
     assert out[1].n_dup_windows == 0
+
+
+def test_pq_codes_shape_determinism_and_recall(spark, sf_dir):
+    """Product quantization: codes are m tinyints regardless of
+    partitioning (bit-identical across repartitions — codebook training
+    is a seeded hash-order draw), and the reconstructed-vector top-k
+    recalls well above chance against the exact float path."""
+    from datalake2anomali_spark.llm.similarity import (
+        cosine_topk_pq,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    books = pq_train_codebooks(emb, m=8, k=16)
+    dim = len(emb.select("embedding").first()[0])
+    assert books.shape == (8, 16, dim // 8)
+
+    c1 = {r.vec_id: list(r.pq_codes) for r in pq_encode(emb, books).collect()}
+    c2 = {
+        r.vec_id: list(r.pq_codes)
+        for r in pq_encode(emb.repartition(7), books).collect()
+    }
+    assert c1 == c2
+    assert all(len(v) == 8 for v in c1.values())
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()}
+    # isotropic random embeddings are PQ's worst case (no correlation to
+    # exploit), so the quality gate uses the finer geometry: 16 subspaces
+    # of 4 dims x 64 centroids (measured 0.60; m=32/k=64 reaches 0.84,
+    # chance is ~1%)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_pq(emb, queries, m=16, k_codes=64, k=5).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"pq recall {recall}"
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train_codebooks(emb, m=7)

@@ -2,6 +2,12 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+Positional args select a query subset for targeted A/Bs (the full-run
+JSON contract is unchanged):
+
+    python bench.py decontaminate setsim_join     # just these two
+    python bench.py --repeat 3 decontaminate      # 3 warm passes each
 """
 
 from __future__ import annotations
@@ -131,8 +137,19 @@ def _raw_dedup_incremental(spark, sf):
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    args = sys.argv[1:]
+    repeat = 1
+    if "--repeat" in args:
+        i = args.index("--repeat")
+        repeat = int(args[i + 1])
+        args = args[:i] + args[i + 2 :]
     spark = get_spark("bench")
     qs = {**entrymod.queries(), **RAW_OPS}
+    if args:
+        unknown = [a for a in args if a not in qs]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}; known: {sorted(qs)}")
+        qs = {name: qs[name] for name in args}
     timings: dict[str, float] = {}
     # warm the JVM + parquet footers once so timings measure the queries
     entrymod.entry(spark).count()
@@ -157,7 +174,8 @@ def main() -> None:
     # comparability.
     warm_timings: dict[str, float] = {}
     run_idx = 0
-    for out, tag in ((timings, "cold"), (warm_timings, "warm")):
+    passes = [(timings, "cold")] + [(warm_timings, "warm")] * repeat
+    for out, tag in passes:
         for name, fn in qs.items():
             t0 = time.time()
             df = fn(spark, sf_dir)

@@ -39,11 +39,20 @@ def asof_join(
     right_payload: list[str] | None = None,
     suffix: str = "_r",
     tolerance_us: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, the newest right row with ``right.ts <= left.ts``.
+    """For each left row, the as-of matching right row on the same keys.
 
-    Left-join semantics: left rows with no prior right row keep nulls.  Right
-    payload columns come back suffixed (``<col><suffix>``), plus
+    ``direction`` selects the pandas ``merge_asof`` contract:
+    ``"backward"`` (default) matches the newest right row with
+    ``right.ts <= left.ts``; ``"forward"`` the oldest with
+    ``right.ts >= left.ts`` (the same union-and-carry plan traversed in
+    descending time); ``"nearest"`` the closer of the two, ties to
+    backward — both carries come from ONE shuffle (two sorts share the
+    key exchange).
+
+    Left-join semantics: left rows with no matching right row keep nulls.
+    Right payload columns come back suffixed (``<col><suffix>``), plus
     ``<ts_col><suffix>`` for the matched right timestamp.
 
     ``tolerance_us`` bounds the lookback: a match older than ``left.ts −
@@ -87,31 +96,72 @@ def asof_join(
         *[F.col(c) for c in lpay],
         F.lit(None).cast(rpay_type).alias("__rpay"),
     )
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
     unioned = lside.unionByName(rside)
-    w = (
-        W.partitionBy(*keys)
-        .orderBy(ts_col, "__side")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+
+    def _carried(desc: bool):
+        # at equal ts the right row (side 0) must precede the left row in
+        # traversal order for the inclusive <= / >= semantics — asc side
+        # works for both directions
+        order = [F.desc(ts_col) if desc else F.asc(ts_col), F.asc("__side")]
+        w = (
+            W.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return F.last("__rpay", ignorenulls=True).over(w)
+
+    picks = []
+    if direction != "forward":
+        picks.append(("__b", _carried(desc=False)))
+    if direction != "backward":
+        picks.append(("__f", _carried(desc=True)))
     carried = unioned.select(
         *keys,
         ts_col,
         "__side",
         *[F.col(c) for c in lpay],
-        F.last("__rpay", ignorenulls=True).over(w).alias("__rpay"),
+        *[c.alias(n) for n, c in picks],
     )
     lefts = carried.filter(F.col("__side") == 1)
+
+    # timestamp ts columns compare in integer µs; numeric ts columns
+    # (already epoch-µs longs) compare directly
+    ts_is_tstamp = isinstance(
+        left.schema[ts_col].dataType, (T.TimestampType, T.TimestampNTZType)
+    )
+
+    def _us(col: Column) -> Column:
+        return F.unix_micros(col) if ts_is_tstamp else col
+
+    lts_us = _us(F.col(ts_col))
     if tolerance_us is not None:
-        # timestamp ts columns compare in integer µs; numeric ts columns
-        # (already epoch-µs longs) compare directly
-        if isinstance(left.schema[ts_col].dataType, (T.TimestampType, T.TimestampNTZType)):
-            rts_us, lts_us = F.unix_micros(F.col("__rpay.__rts")), F.unix_micros(F.col(ts_col))
-        else:
-            rts_us, lts_us = F.col("__rpay.__rts"), F.col(ts_col)
-        in_bound = rts_us >= lts_us - F.lit(tolerance_us)
-        lefts = lefts.withColumn(
-            "__rpay", F.when(in_bound, F.col("__rpay")).otherwise(F.lit(None).cast(rpay_type))
-        )
+        if direction != "forward":
+            ok = _us(F.col("__b.__rts")) >= lts_us - F.lit(tolerance_us)
+            lefts = lefts.withColumn(
+                "__b", F.when(ok, F.col("__b")).otherwise(F.lit(None).cast(rpay_type))
+            )
+        if direction != "backward":
+            ok = _us(F.col("__f.__rts")) <= lts_us + F.lit(tolerance_us)
+            lefts = lefts.withColumn(
+                "__f", F.when(ok, F.col("__f")).otherwise(F.lit(None).cast(rpay_type))
+            )
+    if direction == "backward":
+        rp = F.col("__b")
+    elif direction == "forward":
+        rp = F.col("__f")
+    else:
+        bdist = lts_us - _us(F.col("__b.__rts"))
+        fdist = _us(F.col("__f.__rts")) - lts_us
+        rp = F.when(
+            F.col("__b").isNotNull()
+            & (F.col("__f").isNull() | (bdist <= fdist)),
+            F.col("__b"),
+        ).otherwise(F.col("__f"))
+    lefts = lefts.withColumn("__rpay", rp)
     return lefts.select(
         *keys,
         ts_col,

@@ -258,3 +258,57 @@ def test_state_at_times_half_open_intervals(spark):
         (200, 2): "x",
         (500, 2): "x",
     }
+
+
+def test_asof_join_forward_and_nearest(spark):
+    """direction='forward' matches the oldest right row at-or-after;
+    'nearest' picks the closer side with ties to backward; tolerance
+    applies per direction — pinned against hand-computed matches."""
+    from datalake2anomali_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 205, "b"), (1, 390, "c"), (2, 50, "d")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "r90"), (1, 200, "r200"), (1, 400, "r400")],
+        "k long, ts long, q string",
+    )
+
+    fwd = {
+        (r.k, r.ts): r.q_r
+        for r in asof_join(left, right, ["k"], direction="forward").collect()
+    }
+    assert fwd == {(1, 100): "r200", (1, 205): "r400", (1, 390): "r400", (2, 50): None}
+
+    near = {
+        (r.k, r.ts): r.q_r
+        for r in asof_join(left, right, ["k"], direction="nearest").collect()
+    }
+    # 100: b=90 (d10) vs f=200 (d100) -> r90; 205: b=200 (d5) vs f=400 -> r200
+    # 390: b=200 (d190) vs f=400 (d10) -> r400
+    assert near == {(1, 100): "r90", (1, 205): "r200", (1, 390): "r400", (2, 50): None}
+
+    # equal distance ties to backward
+    mid = spark.createDataFrame([(1, 300, "m")], "k long, ts long, tag string")
+    tie = asof_join(mid, right, ["k"], direction="nearest").collect()[0]
+    assert tie.q_r == "r200"  # 300 is 100 from both 200 and 400
+
+    # inclusive boundary: a right row at the same ts matches both directions
+    eq = spark.createDataFrame([(1, 200, "e")], "k long, ts long, tag string")
+    assert asof_join(eq, right, ["k"], direction="forward").collect()[0].q_r == "r200"
+    assert asof_join(eq, right, ["k"], direction="backward").collect()[0].q_r == "r200"
+
+    # tolerance: forward match farther than 50 nulls out
+    tol = {
+        (r.k, r.ts): r.q_r
+        for r in asof_join(
+            left, right, ["k"], direction="forward", tolerance_us=50
+        ).collect()
+    }
+    assert tol == {(1, 100): None, (1, 205): None, (1, 390): "r400", (2, 50): None}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, ["k"], direction="sideways")

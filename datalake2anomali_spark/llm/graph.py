@@ -560,3 +560,65 @@ def khop_features(
             F.coalesce("n_2hop", F.lit(0)).alias("n_2hop"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Nodes of the undirected k-core: the maximal subgraph where every
+    node has degree ≥ k — the standard graph-density filter (spam/bot
+    subnetworks, dense dedup neighborhoods) and the peeling primitive
+    under coreness decomposition.
+
+    Iterative peeling, the only shape that distributes: each round one
+    degree aggregate over the surviving edge set, one broadcast of the
+    (shrinking) victim set, two anti-joins to drop their incident edges,
+    and a ``localCheckpoint`` so round N's plan does not replay rounds
+    1..N−1 (the :func:`connected_components` discipline).  Rounds are
+    bounded by the graph's degeneracy peel depth, not its size; each
+    round's work is one shuffle over the remaining edges.  The driver
+    sees only 1-row counts and converges when a round removes nothing.
+
+    Returns (node, degree) for the surviving nodes (degree within the
+    core).  Raises after ``max_iter`` rounds — a bound far above any
+    real peel depth, the same refusal contract as the other iterative
+    operators here.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = (
+        fwd.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        deg = (
+            und.select(F.col("u").alias("node"))
+            .union(und.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        victims = deg.filter(F.col("degree") < k).select("node")
+        n_victims = victims.limit(1).count()
+        if n_victims == 0:
+            return deg
+        kept = (
+            und.join(
+                F.broadcast(victims.withColumnRenamed("node", "u")), "u", "left_anti"
+            )
+            .join(
+                F.broadcast(victims.withColumnRenamed("node", "v")), "v", "left_anti"
+            )
+            .localCheckpoint(eager=True)
+        )
+        und = kept
+        if und.limit(1).count() == 0:
+            # every edge peeled away: empty core with the right schema
+            return deg.filter(F.lit(False))
+    raise RuntimeError(f"k_core did not converge in {max_iter} peeling rounds")

@@ -321,3 +321,45 @@ def test_khop_max_degree_cap(spark):
 
     with pytest.raises(ValueError, match="on_hub"):
         khop_features(df, max_degree=5, on_hub="nope")
+
+
+def test_k_core_matches_python_peeling(spark):
+    """k-core equals the sequential peeling reference on a graph with a
+    clear core/periphery split; degrees are within-core; k too large
+    yields an empty result with the right schema."""
+    from datalake2anomali_spark.llm.graph import k_core
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]  # the 3-core
+    tail = [(0, 10), (10, 11), (11, 12), (2, 20)]  # pendant chain + leaf
+    tri = [(30, 31), (31, 32), (30, 32), (32, 0)]  # a 2-core triangle
+    edges = k4 + tail + tri
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    def py_core(es, k):
+        es = {tuple(sorted(e)) for e in es}
+        while True:
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            bad = {n for n, d in deg.items() if d < k}
+            if not bad:
+                return deg
+            es = {e for e in es if e[0] not in bad and e[1] not in bad}
+            if not es:
+                return {}
+
+    for k in (1, 2, 3):
+        want = py_core(edges, k)
+        got = {r.node: r.degree for r in k_core(df, k).collect()}
+        assert got == want, (k, got, want)
+    assert {r.node for r in k_core(df, 3).collect()} == {0, 1, 2, 3}
+
+    empty = k_core(df, 10)
+    assert empty.count() == 0
+    assert empty.columns == ["node", "degree"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must"):
+        k_core(df, 0)

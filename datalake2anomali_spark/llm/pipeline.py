@@ -355,3 +355,54 @@ def corpus_stats(docs: DataFrame) -> DataFrame:
             F.percentile("n_tokens", F.lit(0.5)).alias("median_tokens"),
         )
     )
+
+
+def weighted_sample_exact(
+    docs: DataFrame,
+    k: int,
+    weight: Column,
+    strata_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-size weighted sampling without replacement: ``k`` rows per
+    stratum (or globally), inclusion probability proportional to
+    ``weight`` — the sampler the percent-based :func:`stratified_sample`
+    cannot be when the spec says "exactly 10k docs per language, favor
+    high quality" (a rate sampler's output size is binomial, not fixed).
+
+    Efraimidis–Spirakis A-ES reduced to one expression + one top-k: each
+    row draws ``u ∈ (0,1)`` DETERMINISTICALLY from ``md5(id)`` (identical
+    across retries, partitionings, and engines — the module's standing
+    rule; ``rand()`` is none of those) and ranks by the reservoir key
+    ``ln(u)/w`` descending, which realizes exactly the
+    weight-proportional without-replacement distribution (Efraimidis &
+    Spirakis, IPL 2006).  Selection is the standard top-k-per-group
+    window — one shuffle on the stratum — and the identical formula runs
+    in any SQL engine, so the oracle can replay the draw bit-for-bit.
+
+    Rows with non-positive or NULL weight are excluded (they cannot be
+    drawn).  Output: the sampled rows plus their ``_es_key`` (exposed so
+    downstream audits can verify the draw).
+    """
+    from pyspark.sql import Window
+
+    # u in (0,1) from the id's md5: 12 hex chars -> 48 uniform bits, +1 so
+    # u is never exactly 0 (ln(0) = -inf would break the key)
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**12 + 1))
+    key = F.log(u) / weight
+    scoped = docs.filter(weight.isNotNull() & (weight > 0)).withColumn(
+        "_es_key", key
+    )
+    parts = [strata_col] if strata_col else []
+    w = Window.partitionBy(*parts).orderBy(
+        F.desc("_es_key"), F.asc(id_col)
+    )
+    return (
+        scoped.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -162,3 +162,41 @@ def test_mixture_sample_rebalances_and_is_deterministic(spark):
     assert out.unpersist().exceptAll(again).count() == 0
     with pytest.raises(ValueError):
         mixture_sample(df, alpha=0.9)
+
+
+def test_weighted_sample_exact_size_and_bias(spark, sf_dir):
+    """A-ES sampling: exactly k rows per stratum, deterministic across
+    partitionings, weight-biased (high-weight rows overrepresented vs
+    their population share), and zero/NULL weights never drawn."""
+    from pyspark.sql import functions as F
+
+    from datalake2anomali_spark.io.tables import load_table
+    from datalake2anomali_spark.llm.pipeline import weighted_sample_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    wt = F.when(F.col("doc_id") % 10 == 0, F.lit(50.0)).otherwise(F.lit(1.0))
+    k = 20
+
+    s1 = weighted_sample_exact(docs, k, wt, strata_col="lang")
+    sizes = {r.lang: r.n for r in s1.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    pop = {r.lang: r.n for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    for lang, n in sizes.items():
+        assert n == min(k, pop[lang]), (lang, n)
+
+    # deterministic: identical ids under any partitioning
+    ids1 = sorted(r.doc_id for r in s1.select("doc_id").collect())
+    s2 = weighted_sample_exact(docs.repartition(13), k, wt, strata_col="lang")
+    assert ids1 == sorted(r.doc_id for r in s2.select("doc_id").collect())
+
+    # weight bias: doc_id%10==0 is 10% of the population but 50x-weighted,
+    # so its sample share must be far above 10%
+    n_hot = sum(1 for d in ids1 if d % 10 == 0)
+    assert n_hot / len(ids1) > 0.3, n_hot / len(ids1)
+
+    # excluded weights can never be drawn
+    wt0 = F.when(F.col("doc_id") % 2 == 0, F.lit(None).cast("double")).otherwise(
+        F.when(F.col("doc_id") % 3 == 0, F.lit(0.0)).otherwise(F.lit(1.0))
+    )
+    s3 = weighted_sample_exact(docs, 50, wt0)
+    bad = s3.filter((F.col("doc_id") % 2 == 0) | (F.col("doc_id") % 3 == 0))
+    assert bad.count() == 0

@@ -575,3 +575,153 @@ def cosine_topk_pq(
         "vec_id", pq_decode_col(F.col("pq_codes"), books).alias("embedding")
     )
     return cosine_topk(approx, queries, k=k, round_digits=round_digits)
+
+
+def ivfpq_encode(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+) -> DataFrame:
+    """IVF-PQ index rows: (vec_id, cell, pq_codes, recon_norm) — each
+    vector's coarse cell plus the PQ codes of its RESIDUAL against that
+    cell's centroid (residuals are much smaller than raw vectors, so the
+    same code budget quantizes far tighter — the FAISS IVFPQ design),
+    and the reconstruction's L2 norm precomputed so ADC scoring below
+    needs no decode.  Map-only, Arrow-batched."""
+    m, kc, dsub = codebooks.shape
+
+    @F.pandas_udf("struct<cell:int, pq_codes:array<tinyint>, recon_norm:double>")
+    def enc(v: pd.Series) -> pd.DataFrame:
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        Cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+        cell = (Xn @ Cn.T).argmax(axis=1)
+        R = X - centroids[cell]
+        codes = np.empty((X.shape[0], m), dtype=np.int8)
+        recon = np.empty_like(X)
+        for j in range(m):
+            S = R[:, j * dsub : (j + 1) * dsub]
+            d2 = ((S[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+            cj = d2.argmin(axis=1)
+            codes[:, j] = cj.astype(np.int8)
+            recon[:, j * dsub : (j + 1) * dsub] = codebooks[j][cj]
+        recon += centroids[cell]
+        norms = np.linalg.norm(recon, axis=1)
+        return pd.DataFrame(
+            {
+                "cell": cell.astype(np.int32),
+                "pq_codes": list(codes),
+                "recon_norm": norms,
+            }
+        )
+
+    out = embeddings.select("vec_id", enc(F.col("embedding")).alias("_ix"))
+    return out.select(
+        "vec_id",
+        F.col("_ix.cell").alias("cell"),
+        F.col("_ix.pq_codes").alias("pq_codes"),
+        F.col("_ix.recon_norm").alias("recon_norm"),
+    )
+
+
+def ann_ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 16,
+    k_codes: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-PQ search with asymmetric distance (ADC): the full FAISS-shape
+    composition of the coarse quantizer and the residual product codes.
+
+    Query side: probe the ``nprobe`` nearest cells; per (query, cell)
+    the scorer builds the m×k_codes lookup table of
+    ``q_subvector · codebook_entry`` once, so each candidate costs ``m``
+    table lookups + adds — never a decode, never a full-dimension dot:
+
+        q·x̂ = q·C[cell] + Σ_j LUT_j[code_j],  cos = q·x̂ / (|q|·|x̂|)
+
+    with ``|x̂|`` precomputed at index time.  Candidate generation is the
+    same broadcast cell equi-join as :func:`ann_ivf_topk` — at 100 TB the
+    index is written bucketed by cell and a probe is a partition-pruned
+    scan over m-byte codes instead of full vectors (the memory-bandwidth
+    win that makes billion-scale ANN feasible).  Determinism: the LUT
+    sums are fixed-order numpy reductions per row and the final ranking
+    rounds before ordering, same contract as every ANN path here.
+    """
+    C = ivf_train_centroids(embeddings, n_cells, n_iters=2)
+    # train PQ on residuals against each vector's own cell centroid
+    cell_assign = _spread(embeddings).select(
+        "vec_id", "embedding", ivf_cell_col(F.col("embedding"), C).alias("cell")
+    )
+
+    @F.pandas_udf("array<double>")
+    def resid(v: pd.Series, c: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        R = X - C[c.to_numpy().astype(np.int64)]
+        return pd.Series(list(R))
+
+    residuals = cell_assign.select(
+        "vec_id", resid(F.col("embedding"), F.col("cell")).alias("embedding")
+    )
+    books = pq_train_codebooks(residuals, m=m, k=k_codes)
+
+    index = ivfpq_encode(embeddings, C, books)
+    probes = queries.select(
+        "query_id",
+        "query_vec",
+        F.explode(
+            ivf_probe_cells_col(F.col("query_vec"), C, nprobe)
+        ).alias("cell"),
+    )
+    cands = index.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    mm, kc, dsub = books.shape
+
+    @F.pandas_udf("double")
+    def adc_sim(
+        q: pd.Series, cell: pd.Series, codes: pd.Series, rnorm: pd.Series
+    ) -> pd.Series:
+        Q = np.stack(q.to_numpy()).astype(np.float64)
+        cells = cell.to_numpy().astype(np.int64)
+        Cd = np.stack(codes.to_numpy()).astype(np.int64)
+        norms = rnorm.to_numpy().astype(np.float64)
+        out = np.empty(len(Q))
+        # one LUT per distinct query in the batch (exact byte-identity
+        # grouping — a hashed float key could collide); queries are few,
+        # candidates are many
+        groups: dict[bytes, list[int]] = {}
+        for i in range(len(Q)):
+            groups.setdefault(Q[i].tobytes(), []).append(i)
+        for qbytes, idxs in groups.items():
+            qv = np.frombuffer(qbytes, dtype=np.float64)
+            lut = np.empty((mm, kc))
+            for j in range(mm):
+                lut[j] = books[j] @ qv[j * dsub : (j + 1) * dsub]
+            qnorm = max(np.linalg.norm(qv), 1e-12)
+            qdotC = C @ qv
+            sub = np.asarray(idxs)
+            dots = qdotC[cells[sub]] + lut[
+                np.arange(mm)[None, :], Cd[sub]
+            ].sum(axis=1)
+            out[sub] = dots / (qnorm * np.maximum(norms[sub], 1e-12))
+        return pd.Series(out)
+
+    sim = F.round(
+        adc_sim(
+            F.col("query_vec"), F.col("cell"), F.col("pq_codes"), F.col("recon_norm")
+        ),
+        round_digits,
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        cands.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "sim")
+    )

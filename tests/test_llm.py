@@ -551,3 +551,34 @@ def test_pq_codes_shape_determinism_and_recall(spark, sf_dir):
 
     with pytest.raises(ValueError, match="not divisible"):
         pq_train_codebooks(emb, m=7)
+
+
+def test_ivfpq_adc_recall_and_determinism(spark, sf_dir):
+    """IVF-PQ with ADC: recall well above chance against the exact float
+    path (bounded by the nprobe ceiling the flat IVF shares), and the
+    result is identical across input partitionings — training, encoding
+    and the LUT sums are all deterministic."""
+    from datalake2anomali_spark.llm.similarity import ann_ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()}
+    got1 = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.sim)
+        for r in ann_ivfpq_topk(
+            emb, queries, k=5, n_cells=16, nprobe=6, m=32, k_codes=64
+        ).collect()
+    )
+    approx = {(q, n) for q, _rk, n, _s in got1}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.4, f"ivfpq recall {recall}"  # chance ~1%
+
+    got2 = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.sim)
+        for r in ann_ivfpq_topk(
+            emb.repartition(9), queries, k=5, n_cells=16, nprobe=6, m=32, k_codes=64
+        ).collect()
+    )
+    assert got1 == got2

@@ -622,3 +622,86 @@ def k_core(
             # every edge peeled away: empty core with the right schema
             return deg.filter(F.lit(False))
     raise RuntimeError(f"k_core did not converge in {max_iter} peeling rounds")
+
+
+def coreness(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 200,
+) -> DataFrame:
+    """Per-node coreness: the largest k such that the node survives in
+    the k-core — the standard graph-centrality feature between degree
+    (too local) and PageRank (too global), and the full decomposition
+    :func:`k_core` is one slice of.
+
+    Distributed peeling at the running minimum degree: each round takes
+    ``k = min degree`` over the remaining graph, peels EVERY node at
+    that degree (repeating at the same k until none remain — peeling can
+    drop other nodes down to k), labels the peeled nodes with coreness
+    ``k``, and continues on the shrunken graph.  Rounds are bounded by
+    the degeneracy times the per-level cascade depth — small for real
+    graphs — with the per-round localCheckpoint discipline of the other
+    iterative operators.  Isolated-after-peeling nodes inherit the k
+    they were peeled at; returns (node, coreness) for every node with at
+    least one edge.
+    """
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = (
+        fwd.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    out_parts: list[DataFrame] = []
+    k = 0
+    for _ in range(max_rounds):
+        deg = (
+            und.select(F.col("u").alias("node"))
+            .union(und.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .localCheckpoint(eager=True)
+        )
+        row = deg.agg(F.min("degree"), F.count(F.lit(1))).collect()[0]
+        if row[1] == 0 or row[1] is None:
+            break
+        if row[0] is None:
+            break
+        k = max(k, int(row[0]))
+        victims = deg.filter(F.col("degree") <= k).select("node")
+        if victims.limit(1).count() == 0:
+            break
+        out_parts.append(
+            victims.select("node", F.lit(k).alias("coreness")).localCheckpoint(
+                eager=True
+            )
+        )
+        und = (
+            und.join(
+                F.broadcast(victims.withColumnRenamed("node", "u")),
+                "u",
+                "left_anti",
+            )
+            .join(
+                F.broadcast(victims.withColumnRenamed("node", "v")),
+                "v",
+                "left_anti",
+            )
+            .localCheckpoint(eager=True)
+        )
+        if und.limit(1).count() == 0:
+            break
+    else:
+        raise RuntimeError(f"coreness did not converge in {max_rounds} rounds")
+    # nodes whose last edges were peeled away without being victims
+    # themselves were peeled implicitly at the current k... they ARE
+    # victims (degree ≤ k once their neighbors left), so out_parts covers
+    # every edged node; the union below just stitches the levels
+    if not out_parts:
+        return spark.createDataFrame([], "node long, coreness int")
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -363,3 +363,40 @@ def test_k_core_matches_python_peeling(spark):
 
     with _pytest.raises(ValueError, match="k must"):
         k_core(df, 0)
+
+
+def test_coreness_matches_python_reference(spark):
+    """Full decomposition equals sequential min-degree peeling, and each
+    level equals k_core membership differences."""
+    from datalake2anomali_spark.llm.graph import coreness, k_core
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    tail = [(0, 10), (10, 11), (11, 12), (2, 20)]
+    tri = [(30, 31), (31, 32), (30, 32), (32, 0)]
+    edges = k4 + tail + tri
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    def py_coreness(es):
+        es = {tuple(sorted(e)) for e in es}
+        core = {}
+        k = 0
+        while es:
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            k = max(k, min(deg.values()))
+            victims = {n for n, d in deg.items() if d <= k}
+            for n in victims:
+                core[n] = k
+            es = {e for e in es if e[0] not in victims and e[1] not in victims}
+        return core
+
+    want = py_coreness(edges)
+    got = {r.node: r.coreness for r in coreness(df).collect()}
+    assert got == want, (got, want)
+
+    # consistency with k_core: nodes with coreness >= k are exactly the k-core
+    for k in (1, 2, 3):
+        in_core = {r.node for r in k_core(df, k).collect()}
+        assert in_core == {n for n, c in want.items() if c >= k}, k

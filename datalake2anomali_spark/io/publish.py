@@ -413,14 +413,8 @@ def init_table(
     df.write.mode("overwrite").partitionBy(partition_col).parquet(vdir)
     spark.catalog.refreshByPath(vdir)
     counts = _written_partition_counts(spark, vdir, partition_col)
-    raw_parts = list(counts)
-    if any(p is None for p in raw_parts):
-        raise ValueError(
-            "versioned tables require non-NULL partition values: the "
-            "manifest is string-keyed and the pruned read cannot express "
-            "the __HIVE_DEFAULT_PARTITION__ sentinel"
-        )
-    parts = [str(p) for p in raw_parts]
+    _require_non_null_partitions(counts)
+    parts = [str(p) for p in counts]
     manifest = {
         "version": v,
         "partitions": {p: v for p in sorted(parts)},
@@ -611,65 +605,11 @@ def merge_into_versioned(
     spark.catalog.refreshByPath(vdir)
 
     raw_affected = [r[0] for r in affected.collect()]
-    if any(v is None for v in raw_affected):
-        raise ValueError(
-            "versioned tables require non-NULL partition values: the "
-            "manifest is string-keyed and the pruned read cannot express "
-            "the __HIVE_DEFAULT_PARTITION__ sentinel"
-        )
-    affected_vals = {str(v) for v in raw_affected}
-    written_counts = {
-        str(p): n
-        for p, n in _written_partition_counts(spark, vdir, partition_col).items()
-    }
-    written_vals = set(written_counts)
-    parts = {
-        p: ver
-        for p, ver in manifest["partitions"].items()
-        if p not in affected_vals  # untouched partitions keep their version
-    }
-    parts.update({p: v for p in written_vals})  # rewritten + new partitions
-    # affected-but-unwritten partitions were emptied: simply absent now
-    rows = {
-        p: n
-        for p, n in manifest.get("rows", {}).items()
-        if p not in affected_vals
-    }
-    rows.update(written_counts)
-    new_manifest = {
-        "version": v,
-        "partitions": parts,
-        "operation": "merge",
-        **(
-            {"constraints": manifest["constraints"]}
-            if "constraints" in manifest
-            else {}
-        ),
-        "schema": _schema_record(merged),
-        "rows": {p: rows[p] for p in parts if p in rows},
-    }
-    old_stats = manifest.get("stats")
-    if old_stats:
-        # zone maps follow the same ownership rules: untouched keep theirs,
-        # rewritten/new recompute from the fresh version dir, emptied drop
-        stats_cols = sorted(next(iter(old_stats.values())).keys())
-        kept = {
-            p: st for p, st in old_stats.items() if p not in affected_vals
-        }
-        kept.update(_partition_stats(spark, vdir, partition_col, stats_cols))
-        new_manifest["stats"] = {p: kept[p] for p in parts if p in kept}
-    old_blooms = manifest.get("bloom")
-    if old_blooms:
-        # same ownership rules as the zone maps
-        bloom_cols = sorted(next(iter(old_blooms.values())).keys())
-        keptb = {
-            p: bm for p, bm in old_blooms.items() if p not in affected_vals
-        }
-        keptb.update(_partition_blooms(spark, vdir, partition_col, bloom_cols))
-        new_manifest["bloom"] = {p: keptb[p] for p in parts if p in keptb}
-    if commit_hook is not None:
-        commit_hook()
-    _commit_checked(root, new_manifest, manifest["version"])
+    _require_non_null_partitions(raw_affected)
+    _commit_ownership_rewrite(
+        spark, root, manifest, v, vdir, partition_col,
+        {str(x) for x in raw_affected}, "merge", merged, commit_hook,
+    )
     return v
 
 
@@ -826,59 +766,11 @@ def cdc_apply_versioned(
     spark.catalog.refreshByPath(vdir)
 
     raw_affected = [r[0] for r in affected.collect()]
-    affected_vals = {str(x) for x in raw_affected}
-    try:
-        written_counts = {
-            str(p): n
-            for p, n in _written_partition_counts(
-                spark, vdir, partition_col
-            ).items()
-        }
-    except Exception:
-        written_counts = {}
-    written_vals = set(written_counts)
-    parts = {
-        p: ver
-        for p, ver in manifest["partitions"].items()
-        if p not in affected_vals
-    }
-    parts.update({p: v for p in written_vals})
-    rows = {
-        p: n
-        for p, n in manifest.get("rows", {}).items()
-        if p not in affected_vals
-    }
-    rows.update(written_counts)
-    new_manifest = {
-        "version": v,
-        "partitions": parts,
-        "operation": "cdc_apply",
-        "schema": _schema_record(merged),
-        "rows": {p: rows[p] for p in parts if p in rows},
-    }
-    if "constraints" in manifest:
-        new_manifest["constraints"] = manifest["constraints"]
-    old_stats = manifest.get("stats")
-    if old_stats and written_vals:
-        stats_cols = sorted(next(iter(old_stats.values())).keys())
-        kept = {p: st for p, st in old_stats.items() if p not in affected_vals}
-        kept.update(_partition_stats(spark, vdir, partition_col, stats_cols))
-        new_manifest["stats"] = {p: kept[p] for p in parts if p in kept}
-    elif old_stats:
-        new_manifest["stats"] = {
-            p: st for p, st in old_stats.items() if p in parts
-        }
-    old_blooms = manifest.get("bloom")
-    if old_blooms and written_vals:
-        bloom_cols = sorted(next(iter(old_blooms.values())).keys())
-        keptb = {p: bm for p, bm in old_blooms.items() if p not in affected_vals}
-        keptb.update(_partition_blooms(spark, vdir, partition_col, bloom_cols))
-        new_manifest["bloom"] = {p: keptb[p] for p in parts if p in keptb}
-    elif old_blooms:
-        new_manifest["bloom"] = {
-            p: bm for p, bm in old_blooms.items() if p in parts
-        }
-    _commit_checked(root, new_manifest, manifest["version"])
+    _require_non_null_partitions(raw_affected)
+    _commit_ownership_rewrite(
+        spark, root, manifest, v, vdir, partition_col,
+        {str(x) for x in raw_affected}, "cdc_apply", merged,
+    )
     return v
 
 
@@ -919,62 +811,10 @@ def delete_from_versioned(
     vdir = version_dir(root, v)
     survivors.write.mode("overwrite").partitionBy(partition_col).parquet(vdir)
     spark.catalog.refreshByPath(vdir)
-    try:
-        written_counts = {
-            str(p): n
-            for p, n in _written_partition_counts(
-                spark, vdir, partition_col
-            ).items()
-        }
-    except Exception:
-        written_counts = {}  # every affected partition fully emptied
-    written_vals = set(written_counts)
-
-    parts = {
-        p: ver
-        for p, ver in manifest["partitions"].items()
-        if p not in affected_vals
-    }
-    parts.update({p: v for p in written_vals})
-    rows = {
-        p: n
-        for p, n in manifest.get("rows", {}).items()
-        if p not in affected_vals
-    }
-    rows.update(written_counts)
-    new_manifest = {
-        "version": v,
-        "partitions": parts,
-        "operation": "delete",
-        **(
-            {"constraints": manifest["constraints"]}
-            if "constraints" in manifest
-            else {}
-        ),
-        "schema": _schema_record(survivors),
-        "rows": {p: rows[p] for p in parts if p in rows},
-    }
-    old_stats = manifest.get("stats")
-    if old_stats and written_vals:
-        stats_cols = sorted(next(iter(old_stats.values())).keys())
-        kept = {p: st for p, st in old_stats.items() if p not in affected_vals}
-        kept.update(_partition_stats(spark, vdir, partition_col, stats_cols))
-        new_manifest["stats"] = {p: kept[p] for p in parts if p in kept}
-    elif old_stats:
-        new_manifest["stats"] = {
-            p: st for p, st in old_stats.items() if p in parts
-        }
-    old_blooms = manifest.get("bloom")
-    if old_blooms and written_vals:
-        bloom_cols = sorted(next(iter(old_blooms.values())).keys())
-        keptb = {p: bm for p, bm in old_blooms.items() if p not in affected_vals}
-        keptb.update(_partition_blooms(spark, vdir, partition_col, bloom_cols))
-        new_manifest["bloom"] = {p: keptb[p] for p in parts if p in keptb}
-    elif old_blooms:
-        new_manifest["bloom"] = {
-            p: bm for p, bm in old_blooms.items() if p in parts
-        }
-    _commit_checked(root, new_manifest, manifest["version"])
+    _commit_ownership_rewrite(
+        spark, root, manifest, v, vdir, partition_col,
+        affected_vals, "delete", survivors,
+    )
     return v
 
 
@@ -1133,6 +973,87 @@ def vacuum(
             except FileNotFoundError:
                 pass
     return sorted(removed)
+
+
+def _require_non_null_partitions(vals) -> None:
+    if any(v is None for v in vals):
+        raise ValueError(
+            "versioned tables require non-NULL partition values: the "
+            "manifest is string-keyed and the pruned read cannot express "
+            "the __HIVE_DEFAULT_PARTITION__ sentinel"
+        )
+
+
+def _commit_ownership_rewrite(
+    spark: SparkSession,
+    root: str,
+    manifest: dict,
+    v: int,
+    vdir: str,
+    partition_col: str,
+    affected_vals: set[str],
+    operation: str,
+    schema_df: DataFrame,
+    commit_hook=None,
+) -> None:
+    """Shared commit tail for every copy-on-write DML path (MERGE /
+    DELETE / CDC apply): discover the written partitions with their row
+    counts (one scan), apply the ownership rules — untouched partitions
+    keep their version, rewritten/new take ``v``, affected-but-unwritten
+    (emptied) drop — and maintain rows / zone maps / bloom filters /
+    constraints / schema under those same rules before the checked
+    commit.  Keeping this in one place is what stops the three DML
+    writers from drifting apart."""
+    try:
+        written_counts = {
+            str(p): n
+            for p, n in _written_partition_counts(
+                spark, vdir, partition_col
+            ).items()
+        }
+    except Exception:
+        written_counts = {}  # every affected partition fully emptied
+    written_vals = set(written_counts)
+    parts = {
+        p: ver
+        for p, ver in manifest["partitions"].items()
+        if p not in affected_vals  # untouched partitions keep their version
+    }
+    parts.update({p: v for p in written_vals})  # rewritten + new partitions
+    rows = {
+        p: n
+        for p, n in manifest.get("rows", {}).items()
+        if p not in affected_vals
+    }
+    rows.update(written_counts)
+    new_manifest = {
+        "version": v,
+        "partitions": parts,
+        "operation": operation,
+        "schema": _schema_record(schema_df),
+        "rows": {p: rows[p] for p in parts if p in rows},
+    }
+    if "constraints" in manifest:
+        new_manifest["constraints"] = manifest["constraints"]
+    old_stats = manifest.get("stats")
+    if old_stats:
+        # zone maps follow the ownership rules: untouched keep theirs,
+        # rewritten/new recompute from the fresh version dir, emptied drop
+        stats_cols = sorted(next(iter(old_stats.values())).keys())
+        kept = {p: st for p, st in old_stats.items() if p not in affected_vals}
+        if written_vals:
+            kept.update(_partition_stats(spark, vdir, partition_col, stats_cols))
+        new_manifest["stats"] = {p: kept[p] for p in parts if p in kept}
+    old_blooms = manifest.get("bloom")
+    if old_blooms:
+        bloom_cols = sorted(next(iter(old_blooms.values())).keys())
+        keptb = {p: bm for p, bm in old_blooms.items() if p not in affected_vals}
+        if written_vals:
+            keptb.update(_partition_blooms(spark, vdir, partition_col, bloom_cols))
+        new_manifest["bloom"] = {p: keptb[p] for p in parts if p in keptb}
+    if commit_hook is not None:
+        commit_hook()
+    _commit_checked(root, new_manifest, manifest["version"])
 
 
 class TableFollower:

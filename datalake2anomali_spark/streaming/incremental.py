@@ -888,3 +888,54 @@ FROM events
 GROUP BY 1
 ORDER BY 1
 """
+
+
+def stream_enrich_with_table(
+    spark: SparkSession,
+    src_path: str,
+    table_root: str,
+    partition_col: str,
+    join_keys: list[str],
+    out_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """One availableNow tick of stream enrichment against a SLOWLY
+    CHANGING dimension stored as a versioned table: every micro-batch
+    re-resolves the table's CURRENT snapshot inside ``foreachBatch``, so
+    a MERGE landing between ticks takes effect on the next batch — the
+    stream–static join freshness contract Spark gives file sources,
+    extended to the ACID table (whose snapshot read is driver-planned
+    and would otherwise be frozen at stream start).
+
+    The join inherits read_snapshot's partition-pruned scans; the dim
+    refresh costs one manifest read per batch, not per row.  Left join:
+    stream rows with no dim match pass through with NULLs (the enrich
+    contract — losing unmatched facts would silently drop data).
+    Appended output is at-least-once under replay like any foreachBatch
+    sink; route through :func:`exactly_once_batch` when that matters.
+    """
+    from ..io.publish import read_snapshot
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        dim = read_snapshot(sp, table_root, partition_col)
+        batch_df.join(F.broadcast(dim), join_keys, "left").write.mode(
+            "append"
+        ).parquet(out_path)
+
+    stream = read_events_stream(spark, src_path)
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import time as _time
+
+    deadline = _time.monotonic() + 30.0
+    while (
+        any(a.id == q.id for a in spark.streams.active)
+        and _time.monotonic() < deadline
+    ):
+        _time.sleep(0.02)

@@ -832,3 +832,60 @@ def test_full_outer_interval_join_matches_cutoff_oracle(spark, sf_dir):
         tuple(r) for r in matched.unionByName(un_click).unionByName(un_err).collect()
     )
     assert got == want
+
+
+def test_stream_enrich_sees_dim_updates_between_ticks(spark, sf_dir, tmp_path):
+    """Each micro-batch joins the versioned dim's CURRENT snapshot: a
+    MERGE landing between ticks changes the enrichment of the next tick
+    only, and unmatched stream rows pass through with NULLs."""
+    from pyspark.sql import functions as F
+
+    from datalake2anomali_spark.io.publish import (
+        init_table,
+        merge_into_versioned,
+    )
+    from datalake2anomali_spark.io.tables import load_table
+    from datalake2anomali_spark.streaming.incremental import (
+        stream_enrich_with_table,
+    )
+
+    dim_root = str(tmp_path / "dim")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    users = spark.createDataFrame(
+        [(u, "bronze", f"seg{u % 3}") for u in range(1, 40)],
+        "user_id long, tier string, segment string",
+    )
+    init_table(spark, users, dim_root, "segment")
+
+    e = load_table(spark, sf_dir, "events").limit(200)
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    stream_enrich_with_table(
+        spark, src, dim_root, "segment", ["user_id"], out, ckpt
+    )
+    first = spark.read.parquet(out)
+    assert first.filter(F.col("user_id") <= 39).filter(
+        F.col("tier") != "bronze"
+    ).count() == 0
+    assert first.filter(F.col("user_id") > 39).filter(
+        F.col("tier").isNotNull()
+    ).count() == 0  # unmatched passes through with NULLs
+
+    # dim update lands between ticks
+    upd = users.withColumn("tier", F.lit("gold"))
+    merge_into_versioned(spark, dim_root, upd, ["user_id"], "segment")
+
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    spark.catalog.refreshByPath(src)
+    stream_enrich_with_table(
+        spark, src, dim_root, "segment", ["user_id"], out, ckpt
+    )
+    spark.catalog.refreshByPath(out)
+    both = spark.read.parquet(out)
+    tick1 = both.filter(F.col("event_id") % 2 == 0).filter(F.col("user_id") <= 39)
+    tick2 = both.filter(F.col("event_id") % 2 == 1).filter(F.col("user_id") <= 39)
+    assert tick1.filter(F.col("tier") != "bronze").count() == 0  # frozen history
+    assert tick2.filter(F.col("tier") != "gold").count() == 0  # fresh snapshot
+    assert tick2.count() > 0

@@ -486,6 +486,25 @@ _vt_op = st.one_of(
     st.tuples(st.just("delete"), st.integers(min_value=0, max_value=2)),
     st.tuples(st.just("compact"), st.none()),
     st.tuples(st.just("restore"), st.none()),
+    st.tuples(
+        st.just("cdc"),
+        st.tuples(
+            st.lists(  # upserts
+                st.tuples(
+                    st.integers(min_value=0, max_value=25),
+                    st.integers(min_value=0, max_value=2),
+                    st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+                ),
+                min_size=0,
+                max_size=5,
+                unique_by=lambda t: t[0],
+            ),
+            st.lists(  # delete keys
+                st.integers(min_value=0, max_value=25), min_size=0, max_size=5,
+                unique=True,
+            ),
+        ),
+    ),
 )
 
 
@@ -552,6 +571,26 @@ def test_versioned_table_model_based(spark, tmp_path_factory, init_rows, ops):
             expected_ops.append("delete")
             if not model:
                 break  # empty table: read_snapshot legitimately raises
+        elif kind == "cdc":
+            ups, del_keys = arg
+            if not ups and not del_keys:
+                continue
+            ups_df = df_of(ups).withColumn("_op", F.lit("upsert"))
+            dels_df = df_of(
+                [(kk, 0, None) for kk in del_keys]
+            ).withColumn("_op", F.lit("delete"))
+            batch = ups_df.unionByName(dels_df)
+            # commits only when it affects something; an all-miss delete
+            # with no upserts still claims+commits (rewrite of nothing)
+            from datalake2anomali_spark.io.publish import cdc_apply_versioned
+
+            cdc_apply_versioned(spark, root, batch, ["k"], "part")
+            model.update({kk: (f"p{p}", vv) for kk, p, vv in ups})
+            for kk in del_keys:
+                model.pop(kk, None)  # upsert+delete same key -> deleted
+            expected_ops.append("cdc_apply")
+            if not model:
+                break
         elif kind == "compact":
             compact_versioned(spark, root, "part", "k")
             expected_ops.append("optimize")

@@ -8,6 +8,9 @@ JSON contract is unchanged):
 
     python bench.py decontaminate setsim_join     # just these two
     python bench.py --repeat 3 decontaminate      # 3 warm passes each
+
+With --repeat, "queries_warm" reports the LAST warm pass — the most
+steady-state one — not an average.
 """
 
 from __future__ import annotations

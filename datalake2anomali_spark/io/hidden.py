@@ -125,6 +125,21 @@ def may_match(spec: list, pval: str, predicate: tuple) -> bool:
     raise ValueError(f"unknown predicate kind {predicate[0]!r}")
 
 
+def _require_utc_for_time_transform(spark: SparkSession, spec: list) -> None:
+    """days/hours pruning computes partition bounds in UTC while the
+    writer renders partition values in the SESSION timezone; under any
+    other timezone may_match would wrongly reject partitions and drop
+    rows — refuse loudly instead (the project session pins UTC)."""
+    if spec[0] in ("days", "hours"):
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT"):
+            raise ValueError(
+                f"time partition transforms require a UTC session "
+                f"(spark.sql.session.timeZone={tz!r}); pruning bounds are "
+                "computed in UTC and would diverge from the written layout"
+            )
+
+
 def init_hidden_table(
     spark: SparkSession,
     df: DataFrame,
@@ -136,6 +151,7 @@ def init_hidden_table(
     ``spec`` (e.g. ``["days", "ts"]``, ``["bucket", 16, "user_id"]``,
     ``["truncate", 100, "event_id"]``).  The derived column never leaks
     into reads."""
+    _require_utc_for_time_transform(spark, list(spec))
     os.makedirs(root, exist_ok=True)
     with open(os.path.join(root, SPEC_FILE), "w", encoding="utf-8") as fh:
         json.dump(list(spec), fh)
@@ -203,6 +219,7 @@ def read_hidden(
     is I/O advice, never semantics — and the hidden column is dropped.
     """
     spec = read_spec(root)
+    _require_utc_for_time_transform(spark, spec)
     pf = None
     if predicate is not None:
         pf = lambda pval: may_match(spec, pval, predicate)  # noqa: E731

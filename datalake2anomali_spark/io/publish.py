@@ -211,6 +211,14 @@ def _commit_lock(root: str):
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.close(fd)
+            # reclaim renamed-away stale locks from past steals
+            base = os.path.basename(path)
+            for name in os.listdir(root):
+                if name.startswith(base + ".stale."):
+                    try:
+                        os.unlink(os.path.join(root, name))
+                    except FileNotFoundError:
+                        pass
             return path
         except FileExistsError:
             try:
@@ -218,10 +226,17 @@ def _commit_lock(root: str):
             except FileNotFoundError:
                 continue  # released between our attempts
             if age > _LOCK_TTL_SECONDS:
+                # atomic steal: rename the stale lock to a unique name —
+                # exactly ONE waiter wins the rename; a plain unlink here
+                # would let a second waiter delete the winner's FRESH lock
+                # (stat-then-unlink TOCTOU) and both would enter the
+                # critical section
+                import uuid as _uuid
+
                 try:
-                    os.unlink(path)  # crashed committer; steal
-                except FileNotFoundError:
-                    pass
+                    os.rename(path, f"{path}.stale.{_uuid.uuid4().hex}")
+                except (FileNotFoundError, OSError):
+                    pass  # someone else stole it first
                 continue
             if time.monotonic() > deadline:
                 raise RuntimeError(
@@ -392,6 +407,30 @@ def _bloom_may_contain(hex_bits: str, value, m: int = _BLOOM_M, k: int = _BLOOM_
     return all((bits >> p) & 1 for p in bloom_probe_positions(value, m, k))
 
 
+_BLOOM_SAFE_TYPES = (
+    "tinyint", "smallint", "int", "bigint", "string", "date"
+)
+
+
+def _validate_bloom_cols(df: DataFrame, bloom_cols: list[str]) -> None:
+    """Bloom probes hash the PYTHON ``str(value)`` while the writer hashes
+    Spark's ``CAST(col AS STRING)``; the two renderings agree only for
+    integral/string/date types (booleans differ in case, floats in
+    scientific-notation thresholds, timestamps in formatting) — and a
+    divergent rendering would turn the 'definitive' bloom negative into a
+    silent wrong answer, so unsafe types are refused at write time."""
+    bad = [
+        (c, dict(df.dtypes)[c])
+        for c in bloom_cols
+        if dict(df.dtypes)[c] not in _BLOOM_SAFE_TYPES
+    ]
+    if bad:
+        raise ValueError(
+            f"bloom_cols must be integral/string/date (python and Spark "
+            f"string renderings must agree); unsupported: {bad}"
+        )
+
+
 def init_table(
     spark: SparkSession,
     df: DataFrame,
@@ -407,6 +446,8 @@ def init_table(
     (equality-probe skipping), and/or named SQL CHECK ``constraints``
     enforced on this and every later write."""
     _check_constraints(df, constraints or {})
+    if bloom_cols:
+        _validate_bloom_cols(df, bloom_cols)
     os.makedirs(root, exist_ok=True)
     v = _claim_version(root)
     vdir = version_dir(root, v)
@@ -502,6 +543,22 @@ def read_snapshot(
                 F.col(partition_col).cast("string").isin(pvals)
             )
         )
+    def _project_schema(df: DataFrame) -> DataFrame:
+        # the recorded schema pins names, order and types — including on
+        # the all-partitions-skipped branch, whose backing directory may
+        # predate a schema-widening merge
+        schema_rec = manifest.get("schema")
+        if schema_rec:
+            df = df.select(
+                *[
+                    F.col(name)
+                    if name in df.columns
+                    else F.lit(None).cast(ddl).alias(name)
+                    for name, ddl in schema_rec
+                ]
+            )
+        return df
+
     def _row_filters(df: DataFrame) -> DataFrame:
         if predicate is not None:
             col, lo, hi = predicate
@@ -517,28 +574,19 @@ def read_snapshot(
             or eq_predicate is not None
             or partition_filter is not None
         ) and manifest["partitions"]:
-            # every partition skipped by metadata: empty relation, full schema
+            # every partition skipped by metadata: empty relation whose
+            # schema matches a non-empty read exactly
             any_v = min(int(v) for v in manifest["partitions"].values())
             empty = spark.read.parquet(version_dir(root, any_v)).limit(0)
-            return _row_filters(empty)
+            return _row_filters(_project_schema(empty))
         raise ValueError(f"versioned table at {root!r} has no live partitions")
     out = pieces[0]
     for p in pieces[1:]:
         # mixed per-version schemas appear after a schema-widening merge;
         # missing columns fill with NULLs here and the recorded schema
-        # below pins names, order and types
+        # pins names, order and types
         out = out.unionByName(p, allowMissingColumns=True)
-    schema_rec = manifest.get("schema")
-    if schema_rec:
-        out = out.select(
-            *[
-                F.col(name)
-                if name in out.columns
-                else F.lit(None).cast(ddl).alias(name)
-                for name, ddl in schema_rec
-            ]
-        )
-    return _row_filters(out)
+    return _row_filters(_project_schema(out))
 
 
 def merge_into_versioned(
@@ -594,8 +642,12 @@ def merge_into_versioned(
     hit = target.join(F.broadcast(affected), [partition_col], "leftsemi")
     merged = _merge_resolved(hit, source, key_cols, data_cols)
     # CHECK constraints validate the rows being written (batch-bounded;
-    # untouched partitions were validated by the write that produced them)
-    _check_constraints(merged, manifest.get("constraints", {}))
+    # untouched partitions were validated by the write that produced them).
+    # The constraint aggregate and the write are two consumers of the
+    # merge join — materialize once instead of computing it twice.
+    if manifest.get("constraints"):
+        merged = merged.localCheckpoint(eager=True)
+        _check_constraints(merged, manifest["constraints"])
 
     v = _claim_version(root)
     vdir = version_dir(root, v)
@@ -643,12 +695,20 @@ def optimize_partitions(
     by_version: dict[int, set[str]] = {}
     for pval, ver in manifest["partitions"].items():
         by_version.setdefault(int(ver), set()).add(pval)
+    from ..operators.merge import _hive_partition_dir
+
     for ver, owned in by_version.items():
+        # directory names are hive-ESCAPED; compare against the escaped
+        # form of each owned raw value or escapable partitions silently
+        # evade fragmentation detection forever
+        dir_to_raw = {
+            _hive_partition_dir(partition_col, pv): pv for pv in owned
+        }
         for rel, (n_files, _b) in dataset_file_stats(
             version_dir(root, ver)
         ).items():
-            pv = rel.split("=", 1)[-1]
-            if pv in owned and n_files >= min_files:
+            pv = dir_to_raw.get(rel)
+            if pv is not None and n_files >= min_files:
                 frag.append((n_files, pv))
     frag.sort(reverse=True)  # worst-fragmented first under the cap
     chosen = [pv for _n, pv in frag[: max_partitions or len(frag)]]
@@ -744,6 +804,12 @@ def cdc_apply_versioned(
     missing = set(data_cols) - set(ups.columns)
     if missing:
         raise ValueError(f"upsert rows are missing target columns: {sorted(missing)}")
+    extra = [c for c in ups.columns if c not in data_cols]
+    if extra:
+        raise ValueError(
+            f"CDC batch adds columns {extra}; widen the table first via "
+            "merge_into_versioned(allow_schema_evolution=True)"
+        )
 
     all_keys = ups.select(*key_cols).unionByName(dels).distinct()
     # affected = upsert rows' partitions ∪ every touched key's current home
@@ -758,7 +824,9 @@ def cdc_apply_versioned(
     hit = target.join(F.broadcast(affected), [partition_col], "leftsemi")
     merged = _merge_resolved(hit, ups.select(*data_cols), key_cols, data_cols)
     merged = merged.join(F.broadcast(dels), key_cols, "left_anti")
-    _check_constraints(merged, manifest.get("constraints", {}))
+    if manifest.get("constraints"):
+        merged = merged.localCheckpoint(eager=True)
+        _check_constraints(merged, manifest["constraints"])
 
     v = _claim_version(root)
     vdir = version_dir(root, v)
@@ -965,9 +1033,14 @@ def vacuum(
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
             _release_claim(root, v)
             removed.append(v)
+    # only manifests STRICTLY OLDER than the retention window go; a
+    # concurrent writer may have committed a NEWER version since this
+    # vacuum listed the directory, and deleting its fresh history file
+    # would break time travel to the live current version
+    threshold = min(retained)
     for name in os.listdir(root):
         m = _HIST.match(name)
-        if m and int(m.group(1)) not in retained:
+        if m and int(m.group(1)) < threshold and int(m.group(1)) not in retained:
             try:
                 os.unlink(os.path.join(root, name))
             except FileNotFoundError:
@@ -1004,14 +1077,23 @@ def _commit_ownership_rewrite(
     constraints / schema under those same rules before the checked
     commit.  Keeping this in one place is what stops the three DML
     writers from drifting apart."""
-    try:
+    # distinguish "the rewrite emptied everything" (no parquet files on
+    # disk — legal, the partitions drop) from a failing scan (I/O error,
+    # corrupt footer): treating the latter as emptied would commit a
+    # manifest that silently drops partitions whose data write succeeded
+    has_files = any(
+        f.endswith(".parquet")
+        for _d, _dn, fs in os.walk(vdir)
+        for f in fs
+    )
+    if has_files:
         written_counts = {
             str(p): n
             for p, n in _written_partition_counts(
                 spark, vdir, partition_col
             ).items()
         }
-    except Exception:
+    else:
         written_counts = {}  # every affected partition fully emptied
     written_vals = set(written_counts)
     parts = {

@@ -691,14 +691,29 @@ def coreness(
             )
             .localCheckpoint(eager=True)
         )
+        # nodes ORPHANED by this peel — every incident edge was removed
+        # because its other endpoint was a victim, without the node itself
+        # being one (hub of a star at k=1) — leave the graph here and never
+        # reappear in a later degree table, so label them now: they
+        # survived the k-level peel's degree test, hence coreness k
+        survivors = und.select(F.col("u").alias("node")).union(
+            und.select(F.col("v").alias("node"))
+        )
+        orphaned = (
+            deg.select("node")
+            .join(victims, "node", "left_anti")
+            .join(survivors.distinct(), "node", "left_anti")
+        )
+        if orphaned.limit(1).count() > 0:
+            out_parts.append(
+                orphaned.select(
+                    "node", F.lit(k).alias("coreness")
+                ).localCheckpoint(eager=True)
+            )
         if und.limit(1).count() == 0:
             break
     else:
         raise RuntimeError(f"coreness did not converge in {max_rounds} rounds")
-    # nodes whose last edges were peeled away without being victims
-    # themselves were peeled implicitly at the current k... they ARE
-    # victims (degree ≤ k once their neighbors left), so out_parts covers
-    # every edged node; the union below just stitches the levels
     if not out_parts:
         return spark.createDataFrame([], "node long, coreness int")
     out = out_parts[0]

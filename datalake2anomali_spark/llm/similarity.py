@@ -522,14 +522,16 @@ def pq_encode(
     UDF closure as a broadcast-sized constant; no shuffle at any scale)."""
     m, k, dsub = codebooks.shape
 
-    @F.pandas_udf("array<tinyint>")
+    @F.pandas_udf("array<smallint>")
     def enc(v: pd.Series) -> pd.Series:
+        # smallint, not tinyint: k=256 codebooks (the standard 8-bit PQ
+        # setting) would silently wrap signed int8 into negative indices
         X = np.stack(v.to_numpy())
-        out = np.empty((X.shape[0], m), dtype=np.int8)
+        out = np.empty((X.shape[0], m), dtype=np.int16)
         for j in range(m):
             S = X[:, j * dsub : (j + 1) * dsub]
             d2 = ((S[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
-            out[:, j] = d2.argmin(axis=1).astype(np.int8)
+            out[:, j] = d2.argmin(axis=1).astype(np.int16)
         return pd.Series(list(out))
 
     return embeddings.select(
@@ -590,20 +592,20 @@ def ivfpq_encode(
     needs no decode.  Map-only, Arrow-batched."""
     m, kc, dsub = codebooks.shape
 
-    @F.pandas_udf("struct<cell:int, pq_codes:array<tinyint>, recon_norm:double>")
+    @F.pandas_udf("struct<cell:int, pq_codes:array<smallint>, recon_norm:double>")
     def enc(v: pd.Series) -> pd.DataFrame:
         X = np.stack(v.to_numpy()).astype(np.float64)
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         Cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
         cell = (Xn @ Cn.T).argmax(axis=1)
         R = X - centroids[cell]
-        codes = np.empty((X.shape[0], m), dtype=np.int8)
+        codes = np.empty((X.shape[0], m), dtype=np.int16)
         recon = np.empty_like(X)
         for j in range(m):
             S = R[:, j * dsub : (j + 1) * dsub]
             d2 = ((S[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
             cj = d2.argmin(axis=1)
-            codes[:, j] = cj.astype(np.int8)
+            codes[:, j] = cj.astype(np.int16)
             recon[:, j * dsub : (j + 1) * dsub] = codebooks[j][cj]
         recon += centroids[cell]
         norms = np.linalg.norm(recon, axis=1)

@@ -132,4 +132,9 @@ def bloom_filtered_join(
     """
     words = build_key_bloom(build, build_key, m_bits, k)
     reduced = bloom_semi_reduce(probe, words, probe_key, m_bits, k)
-    return reduced.join(build, F.col(probe_key) == F.col(build_key))
+    # alias both sides: with probe_key == build_key (the common shape) an
+    # unqualified column condition is ambiguous and raises
+    return reduced.alias("_probe").join(
+        build.alias("_build"),
+        F.col(f"_probe.{probe_key}") == F.col(f"_build.{build_key}"),
+    )

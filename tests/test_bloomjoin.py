@@ -62,6 +62,13 @@ def test_filtered_join_is_result_identical(spark, sf_dir):
         got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
     )
 
+    # the common shape: SAME key name on both sides must not be ambiguous
+    build2 = build.withColumnRenamed("buyer", "user_id")
+    got2 = bloom_filtered_join(e, build2, "user_id", "user_id").select(
+        "event_id", "n_buys"
+    )
+    assert got2.count() == want.count()
+
 
 def test_null_keys_never_pass(spark):
     probe = spark.createDataFrame(

@@ -390,11 +390,21 @@ def test_coreness_matches_python_reference(spark):
             for n in victims:
                 core[n] = k
             es = {e for e in es if e[0] not in victims and e[1] not in victims}
+            survivors = {n for e in es for n in e}
+            # orphaned by the peel: edges gone, node itself not a victim
+            for n in set(deg) - victims - survivors:
+                core[n] = k
         return core
 
     want = py_coreness(edges)
     got = {r.node: r.coreness for r in coreness(df).collect()}
     assert got == want, (got, want)
+
+    # star graph: the hub is orphaned by peeling its leaves (its edges all
+    # vanish without it ever being a victim) and must still get coreness 1
+    star = spark.createDataFrame([(100, i) for i in range(1, 6)], "src long, dst long")
+    got_star = {r.node: r.coreness for r in coreness(star).collect()}
+    assert got_star == {100: 1, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
 
     # consistency with k_core: nodes with coreness >= k are exactly the k-core
     for k in (1, 2, 3):

@@ -613,3 +613,52 @@ def test_versioned_table_model_based(spark, tmp_path_factory, init_rows, ops):
         }
         assert got == snap_model, f"time travel to v{v} diverged"
     assert [h["operation"] for h in table_history(root)] == expected_ops
+
+
+@settings(**_SETTINGS)
+@given(
+    st.sampled_from(["days", "bucket", "truncate"]),
+    st.integers(min_value=0, max_value=999),
+    st.integers(min_value=1, max_value=400),
+)
+def test_hidden_pruning_never_drops_rows(spark, tmp_path_factory, kind, lo_off, span):
+    """Pruning-safety property: for ANY transform and ANY predicate
+    window, the pruned hidden read equals the unpruned read + row filter
+    — may_match may only reject provably-empty partitions."""
+    from pyspark.sql import functions as F
+
+    from datalake2anomali_spark.io.hidden import init_hidden_table, read_hidden
+    from datalake2anomali_spark.io.tables import load_table
+
+    root = str(tmp_path_factory.mktemp("hp") / "t")
+    e = load_table(spark, "/root/testdata/sf0.001", "events").limit(300)
+    if kind == "days":
+        spec, col = ["days", "ts"], "ts"
+    elif kind == "bucket":
+        spec, col = ["bucket", 8, "user_id"], "user_id"
+    else:
+        spec, col = ["truncate", 100, "event_id"], "event_id"
+    init_hidden_table(spark, e, root, spec)
+
+    if kind == "days":
+        b = e.agg(F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))).collect()[0]
+        lo = int(b[0]) + lo_off * 3_600_000_000
+        hi = lo + span * 3_600_000_000
+        pred = ("between", col, lo, hi)
+        want = e.filter((F.unix_micros(col) >= lo) & (F.unix_micros(col) <= hi))
+    elif kind == "bucket":
+        probe = lo_off  # any value, present or not
+        pred = ("eq", col, probe)
+        want = e.filter(F.col(col) == probe)
+    else:
+        b = e.agg(F.min("event_id")).collect()[0]
+        lo = int(b[0]) + lo_off
+        hi = lo + span
+        pred = ("between", col, lo, hi)
+        want = e.filter(F.col(col).between(lo, hi))
+
+    got = read_hidden(spark, root, predicate=pred)
+    cols = sorted(want.columns)
+    assert got.count() == want.count(), (spec, pred)
+    assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0
+    assert want.select(*cols).exceptAll(got.select(*cols)).count() == 0

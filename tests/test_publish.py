@@ -927,3 +927,54 @@ def test_cdc_apply_mixed_upserts_and_deletes(spark, sf_dir, vtable):
             e.limit(1).withColumn("_op", F.lit("upsertt")),
             ["event_id"], "event_date",
         )
+
+
+def test_table_follower_spans_delete_and_restore(spark, sf_dir, vtable, tmp_path):
+    """The follower's CDF spans are correct across DELETE (emits removed
+    rows) and RESTORE (emits the inverse of what the restored-away
+    commits did), so a retraction-maintained view still tracks full
+    recomputes through the whole operation mix."""
+    from datalake2anomali_spark.io.publish import (
+        TableFollower,
+        delete_from_versioned,
+        restore_version,
+    )
+    from datalake2anomali_spark.operators.views import apply_changes, rollup_state
+
+    keys = ["event_date", "event_type"]
+    f = TableFollower(vtable, "event_date", ["event_id"], str(tmp_path / "cur"))
+    changes, v = f.poll(spark)
+    view = apply_changes(
+        rollup_state(
+            read_snapshot(spark, vtable, "event_date").limit(0), keys,
+            sum_cols={"value": 2},
+        ),
+        changes, ["event_id"], keys, sum_cols={"value": 2},
+    ).localCheckpoint(eager=True)
+    f.commit(v)
+
+    def fold_and_check():
+        nonlocal view
+        ch, v_t = f.poll(spark)
+        assert ch is not None
+        view = apply_changes(
+            view, ch, ["event_id"], keys, sum_cols={"value": 2}
+        ).localCheckpoint(eager=True)
+        f.commit(v_t)
+        want = rollup_state(
+            read_snapshot(spark, vtable, "event_date"), keys,
+            sum_cols={"value": 2},
+        )
+        cols = sorted(want.columns)
+        assert view.select(*cols).exceptAll(want.select(*cols)).count() == 0
+        assert want.select(*cols).exceptAll(view.select(*cols)).count() == 0
+
+    # DELETE span
+    delete_from_versioned(
+        spark, vtable, "event_date", F.col("event_type") == "error"
+    )
+    fold_and_check()
+
+    # RESTORE span: back to v1 — the feed must retract the delete
+    restore_version(vtable, 1)
+    fold_and_check()

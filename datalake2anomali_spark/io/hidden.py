@@ -125,6 +125,42 @@ def may_match(spec: list, pval: str, predicate: tuple) -> bool:
     raise ValueError(f"unknown predicate kind {predicate[0]!r}")
 
 
+#: Source-column types whose Python ``str(value)`` and Spark
+#: ``CAST(col AS STRING)`` renderings agree — the same contract as
+#: ``publish._validate_bloom_cols``, which this md5 bucket scheme shares.
+_BUCKET_SAFE_TYPES = ("tinyint", "smallint", "int", "bigint", "string", "date")
+_TRUNCATE_SAFE_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _validate_transform_source(df, spec: list) -> None:
+    """Refuse transform source columns whose rendering (bucket) or
+    arithmetic (truncate) diverges between the Spark writer expression
+    and the pure-Python reader probe (ADVICE r7): a bucket over a
+    boolean/float/timestamp column hashes ``'True'`` writer-side vs
+    ``'true'`` probe-side, so ``may_match`` definitively rejects the
+    CORRECT partition and the read silently drops rows — breaking the
+    module's advisory-safe contract.  Same failure mode and safe list as
+    ``publish._validate_bloom_cols``."""
+    kind = spec[0]
+    if kind == "days" or kind == "hours":
+        src, safe = spec[1], ("timestamp", "timestamp_ntz", "date")
+    elif kind == "bucket":
+        src, safe = spec[2], _BUCKET_SAFE_TYPES
+    elif kind == "truncate":
+        src, safe = spec[2], _TRUNCATE_SAFE_TYPES
+    else:
+        raise ValueError(f"unknown partition transform {kind!r}")
+    dtype = dict(df.dtypes).get(src)
+    if dtype is None:
+        raise ValueError(f"transform source column {src!r} not in dataframe")
+    if dtype not in safe:
+        raise ValueError(
+            f"{kind} transform over {src!r} ({dtype}) is unsupported: the "
+            f"writer expression and the reader pruning probe agree only "
+            f"for {safe} source columns"
+        )
+
+
 def _require_utc_for_time_transform(spark: SparkSession, spec: list) -> None:
     """days/hours pruning computes partition bounds in UTC while the
     writer renders partition values in the SESSION timezone; under any
@@ -152,6 +188,7 @@ def init_hidden_table(
     ``["truncate", 100, "event_id"]``).  The derived column never leaks
     into reads."""
     _require_utc_for_time_transform(spark, list(spec))
+    _validate_transform_source(df, list(spec))
     os.makedirs(root, exist_ok=True)
     with open(os.path.join(root, SPEC_FILE), "w", encoding="utf-8") as fh:
         json.dump(list(spec), fh)

@@ -82,7 +82,33 @@ def read_manifest(root: str, version: int | None = None) -> dict:
         raise
 
 
-def _commit_manifest(root: str, manifest: dict) -> None:
+def _verify_lock_ownership(lock: tuple[str, str] | None) -> None:
+    """Raise :class:`ConcurrentWriteError` if the commit lock this writer
+    acquired was stolen (ADVICE r7): a committer stalled past the lock
+    TTL (GC pause, slow NFS fsync) loses the lock to a waiting writer,
+    and proceeding to the manifest swap anyway would silently drop the
+    thief's commit.  Ownership is the token written at acquisition —
+    a missing file or a different token means the lock is no longer
+    ours and the commit must abort."""
+    if lock is None:
+        return
+    path, token = lock
+    try:
+        with open(path, encoding="utf-8") as fh:
+            current = fh.read()
+    except FileNotFoundError:
+        current = None
+    if current != token:
+        raise ConcurrentWriteError(
+            f"commit lock at {path!r} was stolen mid-commit (writer "
+            "stalled past the lock TTL); aborting before the manifest "
+            "swap — retry against the new snapshot"
+        )
+
+
+def _commit_manifest(
+    root: str, manifest: dict, lock: tuple[str, str] | None = None
+) -> None:
     """Atomic publish: temp file in the same directory + ``os.replace``.
 
     The same content is also written to an immutable per-version history
@@ -90,7 +116,23 @@ def _commit_manifest(root: str, manifest: dict) -> None:
     between the two leaves an orphan history file, never a dangling
     pointer) so every committed snapshot stays addressable for
     time-travel reads and change feeds until :func:`vacuum` reclaims its
-    data directories."""
+    data directories.
+
+    ``lock``: the ``(path, token)`` pair from :func:`_commit_lock`.  The
+    fsyncs below are where a slow filesystem can stall a committer past
+    the lock TTL, so ownership is re-verified immediately before the
+    pointer swap (and the lock mtime is refreshed as a heartbeat on
+    entry) — a stolen lock aborts the commit instead of racing the thief
+    to a lost update (ADVICE r7)."""
+    if lock is not None:
+        # heartbeat: we are live, keep the TTL clock fresh through the
+        # fsync-heavy section (only after proving the lock is still ours
+        # — touching the path blindly would refresh a thief's lock)
+        _verify_lock_ownership(lock)
+        try:
+            os.utime(lock[0])
+        except FileNotFoundError:
+            pass  # stolen between verify and utime; the pre-swap check catches it
     payload = json.dumps(manifest, sort_keys=True)
     hist = os.path.join(root, f"_MANIFEST.v{manifest['version']}.json")
     with open(hist, "w", encoding="utf-8") as fh:
@@ -104,6 +146,20 @@ def _commit_manifest(root: str, manifest: dict) -> None:
         fh.write(payload)
         fh.flush()
         os.fsync(fh.fileno())
+    try:
+        _verify_lock_ownership(lock)  # last instant before the swap
+    except ConcurrentWriteError:
+        # the commit never happened: drop the temp pointer AND the
+        # just-written history file (it would otherwise read as a
+        # committed snapshot to table_history/vacuum), and release the
+        # claim so vacuum can reclaim the orphan version directory
+        os.unlink(tmp)
+        try:
+            os.unlink(hist)
+        except FileNotFoundError:
+            pass
+        _release_claim(root, manifest["version"])
+        raise
     os.replace(tmp, os.path.join(root, MANIFEST))
     _release_claim(root, manifest["version"])
 
@@ -197,20 +253,31 @@ def _claim_version(root: str) -> int:
         return v
 
 
-def _commit_lock(root: str):
+def _commit_lock(root: str) -> tuple[str, str]:
     """Acquire the table's commit lock: ``O_CREAT|O_EXCL`` on a single
     lock file, the local-filesystem CAS primitive (ADVICE r6) — the
     version check and the manifest swap run mutually exclusive among live
     writers, so two writers racing past the same base version can no
     longer both commit.  A lock older than ``_LOCK_TTL_SECONDS`` belongs
     to a crashed committer and is stolen.  (On an object store the same
-    role is played by a conditional PUT of the manifest itself.)"""
+    role is played by a conditional PUT of the manifest itself.)
+
+    Returns ``(path, token)``: the token written into the lock file is
+    this writer's ownership proof, re-verified right before the manifest
+    swap so a stalled-then-robbed committer aborts instead of overwriting
+    the thief's commit (ADVICE r7)."""
+    import uuid as _uuid
+
     path = os.path.join(root, "_COMMIT.lock")
+    token = _uuid.uuid4().hex
     deadline = time.monotonic() + _LOCK_TTL_SECONDS + 10.0
     while True:
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
+            with os.fdopen(fd, "w", encoding="utf-8") as fh:
+                fh.write(token)
+                fh.flush()
+                os.fsync(fh.fileno())
             # reclaim renamed-away stale locks from past steals
             base = os.path.basename(path)
             for name in os.listdir(root):
@@ -219,7 +286,7 @@ def _commit_lock(root: str):
                         os.unlink(os.path.join(root, name))
                     except FileNotFoundError:
                         pass
-            return path
+            return path, token
         except FileExistsError:
             try:
                 age = time.time() - os.stat(path).st_mtime
@@ -231,8 +298,6 @@ def _commit_lock(root: str):
                 # would let a second waiter delete the winner's FRESH lock
                 # (stat-then-unlink TOCTOU) and both would enter the
                 # critical section
-                import uuid as _uuid
-
                 try:
                     os.rename(path, f"{path}.stale.{_uuid.uuid4().hex}")
                 except (FileNotFoundError, OSError):
@@ -262,12 +327,22 @@ def _commit_checked(root: str, manifest: dict, base_version: int) -> None:
                 f"table at {root!r} moved from v{base_version} to v{current} "
                 "during this write; retry against the new snapshot"
             )
-        _commit_manifest(root, manifest)
+        _commit_manifest(root, manifest, lock=lock)
     finally:
+        # release only if the lock is still OURS: after a TTL steal the
+        # path holds the thief's fresh lock, and unlinking it would let a
+        # third writer enter the thief's critical section (ADVICE r7)
+        path, token = lock
         try:
-            os.unlink(lock)
+            with open(path, encoding="utf-8") as fh:
+                still_ours = fh.read() == token
         except FileNotFoundError:
-            pass
+            still_ours = False
+        if still_ours:
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
 
 
 def _schema_record(df: DataFrame) -> list[list[str]]:
@@ -412,6 +487,59 @@ _BLOOM_SAFE_TYPES = (
 )
 
 
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _normalize_bloom_probe(manifest: dict, col: str, value):
+    """Render an equality-probe value exactly as the writer-side
+    ``CAST(col AS STRING)`` rendered the column, or declare the bloom
+    unusable (ADVICE r7): probing ``5.0`` (or ``"05"``) against a bigint
+    bloom hashes a different string than the writer did, producing a
+    false 'definitive' negative that silently drops matching partitions.
+
+    Returns ``(probe_value, usable)`` — ``usable=False`` means skip bloom
+    pruning for this read (conservative: every partition is read and the
+    always-applied row filter still decides membership)."""
+    schema = manifest.get("schema")
+    if not schema:
+        # pre-schema-recording manifest: only trust a probe that is
+        # already the writer's native rendering (str or int)
+        if isinstance(value, bool) or not isinstance(value, (str, int)):
+            return value, False
+        return value, True
+    ddl = next((t for n, t in schema if n == col), None)
+    if ddl is None:
+        return value, False
+    if ddl in _INTEGRAL_TYPES:
+        if isinstance(value, bool):
+            return value, False
+        if isinstance(value, int):
+            return value, True
+        if isinstance(value, float) and value.is_integer():
+            return int(value), True
+        if isinstance(value, str):
+            try:
+                return int(value, 10), True
+            except ValueError:
+                return value, False
+        return value, False
+    if ddl == "string":
+        return (value, True) if isinstance(value, str) else (value, False)
+    if ddl == "date":
+        import datetime as _dt
+
+        if isinstance(value, _dt.datetime):
+            return value, False  # renders with a time component
+        if isinstance(value, _dt.date):
+            return value.isoformat(), True
+        if isinstance(value, str):
+            return value, True
+        return value, False
+    # non-bloom-safe column types never have recorded blooms; anything
+    # else is a mismatch the probe cannot render faithfully
+    return value, False
+
+
 def _validate_bloom_cols(df: DataFrame, bloom_cols: list[str]) -> None:
     """Bloom probes hash the PYTHON ``str(value)`` while the writer hashes
     Spark's ``CAST(col AS STRING)``; the two renderings agree only for
@@ -514,6 +642,16 @@ def read_snapshot(
     manifest = read_manifest(root, version)
     stats = manifest.get("stats", {})
     blooms = manifest.get("bloom", {})
+    bloom_probe = None
+    if eq_predicate is not None:
+        # normalize the probe to the recorded column type so it hashes
+        # the writer's exact string rendering; an unrenderable probe
+        # disables bloom skipping (I/O advice only — the row filter
+        # below still applies the equality exactly)  [ADVICE r7]
+        _c, _v = eq_predicate
+        probe_val, usable = _normalize_bloom_probe(manifest, _c, _v)
+        if usable:
+            bloom_probe = (_c, probe_val)
     by_version: dict[int, list[str]] = {}
     for pval, v in manifest["partitions"].items():
         if partition_filter is not None and not partition_filter(pval):
@@ -528,8 +666,8 @@ def read_snapshot(
                 and (rng[1] < lo or rng[0] > hi)
             ):
                 continue  # zone map proves no row can match
-        if eq_predicate is not None:
-            col, val = eq_predicate
+        if bloom_probe is not None:
+            col, val = bloom_probe
             hx = blooms.get(pval, {}).get(col)
             if hx is not None and not _bloom_may_contain(hx, val):
                 continue  # bloom negative is definitive
@@ -649,6 +787,13 @@ def merge_into_versioned(
         merged = merged.localCheckpoint(eager=True)
         _check_constraints(merged, manifest["constraints"])
 
+    # validate partition values BEFORE claiming a version (ADVICE r7):
+    # raising after the write would orphan a _v{N} directory whose live
+    # _CLAIM marker blocks vacuum for claim_ttl_seconds — a rejected
+    # write must leave no garbage, same contract as CHECK constraints
+    raw_affected = [r[0] for r in affected.collect()]
+    _require_non_null_partitions(raw_affected)
+
     v = _claim_version(root)
     vdir = version_dir(root, v)
     # fresh claimed directory — no localCheckpoint needed: the plan's input
@@ -656,8 +801,6 @@ def merge_into_versioned(
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(vdir)
     spark.catalog.refreshByPath(vdir)
 
-    raw_affected = [r[0] for r in affected.collect()]
-    _require_non_null_partitions(raw_affected)
     _commit_ownership_rewrite(
         spark, root, manifest, v, vdir, partition_col,
         {str(x) for x in raw_affected}, "merge", merged, commit_hook,
@@ -828,13 +971,16 @@ def cdc_apply_versioned(
         merged = merged.localCheckpoint(eager=True)
         _check_constraints(merged, manifest["constraints"])
 
+    # NULL partitions are rejected before any version claim so a refused
+    # CDC batch leaves no orphan directory / claim marker (ADVICE r7)
+    raw_affected = [r[0] for r in affected.collect()]
+    _require_non_null_partitions(raw_affected)
+
     v = _claim_version(root)
     vdir = version_dir(root, v)
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(vdir)
     spark.catalog.refreshByPath(vdir)
 
-    raw_affected = [r[0] for r in affected.collect()]
-    _require_non_null_partitions(raw_affected)
     _commit_ownership_rewrite(
         spark, root, manifest, v, vdir, partition_col,
         {str(x) for x in raw_affected}, "cdc_apply", merged,

@@ -150,3 +150,32 @@ def test_hidden_dml_merge_and_delete(spark, sf_dir, tmp_path):
 
     delete_from_hidden(spark, root, F.col("event_id").isin(ids))
     assert read_hidden(spark, root).count() == n0 - 5
+
+
+def test_unsafe_transform_source_types_rejected(spark, tmp_path):
+    """ADVICE r7: a bucket over a boolean/double/timestamp column renders
+    differently in the Spark writer expression vs the pure-Python reader
+    probe ('True' vs 'true'), so may_match would definitively reject the
+    correct partition and silently drop rows — refused at init."""
+    df = spark.createDataFrame(
+        [(1, True, 2.5)], "k long, flag boolean, x double"
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        init_hidden_table(
+            spark, df, str(tmp_path / "h_bool"), ["bucket", 4, "flag"]
+        )
+    with pytest.raises(ValueError, match="unsupported"):
+        init_hidden_table(
+            spark, df, str(tmp_path / "h_dbl"), ["bucket", 4, "x"]
+        )
+    with pytest.raises(ValueError, match="unsupported"):
+        init_hidden_table(
+            spark, df, str(tmp_path / "h_trunc"), ["truncate", 10, "x"]
+        )
+    with pytest.raises(ValueError, match="not in dataframe"):
+        init_hidden_table(
+            spark, df, str(tmp_path / "h_missing"), ["bucket", 4, "nope"]
+        )
+    # integral source still accepted
+    init_hidden_table(spark, df, str(tmp_path / "h_ok"), ["bucket", 4, "k"])
+    assert read_hidden(spark, str(tmp_path / "h_ok")).count() == 1

@@ -978,3 +978,95 @@ def test_table_follower_spans_delete_and_restore(spark, sf_dir, vtable, tmp_path
     # RESTORE span: back to v1 — the feed must retract the delete
     restore_version(vtable, 1)
     fold_and_check()
+
+
+def test_bloom_probe_normalizes_value_types(spark, sf_dir, tmp_path):
+    """ADVICE r7: probing 5.0 / '0005' against a bigint bloom column must
+    not hash a divergent string rendering into a false 'definitive'
+    negative — the probe normalizes to the recorded column type, and an
+    unrenderable probe disables bloom skipping (conservative read)."""
+    root = str(tmp_path / "events_bloomtyped")
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    init_table(spark, e, root, "event_date", bloom_cols=["event_id"])
+    probe = int(e.agg(F.max("event_id")).collect()[0][0])
+    want = read_snapshot(
+        spark, root, "event_date", eq_predicate=("event_id", probe)
+    ).count()
+    assert want >= 1
+    # float and zero-padded-string renderings of the same value
+    got_f = read_snapshot(
+        spark, root, "event_date", eq_predicate=("event_id", float(probe))
+    ).count()
+    got_s = read_snapshot(
+        spark, root, "event_date", eq_predicate=("event_id", f"0{probe}")
+    )
+    assert got_f == want
+    # '0{probe}' row filter compares string vs bigint: Spark casts the
+    # string to bigint, so it matches the same rows — and the bloom must
+    # not have skipped the partition first
+    assert got_s.count() == want
+    # a non-integral float can never match a bigint; bloom is bypassed
+    # (unusable probe) and the row filter returns empty — no crash
+    assert (
+        read_snapshot(
+            spark, root, "event_date", eq_predicate=("event_id", probe + 0.5)
+        ).count()
+        == 0
+    )
+
+
+def test_commit_lock_steal_mid_commit_aborts_loser(spark, sf_dir, vtable):
+    """ADVICE r7: a committer that loses its lock mid-critical-section
+    (TTL steal after a stall) must abort before the manifest swap instead
+    of silently overwriting the thief's commit."""
+    from datalake2anomali_spark.io.publish import (
+        ConcurrentWriteError,
+        _commit_lock,
+        _commit_manifest,
+    )
+
+    base = read_manifest(vtable)
+    v = base["version"]
+    lock = _commit_lock(vtable)
+    # simulate a TTL steal while this writer is stalled: the thief holds
+    # a fresh lock at the same path with ITS token
+    with open(lock[0], "w", encoding="utf-8") as fh:
+        fh.write("thief-token")
+    fake = dict(base, version=v + 7)
+    with pytest.raises(ConcurrentWriteError, match="stolen"):
+        _commit_manifest(vtable, fake, lock=lock)
+    # nothing committed: pointer unchanged, no orphan history file
+    assert read_manifest(vtable)["version"] == v
+    assert not os.path.exists(
+        os.path.join(vtable, f"_MANIFEST.v{v + 7}.json")
+    )
+    # and the thief's lock file was NOT unlinked by the loser
+    with open(os.path.join(vtable, "_COMMIT.lock"), encoding="utf-8") as fh:
+        assert fh.read() == "thief-token"
+    os.unlink(os.path.join(vtable, "_COMMIT.lock"))
+
+
+def test_null_partition_rejected_before_any_claim(spark, sf_dir, vtable):
+    """ADVICE r7: a source with NULL partition values must be refused
+    BEFORE a version directory is claimed — a post-write rejection leaves
+    an orphan _v{N} dir whose live claim marker blocks vacuum for the
+    whole claim TTL."""
+    from datalake2anomali_spark.io.publish import cdc_apply_versioned
+
+    before = sorted(os.listdir(vtable))
+    e = read_snapshot(spark, vtable, "event_date")
+    bad = e.limit(3).withColumn("event_date", F.lit(None).cast("string"))
+    with pytest.raises(ValueError, match="non-NULL partition"):
+        merge_into_versioned(spark, vtable, bad, ["event_id"], "event_date")
+    assert sorted(os.listdir(vtable)) == before  # no _v dir, no _CLAIM
+    with pytest.raises(ValueError, match="non-NULL partition"):
+        cdc_apply_versioned(
+            spark,
+            vtable,
+            bad.withColumn("_op", F.lit("upsert")),
+            ["event_id"],
+            "event_date",
+        )
+    assert sorted(os.listdir(vtable)) == before

@@ -575,13 +575,19 @@ def k_core(
     under coreness decomposition.
 
     Iterative peeling, the only shape that distributes: each round one
-    degree aggregate over the surviving edge set, one broadcast of the
-    (shrinking) victim set, two anti-joins to drop their incident edges,
-    and a ``localCheckpoint`` so round N's plan does not replay rounds
+    degree aggregate over the surviving edge set (checkpointed, so it
+    feeds the convergence check AND the anti-joins without recompute),
+    two anti-joins dropping the victims' incident edges, and a
+    ``localCheckpoint`` so round N's plan does not replay rounds
     1..N−1 (the :func:`connected_components` discipline).  Rounds are
     bounded by the graph's degeneracy peel depth, not its size; each
     round's work is one shuffle over the remaining edges.  The driver
-    sees only 1-row counts and converges when a round removes nothing.
+    sees exactly ONE 1-row aggregate per round — min degree + node
+    count together decide convergence (VERDICT r7 #4).  The victim
+    anti-joins carry NO broadcast hint (VERDICT r7 #3): a k=1 peel of a
+    sparse graph can remove O(n) nodes, and a forced broadcast of an
+    unbounded set overrides Spark's size guard — AQE picks broadcast
+    when the set is actually small.
 
     Returns (node, degree) for the surviving nodes (degree within the
     core).  Raises after ``max_iter`` rounds — a bound far above any
@@ -603,24 +609,21 @@ def k_core(
             .union(und.select(F.col("v").alias("node")))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("degree"))
-        )
-        victims = deg.filter(F.col("degree") < k).select("node")
-        n_victims = victims.limit(1).count()
-        if n_victims == 0:
-            return deg
-        kept = (
-            und.join(
-                F.broadcast(victims.withColumnRenamed("node", "u")), "u", "left_anti"
-            )
-            .join(
-                F.broadcast(victims.withColumnRenamed("node", "v")), "v", "left_anti"
-            )
             .localCheckpoint(eager=True)
         )
-        und = kept
-        if und.limit(1).count() == 0:
-            # every edge peeled away: empty core with the right schema
-            return deg.filter(F.lit(False))
+        row = deg.agg(
+            F.min("degree").alias("mind"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        if row["n"] == 0:
+            return deg  # every edge peeled away: empty, schema intact
+        if int(row["mind"]) >= k:
+            return deg  # converged: nobody left under the bar
+        victims = deg.filter(F.col("degree") < k).select("node")
+        und = (
+            und.join(victims.withColumnRenamed("node", "u"), "u", "left_anti")
+            .join(victims.withColumnRenamed("node", "v"), "v", "left_anti")
+            .localCheckpoint(eager=True)
+        )
     raise RuntimeError(f"k_core did not converge in {max_iter} peeling rounds")
 
 
@@ -645,6 +648,15 @@ def coreness(
     iterative operators.  Isolated-after-peeling nodes inherit the k
     they were peeled at; returns (node, coreness) for every node with at
     least one edge.
+
+    Driver round-trips per peel round: exactly one 1-row aggregate (min
+    degree + node count, which together decide termination, the peel
+    level, and victim non-emptiness) plus the two materializing
+    checkpoints — the liveness probes the first cut ran are folded away
+    (VERDICT r7 #4).  Victim anti-joins carry no broadcast hint: the
+    peel set is unbounded (a k=1 sweep of a sparse graph is O(n) nodes)
+    and a hint would override Spark's broadcast size guard; AQE
+    broadcasts the genuinely small rounds on its own (VERDICT r7 #3).
     """
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     und = (
@@ -664,38 +676,29 @@ def coreness(
             .agg(F.count(F.lit(1)).alias("degree"))
             .localCheckpoint(eager=True)
         )
-        row = deg.agg(F.min("degree"), F.count(F.lit(1))).collect()[0]
-        if row[1] == 0 or row[1] is None:
-            break
-        if row[0] is None:
-            break
-        k = max(k, int(row[0]))
+        row = deg.agg(
+            F.min("degree").alias("mind"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        if row["n"] == 0 or row["mind"] is None:
+            break  # graph fully peeled
+        # min degree <= new k by construction, so victims is non-empty —
+        # no separate liveness probe needed
+        k = max(k, int(row["mind"]))
         victims = deg.filter(F.col("degree") <= k).select("node")
-        if victims.limit(1).count() == 0:
-            break
-        out_parts.append(
-            victims.select("node", F.lit(k).alias("coreness")).localCheckpoint(
-                eager=True
-            )
-        )
+        out_parts.append(victims.select("node", F.lit(k).alias("coreness")))
         und = (
-            und.join(
-                F.broadcast(victims.withColumnRenamed("node", "u")),
-                "u",
-                "left_anti",
-            )
-            .join(
-                F.broadcast(victims.withColumnRenamed("node", "v")),
-                "v",
-                "left_anti",
-            )
+            und.join(victims.withColumnRenamed("node", "u"), "u", "left_anti")
+            .join(victims.withColumnRenamed("node", "v"), "v", "left_anti")
             .localCheckpoint(eager=True)
         )
         # nodes ORPHANED by this peel — every incident edge was removed
         # because its other endpoint was a victim, without the node itself
         # being one (hub of a star at k=1) — leave the graph here and never
         # reappear in a later degree table, so label them now: they
-        # survived the k-level peel's degree test, hence coreness k
+        # survived the k-level peel's degree test, hence coreness k.
+        # Appended unconditionally (an empty frame unions away for free —
+        # cheaper than a per-round existence probe); the plan only reads
+        # the two checkpointed frames, so later evaluation is cheap.
         survivors = und.select(F.col("u").alias("node")).union(
             und.select(F.col("v").alias("node"))
         )
@@ -704,14 +707,7 @@ def coreness(
             .join(victims, "node", "left_anti")
             .join(survivors.distinct(), "node", "left_anti")
         )
-        if orphaned.limit(1).count() > 0:
-            out_parts.append(
-                orphaned.select(
-                    "node", F.lit(k).alias("coreness")
-                ).localCheckpoint(eager=True)
-            )
-        if und.limit(1).count() == 0:
-            break
+        out_parts.append(orphaned.select("node", F.lit(k).alias("coreness")))
     else:
         raise RuntimeError(f"coreness did not converge in {max_rounds} rounds")
     if not out_parts:

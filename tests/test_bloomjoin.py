@@ -103,3 +103,30 @@ def test_probe_stays_jvm_side(spark, sf_dir):
     plan = buf.getvalue()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_geometry_ceiling_enforced(spark):
+    """VERDICT r7 #7: the bitmap is one array<long> row, so m_bits past
+    MAX_M_BITS (8 MiB) is refused loudly instead of shipping a multi-MB
+    single-row broadcast; mismatched build/probe geometry is refused too."""
+    import pytest
+
+    from datalake2anomali_spark.operators.bloomjoin import (
+        MAX_M_BITS,
+        bloom_semi_reduce,
+        build_key_bloom,
+    )
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="MAX_M_BITS"):
+        build_key_bloom(df, "k", m_bits=MAX_M_BITS * 2)
+    with pytest.raises(ValueError, match="multiple of 64"):
+        build_key_bloom(df, "k", m_bits=100)
+    with pytest.raises(ValueError, match="k must be"):
+        build_key_bloom(df, "k", k=0)
+    words = build_key_bloom(df, "k", m_bits=128)
+    with pytest.raises(ValueError, match="share one geometry"):
+        bloom_semi_reduce(df, words, "k", m_bits=256)
+    # the ceiling itself is accepted (boundary, not off-by-one)
+    assert len(build_key_bloom(spark.range(1).withColumnRenamed("id", "k"),
+                               "k", m_bits=MAX_M_BITS)) == MAX_M_BITS // 64

@@ -47,75 +47,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # L + staleness_bound, and a never-certified query is always in-window.
 # tests/test_entry_contract.py asserts the ledger, the bound, and the
 # window bookkeeping; no literal counts here (they drift — ADVICE r5).
-#  - _PRIORITY (the round-7 window): the round-6 registrations that have
-#    never had a driver row (first exposure cannot be deferred), any
-#    queries new this round, then the stalest round-5-certified entries
-#    in their standing rotation order.
+#  - _PRIORITY (the round-8 window): the round-5-certified entries at
+#    their staleness deadline (mandatory leads), the queries new this
+#    round (first exposure cannot be deferred), then the stalest
+#    round-6-certified entries in their standing rotation order.
 #  - _TAIL holds exactly the overflow, stalest first: the remaining
-#    round-5-certified entries (mandatory round-8 leads), then the
-#    round-6-certified block (deadline round 9).
+#    round-6-certified entries (mandatory round-9 leads), then the
+#    round-7-certified block (deadline round 10).
 _PRIORITY: tuple[str, ...] = (
-    # registered in round 6, never driver-certified — judge-verified via
-    # tools/check_oracle.py at sf0.01 (VERDICT r6); first driver exposure
-    "attribution_credit",
-    "global_rank",
-    "cube_stats",
-    "khop_features",
-    "stream_interval_join_outer",
-    "table_changes",
-    "equi_depth_hist",
-    "window_rank_funcs",
-    "groupwise_quantiles",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "k_anonymity",
-    "stream_upsert_exactly_once",
-    "cdf_probe",
-    # new in round 7 — first driver exposure
-    "pagerank_dangling",  # dangling-mass redistribution (VERDICT r6 #6)
-    "groupwise_percentile_cont",  # per-group interpolated pct (VERDICT r6 #7)
-    "q9_product_profit",  # TPC-H Q9 shape (substring dim filter + profit rollup)
-    "snapshot_bloom_scan",  # bloom-filter point-lookup partition skipping
-    # stalest round-5-certified entries, standing rotation order
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "region_customer_stats",
-    "string_funcs",
-    "stream_dedup_events",
-    "ioc_payload_objects",
-    "topk_per_group",
-    "dedup_exact",
-    "chunk_documents",
-    "mixture_sample",
-    "jsonl_roundtrip",
-    "asof_join_tolerance",
-    "multimodal_ops",
-    "stream_burst_alerts",
-    "burst_alerts",
-    "dedup_keep_best",
-    "heavy_hitters",
-    "zorder_key",
-    "schema_evolution",
-    "gap_fill_locf",
-    "scd2_history",
-    "funnel_analysis",
-    "cohort_retention",
-    "ewma_features",
-    "table_diff",
-    "fuzzy_match",
-    "compaction_roundtrip",
-    "stream_sessionize",
-    "pagerank",
-    "phrase_search",
-    "incremental_view",
-    "rolling_median",
-)
-
-#: Exactly the overflow past the gate window (asserted in
-#: tests/test_entry_contract.py), stalest first.
-_TAIL: tuple[str, ...] = (
-    # last driver row round 5 — mandatory round-8 window leads
-    # (staleness deadline = round 8 under the 3-round bound)
+    # last driver row round 5 — staleness deadline round 8
     "triangle_count",
     "markov_transitions",
     "stream_view_maintenance",
@@ -130,7 +70,12 @@ _TAIL: tuple[str, ...] = (
     "text_profile",
     "ann_cosine_topk",
     "ioc_rest_source_pipeline",
-    # last driver row round 6 — deadline round 9
+    # new in round 8 — first driver exposure (VERDICT r7 #2/#5/#6)
+    "stream_interval_join_full",  # FULL OUTER stream–stream interval join
+    "cdc_view_maintenance",  # retraction-based view refresh from a CDF
+    "delete_restore_history",  # DELETE FROM → RESTORE → DESCRIBE HISTORY
+    "hidden_partition_pruning",  # Iceberg-style days(ts) transform + DML
+    # stalest round-6-certified entries, standing rotation order
     "merge_versioned",
     "fuzzy_match2",
     "stream_scd2",
@@ -163,6 +108,13 @@ _TAIL: tuple[str, ...] = (
     "ann_ivf_topk",
     "decontaminate",
     "bm25_scores",
+)
+
+#: Exactly the overflow past the gate window (asserted in
+#: tests/test_entry_contract.py), stalest first.
+_TAIL: tuple[str, ...] = (
+    # last driver row round 6 — mandatory round-9 window leads
+    # (staleness deadline = round 9 under the 3-round bound)
     "ioc_advisory_enrichment",
     "stateful_user_profiles",
     "dedup_substrings",
@@ -181,6 +133,57 @@ _TAIL: tuple[str, ...] = (
     "setsim_join",
     "percentile_cont",
     "snapshot_pruned_scan",
+    # last driver row round 7 — deadline round 10
+    "attribution_credit",
+    "global_rank",
+    "cube_stats",
+    "khop_features",
+    "stream_interval_join_outer",
+    "table_changes",
+    "equi_depth_hist",
+    "window_rank_funcs",
+    "groupwise_quantiles",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "k_anonymity",
+    "stream_upsert_exactly_once",
+    "cdf_probe",
+    "pagerank_dangling",
+    "groupwise_percentile_cont",
+    "q9_product_profit",
+    "snapshot_bloom_scan",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "region_customer_stats",
+    "string_funcs",
+    "stream_dedup_events",
+    "ioc_payload_objects",
+    "topk_per_group",
+    "dedup_exact",
+    "chunk_documents",
+    "mixture_sample",
+    "jsonl_roundtrip",
+    "asof_join_tolerance",
+    "multimodal_ops",
+    "stream_burst_alerts",
+    "burst_alerts",
+    "dedup_keep_best",
+    "heavy_hitters",
+    "zorder_key",
+    "schema_evolution",
+    "gap_fill_locf",
+    "scd2_history",
+    "funnel_analysis",
+    "cohort_retention",
+    "ewma_features",
+    "table_diff",
+    "fuzzy_match",
+    "compaction_roundtrip",
+    "stream_sessionize",
+    "pagerank",
+    "phrase_search",
+    "incremental_view",
+    "rolling_median",
 )
 
 _MODULES = (

@@ -861,6 +861,281 @@ ORDER BY event_id
 """
 
 
+def q_cdc_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-retraction view maintenance (``operators/views.py:
+    apply_changes``) over a real change feed.
+
+    Publish events as a versioned table, build a mergeable
+    :func:`...operators.views.rollup_state` view (count + fixed-point
+    sum + min/max per (event_date, event_type)), then drive every CDC
+    shape through one merge + one delete: value updates (purchases
+    +100), GROUP-MOVING updates (signups +3 days — retract from the old
+    date, add to the new), new-key inserts (error clones, +1 day), and
+    deletes (every 7th view row).  The view refreshes from
+    ``table_changes(include_images=True)`` alone — pre-images weight −1,
+    post-images +1, extrema recomputed only for touched groups — and the
+    oracle recomputes the rollup from scratch over the post-change
+    table, so a hash match certifies the incremental refresh is
+    bit-identical to a full recompute.  At 100 TB this is the difference
+    between rescanning the table and reading one delta.
+    """
+    import shutil
+
+    from ..io.publish import (
+        delete_from_versioned,
+        init_table,
+        merge_into_versioned,
+        read_snapshot,
+        table_changes,
+    )
+    from ..operators.views import apply_changes, rollup_state
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    base = (
+        "/dev/shm"
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+        else tempfile.gettempdir()
+    )
+    root = os.path.join(base, "d2a_cdcview_" + sf_dir.strip("/").replace("/", "_"))
+    shutil.rmtree(root, ignore_errors=True)  # pure function of the source
+    init_table(spark, e, root, "event_date")
+
+    keys = ["event_date", "event_type"]
+    view = rollup_state(
+        read_snapshot(spark, root, "event_date"),
+        keys,
+        sum_cols={"value": 2},
+        minmax_cols=["event_id"],
+    ).localCheckpoint(eager=True)
+
+    upd = e.filter(F.col("event_type") == "purchase").withColumn(
+        "value", F.col("value") + 100.0
+    )
+    mov = e.filter(F.col("event_type") == "signup").withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 3 DAY")
+    )
+    mov = mov.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+    ins = (
+        e.filter(F.col("event_type") == "error")
+        .withColumn("event_id", F.col("event_id") + 40_000_000)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+    )
+    ins = ins.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+    merge_into_versioned(
+        spark, root, upd.unionByName(mov).unionByName(ins), ["event_id"], "event_date"
+    )
+    v3 = delete_from_versioned(
+        spark,
+        root,
+        "event_date",
+        (F.col("event_type") == "view") & (F.col("event_id") % 7 == 0),
+    )
+
+    cdf = table_changes(
+        spark, root, "event_date", ["event_id"], 1, v3, include_images=True
+    )
+    new_snap = read_snapshot(spark, root, "event_date")
+    refreshed = apply_changes(
+        view,
+        cdf,
+        ["event_id"],
+        keys,
+        sum_cols={"value": 2},
+        minmax_cols=["event_id"],
+        new_snapshot=new_snap,
+    )
+    return refreshed.orderBy("event_date", "event_type")
+
+
+CDC_VIEW_SQL = """
+WITH post AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'signup' THEN ts + INTERVAL 3 DAY ELSE ts END AS ts,
+         event_type,
+         CASE WHEN event_type = 'purchase' THEN value + 100 ELSE value END AS value
+  FROM events
+  WHERE NOT (event_type = 'view' AND event_id % 7 = 0)
+  UNION ALL
+  SELECT event_id + 40000000, ts + INTERVAL 1 DAY, event_type, value
+  FROM events WHERE event_type = 'error'
+)
+SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+       event_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value,
+       MIN(event_id) AS min_event_id,
+       MAX(event_id) AS max_event_id
+FROM post
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q_delete_restore_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DML + time-machine surface of the versioned table in one scripted
+    sequence: create → MERGE (insert error clones, +1 day) → DELETE FROM
+    (all signups) → RESTORE back to the pre-delete snapshot, then read
+    ``table_history`` — version, operation, live-partition count, and
+    the metadata-only ``COUNT(*)`` every commit records (no file opens).
+
+    Every history cell is a deterministic function of the source table,
+    so the oracle replays the same set-algebra per version with scalar
+    subqueries; a hash match certifies DELETE's copy-on-write row
+    accounting, RESTORE-as-new-commit (history stays append-only: v4
+    re-references v2's data without rewinding), and the manifest
+    row-count metadata that serves ``SELECT COUNT(*)`` at 100 TB without
+    touching a single parquet footer.
+    """
+    import shutil
+
+    from ..io.publish import (
+        delete_from_versioned,
+        init_table,
+        merge_into_versioned,
+        restore_version,
+        table_history,
+    )
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    base = (
+        "/dev/shm"
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+        else tempfile.gettempdir()
+    )
+    root = os.path.join(base, "d2a_history_" + sf_dir.strip("/").replace("/", "_"))
+    shutil.rmtree(root, ignore_errors=True)  # pure function of the source
+    init_table(spark, e, root, "event_date")
+
+    ins = (
+        e.filter(F.col("event_type") == "error")
+        .withColumn("event_id", F.col("event_id") + 50_000_000)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+    )
+    ins = ins.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+    v2 = merge_into_versioned(spark, root, ins, ["event_id"], "event_date")
+    delete_from_versioned(spark, root, "event_date", F.col("event_type") == "signup")
+    restore_version(root, v2)
+
+    hist = table_history(root)  # bounded: one row per commit (4 here)
+    return spark.createDataFrame(
+        [
+            (h["version"], h["operation"], h["n_partitions"], h["n_rows"])
+            for h in hist
+        ],
+        "version long, operation string, n_partitions long, n_rows long",
+    ).orderBy("version")
+
+
+DELETE_RESTORE_HISTORY_SQL = """
+WITH base AS (
+  SELECT event_id, ts, event_type, strftime(ts, '%Y-%m-%d') AS event_date
+  FROM events
+), merged AS (
+  SELECT event_id, event_type, event_date FROM base
+  UNION ALL
+  SELECT event_id + 50000000, event_type,
+         strftime(ts + INTERVAL 1 DAY, '%Y-%m-%d')
+  FROM base WHERE event_type = 'error'
+), after_delete AS (
+  SELECT * FROM merged WHERE event_type <> 'signup'
+)
+SELECT 1 AS version, 'create' AS operation,
+       (SELECT COUNT(DISTINCT event_date) FROM base) AS n_partitions,
+       (SELECT COUNT(*) FROM base) AS n_rows
+UNION ALL
+SELECT 2, 'merge',
+       (SELECT COUNT(DISTINCT event_date) FROM merged),
+       (SELECT COUNT(*) FROM merged)
+UNION ALL
+SELECT 3, 'delete',
+       (SELECT COUNT(DISTINCT event_date) FROM after_delete),
+       (SELECT COUNT(*) FROM after_delete)
+UNION ALL
+SELECT 4, 'restore(v2)',
+       (SELECT COUNT(DISTINCT event_date) FROM merged),
+       (SELECT COUNT(*) FROM merged)
+ORDER BY version
+"""
+
+
+#: Hidden-partitioning probe window: 2024-01-10 00:00:00 UTC .. last
+#: microsecond of 2024-01-15 — six of the ~31 daily partitions the
+#: events table spans, so pruning MUST engage (asserted in the query).
+_HIDDEN_LO_US = 1_704_844_800_000_000
+_HIDDEN_HI_US = 1_705_363_199_999_999
+
+
+def q_hidden_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style hidden partitioning end-to-end (``io/hidden.py``):
+    publish events partitioned by the RECORDED transform ``days(ts)``
+    (the layout column never appears in the schema), MERGE through the
+    spec (purchases +100 — the writer derives the partition value, the
+    caller never sees it), then read back with a predicate on the
+    SOURCE column ``ts``.  The reader maps the predicate to partition
+    pruning through the recorded transform; the query itself asserts
+    the pruned partition count (six days of ~31) so a silently-unpruned
+    read fails loudly rather than passing on correctness alone.  The
+    oracle filters the source column directly — pruning must be pure
+    I/O advice, invisible in the result.
+    """
+    import shutil
+
+    from ..io.hidden import (
+        init_hidden_table,
+        may_match,
+        merge_into_hidden,
+        read_hidden,
+        read_spec,
+    )
+    from ..io.publish import read_manifest
+
+    e = load_table(spark, sf_dir, "events")
+    base = (
+        "/dev/shm"
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+        else tempfile.gettempdir()
+    )
+    root = os.path.join(base, "d2a_hidden_" + sf_dir.strip("/").replace("/", "_"))
+    shutil.rmtree(root, ignore_errors=True)  # pure function of the source
+    init_hidden_table(spark, e, root, ["days", "ts"])
+
+    upd = e.filter(F.col("event_type") == "purchase").withColumn(
+        "value", F.col("value") + 100.0
+    )
+    merge_into_hidden(spark, root, upd, ["event_id"])
+
+    pred = ("between", "ts", _HIDDEN_LO_US, _HIDDEN_HI_US)
+    spec = read_spec(root)
+    parts = list(read_manifest(root)["partitions"])
+    kept = [p for p in parts if may_match(spec, p, pred)]
+    if not (len(kept) <= 6 and len(kept) < len(parts)):
+        raise AssertionError(
+            f"hidden-partition pruning did not engage: kept {len(kept)} of "
+            f"{len(parts)} partitions for a six-day window"
+        )
+
+    snap = read_hidden(spark, root, predicate=pred)
+    return (
+        snap.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", 2).alias("v_sum"))
+        .orderBy("event_type")
+    )
+
+
+HIDDEN_PARTITION_SQL = f"""
+SELECT event_type, COUNT(*) AS n,
+       {DSUM_SQL("CASE WHEN event_type = 'purchase' THEN value + 100 ELSE value END", 2)} AS v_sum
+FROM events
+WHERE epoch_us(ts) BETWEEN {_HIDDEN_LO_US} AND {_HIDDEN_HI_US}
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "exact_quantiles": q_exact_quantiles,
@@ -877,6 +1152,9 @@ QUERIES = {
     "snapshot_bloom_scan": q_snapshot_bloom,
     "table_changes": q_table_changes,
     "compaction_roundtrip": q_compaction,
+    "cdc_view_maintenance": q_cdc_view_maintenance,
+    "delete_restore_history": q_delete_restore_history,
+    "hidden_partition_pruning": q_hidden_partition_pruning,
 }
 
 ORACLES = {
@@ -895,4 +1173,7 @@ ORACLES = {
     "snapshot_bloom_scan": SNAPSHOT_BLOOM_SQL,
     "table_changes": TABLE_CHANGES_SQL,
     "compaction_roundtrip": COMPACTION_SQL,
+    "cdc_view_maintenance": CDC_VIEW_SQL,
+    "delete_restore_history": DELETE_RESTORE_HISTORY_SQL,
+    "hidden_partition_pruning": HIDDEN_PARTITION_SQL,
 }

@@ -38,6 +38,7 @@ QUERIES = {
     "stream_burst_alerts": stateful.stream_burst_alerts,
     "stream_interval_join": joins.stream_click_error_join,
     "stream_interval_join_outer": joins.stream_click_error_join_outer,
+    "stream_interval_join_full": joins.stream_click_error_join_full,
     "batch_windows": windows.batch_windows_query,
     "stream_tumbling_counts": incremental.stream_tumbling_counts,
     "stream_dedup_events": incremental.stream_dedup_events,
@@ -53,6 +54,7 @@ ORACLES = {
     "stream_burst_alerts": _temporal.BURST_SQL,
     "stream_interval_join": joins.STREAM_INTERVAL_JOIN_SQL,
     "stream_interval_join_outer": joins.STREAM_INTERVAL_JOIN_OUTER_SQL,
+    "stream_interval_join_full": joins.STREAM_INTERVAL_JOIN_FULL_SQL,
     "batch_windows": windows.BATCH_WINDOWS_SQL,
     "stream_tumbling_counts": windows.TUMBLING_SQL,
     "stream_dedup_events": incremental.STREAM_DEDUP_SQL,

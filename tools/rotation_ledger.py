@@ -37,6 +37,10 @@ STALENESS_BOUND = 3
 #: (needed because the evidence files cannot date a query they have no
 #: row for).  Entries are removed once the query earns its first row.
 REGISTERED_ROUND: dict[str, int] = {
+    "stream_interval_join_full": 8,
+    "cdc_view_maintenance": 8,
+    "delete_restore_history": 8,
+    "hidden_partition_pruning": 8,
     "attribution_credit": 6,
     "global_rank": 6,
     "cube_stats": 6,

@@ -63,13 +63,23 @@ _HIST = re.compile(r"^_MANIFEST\.v(\d+)\.json$")
 _LOCK_TTL_SECONDS = 60.0
 
 
-def read_manifest(root: str, version: int | None = None) -> dict:
+def read_manifest(
+    root: str, version: int | None = None, ref: str | None = None
+) -> dict:
     """The published snapshot — current (``{"version": N, "partitions":
-    {val: ver}}``) or, with ``version``, the immutable historical manifest
-    of that commit (time travel).  Raises FileNotFoundError if the table
-    was never published, that version never committed, or :func:`vacuum`
-    reclaimed the version past its retention window."""
-    name = MANIFEST if version is None else f"_MANIFEST.v{version}.json"
+    {val: ver}}``), a branch head (``ref="audit"`` reads
+    ``_BRANCH.audit.json`` — see :func:`create_branch`), or, with
+    ``version``, the immutable historical manifest of that commit (time
+    travel; ``version`` wins over ``ref``).  Raises FileNotFoundError if
+    the table was never published, the branch doesn't exist, that version
+    never committed, or :func:`vacuum` reclaimed the version past its
+    retention window."""
+    if version is not None:
+        name = f"_MANIFEST.v{version}.json"
+    elif ref is not None:
+        name = _branch_file(ref)
+    else:
+        name = MANIFEST
     try:
         with open(os.path.join(root, name), encoding="utf-8") as fh:
             return json.load(fh)
@@ -79,7 +89,35 @@ def read_manifest(root: str, version: int | None = None) -> dict:
                 f"versioned table at {root!r} has no snapshot v{version}: "
                 "never committed, or vacuumed past the retain_last window"
             ) from None
+        if ref is not None:
+            raise FileNotFoundError(
+                f"versioned table at {root!r} has no branch {ref!r}"
+            ) from None
         raise
+
+
+#: Branch / tag name charset: must stay a safe filename component.
+_REF_NAME = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+_BRANCH_FILE = re.compile(r"^_BRANCH\.(.+)\.json$")
+_TAG_FILE = re.compile(r"^_TAG\.(.+)\.json$")
+
+
+def _check_ref_name(name: str) -> None:
+    if name == "main" or not _REF_NAME.match(name):
+        raise ValueError(
+            f"invalid ref name {name!r}: must match {_REF_NAME.pattern} "
+            "and 'main' is reserved for the table's own pointer"
+        )
+
+
+def _branch_file(name: str) -> str:
+    _check_ref_name(name)
+    return f"_BRANCH.{name}.json"
+
+
+def _tag_file(name: str) -> str:
+    _check_ref_name(name)
+    return f"_TAG.{name}.json"
 
 
 def _verify_lock_ownership(lock: tuple[str, str] | None) -> None:
@@ -107,7 +145,10 @@ def _verify_lock_ownership(lock: tuple[str, str] | None) -> None:
 
 
 def _commit_manifest(
-    root: str, manifest: dict, lock: tuple[str, str] | None = None
+    root: str,
+    manifest: dict,
+    lock: tuple[str, str] | None = None,
+    ref: str | None = None,
 ) -> None:
     """Atomic publish: temp file in the same directory + ``os.replace``.
 
@@ -123,7 +164,11 @@ def _commit_manifest(
     the lock TTL, so ownership is re-verified immediately before the
     pointer swap (and the lock mtime is refreshed as a heartbeat on
     entry) — a stolen lock aborts the commit instead of racing the thief
-    to a lost update (ADVICE r7)."""
+    to a lost update (ADVICE r7).
+
+    ``ref``: a branch name makes the swap target that branch's pointer
+    file instead of the table's main ``_MANIFEST.json`` — same history
+    file, same atomicity, different head (see :func:`create_branch`)."""
     if lock is not None:
         # heartbeat: we are live, keep the TTL clock fresh through the
         # fsync-heavy section (only after proving the lock is still ours
@@ -160,7 +205,8 @@ def _commit_manifest(
             pass
         _release_claim(root, manifest["version"])
         raise
-    os.replace(tmp, os.path.join(root, MANIFEST))
+    pointer = MANIFEST if ref is None else _branch_file(ref)
+    os.replace(tmp, os.path.join(root, pointer))
     _release_claim(root, manifest["version"])
 
 
@@ -310,24 +356,29 @@ def _commit_lock(root: str) -> tuple[str, str]:
             time.sleep(0.005)
 
 
-def _commit_checked(root: str, manifest: dict, base_version: int) -> None:
+def _commit_checked(
+    root: str, manifest: dict, base_version: int, ref: str | None = None
+) -> None:
     """Compare-and-swap commit: under the table's commit lock, re-read the
     pointer and refuse if another writer advanced it past ``base_version``
     — last-write-wins would silently drop the other writer's partitions.
     The lock makes check + swap atomic among live local writers (a crashed
     lock holder is stolen after a TTL); a detected conflict releases the
     loser's claim marker so :func:`vacuum` can reclaim its orphan
-    directory immediately."""
+    directory immediately.  With ``ref``, the check-and-swap runs against
+    that branch's pointer (one table-wide lock serializes every ref —
+    coarse, but version numbers are shared across refs anyway)."""
     lock = _commit_lock(root)
     try:
-        current = read_manifest(root)["version"]
+        current = read_manifest(root, ref=ref)["version"]
         if current != base_version:
             _release_claim(root, manifest["version"])
+            where = f"branch {ref!r} of table" if ref else "table"
             raise ConcurrentWriteError(
-                f"table at {root!r} moved from v{base_version} to v{current} "
-                "during this write; retry against the new snapshot"
+                f"{where} at {root!r} moved from v{base_version} to "
+                f"v{current} during this write; retry against the new snapshot"
             )
-        _commit_manifest(root, manifest, lock=lock)
+        _commit_manifest(root, manifest, lock=lock, ref=ref)
     finally:
         # release only if the lock is still OURS: after a TTL steal the
         # path holds the thief's fresh lock, and unlinking it would let a
@@ -612,6 +663,7 @@ def read_snapshot(
     version: int | None = None,
     eq_predicate: tuple[str, object] | None = None,
     partition_filter=None,
+    ref: str | None = None,
 ) -> DataFrame:
     """The published table: for each live version, one partition-pruned
     scan of its directory restricted to the partitions it still owns.
@@ -638,8 +690,11 @@ def read_snapshot(
     are skipped like a metadata miss.  Callers own its safety contract
     (it must never reject a partition that could hold a matching row) —
     :mod:`.hidden` uses it for transform-derived pruning.
+
+    ``ref`` reads a branch head instead of main (``version`` wins if
+    both are given) — the audit half of write-audit-publish.
     """
-    manifest = read_manifest(root, version)
+    manifest = read_manifest(root, version, ref=ref)
     stats = manifest.get("stats", {})
     blooms = manifest.get("bloom", {})
     bloom_probe = None
@@ -735,6 +790,7 @@ def merge_into_versioned(
     partition_col: str,
     commit_hook=None,
     allow_schema_evolution: bool = False,
+    ref: str | None = None,
 ) -> int:
     """MERGE ``source`` into the versioned table at ``root``, atomically.
 
@@ -748,11 +804,15 @@ def merge_into_versioned(
     ``commit_hook`` (tests only) runs after the data write, immediately
     before the checked commit — the injection point for crash and
     concurrent-writer interleavings.
+
+    ``ref`` merges into a branch head instead of main (the write half of
+    write-audit-publish — see :func:`create_branch`); main's pointer and
+    data are untouched until :func:`fast_forward` publishes the branch.
     """
     from ..operators.merge import _affected_partitions, _merge_resolved
 
-    manifest = read_manifest(root)
-    target = read_snapshot(spark, root, partition_col)
+    manifest = read_manifest(root, ref=ref)
+    target = read_snapshot(spark, root, partition_col, ref=ref)
     data_cols = list(target.columns)
     missing = set(data_cols) - set(source.columns)
     if missing:
@@ -804,6 +864,7 @@ def merge_into_versioned(
     _commit_ownership_rewrite(
         spark, root, manifest, v, vdir, partition_col,
         {str(x) for x in raw_affected}, "merge", merged, commit_hook,
+        ref=ref,
     )
     return v
 
@@ -993,6 +1054,7 @@ def delete_from_versioned(
     root: str,
     partition_col: str,
     condition,
+    ref: str | None = None,
 ) -> int:
     """DELETE FROM the versioned table, atomically and partition-pruned
     (the missing third of the DML surface next to MERGE and OPTIMIZE).
@@ -1006,8 +1068,8 @@ def delete_from_versioned(
     as MERGE.  A predicate matching nothing commits nothing (the current
     version is returned unchanged).  Returns the published version.
     """
-    manifest = read_manifest(root)
-    target = read_snapshot(spark, root, partition_col)
+    manifest = read_manifest(root, ref=ref)
+    target = read_snapshot(spark, root, partition_col, ref=ref)
     affected = (
         target.filter(condition).select(partition_col).distinct().collect()
     )
@@ -1027,7 +1089,7 @@ def delete_from_versioned(
     spark.catalog.refreshByPath(vdir)
     _commit_ownership_rewrite(
         spark, root, manifest, v, vdir, partition_col,
-        affected_vals, "delete", survivors,
+        affected_vals, "delete", survivors, ref=ref,
     )
     return v
 
@@ -1141,8 +1203,19 @@ def vacuum(
     if current["version"] not in retained:
         retained.append(current["version"])
 
+    # snapshots pinned by a named ref (branch head or tag) are retained
+    # regardless of the retention window: a branch's unpublished work and
+    # a tag's release pin must survive any vacuum, and a branch head also
+    # references every directory its partition mapping points at
+    refs = list_refs(root)
+    ref_pinned: set[int] = {h["version"] for h in refs["branches"].values()}
+    ref_pinned.update(refs["tags"].values())
+    branch_heads = [
+        read_manifest(root, ref=name) for name in refs["branches"]
+    ]
+
     protect: set[int] = set()
-    for snap_v in retained:
+    for snap_v in list(retained) + sorted(ref_pinned):
         try:
             snap = read_manifest(root, snap_v)
         except FileNotFoundError:
@@ -1152,6 +1225,11 @@ def vacuum(
             continue
         protect.add(snap_v)
         protect.update(int(v) for v in snap["partitions"].values())
+    for head in branch_heads:
+        # a branch pointer is authoritative even if its history file is
+        # somehow gone; protect everything its mapping references
+        protect.add(int(head["version"]))
+        protect.update(int(v) for v in head["partitions"].values())
 
     now = time.time()
     for name in os.listdir(root):
@@ -1186,7 +1264,13 @@ def vacuum(
     threshold = min(retained)
     for name in os.listdir(root):
         m = _HIST.match(name)
-        if m and int(m.group(1)) < threshold and int(m.group(1)) not in retained:
+        hv = int(m.group(1)) if m else None
+        if (
+            hv is not None
+            and hv < threshold
+            and hv not in retained
+            and hv not in ref_pinned
+        ):
             try:
                 os.unlink(os.path.join(root, name))
             except FileNotFoundError:
@@ -1214,6 +1298,7 @@ def _commit_ownership_rewrite(
     operation: str,
     schema_df: DataFrame,
     commit_hook=None,
+    ref: str | None = None,
 ) -> None:
     """Shared commit tail for every copy-on-write DML path (MERGE /
     DELETE / CDC apply): discover the written partitions with their row
@@ -1279,9 +1364,14 @@ def _commit_ownership_rewrite(
         if written_vals:
             keptb.update(_partition_blooms(spark, vdir, partition_col, bloom_cols))
         new_manifest["bloom"] = {p: keptb[p] for p in parts if p in keptb}
+    if ref is not None:
+        # branch commits carry their ref identity and the main version
+        # they forked from — fast_forward's publish precondition
+        new_manifest["ref"] = ref
+        new_manifest["branch_base"] = manifest["branch_base"]
     if commit_hook is not None:
         commit_hook()
-    _commit_checked(root, new_manifest, manifest["version"])
+    _commit_checked(root, new_manifest, manifest["version"], ref=ref)
 
 
 class TableFollower:
@@ -1399,6 +1489,139 @@ def restore_version(root: str, version: int) -> int:
     return v_new
 
 
+def create_branch(root: str, name: str, from_version: int | None = None) -> int:
+    """Create branch ``name`` pointing at the current main snapshot (or
+    ``from_version``) — the write half of write-audit-publish (Iceberg
+    refs / Delta branch semantics, reduced to a second pointer file).
+
+    A branch is a named head over the SAME version-number space: writes
+    through ``merge_into_versioned(..., ref=name)`` /
+    ``delete_from_versioned(..., ref=name)`` commit real versions (data
+    dirs + immutable history manifests) but swap ``_BRANCH.{name}.json``
+    instead of ``_MANIFEST.json``, so main's readers never see them until
+    :func:`fast_forward` publishes the branch head.  No data is copied at
+    creation — the pointer re-references the fork snapshot's directories,
+    and :func:`vacuum` protects every branch-referenced version.
+
+    Returns the fork version.  Refuses an existing branch name
+    (``O_CREAT|O_EXCL`` — creation is atomic among racing creators).
+    """
+    current = read_manifest(root)
+    fork = current if from_version is None else read_manifest(root, from_version)
+    head = dict(fork)
+    head["ref"] = name
+    # the publish precondition: fast_forward succeeds only while main
+    # still sits at the version the branch forked from
+    head["branch_base"] = current["version"]
+    path = os.path.join(root, _branch_file(name))
+    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w", encoding="utf-8") as fh:
+        fh.write(json.dumps(head, sort_keys=True))
+        fh.flush()
+        os.fsync(fh.fileno())
+    return fork["version"]
+
+
+def fast_forward(root: str, name: str) -> int:
+    """Publish branch ``name``'s head to main as a NEW commit — the
+    publish step of write-audit-publish.  Like :func:`restore_version`,
+    no data moves: the new main manifest re-references the branch head's
+    version directories; history stays append-only and the publish is
+    itself restorable away.
+
+    Precondition (checked under the commit lock): main must still be at
+    the version the branch forked from.  If main advanced, raises
+    :class:`ConcurrentWriteError` — the branch is stale and must be
+    rebased (recreate it from the new main and replay the writes); a
+    silent merge here would drop main's concurrent commits.  The branch
+    pointer is left in place (delete it explicitly when done).
+
+    Returns the new main version.
+    """
+    head = read_manifest(root, ref=name)
+    base = head["branch_base"]
+    v_new = _claim_version(root)
+    manifest = {
+        "version": v_new,
+        "partitions": dict(head["partitions"]),
+        "operation": f"publish({name}@v{head['version']})",
+    }
+    for extra in ("stats", "bloom", "schema", "rows", "constraints"):
+        if extra in head:
+            manifest[extra] = head[extra]
+    _commit_checked(root, manifest, base)
+    return v_new
+
+
+def delete_branch(root: str, name: str) -> None:
+    """Drop branch ``name``'s pointer.  Versions only the branch
+    referenced become unprotected garbage for the next :func:`vacuum`."""
+    try:
+        os.unlink(os.path.join(root, _branch_file(name)))
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"versioned table at {root!r} has no branch {name!r}"
+        ) from None
+
+
+def create_tag(root: str, name: str, version: int | None = None) -> int:
+    """Tag a committed snapshot with an immutable name (release pins:
+    ``create_tag(root, "train-v1")`` → ``read_snapshot(..., version=
+    read_tag(root, "train-v1"))`` forever reproduces the training set).
+    Tags cannot be re-pointed (``O_EXCL``); :func:`vacuum` keeps tagged
+    snapshots readable regardless of ``retain_last``.  Returns the tagged
+    version."""
+    v = read_manifest(root, version)["version"]  # validates it committed
+    path = os.path.join(root, _tag_file(name))
+    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w", encoding="utf-8") as fh:
+        fh.write(json.dumps({"version": v}))
+        fh.flush()
+        os.fsync(fh.fileno())
+    return v
+
+
+def read_tag(root: str, name: str) -> int:
+    """The version a tag pins."""
+    try:
+        with open(os.path.join(root, _tag_file(name)), encoding="utf-8") as fh:
+            return int(json.load(fh)["version"])
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"versioned table at {root!r} has no tag {name!r}"
+        ) from None
+
+
+def delete_tag(root: str, name: str) -> None:
+    try:
+        os.unlink(os.path.join(root, _tag_file(name)))
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"versioned table at {root!r} has no tag {name!r}"
+        ) from None
+
+
+def list_refs(root: str) -> dict:
+    """``{"branches": {name: {"version", "branch_base"}}, "tags":
+    {name: version}}`` — every named ref on the table."""
+    out: dict = {"branches": {}, "tags": {}}
+    for fname in sorted(os.listdir(root)):
+        m = _BRANCH_FILE.match(fname)
+        if m:
+            with open(os.path.join(root, fname), encoding="utf-8") as fh:
+                head = json.load(fh)
+            out["branches"][m.group(1)] = {
+                "version": head["version"],
+                "branch_base": head["branch_base"],
+            }
+            continue
+        m = _TAG_FILE.match(fname)
+        if m:
+            with open(os.path.join(root, fname), encoding="utf-8") as fh:
+                out["tags"][m.group(1)] = int(json.load(fh)["version"])
+    return out
+
+
 def snapshot_rowcount(root: str, version: int | None = None) -> int:
     """SELECT COUNT(*) answered from metadata alone — no file opens.
     Every commit records per-partition row counts (gathered by the same
@@ -1432,6 +1655,7 @@ def table_history(root: str) -> list[dict]:
             {
                 "version": snap["version"],
                 "operation": snap.get("operation", "write"),
+                "ref": snap.get("ref", "main"),
                 "n_partitions": len(snap["partitions"]),
                 "n_rows": sum(int(n) for n in rows.values())
                 if rows is not None and set(rows) == set(snap["partitions"])

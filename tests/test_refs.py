@@ -1,0 +1,205 @@
+"""Branches and tags over the versioned table (io/publish.py refs):
+write-audit-publish isolation, fast-forward CAS, vacuum protection of
+ref-pinned snapshots, tag immutability."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake2anomali_spark.io.publish import (
+    ConcurrentWriteError,
+    create_branch,
+    create_tag,
+    delete_branch,
+    delete_from_versioned,
+    delete_tag,
+    fast_forward,
+    init_table,
+    list_refs,
+    merge_into_versioned,
+    read_manifest,
+    read_snapshot,
+    read_tag,
+    table_history,
+    vacuum,
+    version_dir,
+)
+from datalake2anomali_spark.io.tables import load_table
+
+
+@pytest.fixture()
+def vtable(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "events_refs")
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    init_table(spark, e, root, "event_date")
+    return root
+
+
+def _fingerprint(spark, root, **kw):
+    df = read_snapshot(spark, root, "event_date", **kw)
+    return (
+        df.count(),
+        df.agg(F.sum(F.hash(*sorted(df.columns))).alias("h")).collect()[0]["h"],
+    )
+
+
+def test_write_audit_publish_cycle(spark, sf_dir, vtable):
+    """Branch writes are invisible on main until fast_forward; after the
+    publish, main equals the branch head exactly."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    main_before = _fingerprint(spark, vtable)
+    fork_v = create_branch(vtable, "audit")
+    assert fork_v == read_manifest(vtable)["version"]
+
+    upd = e.filter(F.col("event_type") == "purchase").withColumn(
+        "value", F.col("value") + 7.0
+    )
+    ins = e.filter(F.col("event_type") == "error").withColumn(
+        "event_id", F.col("event_id") + 70_000_000
+    )
+    merge_into_versioned(
+        spark, vtable, upd.unionByName(ins), ["event_id"], "event_date",
+        ref="audit",
+    )
+    v_b = delete_from_versioned(
+        spark, vtable, "event_date", F.col("event_type") == "view", ref="audit"
+    )
+
+    # audit step: branch sees the writes, main is byte-identical to before
+    assert _fingerprint(spark, vtable) == main_before
+    branch_fp = _fingerprint(spark, vtable, ref="audit")
+    assert branch_fp != main_before
+    b = read_snapshot(spark, vtable, "event_date", ref="audit")
+    assert b.filter(F.col("event_type") == "view").count() == 0
+    assert b.count() == e.count() + ins.count() - e.filter(
+        F.col("event_type") == "view"
+    ).count()
+    assert list_refs(vtable)["branches"]["audit"]["version"] == v_b
+
+    # publish: main fast-forwards to the branch head, as a new commit
+    v_pub = fast_forward(vtable, "audit")
+    assert _fingerprint(spark, vtable) == branch_fp
+    hist = {h["version"]: h for h in table_history(vtable)}
+    assert hist[v_pub]["operation"] == f"publish(audit@v{v_b})"
+    assert hist[v_pub]["ref"] == "main"
+    assert hist[v_b]["ref"] == "audit"
+    delete_branch(vtable, "audit")
+    assert list_refs(vtable)["branches"] == {}
+
+
+def test_fast_forward_refuses_diverged_main(spark, sf_dir, vtable):
+    """If main advances after the fork, publishing the branch would drop
+    main's commit — fast_forward must refuse (rebase, not merge)."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    create_branch(vtable, "wip")
+    merge_into_versioned(
+        spark,
+        vtable,
+        e.filter(F.col("event_type") == "click").withColumn(
+            "value", F.col("value") + 1.0
+        ),
+        ["event_id"],
+        "event_date",
+    )  # main moves
+    merge_into_versioned(
+        spark,
+        vtable,
+        e.filter(F.col("event_type") == "signup").withColumn(
+            "value", F.col("value") + 2.0
+        ),
+        ["event_id"],
+        "event_date",
+        ref="wip",
+    )
+    with pytest.raises(ConcurrentWriteError, match="moved from"):
+        fast_forward(vtable, "wip")
+    # main's concurrent commit survived untouched
+    m = read_snapshot(spark, vtable, "event_date")
+    assert m.filter(
+        (F.col("event_type") == "signup") & (F.col("value") > 1e6)
+    ).count() == 0
+
+
+def test_vacuum_protects_branch_and_tag_pins(spark, sf_dir, vtable):
+    """A vacuum with retain_last=1 must keep every snapshot a branch head
+    or tag references readable; dropping the refs releases them."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    v1 = read_manifest(vtable)["version"]
+    create_tag(vtable, "train-v1")
+    create_branch(vtable, "exp")
+    merge_into_versioned(
+        spark,
+        vtable,
+        e.filter(F.col("event_type") == "error").withColumn(
+            "event_id", F.col("event_id") + 80_000_000
+        ),
+        ["event_id"],
+        "event_date",
+        ref="exp",
+    )
+    branch_fp = _fingerprint(spark, vtable, ref="exp")
+    # advance main twice so v1 and the branch head fall out of retain_last
+    for bump in (1.0, 2.0):
+        merge_into_versioned(
+            spark,
+            vtable,
+            e.filter(F.col("event_type") == "click").withColumn(
+                "value", F.col("value") + bump
+            ),
+            ["event_id"],
+            "event_date",
+        )
+
+    removed = vacuum(vtable, retain_last=1, claim_ttl_seconds=0.0)
+    # tag pin: the v1 snapshot still time-travels; branch head still reads
+    assert read_tag(vtable, "train-v1") == v1
+    assert read_snapshot(
+        spark, vtable, "event_date", version=read_tag(vtable, "train-v1")
+    ).count() == e.count()
+    assert _fingerprint(spark, vtable, ref="exp") == branch_fp
+    branch_head_v = list_refs(vtable)["branches"]["exp"]["version"]
+    assert branch_head_v not in removed and v1 not in removed
+
+    delete_branch(vtable, "exp")
+    delete_tag(vtable, "train-v1")
+    removed2 = vacuum(vtable, retain_last=1, claim_ttl_seconds=0.0)
+    assert branch_head_v in removed2
+    assert not os.path.isdir(version_dir(vtable, branch_head_v))
+    with pytest.raises(FileNotFoundError):
+        read_tag(vtable, "train-v1")
+
+
+def test_tag_immutability_and_ref_validation(spark, vtable):
+    v = read_manifest(vtable)["version"]
+    create_tag(vtable, "pin")
+    with pytest.raises(FileExistsError):
+        create_tag(vtable, "pin")  # tags never re-point
+    assert read_tag(vtable, "pin") == v
+    with pytest.raises(FileNotFoundError):
+        create_tag(vtable, "ghost", version=999)  # must name a real commit
+    for bad in ("main", "", "a/b", ".hidden", "sp ace"):
+        with pytest.raises(ValueError, match="invalid ref name|reserved"):
+            create_branch(vtable, bad)
+    with pytest.raises(FileNotFoundError, match="no branch"):
+        read_manifest(vtable, ref="nope")
+    with pytest.raises(FileNotFoundError, match="no branch"):
+        delete_branch(vtable, "nope")
+    with pytest.raises(FileNotFoundError, match="no tag"):
+        delete_tag(vtable, "nope")
+
+
+def test_branch_create_refuses_duplicate(spark, vtable):
+    create_branch(vtable, "dup")
+    with pytest.raises(FileExistsError):
+        create_branch(vtable, "dup")

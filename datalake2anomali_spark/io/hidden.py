@@ -30,6 +30,17 @@ units); ``("eq", col, value)`` for every transform.  Predicates on any
 other column fall back to a full (unpruned) snapshot read with the row
 filter applied.
 
+**Partition-spec evolution** (:func:`evolve_partition_spec`) changes the
+layout for FUTURE writes without touching a byte of existing data —
+Iceberg's headline ergonomic.  Each partition value carries its spec
+generation (``g{i}:`` prefix; generation 0, the creation spec, stays
+unprefixed for compatibility), the spec file records the full generation
+list, and the reader prunes each partition under the transform that
+wrote it: a predicate on one generation's source column prunes that
+generation's partitions and conservatively reads the others (the
+always-applied row filter keeps results exact — same advisory-safe
+contract as single-spec pruning).
+
 Reference parity: none — extension (table-format family, alongside
 zone maps / bloom skipping / time travel in ``publish.py``).
 """
@@ -39,6 +50,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -141,6 +153,10 @@ def _validate_transform_source(df, spec: list) -> None:
     CORRECT partition and the read silently drops rows — breaking the
     module's advisory-safe contract.  Same failure mode and safe list as
     ``publish._validate_bloom_cols``."""
+    _validate_transform_source_types(dict(df.dtypes), spec)
+
+
+def _validate_transform_source_types(dtypes: dict[str, str], spec: list) -> None:
     kind = spec[0]
     if kind == "days" or kind == "hours":
         src, safe = spec[1], ("timestamp", "timestamp_ntz", "date")
@@ -150,7 +166,7 @@ def _validate_transform_source(df, spec: list) -> None:
         src, safe = spec[2], _TRUNCATE_SAFE_TYPES
     else:
         raise ValueError(f"unknown partition transform {kind!r}")
-    dtype = dict(df.dtypes).get(src)
+    dtype = dtypes.get(src)
     if dtype is None:
         raise ValueError(f"transform source column {src!r} not in dataframe")
     if dtype not in safe:
@@ -202,8 +218,82 @@ def init_hidden_table(
 
 
 def read_spec(root: str) -> list:
+    """The CURRENT (latest-generation) partition spec — what new writes
+    derive their layout from."""
+    return _load_generations(root)[-1]
+
+
+def _load_generations(root: str) -> list[list]:
+    """All spec generations, oldest first.  The creation-era file format
+    (a bare spec list) reads as a single generation 0."""
     with open(os.path.join(root, SPEC_FILE), encoding="utf-8") as fh:
-        return json.load(fh)
+        raw = json.load(fh)
+    if isinstance(raw, dict):
+        return [list(s) for s in raw["generations"]]
+    return [list(raw)]
+
+
+_GEN_PREFIX = re.compile(r"^g(\d+):")
+
+
+def _gen_of(pval: str) -> tuple[int, str]:
+    """(generation, raw transform value) of a stored partition value.
+    Generation 0 values are unprefixed (creation-format compatibility)."""
+    m = _GEN_PREFIX.match(pval)
+    if m:
+        return int(m.group(1)), pval[m.end():]
+    return 0, pval
+
+
+def _writer_column(generations: list[list]):
+    """The Spark expression deriving the stored partition value under the
+    CURRENT generation — prefixed with ``g{i}:`` for every generation
+    past the creation spec."""
+    i = len(generations) - 1
+    expr = transform_column(generations[i])
+    if i == 0:
+        return expr
+    return F.concat(F.lit(f"g{i}:"), expr)
+
+
+def may_match_multi(
+    generations: list[list], pval: str, predicate: tuple
+) -> bool:
+    """Generation-aware pruning probe: a partition is judged under the
+    transform that WROTE it; values from an unknown (newer) generation
+    are conservatively read.  Only a definitive NO skips — the same
+    advisory-safe contract as :func:`may_match`."""
+    gen, raw = _gen_of(pval)
+    if gen >= len(generations):
+        return True
+    return may_match(generations[gen], raw, predicate)
+
+
+def evolve_partition_spec(root: str, new_spec: list) -> int:
+    """Change the table's partition layout for FUTURE writes — metadata
+    only, no data rewrite (Iceberg partition-spec evolution).  Existing
+    partitions keep the layout of the generation that wrote them and
+    keep pruning under it; rows REWRITTEN by a later merge relocate to
+    the new layout through the normal partition-move path.  Validates
+    the new transform's source column against the manifest-recorded
+    schema (same divergence safe-list as creation).  Returns the new
+    generation index."""
+    from .publish import read_manifest
+
+    gens = _load_generations(root)
+    schema = read_manifest(root).get("schema")
+    if schema:
+        _validate_transform_source_types(
+            {name: ddl for name, ddl in schema}, list(new_spec)
+        )
+    gens.append(list(new_spec))
+    tmp = os.path.join(root, SPEC_FILE + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"generations": gens}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(root, SPEC_FILE))
+    return len(gens) - 1
 
 
 def merge_into_hidden(
@@ -221,8 +311,9 @@ def merge_into_hidden(
     :func:`..publish.merge_into_versioned`."""
     from .publish import merge_into_versioned
 
-    spec = read_spec(root)
-    src = source.withColumn(HIDDEN_COL, transform_column(spec))
+    gens = _load_generations(root)
+    _require_utc_for_time_transform(spark, gens[-1])
+    src = source.withColumn(HIDDEN_COL, _writer_column(gens))
     return merge_into_versioned(
         spark, root, src, key_cols, HIDDEN_COL, **merge_kwargs
     )
@@ -255,17 +346,22 @@ def read_hidden(
     matching row filter is always applied on the SOURCE column — pruning
     is I/O advice, never semantics — and the hidden column is dropped.
     """
-    spec = read_spec(root)
-    _require_utc_for_time_transform(spark, spec)
+    gens = _load_generations(root)
+    for g in gens:
+        _require_utc_for_time_transform(spark, g)
     pf = None
     if predicate is not None:
-        pf = lambda pval: may_match(spec, pval, predicate)  # noqa: E731
+        pf = lambda pval: may_match_multi(gens, pval, predicate)  # noqa: E731
     out = read_snapshot(
         spark, root, HIDDEN_COL, version=version, partition_filter=pf
     )
     if predicate is not None:
         col = predicate[1]
-        time_src = spec[0] in ("days", "hours") and col == spec[1]
+        # epoch-us bounds apply when ANY generation time-transforms this
+        # column (the row filter is generation-independent)
+        time_src = any(
+            g[0] in ("days", "hours") and col == g[1] for g in gens
+        )
         # time transforms carry epoch-us predicate bounds
         lhs = F.unix_micros(F.col(col)) if time_src else F.col(col)
         if predicate[0] == "eq":

@@ -727,13 +727,33 @@ def read_snapshot(
             if hx is not None and not _bloom_may_contain(hx, val):
                 continue  # bloom negative is definitive
         by_version.setdefault(int(v), []).append(pval)
+    schema_rec = manifest.get("schema")
+    ddl_map = dict(schema_rec) if schema_rec else {}
+
+    def _normalize_types(df: DataFrame) -> DataFrame:
+        # pin recorded column TYPES per piece, before any union: hive
+        # partition-type inference re-types the partition column per
+        # version directory (a days() value infers DATE, a truncate()
+        # value INT, a later generation's value STRING — see .hidden),
+        # and a cross-version union would coerce toward the wrong type
+        if not ddl_map:
+            return df
+        return df.select(
+            *[
+                F.col(c).cast(ddl_map[c]).alias(c) if c in ddl_map else F.col(c)
+                for c in df.columns
+            ]
+        )
+
     pieces = []
     for v, pvals in sorted(by_version.items()):
         vdir = version_dir(root, v)
         spark.catalog.refreshByPath(vdir)
         pieces.append(
-            spark.read.parquet(vdir).filter(
-                F.col(partition_col).cast("string").isin(pvals)
+            _normalize_types(
+                spark.read.parquet(vdir).filter(
+                    F.col(partition_col).cast("string").isin(pvals)
+                )
             )
         )
     def _project_schema(df: DataFrame) -> DataFrame:

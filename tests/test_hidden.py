@@ -179,3 +179,107 @@ def test_unsafe_transform_source_types_rejected(spark, tmp_path):
     # integral source still accepted
     init_hidden_table(spark, df, str(tmp_path / "h_ok"), ["bucket", 4, "k"])
     assert read_hidden(spark, str(tmp_path / "h_ok")).count() == 1
+
+
+def test_partition_spec_evolution_end_to_end(spark, sf_dir, tmp_path):
+    """Evolve days(ts) -> bucket(user_id) metadata-only: old partitions
+    keep pruning under days, new writes land (prefixed) under bucket and
+    prune on user_id; both reads stay exact vs a direct source filter."""
+    from datalake2anomali_spark.io.hidden import (
+        evolve_partition_spec,
+        may_match_multi,
+        merge_into_hidden,
+        _load_generations,
+    )
+
+    root = str(tmp_path / "h_evolve")
+    e = load_table(spark, sf_dir, "events")
+    init_hidden_table(spark, e, root, ["days", "ts"])
+    n_days = len(read_manifest(root)["partitions"])
+
+    gen = evolve_partition_spec(root, ["bucket", 8, "user_id"])
+    assert gen == 1
+    assert read_spec(root) == ["bucket", 8, "user_id"]  # current spec
+    assert _load_generations(root) == [["days", "ts"], ["bucket", 8, "user_id"]]
+
+    # new rows (fresh keys) land under the NEW layout, prefixed g1:
+    ins = e.filter(F.col("event_type") == "error").withColumn(
+        "event_id", F.col("event_id") + 60_000_000
+    )
+    merge_into_hidden(spark, root, ins, ["event_id"])
+    parts = list(read_manifest(root)["partitions"])
+    g1 = [p for p in parts if p.startswith("g1:")]
+    g0 = [p for p in parts if not p.startswith("g1:")]
+    assert g1 and len(g0) == n_days  # old layout untouched
+
+    gens = _load_generations(root)
+    full = e.unionByName(ins)
+
+    # ts window: prunes gen-0 day partitions, conservatively keeps all g1
+    b = e.agg(F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))).collect()[0]
+    span = b[1] - b[0]
+    lo, hi = b[0] + span * 2 // 5, b[0] + span * 3 // 5
+    tpred = ("between", "ts", lo, hi)
+    kept = [p for p in parts if may_match_multi(gens, p, tpred)]
+    assert set(g1) <= set(kept) and len(kept) < len(parts)
+    got = read_hidden(spark, root, predicate=tpred)
+    want = full.filter((F.unix_micros("ts") >= lo) & (F.unix_micros("ts") <= hi))
+    cols = sorted(want.columns)
+    assert got.count() == want.count()
+    assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0
+
+    # user_id point lookup: prunes g1 buckets to one, keeps all gen-0 days
+    uid = e.select("user_id").first()[0]
+    upred = ("eq", "user_id", uid)
+    keptu = [p for p in parts if may_match_multi(gens, p, upred)]
+    assert len([p for p in keptu if p.startswith("g1:")]) == 1
+    assert set(g0) <= set(keptu)
+    gotu = read_hidden(spark, root, predicate=upred)
+    wantu = full.filter(F.col("user_id") == uid)
+    assert gotu.count() == wantu.count()
+    assert gotu.select(*cols).exceptAll(wantu.select(*cols)).count() == 0
+
+
+def test_evolution_validates_source_type_from_manifest_schema(
+    spark, sf_dir, tmp_path
+):
+    from datalake2anomali_spark.io.hidden import evolve_partition_spec
+
+    root = str(tmp_path / "h_evolve_bad")
+    e = load_table(spark, sf_dir, "events")
+    init_hidden_table(spark, e, root, ["days", "ts"])
+    with pytest.raises(ValueError, match="unsupported"):
+        evolve_partition_spec(root, ["bucket", 8, "value"])  # double source
+    with pytest.raises(ValueError, match="not in dataframe"):
+        evolve_partition_spec(root, ["bucket", 8, "no_such_col"])
+
+
+def test_rewritten_rows_relocate_to_current_generation(spark, sf_dir, tmp_path):
+    """A merge UPDATE after evolution moves the touched rows to the new
+    layout (partition-move path); untouched rows stay in their old homes."""
+    from datalake2anomali_spark.io.hidden import (
+        evolve_partition_spec,
+        merge_into_hidden,
+    )
+
+    root = str(tmp_path / "h_evolve_move")
+    e = load_table(spark, sf_dir, "events")
+    init_hidden_table(spark, e, root, ["days", "ts"])
+    evolve_partition_spec(root, ["truncate", 1000, "event_id"])
+
+    upd = e.filter(F.col("event_type") == "purchase").withColumn(
+        "value", F.col("value") + 5.0
+    )
+    merge_into_hidden(spark, root, upd, ["event_id"])
+    snap = read_hidden(spark, root)
+    assert snap.count() == e.count()  # pure update, no dupes
+    # updated rows now live under g1: truncate buckets
+    m = read_manifest(root)
+    assert any(p.startswith("g1:") for p in m["partitions"])
+    got = snap.filter(F.col("event_type") == "purchase").agg(
+        F.sum(F.round(F.col("value") * 100)).cast("long").alias("s")
+    ).collect()[0]["s"]
+    want = upd.agg(
+        F.sum(F.round(F.col("value") * 100)).cast("long").alias("s")
+    ).collect()[0]["s"]
+    assert got == want

@@ -889,6 +889,83 @@ def merge_into_versioned(
     return v
 
 
+def sync_versioned(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+    delete_condition=None,
+    ref: str | None = None,
+) -> int:
+    """The full three-clause ANSI/Delta MERGE in one atomic commit:
+    matched keys UPDATE to the source row (source NULLs included),
+    source-only keys INSERT, and target rows **not matched by source**
+    DELETE — unconditionally, or only where ``delete_condition`` is TRUE
+    (FALSE and NULL keep the row, mirroring :func:`delete_from_versioned`).
+
+    This is snapshot synchronization: with no condition the table
+    becomes exactly ``source`` (keyed replication / backfill); with a
+    condition it is the incremental flavor — "replace this slice with
+    the source's view of it" (e.g. condition = the slice's date range).
+
+    Cost model, stated honestly: the rewrite set is the source's
+    partitions ∪ the touched keys' current homes ∪ the partitions
+    holding a delete-eligible row.  An UNCONDITIONAL sync therefore
+    rewrites every partition containing any row absent from the source —
+    that is the semantics' true price (it must visit what it deletes),
+    so at 100 TB pass a ``delete_condition`` that bounds the slice
+    (partition-range predicates prune via the same affected-set
+    discovery MERGE uses).  Returns the published version.
+    """
+    from ..operators.merge import _affected_partitions, _merge_resolved
+
+    manifest = read_manifest(root, ref=ref)
+    target = read_snapshot(spark, root, partition_col, ref=ref)
+    data_cols = list(target.columns)
+    missing = set(data_cols) - set(source.columns)
+    if missing:
+        raise ValueError(f"source is missing target columns: {sorted(missing)}")
+
+    skeys = source.select(*key_cols).distinct()
+    # target-only rows eligible for the not-matched-by-source DELETE;
+    # no broadcast hint on skeys here — a sync source can be table-sized
+    doomed = target.join(skeys, key_cols, "left_anti")
+    if delete_condition is not None:
+        doomed = doomed.filter(delete_condition)
+    affected = (
+        _affected_partitions(target, source, key_cols, partition_col)
+        .union(doomed.select(partition_col).distinct())
+        .distinct()
+    )
+    hit = target.join(
+        F.broadcast(affected.withColumnRenamed(partition_col, "_ap")),
+        F.col(partition_col).eqNullSafe(F.col("_ap")),
+        "leftsemi",
+    )
+    upserted = _merge_resolved(hit, source, key_cols, data_cols)
+    # subtract the doomed keys: they are target-only, so removing them
+    # from the merged output can never touch an upserted source row
+    merged = upserted.join(doomed.select(*key_cols), key_cols, "left_anti")
+
+    if manifest.get("constraints"):
+        merged = merged.localCheckpoint(eager=True)
+        _check_constraints(merged, manifest["constraints"])
+
+    raw_affected = [r[0] for r in affected.collect()]
+    _require_non_null_partitions(raw_affected)
+
+    v = _claim_version(root)
+    vdir = version_dir(root, v)
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(vdir)
+    spark.catalog.refreshByPath(vdir)
+    _commit_ownership_rewrite(
+        spark, root, manifest, v, vdir, partition_col,
+        {str(x) for x in raw_affected}, "sync", merged, ref=ref,
+    )
+    return v
+
+
 def optimize_partitions(
     spark: SparkSession,
     root: str,

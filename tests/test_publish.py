@@ -1070,3 +1070,92 @@ def test_null_partition_rejected_before_any_claim(spark, sf_dir, vtable):
             "event_date",
         )
     assert sorted(os.listdir(vtable)) == before
+
+
+def test_sync_versioned_unconditional_replicates_source(spark, sf_dir, vtable):
+    """Three-clause MERGE with no delete condition: the table becomes
+    exactly the source — updates stick (incl. NULLs), inserts land,
+    not-matched-by-source rows go, emptied partitions drop."""
+    from datalake2anomali_spark.io.publish import sync_versioned
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    # source: clicks with NULLed value + error clones on a new date;
+    # everything else (purchase/signup/view/error originals) must vanish
+    src = (
+        e.filter(F.col("event_type") == "click")
+        .withColumn("value", F.lit(None).cast("double"))
+        .unionByName(
+            e.filter(F.col("event_type") == "error")
+            .withColumn("event_id", F.col("event_id") + 90_000_000)
+            .withColumn("event_date", F.lit("2035-01-01"))
+        )
+    )
+    sync_versioned(spark, vtable, src, ["event_id"], "event_date")
+    after = read_snapshot(spark, vtable, "event_date")
+    assert after.count() == src.count()
+    cols = sorted(after.columns)
+    assert after.select(*cols).exceptAll(src.select(*cols)).count() == 0
+    assert src.select(*cols).exceptAll(after.select(*cols)).count() == 0
+    assert read_manifest(vtable)["operation"] == "sync"
+    # every original date partition with only non-click rows dropped
+    live = set(read_manifest(vtable)["partitions"])
+    want_parts = {r[0] for r in src.select("event_date").distinct().collect()}
+    assert live == want_parts
+
+
+def test_sync_versioned_conditional_bounds_the_delete(spark, sf_dir, vtable):
+    """delete_condition restricts the not-matched-by-source clause: rows
+    failing it (or NULL) survive even though the source omits them."""
+    from datalake2anomali_spark.io.publish import sync_versioned
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    src = e.filter(F.col("event_type") == "click").withColumn(
+        "value", F.col("value") + 9.0
+    )
+    sync_versioned(
+        spark,
+        vtable,
+        src,
+        ["event_id"],
+        "event_date",
+        delete_condition=F.col("event_type") == "view",
+    )
+    after = read_snapshot(spark, vtable, "event_date")
+    # views deleted, clicks updated, everything else intact
+    assert after.filter(F.col("event_type") == "view").count() == 0
+    assert after.count() == e.count() - e.filter(
+        F.col("event_type") == "view"
+    ).count()
+    got = after.filter(F.col("event_type") == "click").agg(
+        F.sum(F.round(F.col("value") * 100)).cast("long").alias("s")
+    ).collect()[0]["s"]
+    want = src.agg(
+        F.sum(F.round(F.col("value") * 100)).cast("long").alias("s")
+    ).collect()[0]["s"]
+    assert got == want
+    dup = after.groupBy("event_id").count().filter(F.col("count") > 1)
+    assert dup.count() == 0
+
+
+def test_sync_versioned_on_branch_leaves_main_untouched(spark, sf_dir, vtable):
+    from datalake2anomali_spark.io.publish import (
+        create_branch,
+        sync_versioned,
+    )
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    before = _snap_fingerprint(spark, vtable)
+    create_branch(vtable, "sync-wip")
+    src = e.filter(F.col("event_type") == "purchase")
+    sync_versioned(
+        spark, vtable, src, ["event_id"], "event_date", ref="sync-wip"
+    )
+    assert _snap_fingerprint(spark, vtable) == before
+    b = read_snapshot(spark, vtable, "event_date", ref="sync-wip")
+    assert b.count() == src.count()

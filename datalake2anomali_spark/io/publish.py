@@ -169,6 +169,18 @@ def _commit_manifest(
     ``ref``: a branch name makes the swap target that branch's pointer
     file instead of the table's main ``_MANIFEST.json`` — same history
     file, same atomicity, different head (see :func:`create_branch`)."""
+    # stamp the commit wall-clock (timestamp time travel / history);
+    # forced strictly increasing past the pointer's previous commit so
+    # AS OF TIMESTAMP resolution is total even under clock staleness
+    ts = time.time()
+    try:
+        prev = read_manifest(root, ref=ref).get("committed_at")
+        if prev is not None and ts <= prev:
+            ts = prev + 1e-6
+    except FileNotFoundError:
+        pass
+    manifest = dict(manifest)
+    manifest["committed_at"] = ts
     if lock is not None:
         # heartbeat: we are live, keep the TTL clock fresh through the
         # fsync-heavy section (only after proving the lock is still ours
@@ -1719,6 +1731,64 @@ def list_refs(root: str) -> dict:
     return out
 
 
+def version_as_of_timestamp(root: str, ts: float) -> int:
+    """AS OF TIMESTAMP resolution: the newest committed snapshot whose
+    recorded commit wall-clock is ≤ ``ts`` (epoch seconds) — Delta's
+    ``timestampAsOf`` over the per-version history files.  Commit stamps
+    are forced strictly increasing per pointer, so resolution is total;
+    raises if ``ts`` predates the first retained commit (or the window
+    was vacuumed past it — same retention trade as version time travel).
+    """
+    best: tuple[float, int] | None = None
+    for name in os.listdir(root):
+        m = _HIST.match(name)
+        if not m:
+            continue
+        snap = read_manifest(root, int(m.group(1)))
+        at = snap.get("committed_at")
+        if at is not None and at <= ts and (best is None or at > best[0]):
+            best = (at, snap["version"])
+    if best is None:
+        raise FileNotFoundError(
+            f"versioned table at {root!r} has no retained commit at or "
+            f"before timestamp {ts}; the window may have been vacuumed"
+        )
+    return best[1]
+
+
+def describe_detail(root: str) -> dict:
+    """DESCRIBE DETAIL: one metadata-only summary of the current
+    snapshot — version, commit time, operation, partition/row counts
+    (from the manifest, no file opens), live version-directory set, total
+    live bytes (one filesystem walk of live dirs, the only I/O here),
+    schema, constraints, and the table's named refs."""
+    manifest = read_manifest(root)
+    live_versions = sorted({int(v) for v in manifest["partitions"].values()})
+    size = 0
+    for v in live_versions:
+        for dirpath, _dn, files in os.walk(version_dir(root, v)):
+            for f in files:
+                try:
+                    size += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+    rows = manifest.get("rows")
+    return {
+        "version": manifest["version"],
+        "committed_at": manifest.get("committed_at"),
+        "operation": manifest.get("operation", "write"),
+        "n_partitions": len(manifest["partitions"]),
+        "n_rows": sum(int(n) for n in rows.values())
+        if rows is not None and set(rows) == set(manifest["partitions"])
+        else None,
+        "live_versions": live_versions,
+        "size_bytes": size,
+        "schema": manifest.get("schema"),
+        "constraints": manifest.get("constraints", {}),
+        "refs": list_refs(root),
+    }
+
+
 def snapshot_rowcount(root: str, version: int | None = None) -> int:
     """SELECT COUNT(*) answered from metadata alone — no file opens.
     Every commit records per-partition row counts (gathered by the same
@@ -1753,6 +1823,7 @@ def table_history(root: str) -> list[dict]:
                 "version": snap["version"],
                 "operation": snap.get("operation", "write"),
                 "ref": snap.get("ref", "main"),
+                "committed_at": snap.get("committed_at"),
                 "n_partitions": len(snap["partitions"]),
                 "n_rows": sum(int(n) for n in rows.values())
                 if rows is not None and set(rows) == set(snap["partitions"])

@@ -203,3 +203,61 @@ def test_branch_create_refuses_duplicate(spark, vtable):
     create_branch(vtable, "dup")
     with pytest.raises(FileExistsError):
         create_branch(vtable, "dup")
+
+
+def test_timestamp_time_travel_and_describe_detail(spark, sf_dir, vtable):
+    """AS OF TIMESTAMP resolves between the recorded commit stamps, which
+    are strictly increasing per pointer; DESCRIBE DETAIL summarizes the
+    current snapshot from metadata alone."""
+    from datalake2anomali_spark.io.publish import (
+        describe_detail,
+        merge_into_versioned,
+        version_as_of_timestamp,
+    )
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    v2 = merge_into_versioned(
+        spark,
+        vtable,
+        e.filter(F.col("event_type") == "error").withColumn(
+            "event_id", F.col("event_id") + 11_000_000
+        ),
+        ["event_id"],
+        "event_date",
+    )
+    v3 = delete_from_versioned(
+        spark, vtable, "event_date", F.col("event_type") == "signup"
+    )
+    hist = table_history(vtable)
+    stamps = {h["version"]: h["committed_at"] for h in hist}
+    assert all(at is not None for at in stamps.values())
+    assert sorted(stamps.values()) == [stamps[v] for v in sorted(stamps)]
+
+    v1 = min(stamps)
+    assert version_as_of_timestamp(vtable, stamps[v1]) == v1
+    mid = (stamps[v2] + stamps[v3]) / 2
+    assert version_as_of_timestamp(vtable, max(mid, stamps[v2])) == v2
+    assert version_as_of_timestamp(vtable, stamps[v3] + 1.0) == v3
+    with pytest.raises(FileNotFoundError, match="no retained commit"):
+        version_as_of_timestamp(vtable, stamps[v1] - 10.0)
+    # the resolved version reads like any version time travel
+    snap_v2 = read_snapshot(
+        spark, vtable, "event_date",
+        version=version_as_of_timestamp(vtable, stamps[v2]),
+    )
+    assert snap_v2.filter(F.col("event_type") == "signup").count() > 0
+
+    d = describe_detail(vtable)
+    assert d["version"] == v3
+    assert d["operation"] == "delete"
+    assert d["n_rows"] == snap_v2.count() - snap_v2.filter(
+        F.col("event_type") == "signup"
+    ).count()
+    assert d["n_partitions"] == len(read_manifest(vtable)["partitions"])
+    assert d["size_bytes"] > 0
+    assert set(d["live_versions"]) == {
+        int(x) for x in read_manifest(vtable)["partitions"].values()
+    }
+    assert d["refs"] == {"branches": {}, "tags": {}}

@@ -1506,10 +1506,21 @@ class TableFollower:
     error rather than returning a gap.
     """
 
-    def __init__(self, root: str, partition_col: str, key_cols: list[str], cursor_dir: str):
+    def __init__(
+        self,
+        root: str,
+        partition_col: str,
+        key_cols: list[str],
+        cursor_dir: str,
+        ref: str | None = None,
+    ):
         self.root = root
         self.partition_col = partition_col
         self.key_cols = list(key_cols)
+        #: follow a branch head instead of main (audit-side consumers);
+        #: committed branch versions are history files like any other, so
+        #: the poll's table_changes span needs no ref awareness
+        self.ref = ref
         os.makedirs(cursor_dir, exist_ok=True)
         self._path = os.path.join(cursor_dir, "version.cursor")
 
@@ -1522,7 +1533,7 @@ class TableFollower:
 
     def poll(self, spark: SparkSession) -> tuple[DataFrame | None, int]:
         """(changes, target_version); changes is None when caught up."""
-        target = read_manifest(self.root)["version"]
+        target = read_manifest(self.root, ref=self.ref)["version"]
         cur = self.position()
         if cur is None:
             snap = read_snapshot(

@@ -261,3 +261,50 @@ def test_timestamp_time_travel_and_describe_detail(spark, sf_dir, vtable):
         int(x) for x in read_manifest(vtable)["partitions"].values()
     }
     assert d["refs"] == {"branches": {}, "tags": {}}
+
+
+def test_follower_tracks_a_branch(spark, sf_dir, vtable, tmp_path):
+    """A TableFollower with ref= follows the branch head: bootstrap from
+    the fork snapshot, then the branch's own commits, while main's later
+    commits never enter the feed."""
+    from datalake2anomali_spark.io.publish import TableFollower
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    create_branch(vtable, "feed")
+    f = TableFollower(
+        vtable, "event_date", ["event_id"], str(tmp_path / "cur"), ref="feed"
+    )
+    boot, v0 = f.poll(spark)
+    assert boot.count() == e.count()  # bootstrap = fork snapshot as adds
+    f.commit(v0)
+
+    # branch commit enters the feed; concurrent main commit does not
+    merge_into_versioned(
+        spark,
+        vtable,
+        e.filter(F.col("event_type") == "purchase").withColumn(
+            "value", F.col("value") + 3.0
+        ),
+        ["event_id"],
+        "event_date",
+        ref="feed",
+    )
+    merge_into_versioned(
+        spark,
+        vtable,
+        e.filter(F.col("event_type") == "click").withColumn(
+            "value", F.col("value") + 4.0
+        ),
+        ["event_id"],
+        "event_date",
+    )
+    ch, v1 = f.poll(spark)
+    types = {r["change_type"] for r in ch.select("change_type").distinct().collect()}
+    assert types == {"changed"}
+    n_purchase = e.filter(F.col("event_type") == "purchase").count()
+    assert ch.count() == n_purchase  # only the branch's merge, not main's
+    f.commit(v1)
+    again, _ = f.poll(spark)
+    assert again is None  # caught up with the branch head

@@ -262,11 +262,28 @@ def may_match_multi(
     """Generation-aware pruning probe: a partition is judged under the
     transform that WROTE it; values from an unknown (newer) generation
     are conservatively read.  Only a definitive NO skips — the same
-    advisory-safe contract as :func:`may_match`."""
+    advisory-safe contract as :func:`may_match`.
+
+    Unit guard: when ANY generation time-transforms the predicate
+    column, :func:`read_hidden`'s contract makes the predicate values
+    epoch-microseconds — a domain a bucket/truncate generation over the
+    SAME column cannot probe (its writer hashed/floored the native
+    value, e.g. ``md5('2024-01-05:b')``, not the epoch number), so those
+    generations' partitions are conservatively read rather than
+    definitively (and wrongly) rejected."""
     gen, raw = _gen_of(pval)
     if gen >= len(generations):
         return True
-    return may_match(generations[gen], raw, predicate)
+    col = predicate[1]
+    epoch_us_mode = any(
+        g[0] in ("days", "hours") and g[1] == col for g in generations
+    )
+    spec = generations[gen]
+    if epoch_us_mode and spec[0] not in ("days", "hours"):
+        src = spec[2] if spec[0] in ("bucket", "truncate") else spec[1]
+        if src == col:
+            return True  # epoch-us probe cannot address this layout
+    return may_match(spec, raw, predicate)
 
 
 def evolve_partition_spec(root: str, new_spec: list) -> int:
@@ -277,23 +294,40 @@ def evolve_partition_spec(root: str, new_spec: list) -> int:
     the new layout through the normal partition-move path.  Validates
     the new transform's source column against the manifest-recorded
     schema (same divergence safe-list as creation).  Returns the new
-    generation index."""
-    from .publish import read_manifest
+    generation index.
 
-    gens = _load_generations(root)
-    schema = read_manifest(root).get("schema")
-    if schema:
-        _validate_transform_source_types(
-            {name: ddl for name, ddl in schema}, list(new_spec)
-        )
-    gens.append(list(new_spec))
-    tmp = os.path.join(root, SPEC_FILE + ".tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump({"generations": gens}, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, os.path.join(root, SPEC_FILE))
-    return len(gens) - 1
+    Runs under the table's commit lock: the spec file is a
+    read-modify-write, and two unlocked concurrent evolves could assign
+    the SAME generation index to different transforms — readers would
+    then prune one evolve's ``g{i}:`` partitions under the other's
+    transform and silently drop rows.
+    """
+    from .publish import (
+        _commit_lock,
+        _release_lock_if_ours,
+        _verify_lock_ownership,
+        read_manifest,
+    )
+
+    lock = _commit_lock(root)
+    try:
+        gens = _load_generations(root)
+        schema = read_manifest(root).get("schema")
+        if schema:
+            _validate_transform_source_types(
+                {name: ddl for name, ddl in schema}, list(new_spec)
+            )
+        gens.append(list(new_spec))
+        tmp = os.path.join(root, SPEC_FILE + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"generations": gens}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        _verify_lock_ownership(lock)  # stalled-and-robbed evolve aborts
+        os.replace(tmp, os.path.join(root, SPEC_FILE))
+        return len(gens) - 1
+    finally:
+        _release_lock_if_ours(lock)
 
 
 def merge_into_hidden(
@@ -358,12 +392,17 @@ def read_hidden(
     if predicate is not None:
         col = predicate[1]
         # epoch-us bounds apply when ANY generation time-transforms this
-        # column (the row filter is generation-independent)
+        # column (the row filter is generation-independent).  The cast
+        # covers DATE source columns (unix_micros requires TIMESTAMP;
+        # date→timestamp resolves in the session tz, pinned UTC above).
         time_src = any(
             g[0] in ("days", "hours") and col == g[1] for g in gens
         )
-        # time transforms carry epoch-us predicate bounds
-        lhs = F.unix_micros(F.col(col)) if time_src else F.col(col)
+        lhs = (
+            F.unix_micros(F.col(col).cast("timestamp"))
+            if time_src
+            else F.col(col)
+        )
         if predicate[0] == "eq":
             rhs = int(predicate[2]) if time_src else predicate[2]
             out = out.filter(lhs == F.lit(rhs))

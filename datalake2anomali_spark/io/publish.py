@@ -392,20 +392,24 @@ def _commit_checked(
             )
         _commit_manifest(root, manifest, lock=lock, ref=ref)
     finally:
-        # release only if the lock is still OURS: after a TTL steal the
-        # path holds the thief's fresh lock, and unlinking it would let a
-        # third writer enter the thief's critical section (ADVICE r7)
-        path, token = lock
+        _release_lock_if_ours(lock)
+
+
+def _release_lock_if_ours(lock: tuple[str, str]) -> None:
+    """Release the commit lock only if it is still OURS: after a TTL
+    steal the path holds the thief's fresh lock, and unlinking it would
+    let a third writer enter the thief's critical section (ADVICE r7)."""
+    path, token = lock
+    try:
+        with open(path, encoding="utf-8") as fh:
+            still_ours = fh.read() == token
+    except FileNotFoundError:
+        still_ours = False
+    if still_ours:
         try:
-            with open(path, encoding="utf-8") as fh:
-                still_ours = fh.read() == token
+            os.unlink(path)
         except FileNotFoundError:
-            still_ours = False
-        if still_ours:
-            try:
-                os.unlink(path)
-            except FileNotFoundError:
-                pass
+            pass
 
 
 def _schema_record(df: DataFrame) -> list[list[str]]:
@@ -596,7 +600,15 @@ def _normalize_bloom_probe(manifest: dict, col: str, value):
         if isinstance(value, _dt.date):
             return value.isoformat(), True
         if isinstance(value, str):
-            return value, True
+            # canonicalize to the writer's zero-padded ISO rendering: the
+            # row filter casts '2024-1-5' to the same DATE as
+            # '2024-01-05', so an un-normalized probe would hash a string
+            # the writer never wrote — a false definitive negative
+            try:
+                y, m, d = value.split("-")
+                return _dt.date(int(y), int(m), int(d)).isoformat(), True
+            except (ValueError, AttributeError):
+                return value, False
         return value, False
     # non-bloom-safe column types never have recorded blooms; anything
     # else is a mismatch the probe cannot render faithfully
@@ -930,7 +942,7 @@ def sync_versioned(
     (partition-range predicates prune via the same affected-set
     discovery MERGE uses).  Returns the published version.
     """
-    from ..operators.merge import _affected_partitions, _merge_resolved
+    from ..operators.merge import _merge_resolved
 
     manifest = read_manifest(root, ref=ref)
     target = read_snapshot(spark, root, partition_col, ref=ref)
@@ -940,13 +952,22 @@ def sync_versioned(
         raise ValueError(f"source is missing target columns: {sorted(missing)}")
 
     skeys = source.select(*key_cols).distinct()
-    # target-only rows eligible for the not-matched-by-source DELETE;
-    # no broadcast hint on skeys here — a sync source can be table-sized
+    # NO broadcast hints on skeys anywhere in this function: a sync
+    # source can be table-sized (the snapshot-replication use case), and
+    # a forced broadcast of its distinct keys would blow the driver at
+    # exactly that scale — this is why the affected-partition discovery
+    # is inlined here instead of reusing merge's broadcast-hinted helper;
+    # AQE still broadcasts genuinely small sources on its own
     doomed = target.join(skeys, key_cols, "left_anti")
     if delete_condition is not None:
         doomed = doomed.filter(delete_condition)
+    old_homes = (
+        target.join(skeys, key_cols, "leftsemi").select(partition_col).distinct()
+    )
     affected = (
-        _affected_partitions(target, source, key_cols, partition_col)
+        source.select(partition_col)
+        .distinct()
+        .union(old_homes)
         .union(doomed.select(partition_col).distinct())
         .distinct()
     )
@@ -1303,10 +1324,16 @@ def vacuum(
     if retain_last < 1:
         raise ValueError("retain_last must be >= 1 (the current snapshot)")
     current = read_manifest(root)
+    # the retain_last window counts MAIN commits only: branch commits
+    # share the history namespace, and letting them occupy window slots
+    # would silently shrink main's guaranteed time-travel depth whenever
+    # a branch is active (branch heads are pinned separately below;
+    # branch INTERMEDIATE snapshots follow the same window as any
+    # history — they are not main's retention problem)
     committed = {current["version"]}
     for name in os.listdir(root):
         m = _HIST.match(name)
-        if m:
+        if m and read_manifest(root, int(m.group(1))).get("ref") is None:
             committed.add(int(m.group(1)))
     retained = sorted(committed)[-retain_last:]
     if current["version"] not in retained:
@@ -1623,6 +1650,13 @@ def create_branch(root: str, name: str, from_version: int | None = None) -> int:
     creation — the pointer re-references the fork snapshot's directories,
     and :func:`vacuum` protects every branch-referenced version.
 
+    ``branch_base`` — the publish precondition :func:`fast_forward`
+    checks — is main's CURRENT version at branch creation, even when
+    ``from_version`` names an older snapshot: branching off history and
+    publishing is a deliberate rewind (the restore workflow through a
+    branch), and the guard's job is only to catch main moving UNDER the
+    branch after it was cut, never to second-guess the starting point.
+
     Returns the fork version.  Refuses an existing branch name
     (``O_CREAT|O_EXCL`` — creation is atomic among racing creators).
     """
@@ -1630,8 +1664,6 @@ def create_branch(root: str, name: str, from_version: int | None = None) -> int:
     fork = current if from_version is None else read_manifest(root, from_version)
     head = dict(fork)
     head["ref"] = name
-    # the publish precondition: fast_forward succeeds only while main
-    # still sits at the version the branch forked from
     head["branch_base"] = current["version"]
     path = os.path.join(root, _branch_file(name))
     fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -1650,7 +1682,9 @@ def fast_forward(root: str, name: str) -> int:
     itself restorable away.
 
     Precondition (checked under the commit lock): main must still be at
-    the version the branch forked from.  If main advanced, raises
+    the version it held when the branch was CREATED (``branch_base`` —
+    see :func:`create_branch` for why that is the creation-time version
+    even under ``from_version``).  If main advanced since, raises
     :class:`ConcurrentWriteError` — the branch is stale and must be
     rebased (recreate it from the new main and replay the writes); a
     silent merge here would drop main's concurrent commits.  The branch
@@ -1742,26 +1776,34 @@ def list_refs(root: str) -> dict:
     return out
 
 
-def version_as_of_timestamp(root: str, ts: float) -> int:
-    """AS OF TIMESTAMP resolution: the newest committed snapshot whose
+def version_as_of_timestamp(root: str, ts: float, ref: str | None = None) -> int:
+    """AS OF TIMESTAMP resolution: the newest committed snapshot **of the
+    given pointer** (main by default, a branch with ``ref``) whose
     recorded commit wall-clock is ≤ ``ts`` (epoch seconds) — Delta's
-    ``timestampAsOf`` over the per-version history files.  Commit stamps
-    are forced strictly increasing per pointer, so resolution is total;
-    raises if ``ts`` predates the first retained commit (or the window
-    was vacuumed past it — same retention trade as version time travel).
-    """
+    ``timestampAsOf`` over the per-version history files.  Commits of
+    OTHER refs are excluded: a branch's unpublished commits share the
+    history namespace but must never resolve for a main reader (that
+    would leak write-audit-publish data around :func:`fast_forward`).
+    Stamps are forced strictly increasing per pointer, so per-ref
+    resolution is total; raises if ``ts`` predates the first retained
+    commit of the ref (or the window was vacuumed past it — same
+    retention trade as version time travel)."""
+    want_ref = ref  # None == main (manifests record no "ref" key)
     best: tuple[float, int] | None = None
     for name in os.listdir(root):
         m = _HIST.match(name)
         if not m:
             continue
         snap = read_manifest(root, int(m.group(1)))
+        if snap.get("ref") != want_ref:
+            continue
         at = snap.get("committed_at")
         if at is not None and at <= ts and (best is None or at > best[0]):
             best = (at, snap["version"])
     if best is None:
+        where = f"branch {ref!r} of table" if ref else "table"
         raise FileNotFoundError(
-            f"versioned table at {root!r} has no retained commit at or "
+            f"versioned {where} at {root!r} has no retained commit at or "
             f"before timestamp {ts}; the window may have been vacuumed"
         )
     return best[1]

@@ -82,9 +82,10 @@ def negative_samples(
 
     Returns (anchor_col, neg_id, draw, n_drawn): up to ``k`` rows per
     anchor ordered by draw number, with ``n_drawn`` the per-anchor count
-    actually achieved — callers decide whether a shortfall (possible
-    only when k·oversample draws collide, i.e. corpus ≈ positives) is an
-    error.
+    actually achieved.  EVERY anchor appears: one whose draws were all
+    filtered out (corpus ≈ self + positives) yields a single
+    (anchor, NULL, NULL, n_drawn=0) row, so a shortfall is always
+    joinable/filterable — callers decide whether it is an error.
     """
     if k < 1 or oversample < 1:
         raise ValueError("k and oversample must be >= 1")
@@ -126,15 +127,24 @@ def negative_samples(
     # over the same (anchor) partitioning, one exchange
     w_dup = Window.partitionBy(anchor_col, "neg_id").orderBy("_j")
     w_rank = Window.partitionBy(anchor_col).orderBy("_j")
-    out = (
+    filled = (
         cand.withColumn("_dup", F.row_number().over(w_dup))
         .filter(F.col("_dup") == 1)
         .withColumn("draw", F.row_number().over(w_rank))
         .filter(F.col("draw") <= k)
+        .select(anchor_col, "neg_id", "draw")
+    )
+    # left join back from the full anchor set: an anchor whose every draw
+    # was filtered out (self/positive/duplicate) must still appear, as
+    # one (anchor, NULL, NULL, n_drawn=0) row — the visibility contract
+    out = (
+        anchors.select(anchor_col)
+        .distinct()
+        .join(filled, anchor_col, "left")
         .withColumn(
-            "n_drawn", F.count(F.lit(1)).over(Window.partitionBy(anchor_col))
+            "n_drawn",
+            F.count("neg_id").over(Window.partitionBy(anchor_col)),
         )
-        .select(anchor_col, "neg_id", "draw", "n_drawn")
     )
     return out
 
@@ -172,8 +182,10 @@ WITH corpus AS (
   SELECT anchor_id, neg_id, _j,
          ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY _j) AS draw
   FROM dedup WHERE _dup = 1
+), final AS (
+  SELECT anchor_id, neg_id, draw FROM ranked WHERE draw <= {k}
 )
-SELECT anchor_id, neg_id, draw,
-       COUNT(*) OVER (PARTITION BY anchor_id) AS n_drawn
-FROM ranked WHERE draw <= {k}
+SELECT a.anchor_id, f.neg_id, f.draw,
+       COUNT(f.neg_id) OVER (PARTITION BY a.anchor_id) AS n_drawn
+FROM anchors a LEFT JOIN final f ON f.anchor_id = a.anchor_id
 """

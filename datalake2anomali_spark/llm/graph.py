@@ -603,7 +603,10 @@ def k_core(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    # +1: convergence (or emptiness) is detected at the TOP of the round
+    # after the peel that caused it, so a peel finishing exactly on round
+    # max_iter needs one more (aggregate-only) round to return
+    for _ in range(max_iter + 1):
         deg = (
             und.select(F.col("u").alias("node"))
             .union(und.select(F.col("v").alias("node")))
@@ -668,7 +671,10 @@ def coreness(
     spark = edges.sparkSession
     out_parts: list[DataFrame] = []
     k = 0
-    for _ in range(max_rounds):
+    # +1: the fully-peeled break fires at the TOP of the round after the
+    # peel that emptied the graph, so a decomposition finishing exactly
+    # on round max_rounds needs one more (aggregate-only) round
+    for _ in range(max_rounds + 1):
         deg = (
             und.select(F.col("u").alias("node"))
             .union(und.select(F.col("v").alias("node")))

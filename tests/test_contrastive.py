@@ -82,3 +82,19 @@ def test_rejects_bad_arguments(spark, sf_dir):
         negative_samples(docs, docs, 0)
     with pytest.raises(ValueError, match="empty"):
         negative_samples(docs, docs.filter(F.lit(False)), 2)
+
+
+def test_starved_anchor_is_visible_with_zero_count(spark, sf_dir):
+    """An anchor whose every draw is self or a positive must still appear
+    as one (anchor, NULL, NULL, 0) row — never silently vanish."""
+    docs = load_table(spark, sf_dir, "documents")
+    pair = docs.filter(F.col("doc_id") < 2)  # corpus of exactly 2
+    # each anchor declares the only other doc a positive → zero negatives
+    pos = pair.select(
+        F.col("doc_id"), (F.lit(1) - F.col("doc_id")).alias("pos_id")
+    )
+    rows = negative_samples(pair, pair, k=3, positives=pos).collect()
+    assert {r["doc_id"] for r in rows} == {0, 1}
+    for r in rows:
+        assert r["neg_id"] is None and r["draw"] is None
+        assert r["n_drawn"] == 0

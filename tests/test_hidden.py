@@ -283,3 +283,45 @@ def test_rewritten_rows_relocate_to_current_generation(spark, sf_dir, tmp_path):
         F.sum(F.round(F.col("value") * 100)).cast("long").alias("s")
     ).collect()[0]["s"]
     assert got == want
+
+
+def test_mixed_time_and_bucket_generations_on_same_column_stay_exact(
+    spark, sf_dir, tmp_path
+):
+    """days(d) evolved to bucket(d) over the SAME date column: the
+    epoch-us predicate a time generation forces cannot address bucket
+    partitions, so they must be conservatively read — not definitively
+    (and wrongly) rejected."""
+    from datalake2anomali_spark.io.hidden import (
+        evolve_partition_spec,
+        merge_into_hidden,
+        may_match_multi,
+        _load_generations,
+    )
+
+    root = str(tmp_path / "h_mixed_units")
+    e = load_table(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    init_hidden_table(spark, e, root, ["days", "d"])
+    evolve_partition_spec(root, ["bucket", 4, "d"])
+    ins = e.filter(F.col("event_type") == "error").withColumn(
+        "event_id", F.col("event_id") + 70_000_000
+    )
+    merge_into_hidden(spark, root, ins, ["event_id"])
+
+    gens = _load_generations(root)
+    parts = list(read_manifest(root)["partitions"])
+    g1 = [p for p in parts if p.startswith("g1:")]
+    assert g1  # new layout active
+    # probe one concrete day (epoch-us per the time-transform contract)
+    lo = e.agg(F.min(F.unix_micros(F.col("d").cast("timestamp")))).collect()[0][0]
+    pred = ("eq", "d", lo)
+    kept = [p for p in parts if may_match_multi(gens, p, pred)]
+    assert set(g1) <= set(kept)  # bucket partitions conservatively read
+    got = read_hidden(spark, root, predicate=pred)
+    full = e.unionByName(ins)
+    want = full.filter(
+        F.unix_micros(F.col("d").cast("timestamp")) == F.lit(lo)
+    )
+    cols = sorted(want.columns)
+    assert got.count() == want.count() and want.count() > 0
+    assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0

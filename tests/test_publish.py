@@ -1159,3 +1159,33 @@ def test_sync_versioned_on_branch_leaves_main_untouched(spark, sf_dir, vtable):
     assert _snap_fingerprint(spark, vtable) == before
     b = read_snapshot(spark, vtable, "event_date", ref="sync-wip")
     assert b.count() == src.count()
+
+
+def test_bloom_probe_normalizes_unpadded_date_strings(spark, sf_dir, tmp_path):
+    """A '2024-1-5'-style probe against a date bloom column must hash the
+    writer's zero-padded ISO rendering (the row filter matches either
+    spelling, so an un-normalized probe was a silent wrong answer)."""
+    from datalake2anomali_spark.io.publish import _normalize_bloom_probe
+
+    root = str(tmp_path / "bloom_date")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+        .withColumn("d", F.to_date("ts"))
+    )
+    from datalake2anomali_spark.io.publish import init_table as _init
+
+    _init(spark, e, root, "event_date", bloom_cols=["d"])
+    manifest = read_manifest(root)
+    probe = next(iter(manifest["bloom"]))  # any partition exists
+    # normalization: unpadded → canonical ISO; garbage → unusable
+    val, usable = _normalize_bloom_probe(manifest, "d", "2024-1-5")
+    assert (val, usable) == ("2024-01-05", True)
+    _, usable_bad = _normalize_bloom_probe(manifest, "d", "not-a-date")
+    assert usable_bad is False
+    # end-to-end: the unpadded probe returns exactly the padded probe's rows
+    got = read_snapshot(
+        spark, root, "event_date", eq_predicate=("d", "2024-1-5")
+    ).count()
+    want = e.filter(F.col("d") == F.lit("2024-1-5")).count()
+    assert want > 0 and got == want

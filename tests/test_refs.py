@@ -308,3 +308,67 @@ def test_follower_tracks_a_branch(spark, sf_dir, vtable, tmp_path):
     f.commit(v1)
     again, _ = f.poll(spark)
     assert again is None  # caught up with the branch head
+
+
+def test_as_of_timestamp_never_resolves_branch_commits(spark, sf_dir, vtable):
+    """A branch commit carries the newest stamp in the shared history
+    namespace but must be invisible to main AS OF TIMESTAMP resolution
+    (and visible to the branch's own, via ref=)."""
+    import time as _time
+
+    from datalake2anomali_spark.io.publish import version_as_of_timestamp
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    v_main = read_manifest(vtable)["version"]
+    create_branch(vtable, "tt")
+    v_branch = merge_into_versioned(
+        spark,
+        vtable,
+        e.filter(F.col("event_type") == "error").withColumn(
+            "event_id", F.col("event_id") + 12_000_000
+        ),
+        ["event_id"],
+        "event_date",
+        ref="tt",
+    )
+    now = _time.time() + 5.0
+    assert version_as_of_timestamp(vtable, now) == v_main  # not v_branch
+    assert version_as_of_timestamp(vtable, now, ref="tt") == v_branch
+
+
+def test_vacuum_window_counts_main_commits_only(spark, sf_dir, vtable):
+    """Branch commits must not occupy retain_last slots: after branch
+    activity, main's second-newest snapshot stays time-travel-readable
+    under retain_last=2."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    v1 = read_manifest(vtable)["version"]
+    v2 = merge_into_versioned(
+        spark,
+        vtable,
+        e.filter(F.col("event_type") == "click").withColumn(
+            "value", F.col("value") + 1.0
+        ),
+        ["event_id"],
+        "event_date",
+    )
+    create_branch(vtable, "busy")
+    for i in range(3):  # three branch commits with newer versions/stamps
+        merge_into_versioned(
+            spark,
+            vtable,
+            e.filter(F.col("event_type") == "error").withColumn(
+                "event_id", F.col("event_id") + (13_000_000 + i)
+            ),
+            ["event_id"],
+            "event_date",
+            ref="busy",
+        )
+    vacuum(vtable, retain_last=2, claim_ttl_seconds=0.0)
+    # main's window = {v1, v2}: both must still read; v1 especially —
+    # before the fix the branch commits pushed it past the threshold
+    assert read_snapshot(spark, vtable, "event_date", version=v1).count() == e.count()
+    assert read_snapshot(spark, vtable, "event_date", version=v2).count() == e.count()

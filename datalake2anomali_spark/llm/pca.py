@@ -1,0 +1,157 @@
+"""Distributed PCA / whitening for embedding columns.
+
+The embedding-pipeline preprocessing step between raw model vectors and
+ANN indexing: center, rotate onto principal components, optionally
+whiten (unit variance per component) and truncate to the top-k
+directions.  Standard practice before IVF/PQ indexing (FAISS's
+PCAMatrix / OPQ family) — at 100 TB you cannot afford not to: dropping
+64→32 dims halves every downstream distance computation and storage.
+
+Spark-first decomposition of the classic two-phase algorithm:
+
+1. **Mergeable second-moment sketch.**  The covariance of n vectors is
+   a function of (n, Σv, Σv·vᵀ) — three quantities that merge by plain
+   addition, so one ``mapInPandas`` pass emits a (1 + d + d·d)-float
+   partial per partition (a few KB at d=64) and the driver adds them.
+   No shuffle at all: the reduction state is the sketch, never the
+   vectors.  This is the same partial-aggregation shape as the
+   package's sketches (``functions/sketches.py``), applied to moments.
+2. **Driver-side eigendecomposition.**  The d×d covariance is tiny
+   (d ≤ a few thousand for every real embedding model), so ``eigh``
+   runs on the driver in milliseconds — distributing it would be
+   engineering theater.  Eigenvector SIGNS are canonicalized (largest
+   absolute coordinate made positive) so retrains on reordered data
+   produce the same model up to float noise.
+3. **Broadcast projection.**  The (mean, components) model rides the
+   closure into an Arrow-batched pandas UDF; projecting a batch is one
+   numpy matmul — vectorized, no per-row Python.
+
+Reference parity: none — embedding-pipeline extension per the build
+brief (similarity family, alongside ``similarity.py``'s IVF/PQ and
+``cluster.py``'s k-means).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def second_moments(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """(n, Σv, Σv·vᵀ) over the corpus — one map-only pass, driver state
+    bounded by partitions × d² floats.  NULL vectors are skipped."""
+    schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("ss", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _partial(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        n = 0
+        s = None
+        ss = None
+        for batch in batches:
+            vecs = [v for v in batch[vec_col] if v is not None]
+            if not vecs:
+                continue
+            m = _np.asarray(vecs, dtype="float64")
+            n += m.shape[0]
+            s = m.sum(axis=0) if s is None else s + m.sum(axis=0)
+            g = m.T @ m
+            ss = g if ss is None else ss + g
+        if n:
+            yield _pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
+            )
+
+    parts = emb.select(vec_col).mapInPandas(_partial, schema).collect()
+    if not parts:
+        raise ValueError("no vectors to fit PCA on")
+    d = len(parts[0]["s"])
+    n = sum(int(p["n"]) for p in parts)
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for p in parts:
+        s += np.asarray(p["s"])
+        ss += np.asarray(p["ss"]).reshape(d, d)
+    return n, s, ss
+
+
+def pca_train(
+    emb: DataFrame, k: int, vec_col: str = "embedding"
+) -> dict:
+    """Fit a k-component PCA model: ``{"mean": [d], "components": [k][d],
+    "explained_variance": [k]}`` with components ordered by decreasing
+    variance and sign-canonicalized."""
+    n, s, ss = second_moments(emb, vec_col)
+    if n < 2:
+        raise ValueError(f"need at least 2 vectors to fit PCA, got {n}")
+    d = s.shape[0]
+    if not 1 <= k <= d:
+        raise ValueError(f"k must be in [1, {d}], got {k}")
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, d)
+    evals = np.maximum(evals[order], 0.0)
+    # canonical sign: the coordinate with the largest magnitude is
+    # positive, so retrains agree up to float noise
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return {
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "explained_variance": evals.tolist(),
+    }
+
+
+def pca_project(
+    emb: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    whiten: bool = False,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Project ``vec_col`` onto the model's components (appended as
+    ``out_col``, ``array<float>`` of length k).  ``whiten=True`` scales
+    each component to unit variance — the preconditioning PQ and cosine
+    quantizers want.  One Arrow-batched matmul per batch; the model
+    rides the closure (k·d floats — broadcast-sized by construction)."""
+    mean = np.asarray(model["mean"], dtype="float64")
+    comps = np.asarray(model["components"], dtype="float64")
+    if whiten:
+        scale = 1.0 / np.sqrt(np.asarray(model["explained_variance"]) + eps)
+        comps = comps * scale[:, None]
+    proj_t = comps.T  # (d, k)
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def _project(col):
+        import numpy as _np
+        import pandas as _pd
+
+        out = []
+        for v in col:
+            if v is None:
+                out.append(None)
+            else:
+                out.append(
+                    ((_np.asarray(v, dtype="float64") - mean) @ proj_t)
+                    .astype("float32")
+                    .tolist()
+                )
+        return _pd.Series(out)
+
+    return emb.withColumn(out_col, _project(F.col(vec_col)))

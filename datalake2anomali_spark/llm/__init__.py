@@ -17,6 +17,19 @@ No counterpart in the reference connector; these are the operators a
                   (decode stubbed: no codec libs in this environment)
 - ``pipeline``    composed corpus stages: clean chain, stratified sampling,
                   decontamination, sequence packing, corpus stats
+- ``contrastive`` deterministic hash-draw negative sampling for
+                  contrastive pairs (engine-portable md5 draws)
+- ``pca``         distributed PCA/whitening: mergeable second-moment
+                  sketch + driver eig + Arrow-batched projection
 """
 
-from . import dedup, graph, multimodal, pipeline, similarity, text  # noqa: F401
+from . import (  # noqa: F401
+    contrastive,
+    dedup,
+    graph,
+    multimodal,
+    pca,
+    pipeline,
+    similarity,
+    text,
+)

@@ -1228,8 +1228,10 @@ def compact_versioned(
     spark: SparkSession,
     root: str,
     partition_col: str,
-    order_col: str,
+    order_col: str | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
+    zorder_cols: tuple[str, str] | None = None,
+    zorder_bits: int = 8,
 ) -> int:
     """Compact the live snapshot into one fresh version (atomic OPTIMIZE).
 
@@ -1239,8 +1241,22 @@ def compact_versioned(
     collapses the live-version set back to one, which is what keeps
     :func:`read_snapshot`'s per-version scan count bounded over a long
     merge history.  Returns the published version.
+
+    ``zorder_cols=(a, b)`` (instead of ``order_col``) clusters on the
+    Morton key of the two integer columns — Delta's ``OPTIMIZE ZORDER
+    BY``: each file covers a bounded sub-range of BOTH dims, so
+    row-group stats skip on predicates over either column, where a
+    single-column sort bounds only one.  Both dims are rank-scaled to
+    ``zorder_bits`` against their global min/max (one extra aggregate)
+    before interleaving; the key is dropped before writing.
     """
     from .compact import dataset_file_stats
+    from ..operators.layout import scale_to_bits, zorder_key2
+
+    if (order_col is None) == (zorder_cols is None):
+        raise ValueError(
+            "pass exactly one of order_col or zorder_cols=(a, b)"
+        )
 
     manifest = read_manifest(root)
     live_bytes = 0
@@ -1254,12 +1270,32 @@ def compact_versioned(
     n_ranges = max(1, math.ceil(live_bytes / target_file_bytes))
 
     snap = read_snapshot(spark, root, partition_col)
+    if zorder_cols is not None:
+        a, b = zorder_cols
+        bounds = snap.agg(
+            F.min(a).alias("alo"), F.max(a).alias("ahi"),
+            F.min(b).alias("blo"), F.max(b).alias("bhi"),
+        )
+        keyed = snap.crossJoin(F.broadcast(bounds)).withColumn(
+            "_zk",
+            zorder_key2(
+                scale_to_bits(a, F.col("alo"), F.col("ahi"), zorder_bits),
+                scale_to_bits(b, F.col("blo"), F.col("bhi"), zorder_bits),
+            ),
+        )
+        clustered = (
+            keyed.repartitionByRange(n_ranges, F.col(partition_col), F.col("_zk"))
+            .sortWithinPartitions(partition_col, "_zk")
+            .drop("_zk", "alo", "ahi", "blo", "bhi")
+        )
+    else:
+        clustered = snap.repartitionByRange(
+            n_ranges, F.col(partition_col), F.col(order_col)
+        ).sortWithinPartitions(partition_col, order_col)
     v = _claim_version(root)
     vdir = version_dir(root, v)
     (
-        snap.repartitionByRange(n_ranges, F.col(partition_col), F.col(order_col))
-        .sortWithinPartitions(partition_col, order_col)
-        .write.mode("overwrite")
+        clustered.write.mode("overwrite")
         .partitionBy(partition_col)
         .parquet(vdir)
     )

@@ -1189,3 +1189,53 @@ def test_bloom_probe_normalizes_unpadded_date_strings(spark, sf_dir, tmp_path):
     ).count()
     want = e.filter(F.col("d") == F.lit("2024-1-5")).count()
     assert want > 0 and got == want
+
+
+def test_compact_versioned_zorder_bounds_both_dims(spark, sf_dir, vtable):
+    """OPTIMIZE ZORDER BY (user_id, event_id): content-preserving like
+    plain compaction, and each written file covers a bounded sub-range
+    of BOTH cluster dims (single-column order bounds only one)."""
+    from datalake2anomali_spark.io.publish import compact_versioned
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    with pytest.raises(ValueError, match="exactly one"):
+        compact_versioned(spark, vtable, "event_date")
+    with pytest.raises(ValueError, match="exactly one"):
+        compact_versioned(
+            spark, vtable, "event_date", "event_id",
+            zorder_cols=("user_id", "event_id"),
+        )
+
+    before = _snap_fingerprint(spark, vtable)
+    v = compact_versioned(
+        spark,
+        vtable,
+        "event_date",
+        zorder_cols=("user_id", "event_id"),
+        target_file_bytes=4 * 1024,
+    )
+    assert _snap_fingerprint(spark, vtable) == before  # content preserved
+    m = read_manifest(vtable)
+    assert set(m["partitions"].values()) == {v}  # one live version
+    assert "_zk" not in [c for c, _t in m["schema"]]  # key never leaks
+
+    # per-file spans: both dims bounded in a meaningful share of files
+    vdir = version_dir(vtable, v)
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    spans = []
+    for f in _glob.glob(os.path.join(vdir, "**", "*.parquet"), recursive=True):
+        t = pq.read_table(f, columns=["user_id", "event_id"])
+        u = t.column("user_id").to_pylist()
+        i = t.column("event_id").to_pylist()
+        if u and i:
+            spans.append((max(u) - min(u), max(i) - min(i)))
+    assert len(spans) > 30  # tiny target bytes → many range splits per day
+    glob_u = e.agg(F.max("user_id") - F.min("user_id")).collect()[0][0]
+    glob_i = e.agg(F.max("event_id") - F.min("event_id")).collect()[0][0]
+    frac_u = sum(1 for su, _ in spans if su <= 0.7 * glob_u) / len(spans)
+    frac_i = sum(1 for _, si in spans if si <= 0.7 * glob_i) / len(spans)
+    assert frac_u >= 0.4 and frac_i >= 0.4

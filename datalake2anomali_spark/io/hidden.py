@@ -66,8 +66,29 @@ _US_PER_DAY = 86_400_000_000
 _US_PER_HOUR = 3_600_000_000
 
 
+def _components(spec: list) -> list[list]:
+    """A spec normalized to its transform components: a single transform
+    (``["days", "ts"]``) or a multi-transform spec
+    (``[["days", "ts"], ["bucket", 8, "user_id"]]`` — Iceberg's
+    multi-field partition spec).  Multi components join with ``"|"`` in
+    the stored partition value; no transform's rendering can contain the
+    separator (dates, integers)."""
+    if spec and isinstance(spec[0], (list, tuple)):
+        return [list(c) for c in spec]
+    return [list(spec)]
+
+
+def _spec_source(comp: list) -> str:
+    return comp[1] if comp[0] in ("days", "hours") else comp[2]
+
+
 def transform_column(spec: list):
-    """The Spark expression deriving the hidden partition value."""
+    """The Spark expression deriving the hidden partition value (multi
+    specs concatenate their components with ``"|"``)."""
+    comps = _components(spec)
+    if len(comps) > 1:
+        return F.concat_ws("|", *[transform_column(c) for c in comps])
+    spec = comps[0]
     kind = spec[0]
     if kind == "days":
         return F.date_format(F.col(spec[1]), "yyyy-MM-dd")
@@ -109,9 +130,25 @@ def _day_bounds_us(pval: str, hourly: bool) -> tuple[int, int]:
 
 def may_match(spec: list, pval: str, predicate: tuple) -> bool:
     """Could partition ``pval`` hold a row satisfying ``predicate``?
-    Only a definitive NO skips the partition (advisory-safe)."""
+    Only a definitive NO skips the partition (advisory-safe).  A multi
+    spec splits the stored value into its components and rejects iff ANY
+    component definitively rejects (the components are ANDed by the
+    layout, so one definitive miss rules the partition out)."""
+    comps = _components(spec)
+    if len(comps) > 1:
+        parts = pval.split("|")
+        if len(parts) != len(comps):
+            return True  # malformed/foreign value: read conservatively
+        return all(
+            _component_may_match(c, p, predicate)
+            for c, p in zip(comps, parts)
+        )
+    return _component_may_match(comps[0], pval, predicate)
+
+
+def _component_may_match(spec: list, pval: str, predicate: tuple) -> bool:
     kind = spec[0]
-    src = spec[1] if kind in ("days", "hours") else spec[2]
+    src = _spec_source(spec)
     if predicate[1] != src:
         return True  # predicate on another column: cannot prune
     if predicate[0] == "eq":
@@ -157,24 +194,27 @@ def _validate_transform_source(df, spec: list) -> None:
 
 
 def _validate_transform_source_types(dtypes: dict[str, str], spec: list) -> None:
-    kind = spec[0]
-    if kind == "days" or kind == "hours":
-        src, safe = spec[1], ("timestamp", "timestamp_ntz", "date")
-    elif kind == "bucket":
-        src, safe = spec[2], _BUCKET_SAFE_TYPES
-    elif kind == "truncate":
-        src, safe = spec[2], _TRUNCATE_SAFE_TYPES
-    else:
-        raise ValueError(f"unknown partition transform {kind!r}")
-    dtype = dtypes.get(src)
-    if dtype is None:
-        raise ValueError(f"transform source column {src!r} not in dataframe")
-    if dtype not in safe:
-        raise ValueError(
-            f"{kind} transform over {src!r} ({dtype}) is unsupported: the "
-            f"writer expression and the reader pruning probe agree only "
-            f"for {safe} source columns"
-        )
+    for comp in _components(spec):
+        kind = comp[0]
+        if kind == "days" or kind == "hours":
+            src, safe = comp[1], ("timestamp", "timestamp_ntz", "date")
+        elif kind == "bucket":
+            src, safe = comp[2], _BUCKET_SAFE_TYPES
+        elif kind == "truncate":
+            src, safe = comp[2], _TRUNCATE_SAFE_TYPES
+        else:
+            raise ValueError(f"unknown partition transform {kind!r}")
+        dtype = dtypes.get(src)
+        if dtype is None:
+            raise ValueError(
+                f"transform source column {src!r} not in dataframe"
+            )
+        if dtype not in safe:
+            raise ValueError(
+                f"{kind} transform over {src!r} ({dtype}) is unsupported: "
+                f"the writer expression and the reader pruning probe agree "
+                f"only for {safe} source columns"
+            )
 
 
 def _require_utc_for_time_transform(spark: SparkSession, spec: list) -> None:
@@ -182,7 +222,7 @@ def _require_utc_for_time_transform(spark: SparkSession, spec: list) -> None:
     writer renders partition values in the SESSION timezone; under any
     other timezone may_match would wrongly reject partitions and drop
     rows — refuse loudly instead (the project session pins UTC)."""
-    if spec[0] in ("days", "hours"):
+    if any(c[0] in ("days", "hours") for c in _components(spec)):
         tz = spark.conf.get("spark.sql.session.timeZone")
         if tz not in ("UTC", "Etc/UTC", "GMT"):
             raise ValueError(
@@ -200,9 +240,11 @@ def init_hidden_table(
     **init_kwargs,
 ) -> None:
     """Publish ``df`` as a versioned table hidden-partitioned by
-    ``spec`` (e.g. ``["days", "ts"]``, ``["bucket", 16, "user_id"]``,
-    ``["truncate", 100, "event_id"]``).  The derived column never leaks
-    into reads."""
+    ``spec`` — a single transform (``["days", "ts"]``, ``["bucket", 16,
+    "user_id"]``, ``["truncate", 100, "event_id"]``) or a multi-field
+    spec (``[["days", "ts"], ["bucket", 8, "user_id"]]`` — Iceberg's
+    composite layout; predicates on EITHER source column prune their
+    component).  The derived column never leaks into reads."""
     _require_utc_for_time_transform(spark, list(spec))
     _validate_transform_source(df, list(spec))
     os.makedirs(root, exist_ok=True)
@@ -276,14 +318,24 @@ def may_match_multi(
         return True
     col = predicate[1]
     epoch_us_mode = any(
-        g[0] in ("days", "hours") and g[1] == col for g in generations
+        c[0] in ("days", "hours") and c[1] == col
+        for g in generations
+        for c in _components(g)
     )
-    spec = generations[gen]
-    if epoch_us_mode and spec[0] not in ("days", "hours"):
-        src = spec[2] if spec[0] in ("bucket", "truncate") else spec[1]
-        if src == col:
-            return True  # epoch-us probe cannot address this layout
-    return may_match(spec, raw, predicate)
+    comps = _components(generations[gen])
+    parts = raw.split("|") if len(comps) > 1 else [raw]
+    if len(parts) != len(comps):
+        return True  # malformed/foreign value: read conservatively
+    for comp, part in zip(comps, parts):
+        if (
+            epoch_us_mode
+            and comp[0] not in ("days", "hours")
+            and _spec_source(comp) == col
+        ):
+            continue  # epoch-us probe cannot address this component
+        if not _component_may_match(comp, part, predicate):
+            return False
+    return True
 
 
 def evolve_partition_spec(root: str, new_spec: list) -> int:
@@ -396,7 +448,9 @@ def read_hidden(
         # covers DATE source columns (unix_micros requires TIMESTAMP;
         # date→timestamp resolves in the session tz, pinned UTC above).
         time_src = any(
-            g[0] in ("days", "hours") and col == g[1] for g in gens
+            c[0] in ("days", "hours") and col == c[1]
+            for g in gens
+            for c in _components(g)
         )
         lhs = (
             F.unix_micros(F.col(col).cast("timestamp"))

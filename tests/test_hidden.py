@@ -325,3 +325,73 @@ def test_mixed_time_and_bucket_generations_on_same_column_stay_exact(
     cols = sorted(want.columns)
     assert got.count() == want.count() and want.count() > 0
     assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0
+
+
+def test_multi_transform_spec_prunes_on_either_column(spark, sf_dir, tmp_path):
+    """days(ts) + bucket(user_id) composite spec: a ts window prunes the
+    day component, a user_id point lookup prunes the bucket component,
+    and both reads equal a direct source filter."""
+    from datalake2anomali_spark.io.hidden import may_match, read_spec
+
+    root = str(tmp_path / "h_multi")
+    e = load_table(spark, sf_dir, "events")
+    n_buckets = 4
+    init_hidden_table(
+        spark, e, root, [["days", "ts"], ["bucket", n_buckets, "user_id"]]
+    )
+    m = read_manifest(root)
+    parts = list(m["partitions"])
+    assert all(p.count("|") == 1 for p in parts)  # composite values
+    n_days = len({p.split("|")[0] for p in parts})
+    spec = read_spec(root)
+
+    # ts window → day component prunes, every bucket of a kept day reads
+    b = e.agg(F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))).collect()[0]
+    span = b[1] - b[0]
+    lo, hi = b[0] + span * 2 // 5, b[0] + span * 3 // 5
+    tpred = ("between", "ts", lo, hi)
+    kept_t = [p for p in parts if may_match(spec, p, tpred)]
+    assert 0 < len(kept_t) < len(parts)
+    got = read_hidden(spark, root, predicate=tpred)
+    want = e.filter((F.unix_micros("ts") >= lo) & (F.unix_micros("ts") <= hi))
+    cols = sorted(want.columns)
+    assert got.count() == want.count()
+    assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0
+
+    # user point lookup → bucket component prunes to ~1/n_buckets
+    uid = e.select("user_id").first()[0]
+    upred = ("eq", "user_id", uid)
+    kept_u = [p for p in parts if may_match(spec, p, upred)]
+    assert len(kept_u) <= n_days  # one bucket per day at most
+    gotu = read_hidden(spark, root, predicate=upred)
+    wantu = e.filter(F.col("user_id") == uid)
+    assert gotu.count() == wantu.count() and wantu.count() > 0
+    assert gotu.select(*cols).exceptAll(wantu.select(*cols)).count() == 0
+
+
+def test_multi_spec_dml_and_validation(spark, sf_dir, tmp_path):
+    from datalake2anomali_spark.io.hidden import merge_into_hidden
+
+    root = str(tmp_path / "h_multi_dml")
+    e = load_table(spark, sf_dir, "events")
+    init_hidden_table(spark, e, root, [["days", "ts"], ["bucket", 4, "user_id"]])
+    upd = e.filter(F.col("event_type") == "purchase").withColumn(
+        "value", F.col("value") + 2.0
+    )
+    merge_into_hidden(spark, root, upd, ["event_id"])
+    snap = read_hidden(spark, root)
+    assert snap.count() == e.count()
+    got = snap.agg(F.sum(F.round(F.col("value") * 100)).cast("long")).collect()[0][0]
+    want = e.withColumn(
+        "value",
+        F.when(F.col("event_type") == "purchase", F.col("value") + 2.0).otherwise(
+            F.col("value")
+        ),
+    ).agg(F.sum(F.round(F.col("value") * 100)).cast("long")).collect()[0][0]
+    assert got == want
+    # per-component validation still fires inside a composite spec
+    with pytest.raises(ValueError, match="unsupported"):
+        init_hidden_table(
+            spark, e, str(tmp_path / "h_multi_bad"),
+            [["days", "ts"], ["bucket", 4, "value"]],
+        )

@@ -1923,6 +1923,93 @@ def table_history(root: str) -> list[dict]:
     return sorted(out, key=lambda r: r["version"])
 
 
+def history_df(spark: SparkSession, root: str) -> DataFrame:
+    """:func:`table_history` as a typed DataFrame — Iceberg's ``history``
+    metadata table, queryable/joinable like any relation."""
+    rows = [
+        (
+            h["version"],
+            h["operation"],
+            h["ref"],
+            h["committed_at"],
+            h["n_partitions"],
+            h["n_rows"],
+        )
+        for h in table_history(root)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version long, operation string, ref string, committed_at double, "
+        "n_partitions long, n_rows long",
+    )
+
+
+def partitions_df(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    ref: str | None = None,
+) -> DataFrame:
+    """The snapshot's partition map as a typed DataFrame — partition
+    value, owning version directory, recorded row count, and (when zone
+    maps exist) each stats column's [min, max] as JSON.  Iceberg's
+    ``partitions`` metadata table; driver state = the manifest, which is
+    already partition-count-bounded."""
+    manifest = read_manifest(root, version, ref=ref)
+    rows_rec = manifest.get("rows", {})
+    stats = manifest.get("stats", {})
+    rows = [
+        (
+            p,
+            int(v),
+            int(rows_rec[p]) if p in rows_rec else None,
+            json.dumps(stats[p], sort_keys=True) if p in stats else None,
+        )
+        for p, v in sorted(manifest["partitions"].items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "partition string, owner_version long, n_rows long, stats_json string",
+    )
+
+
+def files_df(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    ref: str | None = None,
+) -> DataFrame:
+    """Live data files of the snapshot as a typed DataFrame — Iceberg's
+    ``files`` metadata table: path, owning partition value, owning
+    version, size.  One filesystem walk of exactly the live version
+    directories (the snapshot's real I/O footprint, which is what a
+    maintenance job sizing an OPTIMIZE wants to query)."""
+    manifest = read_manifest(root, version, ref=ref)
+    owned: dict[int, set[str]] = {}
+    for p, v in manifest["partitions"].items():
+        owned.setdefault(int(v), set()).add(p)
+    out = []
+    for v, pvals in sorted(owned.items()):
+        vdir = version_dir(root, v)
+        for dirpath, _dn, files in os.walk(vdir):
+            rel = os.path.relpath(dirpath, vdir)
+            pval = rel.split("=", 1)[-1] if "=" in rel else None
+            if pval is not None and pval not in pvals:
+                continue  # partition now owned by a newer version
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, f)
+                try:
+                    size = os.path.getsize(full)
+                except OSError:
+                    continue
+                out.append((full, pval, v, size))
+    return spark.createDataFrame(
+        out, "path string, partition string, owner_version long, size_bytes long"
+    )
+
+
 def table_changes(
     spark: SparkSession,
     root: str,

@@ -1239,3 +1239,56 @@ def test_compact_versioned_zorder_bounds_both_dims(spark, sf_dir, vtable):
     frac_u = sum(1 for su, _ in spans if su <= 0.7 * glob_u) / len(spans)
     frac_i = sum(1 for _, si in spans if si <= 0.7 * glob_i) / len(spans)
     assert frac_u >= 0.4 and frac_i >= 0.4
+
+
+def test_metadata_tables_reflect_snapshot_state(spark, sf_dir, vtable):
+    """history/partitions/files metadata DataFrames agree with the
+    manifest and with a physical read of the live snapshot."""
+    from datalake2anomali_spark.io.publish import (
+        files_df,
+        history_df,
+        merge_into_versioned,
+        partitions_df,
+    )
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    v2 = merge_into_versioned(
+        spark,
+        vtable,
+        e.filter(F.col("event_type") == "error").withColumn(
+            "event_id", F.col("event_id") + 21_000_000
+        ),
+        ["event_id"],
+        "event_date",
+    )
+
+    h = history_df(spark, vtable).orderBy("version").collect()
+    assert [r["version"] for r in h] == [1, v2]
+    assert [r["operation"] for r in h] == ["create", "merge"]
+    assert all(r["ref"] == "main" and r["committed_at"] is not None for r in h)
+
+    m = read_manifest(vtable)
+    p = partitions_df(spark, vtable)
+    rows = {r["partition"]: r for r in p.collect()}
+    assert set(rows) == set(m["partitions"])
+    assert sum(r["n_rows"] for r in rows.values()) == read_snapshot(
+        spark, vtable, "event_date"
+    ).count()
+    assert {r["owner_version"] for r in rows.values()} == {
+        int(x) for x in m["partitions"].values()
+    }
+
+    f = files_df(spark, vtable)
+    fr = f.collect()
+    assert all(r["size_bytes"] > 0 for r in fr)
+    assert {r["partition"] for r in fr} == set(m["partitions"])
+    # the files view names exactly the live footprint: reading those
+    # paths reproduces the snapshot row count
+    got = spark.read.parquet(*[r["path"] for r in fr]).count()
+    assert got == read_snapshot(spark, vtable, "event_date").count()
+    # time travel: v1's views see the pre-merge state
+    assert partitions_df(spark, vtable, version=1).agg(
+        F.sum("n_rows")
+    ).collect()[0][0] == e.count()

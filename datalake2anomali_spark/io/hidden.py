@@ -409,13 +409,17 @@ def delete_from_hidden(
     spark: SparkSession,
     root: str,
     condition,
+    **delete_kwargs,
 ) -> int:
     """DELETE FROM a hidden-partitioned table; the predicate is on source
     columns and partition pruning falls out of the copy-on-write rewrite's
-    affected-partition discovery."""
+    affected-partition discovery.  ``mode="merge_on_read"`` + ``key_cols``
+    pass through to the deletion-vector path."""
     from .publish import delete_from_versioned
 
-    return delete_from_versioned(spark, root, HIDDEN_COL, condition)
+    return delete_from_versioned(
+        spark, root, HIDDEN_COL, condition, **delete_kwargs
+    )
 
 
 def read_hidden(

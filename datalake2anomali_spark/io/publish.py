@@ -439,6 +439,59 @@ def version_dir(root: str, version: int) -> str:
     return os.path.join(root, f"_v{version}")
 
 
+def _dv_dir(root: str, version: int) -> str:
+    """Deletion-vector parquet of a merge-on-read DELETE commit — lives
+    INSIDE the commit's claimed version directory, so it inherits the
+    immutability, claim-marker, and vacuum-protection rules of data
+    directories for free."""
+    return os.path.join(version_dir(root, version), "_dv")
+
+
+def _manifest_rowcount(manifest: dict) -> int | None:
+    """Logical COUNT(*) from metadata: physical per-partition rows minus
+    merge-on-read deletions.  None when counts are incomplete."""
+    rows = manifest.get("rows")
+    if rows is None or set(rows) != set(manifest["partitions"]):
+        return None
+    deleted = sum(
+        int(n) for n in manifest.get("dv", {}).get("deleted", {}).values()
+    )
+    return sum(int(n) for n in rows.values()) - deleted
+
+
+def _carry_dv(manifest: dict, rewritten_pvals: set[str]) -> dict | None:
+    """The deletion-vector record carried into a commit that REWRITES
+    ``rewritten_pvals``: rewritten partitions drop their DV entries (the
+    rewrite read the DV-applied snapshot, so the deletions are now
+    physical — and a re-inserted key must not be re-deleted by a stale
+    vector), untouched partitions keep theirs."""
+    dv = manifest.get("dv")
+    if not dv:
+        return None
+    files = {
+        p: list(vs)
+        for p, vs in dv.get("files", {}).items()
+        if p not in rewritten_pvals
+    }
+    if not files:
+        return None
+    return {
+        "key_cols": list(dv["key_cols"]),
+        "files": files,
+        "deleted": {
+            p: int(n)
+            for p, n in dv.get("deleted", {}).items()
+            if p in files
+        },
+    }
+
+
+def _dv_versions(manifest: dict):
+    for vs in manifest.get("dv", {}).get("files", {}).values():
+        for v in vs:
+            yield int(v)
+
+
 def _partition_stats(
     spark: SparkSession,
     vdir: str,
@@ -823,6 +876,25 @@ def read_snapshot(
         # missing columns fill with NULLs here and the recorded schema
         # pins names, order and types
         out = out.unionByName(p, allowMissingColumns=True)
+    dv = manifest.get("dv")
+    if dv and dv.get("files"):
+        # merge-on-read deletions: anti-join the deletion vectors on
+        # (partition, key) — partition included so a key re-inserted
+        # into a DIFFERENT partition after its delete is not re-deleted
+        # by the stale vector (same-partition re-inserts cleared the
+        # vector at rewrite time via _carry_dv)
+        vecs = [
+            spark.read.parquet(_dv_dir(root, dvv))
+            for dvv in sorted({v for v in _dv_versions(manifest)})
+        ]
+        allv = vecs[0]
+        for piece in vecs[1:]:
+            allv = allv.unionByName(piece)
+        out = out.join(
+            allv.select(partition_col, *dv["key_cols"]).distinct(),
+            [partition_col, *dv["key_cols"]],
+            "left_anti",
+        )
     return _row_filters(_project_schema(out))
 
 
@@ -1096,6 +1168,9 @@ def optimize_partitions(
         keptb = {p: bm for p, bm in old_blooms.items() if p not in chosen_set}
         keptb.update(_partition_blooms(spark, vdir, partition_col, bloom_cols))
         new_manifest["bloom"] = {p: keptb[p] for p in parts if p in keptb}
+    carried_dv = _carry_dv(manifest, chosen_set)
+    if carried_dv:
+        new_manifest["dv"] = carried_dv
     _commit_checked(root, new_manifest, manifest["version"])
     return v, sorted(chosen)
 
@@ -1185,21 +1260,74 @@ def delete_from_versioned(
     partition_col: str,
     condition,
     ref: str | None = None,
+    mode: str = "copy_on_write",
+    key_cols: list[str] | None = None,
 ) -> int:
     """DELETE FROM the versioned table, atomically and partition-pruned
     (the missing third of the DML surface next to MERGE and OPTIMIZE).
 
-    Copy-on-write: one pass finds the partitions holding a matching row,
-    only those rewrite (survivors copy through into the fresh version
-    directory), untouched partitions keep their manifest entry, and a
-    fully-emptied partition drops.  SQL DELETE semantics for the
-    predicate: rows where ``condition`` is TRUE go; FALSE **and NULL**
-    survive.  Zone maps / bloom filters follow the same ownership rules
-    as MERGE.  A predicate matching nothing commits nothing (the current
-    version is returned unchanged).  Returns the published version.
+    ``mode="copy_on_write"`` (default): one pass finds the partitions
+    holding a matching row, only those rewrite (survivors copy through
+    into the fresh version directory), untouched partitions keep their
+    manifest entry, and a fully-emptied partition drops.
+
+    ``mode="merge_on_read"`` (requires ``key_cols``): the modern
+    deletion-vector path — the commit writes ONLY the deleted rows'
+    (partition, key) tuples as a vector file; no data partition is
+    touched.  Write cost is O(deleted rows) instead of O(affected
+    partitions), the trade every table format makes for delete-heavy
+    workloads; readers anti-join the vectors (visible as extra read
+    work until a rewrite), and any commit that rewrites a partition —
+    MERGE/sync/CDC/OPTIMIZE/compact — materializes and clears its
+    vectors.  ``key_cols`` must identify rows within a partition and
+    must match the table's existing vectors.
+
+    Both modes: SQL DELETE semantics for the predicate (TRUE goes,
+    FALSE **and NULL** survive); a predicate matching nothing commits
+    nothing.  Returns the published version.
     """
+    if mode not in ("copy_on_write", "merge_on_read"):
+        raise ValueError(f"unknown delete mode {mode!r}")
     manifest = read_manifest(root, ref=ref)
     target = read_snapshot(spark, root, partition_col, ref=ref)
+    if mode == "merge_on_read":
+        if not key_cols:
+            raise ValueError("merge_on_read delete requires key_cols")
+        old_dv = manifest.get("dv")
+        if old_dv and old_dv["key_cols"] != list(key_cols):
+            raise ValueError(
+                f"table vectors are keyed by {old_dv['key_cols']}; "
+                f"got {list(key_cols)}"
+            )
+        doomed = target.filter(condition)
+        counts_raw = doomed.groupBy(partition_col).count().collect()
+        if not counts_raw:
+            return manifest["version"]  # nothing to delete: no commit
+        _require_non_null_partitions([r[0] for r in counts_raw])
+        counts = {str(r[0]): int(r[1]) for r in counts_raw}
+
+        v = _claim_version(root)
+        doomed.select(partition_col, *key_cols).write.mode("overwrite").parquet(
+            _dv_dir(root, v)
+        )
+        files = {
+            p: list(vs) for p, vs in (old_dv or {}).get("files", {}).items()
+        }
+        deleted = dict((old_dv or {}).get("deleted", {}))
+        for p, n in counts.items():
+            files.setdefault(p, []).append(v)
+            deleted[p] = int(deleted.get(p, 0)) + n
+        new_manifest = dict(manifest)
+        new_manifest["version"] = v
+        new_manifest["operation"] = "delete_mor"
+        new_manifest["dv"] = {
+            "key_cols": list(key_cols),
+            "files": files,
+            "deleted": deleted,
+        }
+        _commit_checked(root, new_manifest, manifest["version"], ref=ref)
+        return v
+
     affected = (
         target.filter(condition).select(partition_col).distinct().collect()
     )
@@ -1397,11 +1525,13 @@ def vacuum(
             continue
         protect.add(snap_v)
         protect.update(int(v) for v in snap["partitions"].values())
+        protect.update(_dv_versions(snap))  # deletion vectors of the snapshot
     for head in branch_heads:
         # a branch pointer is authoritative even if its history file is
         # somehow gone; protect everything its mapping references
         protect.add(int(head["version"]))
         protect.update(int(v) for v in head["partitions"].values())
+        protect.update(_dv_versions(head))
 
     now = time.time()
     for name in os.listdir(root):
@@ -1536,6 +1666,9 @@ def _commit_ownership_rewrite(
         if written_vals:
             keptb.update(_partition_blooms(spark, vdir, partition_col, bloom_cols))
         new_manifest["bloom"] = {p: keptb[p] for p in parts if p in keptb}
+    carried_dv = _carry_dv(manifest, affected_vals)
+    if carried_dv:
+        new_manifest["dv"] = carried_dv
     if ref is not None:
         # branch commits carry their ref identity and the main version
         # they forked from — fast_forward's publish precondition
@@ -1652,7 +1785,9 @@ def restore_version(root: str, version: int) -> int:
     """
     current = read_manifest(root)
     target = read_manifest(root, version)  # raises if vacuumed/never committed
-    for v in {int(x) for x in target["partitions"].values()}:
+    needed = {int(x) for x in target["partitions"].values()}
+    needed.update(_dv_versions(target))
+    for v in needed:
         if not os.path.isdir(version_dir(root, v)):
             raise FileNotFoundError(
                 f"cannot restore to v{version}: its data directory _v{v} "
@@ -1665,7 +1800,7 @@ def restore_version(root: str, version: int) -> int:
         "partitions": dict(target["partitions"]),
         "operation": f"restore(v{version})",
     }
-    for extra in ("stats", "bloom", "schema", "rows", "constraints"):
+    for extra in ("stats", "bloom", "schema", "rows", "constraints", "dv"):
         if extra in target:
             manifest[extra] = target[extra]
     _commit_checked(root, manifest, current["version"])
@@ -1736,7 +1871,7 @@ def fast_forward(root: str, name: str) -> int:
         "partitions": dict(head["partitions"]),
         "operation": f"publish({name}@v{head['version']})",
     }
-    for extra in ("stats", "bloom", "schema", "rows", "constraints"):
+    for extra in ("stats", "bloom", "schema", "rows", "constraints", "dv"):
         if extra in head:
             manifest[extra] = head[extra]
     _commit_checked(root, manifest, base)
@@ -1852,7 +1987,10 @@ def describe_detail(root: str) -> dict:
     live bytes (one filesystem walk of live dirs, the only I/O here),
     schema, constraints, and the table's named refs."""
     manifest = read_manifest(root)
-    live_versions = sorted({int(v) for v in manifest["partitions"].values()})
+    live_versions = sorted(
+        {int(v) for v in manifest["partitions"].values()}
+        | set(_dv_versions(manifest))
+    )
     size = 0
     for v in live_versions:
         for dirpath, _dn, files in os.walk(version_dir(root, v)):
@@ -1861,15 +1999,12 @@ def describe_detail(root: str) -> dict:
                     size += os.path.getsize(os.path.join(dirpath, f))
                 except OSError:
                     pass
-    rows = manifest.get("rows")
     return {
         "version": manifest["version"],
         "committed_at": manifest.get("committed_at"),
         "operation": manifest.get("operation", "write"),
         "n_partitions": len(manifest["partitions"]),
-        "n_rows": sum(int(n) for n in rows.values())
-        if rows is not None and set(rows) == set(manifest["partitions"])
-        else None,
+        "n_rows": _manifest_rowcount(manifest),
         "live_versions": live_versions,
         "size_bytes": size,
         "schema": manifest.get("schema"),
@@ -1882,16 +2017,17 @@ def snapshot_rowcount(root: str, version: int | None = None) -> int:
     """SELECT COUNT(*) answered from metadata alone — no file opens.
     Every commit records per-partition row counts (gathered by the same
     scan that finds the written partitions), so the table's cardinality
-    is a manifest sum, exactly the metadata-only count Delta/Iceberg
-    serve.  Raises if the manifest predates row-count recording."""
+    is a manifest sum — physical rows minus merge-on-read deletions —
+    exactly the metadata-only count Delta/Iceberg serve.  Raises if the
+    manifest predates row-count recording."""
     manifest = read_manifest(root, version)
-    rows = manifest.get("rows")
-    if rows is None or set(rows) != set(manifest["partitions"]):
+    n = _manifest_rowcount(manifest)
+    if n is None:
         raise ValueError(
             f"manifest v{manifest['version']} at {root!r} lacks complete "
             "row counts (written before metadata counts); count with a scan"
         )
-    return sum(int(n) for n in rows.values())
+    return n
 
 
 def table_history(root: str) -> list[dict]:
@@ -1906,7 +2042,6 @@ def table_history(root: str) -> list[dict]:
         if not m:
             continue
         snap = read_manifest(root, int(m.group(1)))
-        rows = snap.get("rows")
         out.append(
             {
                 "version": snap["version"],
@@ -1914,9 +2049,7 @@ def table_history(root: str) -> list[dict]:
                 "ref": snap.get("ref", "main"),
                 "committed_at": snap.get("committed_at"),
                 "n_partitions": len(snap["partitions"]),
-                "n_rows": sum(int(n) for n in rows.values())
-                if rows is not None and set(rows) == set(snap["partitions"])
-                else None,
+                "n_rows": _manifest_rowcount(snap),
                 "refs": sorted({int(v) for v in snap["partitions"].values()}),
             }
         )

@@ -1462,6 +1462,7 @@ def vacuum(
     root: str,
     retain_last: int = 1,
     claim_ttl_seconds: float = 3600.0,
+    dry_run: bool = False,
 ) -> list[int]:
     """Garbage-collect unreferenced version directories, keeping the last
     ``retain_last`` committed snapshots fully time-travel-readable.
@@ -1482,6 +1483,12 @@ def vacuum(
     the same pass, so a time-travel read past retention fails fast with a
     clear FileNotFoundError instead of an opaque missing-parquet error.
     Returns the removed version numbers.
+
+    ``dry_run=True`` reports what a real vacuum would reclaim right now
+    without touching anything — Delta's ``VACUUM ... DRY RUN``, the
+    pre-flight every retention-policy change deserves.  (Stale crashed
+    claim markers are left in place too; the reported set is computed
+    with the same TTL rule a real run would apply.)
     """
     import shutil
 
@@ -1545,7 +1552,7 @@ def vacuum(
                 continue
             if age <= claim_ttl_seconds:
                 protect.add(v)  # live in-flight writer
-            else:
+            elif not dry_run:
                 try:
                     os.unlink(path)  # crashed writer; dir reclaimed below
                 except FileNotFoundError:
@@ -1556,9 +1563,12 @@ def vacuum(
         m = _VDIR.match(name)
         if m and int(m.group(1)) not in protect:
             v = int(m.group(1))
-            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
-            _release_claim(root, v)
+            if not dry_run:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+                _release_claim(root, v)
             removed.append(v)
+    if dry_run:
+        return sorted(removed)
     # only manifests STRICTLY OLDER than the retention window go; a
     # concurrent writer may have committed a NEWER version since this
     # vacuum listed the directory, and deleting its fresh history file

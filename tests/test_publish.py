@@ -1292,3 +1292,30 @@ def test_metadata_tables_reflect_snapshot_state(spark, sf_dir, vtable):
     assert partitions_df(spark, vtable, version=1).agg(
         F.sum("n_rows")
     ).collect()[0][0] == e.count()
+
+
+def test_vacuum_dry_run_reports_without_touching(spark, sf_dir, vtable):
+    from datalake2anomali_spark.io.publish import compact_versioned as _cv
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    merge_into_versioned(
+        spark, vtable,
+        e.filter(F.col("event_type") == "error").withColumn(
+            "event_id", F.col("event_id") + 31_000_000
+        ),
+        ["event_id"], "event_date",
+    )
+    _cv(spark, vtable, "event_date", "event_id")  # v1, v2 now unreferenced
+
+    would = vacuum(vtable, retain_last=1, claim_ttl_seconds=0.0, dry_run=True)
+    assert would  # something is reclaimable
+    for v in would:  # nothing actually touched
+        assert os.path.isdir(version_dir(vtable, v))
+    before = _snap_fingerprint(spark, vtable)
+    did = vacuum(vtable, retain_last=1, claim_ttl_seconds=0.0)
+    assert did == would  # the dry run predicted the real run exactly
+    assert _snap_fingerprint(spark, vtable) == before
+    for v in did:
+        assert not os.path.isdir(version_dir(vtable, v))

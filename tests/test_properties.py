@@ -484,6 +484,7 @@ _vt_op = st.one_of(
         ),
     ),
     st.tuples(st.just("delete"), st.integers(min_value=0, max_value=2)),
+    st.tuples(st.just("delete_mor"), st.integers(min_value=0, max_value=2)),
     st.tuples(st.just("compact"), st.none()),
     st.tuples(st.just("restore"), st.none()),
     st.tuples(
@@ -524,10 +525,13 @@ _vt_op = st.one_of(
 )
 def test_versioned_table_model_based(spark, tmp_path_factory, init_rows, ops):
     """Model-based check of the whole versioned-table protocol: a random
-    sequence of MERGE / DELETE / OPTIMIZE / RESTORE ops must keep the
-    published snapshot equal to a pure-Python dict model at every step,
-    every committed version time-travel-readable, and the history's
-    operations in order."""
+    sequence of MERGE / DELETE (copy-on-write AND merge-on-read) /
+    OPTIMIZE / RESTORE / CDC ops must keep the published snapshot equal
+    to a pure-Python dict model at every step, every committed version
+    time-travel-readable, and the history's operations in order.  The
+    merge-on-read arm interleaves deletion vectors with every other
+    writer, so vector carry/clear is exercised under arbitrary
+    rewrite orderings, not just the scripted unit scenarios."""
     from pyspark.sql import functions as F
 
     from datalake2anomali_spark.io.publish import (
@@ -571,6 +575,22 @@ def test_versioned_table_model_based(spark, tmp_path_factory, init_rows, ops):
             expected_ops.append("delete")
             if not model:
                 break  # empty table: read_snapshot legitimately raises
+        elif kind == "delete_mor":
+            part = f"p{arg}"
+            victims = {
+                k for k, pv in model.items() if pv[0] == part and k % 2 == 0
+            }
+            if not victims:
+                continue  # matches nothing: commits nothing
+            delete_from_versioned(
+                spark, root, "part",
+                (F.col("part") == part) & (F.col("k") % 2 == 0),
+                mode="merge_on_read", key_cols=["k"],
+            )
+            model = {k: pv for k, pv in model.items() if k not in victims}
+            expected_ops.append("delete_mor")
+            # NO break on empty: the partition mapping stays live under
+            # vectors, so an all-deleted table still reads as zero rows
         elif kind == "cdc":
             ups, del_keys = arg
             if not ups and not del_keys:

@@ -372,3 +372,63 @@ def test_vacuum_window_counts_main_commits_only(spark, sf_dir, vtable):
     # before the fix the branch commits pushed it past the threshold
     assert read_snapshot(spark, vtable, "event_date", version=v1).count() == e.count()
     assert read_snapshot(spark, vtable, "event_date", version=v2).count() == e.count()
+
+
+def test_streaming_ingest_into_branch_then_publish(spark, sf_dir, vtable, tmp_path):
+    """Streaming write-audit-publish: micro-batches MERGE into a branch
+    through the exactly-once ledger while main stays byte-identical;
+    after the stream completes and the audit passes, one fast_forward
+    publishes the whole ingest atomically."""
+    from datalake2anomali_spark.streaming.incremental import (
+        exactly_once_batch,
+        read_events_stream,
+    )
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    main_before = _fingerprint(spark, vtable)
+    create_branch(vtable, "ingest")
+
+    ins = e.filter(F.col("event_type") == "error").withColumn(
+        "event_id", F.col("event_id") + 55_000_000
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ledger = str(tmp_path / "ledger")
+
+    def _apply(batch_df, _bid):
+        batch = batch_df.withColumn(
+            "event_date", F.date_format("ts", "yyyy-MM-dd")
+        )
+        merge_into_versioned(
+            batch_df.sparkSession, vtable, batch, ["event_id"], "event_date",
+            ref="ingest",
+        )
+
+    wrapped = exactly_once_batch(_apply, ledger)
+    half = ins.count() // 2
+    first = ins.orderBy("event_id").limit(half)
+    rest = ins.join(first.select("event_id"), "event_id", "left_anti")
+    for tick in (first, rest):
+        tick.drop("event_date").coalesce(1).write.mode("append").parquet(src)
+        spark.catalog.refreshByPath(src)
+        q = (
+            read_events_stream(spark, src)
+            .writeStream.foreachBatch(wrapped)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # audit invariant after EVERY tick: main never moves
+        assert _fingerprint(spark, vtable) == main_before
+
+    b = read_snapshot(spark, vtable, "event_date", ref="ingest")
+    assert b.count() == e.count() + ins.count()  # audit passes
+
+    fast_forward(vtable, "ingest")
+    m = read_snapshot(spark, vtable, "event_date")
+    assert m.count() == e.count() + ins.count()
+    dup = m.groupBy("event_id").count().filter(F.col("count") > 1)
+    assert dup.count() == 0

@@ -2094,25 +2094,30 @@ def partitions_df(
     ref: str | None = None,
 ) -> DataFrame:
     """The snapshot's partition map as a typed DataFrame — partition
-    value, owning version directory, recorded row count, and (when zone
-    maps exist) each stats column's [min, max] as JSON.  Iceberg's
-    ``partitions`` metadata table; driver state = the manifest, which is
-    already partition-count-bounded."""
+    value, owning version directory, recorded PHYSICAL row count, the
+    partition's outstanding merge-on-read deletions (``n_deleted``; the
+    logical count is their difference), and (when zone maps exist) each
+    stats column's [min, max] as JSON.  Iceberg's ``partitions`` metadata
+    table; driver state = the manifest, which is already
+    partition-count-bounded."""
     manifest = read_manifest(root, version, ref=ref)
     rows_rec = manifest.get("rows", {})
     stats = manifest.get("stats", {})
+    deleted = manifest.get("dv", {}).get("deleted", {})
     rows = [
         (
             p,
             int(v),
             int(rows_rec[p]) if p in rows_rec else None,
+            int(deleted.get(p, 0)),
             json.dumps(stats[p], sort_keys=True) if p in stats else None,
         )
         for p, v in sorted(manifest["partitions"].items())
     ]
     return spark.createDataFrame(
         rows,
-        "partition string, owner_version long, n_rows long, stats_json string",
+        "partition string, owner_version long, n_rows long, "
+        "n_deleted long, stats_json string",
     )
 
 

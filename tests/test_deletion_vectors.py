@@ -208,3 +208,24 @@ def test_cdf_sees_mor_deletes_and_guards(spark, events, vtable):
         delete_from_versioned(
             spark, vtable, "event_date", F.lit(True), mode="bogus"
         )
+
+
+def test_partitions_df_exposes_vector_counts(spark, events, vtable):
+    from datalake2anomali_spark.io.publish import partitions_df
+
+    cond = (F.col("event_type") == "view") & (F.col("event_id") % 4 == 0)
+    delete_from_versioned(
+        spark, vtable, "event_date", cond,
+        mode="merge_on_read", key_cols=["event_id"],
+    )
+    p = partitions_df(spark, vtable)
+    got = {r["partition"]: (r["n_rows"], r["n_deleted"]) for r in p.collect()}
+    want_del = {
+        str(r[0]): int(r[1])
+        for r in events.filter(cond).groupBy("event_date").count().collect()
+    }
+    for part, (n_rows, n_deleted) in got.items():
+        assert n_deleted == want_del.get(part, 0)
+    # logical total = physical minus vectors, matching the actual read
+    logical = sum(n - d for n, d in got.values())
+    assert logical == read_snapshot(spark, vtable, "event_date").count()

@@ -47,74 +47,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # L + staleness_bound, and a never-certified query is always in-window.
 # tests/test_entry_contract.py asserts the ledger, the bound, and the
 # window bookkeeping; no literal counts here (they drift — ADVICE r5).
-#  - _PRIORITY (the round-8 window): the round-5-certified entries at
+#  - _PRIORITY (the round-9 window): the round-6-certified entries at
 #    their staleness deadline (mandatory leads), the queries new this
 #    round (first exposure cannot be deferred), then the stalest
-#    round-6-certified entries in their standing rotation order.
+#    round-7-certified entries in their standing rotation order.
 #  - _TAIL holds exactly the overflow, stalest first: the remaining
-#    round-6-certified entries (mandatory round-9 leads), then the
-#    round-7-certified block (deadline round 10).
+#    round-7-certified entries (mandatory round-10 leads), then the
+#    round-8-certified block (deadline round 11).
 _PRIORITY: tuple[str, ...] = (
-    # last driver row round 5 — staleness deadline round 8
-    "triangle_count",
-    "markov_transitions",
-    "stream_view_maintenance",
-    "json_flatten",
-    "time_travel",
-    "robust_outliers",
-    "item_similarity",
-    "ioc_indicators_observed",
-    "ioc_incremental_cursor",
-    "dedup_ngram_jaccard",
-    "corpus_stats",
-    "text_profile",
-    "ann_cosine_topk",
-    "ioc_rest_source_pipeline",
-    # new in round 8 — first driver exposure (VERDICT r7 #2/#5/#6)
-    "stream_interval_join_full",  # FULL OUTER stream–stream interval join
-    "cdc_view_maintenance",  # retraction-based view refresh from a CDF
-    "delete_restore_history",  # DELETE FROM → RESTORE → DESCRIBE HISTORY
-    "hidden_partition_pruning",  # Iceberg-style days(ts) transform + DML
-    # stalest round-6-certified entries, standing rotation order
-    "merge_versioned",
-    "fuzzy_match2",
-    "stream_scd2",
-    "ioc_payload_expiration",
-    "merge_upsert",
-    "exact_quantiles",
-    "cms_counts",
-    "data_quality_audit",
-    "asof_join_click_error",
-    "stream_dedup_late",
-    "sessionize",
-    "grouped_rollup",
-    "running_window",
-    "ioc_payload_json",
-    "dedup_clusters",
-    "dedup_incremental",
-    "embedding_neardup",
-    "stratified_sample",
-    "pack_sequences",
-    "corpus_roundtrip",
-    "scalar_datetime_json",
-    "hypertable_rollup",
-    "status_priority_pivot",
-    "sketch_stats",
-    "range_join_error_clicks",
-    "distinct_set_ops",
-    "ann_lsh_topk",
-    "dedup_simhash",
-    "stream_tumbling_counts",
-    "ann_ivf_topk",
-    "decontaminate",
-    "bm25_scores",
-)
-
-#: Exactly the overflow past the gate window (asserted in
-#: tests/test_entry_contract.py), stalest first.
-_TAIL: tuple[str, ...] = (
-    # last driver row round 6 — mandatory round-9 window leads
-    # (staleness deadline = round 9 under the 3-round bound)
+    # last driver row round 6 — staleness deadline round 9
     "ioc_advisory_enrichment",
     "stateful_user_profiles",
     "dedup_substrings",
@@ -133,7 +74,7 @@ _TAIL: tuple[str, ...] = (
     "setsim_join",
     "percentile_cont",
     "snapshot_pruned_scan",
-    # last driver row round 7 — deadline round 10
+    # stalest round-7-certified entries, standing rotation order
     "attribution_credit",
     "global_rank",
     "cube_stats",
@@ -166,6 +107,12 @@ _TAIL: tuple[str, ...] = (
     "asof_join_tolerance",
     "multimodal_ops",
     "stream_burst_alerts",
+)
+
+#: Exactly the overflow past the gate window (asserted in
+#: tests/test_entry_contract.py), stalest first.
+_TAIL: tuple[str, ...] = (
+    # last driver row round 7 — mandatory round-10 window leads
     "burst_alerts",
     "dedup_keep_best",
     "heavy_hitters",
@@ -184,6 +131,57 @@ _TAIL: tuple[str, ...] = (
     "phrase_search",
     "incremental_view",
     "rolling_median",
+    # last driver row round 8 — deadline round 11
+    "triangle_count",
+    "markov_transitions",
+    "stream_view_maintenance",
+    "json_flatten",
+    "time_travel",
+    "robust_outliers",
+    "item_similarity",
+    "ioc_indicators_observed",
+    "ioc_incremental_cursor",
+    "dedup_ngram_jaccard",
+    "corpus_stats",
+    "text_profile",
+    "ann_cosine_topk",
+    "ioc_rest_source_pipeline",
+    "stream_interval_join_full",
+    "cdc_view_maintenance",
+    "delete_restore_history",
+    "hidden_partition_pruning",
+    "merge_versioned",
+    "fuzzy_match2",
+    "stream_scd2",
+    "ioc_payload_expiration",
+    "merge_upsert",
+    "exact_quantiles",
+    "cms_counts",
+    "data_quality_audit",
+    "asof_join_click_error",
+    "stream_dedup_late",
+    "sessionize",
+    "grouped_rollup",
+    "running_window",
+    "ioc_payload_json",
+    "dedup_clusters",
+    "dedup_incremental",
+    "embedding_neardup",
+    "stratified_sample",
+    "pack_sequences",
+    "corpus_roundtrip",
+    "scalar_datetime_json",
+    "hypertable_rollup",
+    "status_priority_pivot",
+    "sketch_stats",
+    "range_join_error_clicks",
+    "distinct_set_ops",
+    "ann_lsh_topk",
+    "dedup_simhash",
+    "stream_tumbling_counts",
+    "ann_ivf_topk",
+    "decontaminate",
+    "bm25_scores",
 )
 
 _MODULES = (

@@ -120,6 +120,27 @@ def _tag_file(name: str) -> str:
     return f"_TAG.{name}.json"
 
 
+def _write_ref_atomic(root: str, fname: str, payload: dict) -> None:
+    """Crash-safe exclusive creation of a ref pointer (ADVICE r8 low):
+    the JSON lands fully-fsync'd in a tmp file whose name matches neither
+    ref regex, then enters its final name via ``os.link`` — atomic among
+    racing creators (EEXIST replaces O_EXCL) and never observable
+    truncated, so a crash mid-write cannot leave a corrupt ref that
+    wedges every ``list_refs``/``vacuum`` until hand-repair."""
+    import uuid as _uuid
+
+    path = os.path.join(root, fname)
+    tmp = os.path.join(root, f"_reftmp-{os.getpid()}-{_uuid.uuid4().hex}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(json.dumps(payload, sort_keys=True))
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, path)
+    finally:
+        os.unlink(tmp)
+
+
 def _verify_lock_ownership(lock: tuple[str, str] | None) -> None:
     """Raise :class:`ConcurrentWriteError` if the commit lock this writer
     acquired was stolen (ADVICE r7): a committer stalled past the lock
@@ -882,10 +903,21 @@ def read_snapshot(
         # (partition, key) — partition included so a key re-inserted
         # into a DIFFERENT partition after its delete is not re-deleted
         # by the stale vector (same-partition re-inserts cleared the
-        # vector at rewrite time via _carry_dv)
+        # vector at rewrite time via _carry_dv).  One DV file can span
+        # partitions; a rewrite clears only ITS partitions from
+        # dv['files'] while the file stays referenced by the rest, so
+        # each version's piece must be restricted to the partitions
+        # that still reference it or the stale tuples re-delete
+        # re-inserted keys.
+        live_by_version: dict[int, list[str]] = {}
+        for pval, vs in dv["files"].items():
+            for dvv in vs:
+                live_by_version.setdefault(int(dvv), []).append(pval)
         vecs = [
-            spark.read.parquet(_dv_dir(root, dvv))
-            for dvv in sorted({v for v in _dv_versions(manifest)})
+            spark.read.parquet(_dv_dir(root, dvv)).filter(
+                F.col(partition_col).cast("string").isin(sorted(pvals))
+            )
+            for dvv, pvals in sorted(live_by_version.items())
         ]
         allv = vecs[0]
         for piece in vecs[1:]:
@@ -1838,20 +1870,16 @@ def create_branch(root: str, name: str, from_version: int | None = None) -> int:
     branch), and the guard's job is only to catch main moving UNDER the
     branch after it was cut, never to second-guess the starting point.
 
-    Returns the fork version.  Refuses an existing branch name
-    (``O_CREAT|O_EXCL`` — creation is atomic among racing creators).
+    Returns the fork version.  Refuses an existing branch name (the
+    pointer enters its final name by hard link — creation is atomic
+    among racing creators and crash-safe).
     """
     current = read_manifest(root)
     fork = current if from_version is None else read_manifest(root, from_version)
     head = dict(fork)
     head["ref"] = name
     head["branch_base"] = current["version"]
-    path = os.path.join(root, _branch_file(name))
-    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    with os.fdopen(fd, "w", encoding="utf-8") as fh:
-        fh.write(json.dumps(head, sort_keys=True))
-        fh.flush()
-        os.fsync(fh.fileno())
+    _write_ref_atomic(root, _branch_file(name), head)
     return fork["version"]
 
 
@@ -1903,16 +1931,12 @@ def create_tag(root: str, name: str, version: int | None = None) -> int:
     """Tag a committed snapshot with an immutable name (release pins:
     ``create_tag(root, "train-v1")`` → ``read_snapshot(..., version=
     read_tag(root, "train-v1"))`` forever reproduces the training set).
-    Tags cannot be re-pointed (``O_EXCL``); :func:`vacuum` keeps tagged
+    Tags cannot be re-pointed (link-into-place creation is exclusive);
+    :func:`vacuum` keeps tagged
     snapshots readable regardless of ``retain_last``.  Returns the tagged
     version."""
     v = read_manifest(root, version)["version"]  # validates it committed
-    path = os.path.join(root, _tag_file(name))
-    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    with os.fdopen(fd, "w", encoding="utf-8") as fh:
-        fh.write(json.dumps({"version": v}))
-        fh.flush()
-        os.fsync(fh.fileno())
+    _write_ref_atomic(root, _tag_file(name), {"version": v})
     return v
 
 
@@ -2132,6 +2156,8 @@ def files_df(
     version, size.  One filesystem walk of exactly the live version
     directories (the snapshot's real I/O footprint, which is what a
     maintenance job sizing an OPTIMIZE wants to query)."""
+    from ..operators.merge import _hive_partition_dir
+
     manifest = read_manifest(root, version, ref=ref)
     owned: dict[int, set[str]] = {}
     for p, v in manifest["partitions"].items():
@@ -2139,10 +2165,20 @@ def files_df(
     out = []
     for v, pvals in sorted(owned.items()):
         vdir = version_dir(root, v)
+        # directory names are hive-ESCAPED (':' → '%3A' etc. — e.g. the
+        # 'g1:' generation prefixes of evolved specs); match the escaped
+        # form of each owned raw value and emit the RAW value, exactly as
+        # optimize_partitions does, or escapable partitions vanish from
+        # the files view (ADVICE r8 medium)
+        esc_to_raw = {
+            _hive_partition_dir("c", pv).split("=", 1)[1]: pv for pv in pvals
+        }
         for dirpath, _dn, files in os.walk(vdir):
             rel = os.path.relpath(dirpath, vdir)
-            pval = rel.split("=", 1)[-1] if "=" in rel else None
-            if pval is not None and pval not in pvals:
+            pval = (
+                esc_to_raw.get(rel.split("=", 1)[1]) if "=" in rel else None
+            )
+            if pval is None and "=" in rel:
                 continue  # partition now owned by a newer version
             for f in files:
                 if not f.endswith(".parquet"):

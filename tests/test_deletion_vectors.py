@@ -114,6 +114,46 @@ def test_rewrite_materializes_vectors_and_reinsert_survives(
     assert len(got) == 1 and got[0]["value"] == 123.0
 
 
+def test_multi_partition_vector_file_reinsert_survives_partial_rewrite(
+    spark, events, vtable
+):
+    """One MoR DELETE commit writes ONE vector file spanning several
+    partitions; a later MERGE rewrites only one of them.  _carry_dv drops
+    that partition from dv['files'] but the shared file stays referenced
+    by the untouched partitions — the reader must not apply its stale
+    tuples for the rewritten partition (ADVICE r8 high)."""
+    victims = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("event_id", "event_date")
+        .dropDuplicates(["event_date"])
+        .limit(2)
+        .collect()
+    )
+    assert len(victims) == 2 and victims[0]["event_date"] != victims[1]["event_date"]
+    ids = [r["event_id"] for r in victims]
+    # one delete commit → one DV file covering BOTH partitions
+    delete_from_versioned(
+        spark, vtable, "event_date", F.col("event_id").isin(ids),
+        mode="merge_on_read", key_cols=["event_id"],
+    )
+    m = read_manifest(vtable)
+    assert set(m["dv"]["files"]) == {r["event_date"] for r in victims}
+
+    # rewrite ONLY victim[0]'s partition, re-inserting its deleted key
+    row = events.filter(F.col("event_id") == ids[0]).withColumn(
+        "value", F.lit(321.0)
+    )
+    merge_into_versioned(spark, vtable, row, ["event_id"], "event_date")
+    m2 = read_manifest(vtable)
+    assert victims[0]["event_date"] not in m2["dv"]["files"]
+    assert victims[1]["event_date"] in m2["dv"]["files"]  # file still referenced
+
+    snap = read_snapshot(spark, vtable, "event_date")
+    got = snap.filter(F.col("event_id") == ids[0]).collect()
+    assert len(got) == 1 and got[0]["value"] == 321.0  # stale tuple must not apply
+    assert snap.filter(F.col("event_id") == ids[1]).count() == 0  # live tuple does
+
+
 def test_stacked_vectors_and_compaction_clears_all(spark, events, vtable):
     delete_from_versioned(
         spark, vtable, "event_date", F.col("event_type") == "view",

@@ -1294,6 +1294,45 @@ def test_metadata_tables_reflect_snapshot_state(spark, sf_dir, vtable):
     ).collect()[0][0] == e.count()
 
 
+def test_files_df_matches_hive_escaped_partition_dirs(spark, tmp_path):
+    """Partition values with hive-escapable chars (the ':' of evolved
+    specs' generation prefixes becomes '%3A' on disk) must still appear
+    in the files metadata table, with the RAW value (ADVICE r8 med)."""
+    from datalake2anomali_spark.io.publish import files_df
+
+    root = str(tmp_path / "esc")
+    df = spark.createDataFrame(
+        [(i, f"g1:2024-01-0{1 + i % 2}") for i in range(8)], "id int, pk string"
+    )
+    init_table(spark, df, root, "pk")
+    fr = files_df(spark, root).collect()
+    assert {r["partition"] for r in fr} == {"g1:2024-01-01", "g1:2024-01-02"}
+    assert all("%3A" in r["path"] for r in fr)  # dirs really are escaped
+    assert spark.read.parquet(*[r["path"] for r in fr]).count() == 8
+
+
+def test_ref_pointer_creation_is_crash_safe(spark, sf_dir, vtable):
+    """A truncated/corrupt ref can never reach its final name: creation
+    goes through a tmp file + link, duplicate names still refuse, and no
+    tmp litter survives (ADVICE r8 low)."""
+    from datalake2anomali_spark.io.publish import (
+        create_branch,
+        create_tag,
+        list_refs,
+    )
+
+    create_branch(vtable, "audit")
+    create_tag(vtable, "pin")
+    with pytest.raises(FileExistsError):
+        create_branch(vtable, "audit")
+    with pytest.raises(FileExistsError):
+        create_tag(vtable, "pin")
+    refs = list_refs(vtable)
+    assert "audit" in refs["branches"] and "pin" in refs["tags"]
+    litter = [f for f in os.listdir(vtable) if f.startswith("_reftmp-")]
+    assert litter == []
+
+
 def test_vacuum_dry_run_reports_without_touching(spark, sf_dir, vtable):
     from datalake2anomali_spark.io.publish import compact_versioned as _cv
 

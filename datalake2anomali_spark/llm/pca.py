@@ -142,16 +142,18 @@ def pca_project(
         import numpy as _np
         import pandas as _pd
 
-        out = []
-        for v in col:
-            if v is None:
-                out.append(None)
-            else:
-                out.append(
-                    ((_np.asarray(v, dtype="float64") - mean) @ proj_t)
-                    .astype("float32")
-                    .tolist()
-                )
+        # NULLs masked out, the non-null rows stacked into ONE
+        # (batch × d) @ (d × k) matmul per Arrow batch (VERDICT r8 #5 —
+        # no per-row Python in the projection)
+        mask = col.notna().to_numpy()
+        out = _np.empty(len(col), dtype=object)
+        out[~mask] = None
+        if mask.any():
+            m = _np.stack(col[mask].to_numpy())  # (b, d)
+            proj = ((m.astype("float64") - mean) @ proj_t).astype("float32")
+            rows = _np.empty(proj.shape[0], dtype=object)
+            rows[:] = list(proj)
+            out[mask] = rows
         return _pd.Series(out)
 
     return emb.withColumn(out_col, _project(F.col(vec_col)))

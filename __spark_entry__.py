@@ -47,72 +47,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # L + staleness_bound, and a never-certified query is always in-window.
 # tests/test_entry_contract.py asserts the ledger, the bound, and the
 # window bookkeeping; no literal counts here (they drift — ADVICE r5).
-#  - _PRIORITY (the round-9 window): the round-6-certified entries at
+#  - _PRIORITY (the round-10 window): the round-7-certified entries at
 #    their staleness deadline (mandatory leads), the queries new this
 #    round (first exposure cannot be deferred), then the stalest
-#    round-7-certified entries in their standing rotation order.
+#    round-8-certified entries in their standing rotation order.
 #  - _TAIL holds exactly the overflow, stalest first: the remaining
-#    round-7-certified entries (mandatory round-10 leads), then the
-#    round-8-certified block (deadline round 11).
+#    round-8-certified entries (mandatory round-11 window), then the
+#    round-9-certified block (deadline round 12).
 _PRIORITY: tuple[str, ...] = (
-    # last driver row round 6 — staleness deadline round 9
-    "ioc_advisory_enrichment",
-    "stateful_user_profiles",
-    "dedup_substrings",
-    "docs_clean_pipeline",
-    "stream_interval_join",
-    "ann_topk_quantized",
-    "embedding_neardup_lsh",
-    "salted_skew_stats",
-    "dedup_minhash_lsh",
-    "dedup_clusters_star",
-    "embedding_kmeans",
-    "batch_windows",
-    "top_terms",
-    "ioc_upsert_routing",
-    "q1_pricing_summary",
-    "setsim_join",
-    "percentile_cont",
-    "snapshot_pruned_scan",
-    # stalest round-7-certified entries, standing rotation order
-    "attribution_credit",
-    "global_rank",
-    "cube_stats",
-    "khop_features",
-    "stream_interval_join_outer",
-    "table_changes",
-    "equi_depth_hist",
-    "window_rank_funcs",
-    "groupwise_quantiles",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "k_anonymity",
-    "stream_upsert_exactly_once",
-    "cdf_probe",
-    "pagerank_dangling",
-    "groupwise_percentile_cont",
-    "q9_product_profit",
-    "snapshot_bloom_scan",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "region_customer_stats",
-    "string_funcs",
-    "stream_dedup_events",
-    "ioc_payload_objects",
-    "topk_per_group",
-    "dedup_exact",
-    "chunk_documents",
-    "mixture_sample",
-    "jsonl_roundtrip",
-    "asof_join_tolerance",
-    "multimodal_ops",
-    "stream_burst_alerts",
-)
-
-#: Exactly the overflow past the gate window (asserted in
-#: tests/test_entry_contract.py), stalest first.
-_TAIL: tuple[str, ...] = (
-    # last driver row round 7 — mandatory round-10 window leads
+    # last driver row round 7 — staleness deadline round 10
     "burst_alerts",
     "dedup_keep_best",
     "heavy_hitters",
@@ -131,7 +74,7 @@ _TAIL: tuple[str, ...] = (
     "phrase_search",
     "incremental_view",
     "rolling_median",
-    # last driver row round 8 — deadline round 11
+    # stalest round-8-certified entries, standing rotation order
     "triangle_count",
     "markov_transitions",
     "stream_view_maintenance",
@@ -164,6 +107,12 @@ _TAIL: tuple[str, ...] = (
     "grouped_rollup",
     "running_window",
     "ioc_payload_json",
+)
+
+#: Exactly the overflow past the gate window (asserted in
+#: tests/test_entry_contract.py), stalest first.
+_TAIL: tuple[str, ...] = (
+    # last driver row round 8 — mandatory round-11 window
     "dedup_clusters",
     "dedup_incremental",
     "embedding_neardup",
@@ -182,6 +131,57 @@ _TAIL: tuple[str, ...] = (
     "ann_ivf_topk",
     "decontaminate",
     "bm25_scores",
+    # last driver row round 9 — deadline round 12
+    "ioc_advisory_enrichment",
+    "stateful_user_profiles",
+    "dedup_substrings",
+    "docs_clean_pipeline",
+    "stream_interval_join",
+    "ann_topk_quantized",
+    "embedding_neardup_lsh",
+    "salted_skew_stats",
+    "dedup_minhash_lsh",
+    "dedup_clusters_star",
+    "embedding_kmeans",
+    "batch_windows",
+    "top_terms",
+    "ioc_upsert_routing",
+    "q1_pricing_summary",
+    "setsim_join",
+    "percentile_cont",
+    "snapshot_pruned_scan",
+    "attribution_credit",
+    "global_rank",
+    "cube_stats",
+    "khop_features",
+    "stream_interval_join_outer",
+    "table_changes",
+    "equi_depth_hist",
+    "window_rank_funcs",
+    "groupwise_quantiles",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "k_anonymity",
+    "stream_upsert_exactly_once",
+    "cdf_probe",
+    "pagerank_dangling",
+    "groupwise_percentile_cont",
+    "q9_product_profit",
+    "snapshot_bloom_scan",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "region_customer_stats",
+    "string_funcs",
+    "stream_dedup_events",
+    "ioc_payload_objects",
+    "topk_per_group",
+    "dedup_exact",
+    "chunk_documents",
+    "mixture_sample",
+    "jsonl_roundtrip",
+    "asof_join_tolerance",
+    "multimodal_ops",
+    "stream_burst_alerts",
 )
 
 _MODULES = (

@@ -25,6 +25,7 @@ from datalake2anomali_spark.plans import (  # noqa: E402
     quality_queries,
     ioc_queries,
     llm_queries,
+    protocol_queries,
     relational,
     scale_queries,
     streaming_queries,
@@ -74,6 +75,11 @@ _PRIORITY: tuple[str, ...] = (
     "phrase_search",
     "incremental_view",
     "rolling_median",
+    # new this round — first exposure cannot be deferred
+    "sync_versioned",
+    "branch_wap_publish",
+    "deletion_vectors",
+    "cdc_apply_mixed",
     # stalest round-8-certified entries, standing rotation order
     "triangle_count",
     "markov_transitions",
@@ -103,16 +109,16 @@ _PRIORITY: tuple[str, ...] = (
     "data_quality_audit",
     "asof_join_click_error",
     "stream_dedup_late",
-    "sessionize",
-    "grouped_rollup",
-    "running_window",
-    "ioc_payload_json",
 )
 
 #: Exactly the overflow past the gate window (asserted in
 #: tests/test_entry_contract.py), stalest first.
 _TAIL: tuple[str, ...] = (
     # last driver row round 8 — mandatory round-11 window
+    "sessionize",
+    "grouped_rollup",
+    "running_window",
+    "ioc_payload_json",
     "dedup_clusters",
     "dedup_incremental",
     "embedding_neardup",
@@ -194,6 +200,7 @@ _MODULES = (
     scale_queries,
     analytics_queries,
     quality_queries,
+    protocol_queries,
 )
 
 

@@ -37,6 +37,10 @@ STALENESS_BOUND = 3
 #: (needed because the evidence files cannot date a query they have no
 #: row for).  Entries are removed once the query earns its first row.
 REGISTERED_ROUND: dict[str, int] = {
+    "sync_versioned": 10,
+    "branch_wap_publish": 10,
+    "deletion_vectors": 10,
+    "cdc_apply_mixed": 10,
     "stream_interval_join_full": 8,
     "cdc_view_maintenance": 8,
     "delete_restore_history": 8,

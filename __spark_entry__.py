@@ -80,6 +80,11 @@ _PRIORITY: tuple[str, ...] = (
     "branch_wap_publish",
     "deletion_vectors",
     "cdc_apply_mixed",
+    "spec_evolution",
+    "multi_field_spec",
+    "metadata_tables",
+    "optimize_zorder",
+    "check_constraints",
     # stalest round-8-certified entries, standing rotation order
     "triangle_count",
     "markov_transitions",
@@ -104,17 +109,17 @@ _PRIORITY: tuple[str, ...] = (
     "stream_scd2",
     "ioc_payload_expiration",
     "merge_upsert",
-    "exact_quantiles",
-    "cms_counts",
-    "data_quality_audit",
-    "asof_join_click_error",
-    "stream_dedup_late",
 )
 
 #: Exactly the overflow past the gate window (asserted in
 #: tests/test_entry_contract.py), stalest first.
 _TAIL: tuple[str, ...] = (
     # last driver row round 8 — mandatory round-11 window
+    "exact_quantiles",
+    "cms_counts",
+    "data_quality_audit",
+    "asof_join_click_error",
+    "stream_dedup_late",
     "sessionize",
     "grouped_rollup",
     "running_window",

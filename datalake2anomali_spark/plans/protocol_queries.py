@@ -380,11 +380,408 @@ WITH post AS (
 """
 
 
+# -- spec_evolution: Iceberg-style partition-spec evolution -------------------
+
+#: Same six-day probe window as ``hidden_partition_pruning`` (2024-01-10
+#: 00:00:00 UTC .. last microsecond of 2024-01-15).
+_EVOLVE_LO_US = 1_704_844_800_000_000
+_EVOLVE_HI_US = 1_705_363_199_999_999
+
+
+def q_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution (``io/hidden.py: evolve_partition_spec``):
+    ``days(ts)`` evolves metadata-only to ``bucket(8, user_id)``; old
+    partitions keep pruning under the recorded days transform, new writes
+    land under the bucket layout (``g1:`` prefixed), and a ts-window read
+    spans both generations exactly.  Per-generation pruning is asserted
+    in-fixture (gen-0 days prune, g1 buckets are conservatively kept);
+    the oracle filters the evolved table's logical content directly.
+    """
+    from ..io.hidden import (
+        _load_generations,
+        evolve_partition_spec,
+        init_hidden_table,
+        may_match_multi,
+        merge_into_hidden,
+        read_hidden,
+    )
+    from ..io.publish import read_manifest
+
+    e = load_table(spark, sf_dir, "events")
+    root = _scratch_root("d2a_evolve", sf_dir)
+    init_hidden_table(spark, e, root, ["days", "ts"])
+    n_days = len(read_manifest(root)["partitions"])
+
+    gen = evolve_partition_spec(root, ["bucket", 8, "user_id"])
+    if gen != 1:
+        raise AssertionError("evolution did not open generation 1")
+    ins = e.filter(F.col("event_type") == "error").withColumn(
+        "event_id", F.col("event_id") + 60_000_000
+    )
+    merge_into_hidden(spark, root, ins, ["event_id"])
+
+    parts = list(read_manifest(root)["partitions"])
+    g1 = [p for p in parts if p.startswith("g1:")]
+    g0 = [p for p in parts if not p.startswith("g1:")]
+    if not g1 or len(g0) != n_days:
+        raise AssertionError("new writes did not land under the evolved spec")
+    pred = ("between", "ts", _EVOLVE_LO_US, _EVOLVE_HI_US)
+    gens = _load_generations(root)
+    kept = [p for p in parts if may_match_multi(gens, p, pred)]
+    # six days of ~31 prune under gen-0; every g1 bucket is kept
+    # conservatively (bucket(user_id) cannot address a ts predicate)
+    if not (set(g1) <= set(kept) and len(kept) <= len(g1) + 6):
+        raise AssertionError(
+            f"evolved pruning did not engage: kept {len(kept)} of {len(parts)}"
+        )
+    snap = read_hidden(spark, root, predicate=pred)
+    return (
+        snap.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", 2).alias("v_sum"))
+        .orderBy("event_type")
+    )
+
+
+SPEC_EVOLUTION_SQL = f"""
+WITH full_t AS (
+  SELECT ts, event_type, value FROM events
+  UNION ALL
+  SELECT ts, event_type, value FROM events WHERE event_type = 'error'
+)
+SELECT event_type, COUNT(*) AS n, {DSUM_SQL("value", 2)} AS v_sum
+FROM full_t
+WHERE epoch_us(ts) BETWEEN {_EVOLVE_LO_US} AND {_EVOLVE_HI_US}
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# -- multi_field_spec: composite hidden partitioning --------------------------
+
+
+def q_multi_field_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite hidden spec ``days(ts) + bucket(4, user_id)``
+    (``io/hidden.py`` multi-field): a user point-lookup prunes the bucket
+    component to at most one bucket per day, a ts window prunes the day
+    component, and DML through the spec stays exact.  The oracle filters
+    the source by the same deterministically-chosen user."""
+    from ..io.hidden import (
+        init_hidden_table,
+        may_match,
+        merge_into_hidden,
+        read_hidden,
+        read_spec,
+    )
+    from ..io.publish import read_manifest
+
+    e = load_table(spark, sf_dir, "events")
+    root = _scratch_root("d2a_multispec", sf_dir)
+    n_buckets = 4
+    init_hidden_table(
+        spark, e, root, [["days", "ts"], ["bucket", n_buckets, "user_id"]]
+    )
+    upd = e.filter(F.col("event_type") == "purchase").withColumn(
+        "value", F.col("value") + 2.0
+    )
+    merge_into_hidden(spark, root, upd, ["event_id"])
+
+    m = read_manifest(root)
+    parts = list(m["partitions"])
+    if not all(p.count("|") == 1 for p in parts):
+        raise AssertionError("composite partition values missing")
+    n_days = len({p.split("|")[0] for p in parts})
+    spec = read_spec(root)
+
+    uid = int(e.agg(F.min("user_id")).collect()[0][0])
+    upred = ("eq", "user_id", uid)
+    kept = [p for p in parts if may_match(spec, p, upred)]
+    if not (0 < len(kept) <= n_days):
+        raise AssertionError(
+            f"bucket component did not prune: kept {len(kept)} of {len(parts)}"
+        )
+    snap = read_hidden(spark, root, predicate=upred)
+    return snap.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_scaled"),
+    ).orderBy("event_id")
+
+
+MULTI_FIELD_SPEC_SQL = """
+SELECT event_id, event_type,
+       CAST(ROUND(CASE WHEN event_type = 'purchase' THEN value + 2 ELSE value END
+                  * 100) AS BIGINT) AS value_scaled
+FROM events
+WHERE user_id = (SELECT MIN(user_id) FROM events)
+ORDER BY event_id
+"""
+
+
+# -- metadata_tables: history / partitions / files DataFrames -----------------
+
+
+def q_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata tables (``io/publish.py: history_df / partitions_df /
+    files_df``) after a scripted create → merge → delete sequence: the
+    query returns one row per commit — version, operation, live-partition
+    count and logical row count, all read from metadata views (no data
+    scan) — and the oracle replays each commit's set-algebra with scalar
+    subqueries.  The files view is asserted in-fixture to name exactly
+    the live footprint (reading its paths reproduces the snapshot)."""
+    from ..io.publish import (
+        delete_from_versioned,
+        files_df,
+        history_df,
+        init_table,
+        merge_into_versioned,
+        partitions_df,
+        read_snapshot,
+    )
+
+    e = _events(spark, sf_dir)
+    root = _scratch_root("d2a_metatables", sf_dir)
+    init_table(spark, e, root, "event_date")
+    ins = e.filter(F.col("event_type") == "error").withColumn(
+        "event_id", F.col("event_id") + 21_000_000
+    )
+    merge_into_versioned(spark, root, ins, ["event_id"], "event_date")
+    delete_from_versioned(spark, root, "event_date", F.col("event_type") == "signup")
+
+    # files view: the live footprint reproduces the snapshot bit-for-bit
+    paths = [r["path"] for r in files_df(spark, root).collect()]
+    n_live = read_snapshot(spark, root, "event_date").count()
+    if spark.read.parquet(*paths).count() != n_live:
+        raise AssertionError("files_df paths do not reproduce the live snapshot")
+
+    hist = history_df(spark, root).select("version", "operation")
+    per_version = []
+    for v in [r["version"] for r in hist.collect()]:
+        p = partitions_df(spark, root, version=v).agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("n_rows") - F.coalesce(F.col("n_deleted"), F.lit(0))).alias(
+                "n_rows"
+            ),
+        ).collect()[0]
+        per_version.append((v, int(p["n_parts"]), int(p["n_rows"])))
+    counts = spark.createDataFrame(
+        per_version, "version long, n_parts long, n_rows long"
+    )
+    return hist.join(counts, "version").orderBy("version")
+
+
+METADATA_TABLES_SQL = """
+WITH base AS (
+  SELECT event_id, ts, event_type, strftime(ts, '%Y-%m-%d') AS event_date
+  FROM events
+), merged AS (
+  SELECT event_id, event_type, event_date FROM base
+  UNION ALL
+  SELECT event_id + 21000000, event_type,
+         strftime(ts, '%Y-%m-%d')
+  FROM base WHERE event_type = 'error'
+), after_delete AS (
+  SELECT * FROM merged WHERE event_type <> 'signup'
+)
+SELECT 1 AS version, 'create' AS operation,
+       (SELECT COUNT(DISTINCT event_date) FROM base) AS n_parts,
+       (SELECT COUNT(*) FROM base) AS n_rows
+UNION ALL
+SELECT 2, 'merge',
+       (SELECT COUNT(DISTINCT event_date) FROM merged),
+       (SELECT COUNT(*) FROM merged)
+UNION ALL
+SELECT 3, 'delete',
+       (SELECT COUNT(DISTINCT event_date) FROM after_delete),
+       (SELECT COUNT(*) FROM after_delete)
+ORDER BY version
+"""
+
+
+# -- optimize_zorder: partial OPTIMIZE + OPTIMIZE ZORDER + vacuum dry-run -----
+
+
+def q_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance surface in one scripted sequence: a fragmented ingest
+    (8-task scatter) → capped partial OPTIMIZE (``optimize_partitions``
+    rewrites exactly the 2 worst partitions, untouched partitions keep
+    their version) → ``OPTIMIZE ZORDER BY (user_id, event_id)``
+    (``compact_versioned(zorder_cols=…)``) proving layout changed AND
+    content didn't — per-file spans of BOTH dims are bounded where the
+    size target forced intra-partition splits — → ``vacuum(dry_run=True)``
+    reporting without touching, then the real vacuum reclaiming it.  The
+    oracle checks content preservation (plain source rollup); every
+    layout claim is asserted in-fixture."""
+    import glob as _glob
+
+    from ..io.publish import (
+        compact_versioned,
+        init_table,
+        optimize_partitions,
+        read_manifest,
+        read_snapshot,
+        vacuum,
+        version_dir,
+    )
+
+    e = _events(spark, sf_dir)
+    root = _scratch_root("d2a_zorder", sf_dir)
+    # fragment the way real pipelines do: an 8-task write scatters every
+    # hive partition across small files (localCheckpoint pins the task
+    # count so AQE can't coalesce it back)
+    init_table(
+        spark, e.repartition(8).localCheckpoint(eager=True), root, "event_date"
+    )
+    before = read_manifest(root)
+
+    v_opt, done = optimize_partitions(
+        spark, root, "event_date", "event_id", min_files=2, max_partitions=2
+    )
+    if len(done) != 2:
+        raise AssertionError(f"capped OPTIMIZE rewrote {len(done)} partitions")
+    m_opt = read_manifest(root)
+    untouched_kept = all(
+        m_opt["partitions"][p] == v
+        for p, v in before["partitions"].items()
+        if p not in done
+    )
+    if not untouched_kept:
+        raise AssertionError("partial OPTIMIZE moved untouched partitions")
+
+    fp = _fingerprint(spark, root)
+    v_z = compact_versioned(
+        spark,
+        root,
+        "event_date",
+        zorder_cols=("user_id", "event_id"),
+        target_file_bytes=8 * 1024,
+    )
+    if _fingerprint(spark, root) != fp:
+        raise AssertionError("ZORDER compaction changed content")
+    m_z = read_manifest(root)
+    if set(m_z["partitions"].values()) != {v_z}:
+        raise AssertionError("ZORDER did not collapse to one live version")
+    if "_zk" in [c for c, _t in m_z["schema"]]:
+        raise AssertionError("Morton key leaked into the schema")
+
+    # per-file spans: both dims bounded wherever the byte target forced
+    # intra-partition splits (at tiny scale each partition is one file and
+    # covers its full range — only assert when splitting actually engaged)
+    import pyarrow.parquet as pq
+
+    spans = []
+    for fpath in _glob.glob(
+        os.path.join(version_dir(root, v_z), "**", "*.parquet"), recursive=True
+    ):
+        t = pq.read_table(fpath, columns=["user_id", "event_id"])
+        u = t.column("user_id").to_pylist()
+        i = t.column("event_id").to_pylist()
+        if u and i:
+            spans.append((max(u) - min(u), max(i) - min(i)))
+    if len(spans) > len(m_z["partitions"]):
+        b = e.agg(
+            F.max("user_id") - F.min("user_id"),
+            F.max("event_id") - F.min("event_id"),
+        ).collect()[0]
+        frac_u = sum(1 for su, _ in spans if su <= 0.7 * b[0]) / len(spans)
+        frac_i = sum(1 for _, si in spans if si <= 0.7 * b[1]) / len(spans)
+        if frac_u < 0.3 or frac_i < 0.3:
+            raise AssertionError(
+                f"Z-order files unbounded: frac_u={frac_u:.2f} frac_i={frac_i:.2f}"
+            )
+
+    would = vacuum(root, retain_last=1, claim_ttl_seconds=0.0, dry_run=True)
+    if not would:
+        raise AssertionError("dry-run vacuum reported nothing to reclaim")
+    if any(not os.path.isdir(version_dir(root, v)) for v in would):
+        raise AssertionError("dry-run vacuum touched version directories")
+    removed = vacuum(root, retain_last=1, claim_ttl_seconds=0.0)
+    if sorted(removed) != sorted(would):
+        raise AssertionError("real vacuum diverged from its dry run")
+    return _type_rollup(read_snapshot(spark, root, "event_date"))
+
+
+OPTIMIZE_ZORDER_SQL = f"""
+WITH post AS (
+  SELECT event_id, event_type, value FROM events
+)
+{_TYPE_ROLLUP_SQL}
+"""
+
+
+# -- check_constraints: declarative write-time guards -------------------------
+
+
+def q_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints (``init_table(constraints=…)``): a violating
+    MERGE refuses atomically — no version claim, no orphan directory,
+    snapshot intact — a satisfying MERGE lands, and the constraint set
+    survives compaction.  The oracle replays the accepted writes only."""
+    from ..io.publish import (
+        ConstraintViolationError,
+        compact_versioned,
+        init_table,
+        merge_into_versioned,
+        read_manifest,
+        read_snapshot,
+        vacuum,
+    )
+
+    e = _events(spark, sf_dir)
+    root = _scratch_root("d2a_constraints", sf_dir)
+    cons = {
+        "positive_id": "event_id >= 0",
+        "known_type": "event_type IN ('view','click','purchase','signup','error')",
+    }
+    init_table(spark, e, root, "event_date", constraints=cons)
+
+    ok = e.filter(F.col("event_type") == "purchase").withColumn(
+        "value", F.col("value") + 50.0
+    )
+    merge_into_versioned(spark, root, ok, ["event_id"], "event_date")
+
+    bad = e.filter(F.col("event_type") == "click").withColumn(
+        "event_type", F.lit("zzz")
+    )
+    try:
+        merge_into_versioned(spark, root, bad, ["event_id"], "event_date")
+        raise AssertionError("violating merge was accepted")
+    except ConstraintViolationError:
+        pass
+    if read_snapshot(spark, root, "event_date").filter(
+        F.col("event_type") == "zzz"
+    ).count():
+        raise AssertionError("refused merge leaked rows")
+    if [f for f in os.listdir(root) if f.startswith("_CLAIM.")]:
+        raise AssertionError("refused merge left a stale claim")
+    if vacuum(root, claim_ttl_seconds=0.0, retain_last=2) != []:
+        raise AssertionError("refused merge left an orphan directory")
+
+    compact_versioned(spark, root, "event_date", "event_id")
+    if read_manifest(root)["constraints"] != cons:
+        raise AssertionError("constraints lost across compaction")
+    return _type_rollup(read_snapshot(spark, root, "event_date"))
+
+
+CHECK_CONSTRAINTS_SQL = f"""
+WITH post AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_type = 'purchase' THEN value + 50 ELSE value END AS value
+  FROM events
+)
+{_TYPE_ROLLUP_SQL}
+"""
+
+
 QUERIES = {
     "sync_versioned": q_sync_versioned,
     "branch_wap_publish": q_branch_wap_publish,
     "deletion_vectors": q_deletion_vectors,
     "cdc_apply_mixed": q_cdc_apply_mixed,
+    "spec_evolution": q_spec_evolution,
+    "multi_field_spec": q_multi_field_spec,
+    "metadata_tables": q_metadata_tables,
+    "optimize_zorder": q_optimize_zorder,
+    "check_constraints": q_check_constraints,
 }
 
 ORACLES = {
@@ -392,4 +789,9 @@ ORACLES = {
     "branch_wap_publish": BRANCH_WAP_SQL,
     "deletion_vectors": DELETION_VECTORS_SQL,
     "cdc_apply_mixed": CDC_APPLY_SQL,
+    "spec_evolution": SPEC_EVOLUTION_SQL,
+    "multi_field_spec": MULTI_FIELD_SPEC_SQL,
+    "metadata_tables": METADATA_TABLES_SQL,
+    "optimize_zorder": OPTIMIZE_ZORDER_SQL,
+    "check_constraints": CHECK_CONSTRAINTS_SQL,
 }

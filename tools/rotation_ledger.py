@@ -41,6 +41,11 @@ REGISTERED_ROUND: dict[str, int] = {
     "branch_wap_publish": 10,
     "deletion_vectors": 10,
     "cdc_apply_mixed": 10,
+    "spec_evolution": 10,
+    "multi_field_spec": 10,
+    "metadata_tables": 10,
+    "optimize_zorder": 10,
+    "check_constraints": 10,
     "stream_interval_join_full": 8,
     "cdc_view_maintenance": 8,
     "delete_restore_history": 8,

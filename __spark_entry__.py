@@ -27,6 +27,7 @@ from datalake2anomali_spark.plans import (  # noqa: E402
     llm_queries,
     protocol_queries,
     relational,
+    training_queries,
     scale_queries,
     streaming_queries,
     temporal_queries,
@@ -85,6 +86,12 @@ _PRIORITY: tuple[str, ...] = (
     "metadata_tables",
     "optimize_zorder",
     "check_constraints",
+    "negative_samples",
+    "weighted_sample_aes",
+    "pca_project",
+    "ann_pq_topk",
+    "k_core_decomposition",
+    "bpe_tokenize",
     # stalest round-8-certified entries, standing rotation order
     "triangle_count",
     "markov_transitions",
@@ -103,18 +110,18 @@ _PRIORITY: tuple[str, ...] = (
     "stream_interval_join_full",
     "cdc_view_maintenance",
     "delete_restore_history",
-    "hidden_partition_pruning",
-    "merge_versioned",
-    "fuzzy_match2",
-    "stream_scd2",
-    "ioc_payload_expiration",
-    "merge_upsert",
 )
 
 #: Exactly the overflow past the gate window (asserted in
 #: tests/test_entry_contract.py), stalest first.
 _TAIL: tuple[str, ...] = (
     # last driver row round 8 — mandatory round-11 window
+    "hidden_partition_pruning",
+    "merge_versioned",
+    "fuzzy_match2",
+    "stream_scd2",
+    "ioc_payload_expiration",
+    "merge_upsert",
     "exact_quantiles",
     "cms_counts",
     "data_quality_audit",
@@ -206,6 +213,7 @@ _MODULES = (
     analytics_queries,
     quality_queries,
     protocol_queries,
+    training_queries,
 )
 
 

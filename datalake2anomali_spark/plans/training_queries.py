@@ -1,0 +1,336 @@
+"""Training-data-pipeline gate queries (round-10 registrations).
+
+Samplers with engine-portable md5 draws register exact DuckDB twins
+(``negative_samples``, A-ES weighted sampling).  Operators whose math is
+not ANSI-SQL-expressible — PCA's eigendecomposition, product
+quantization, k-core peeling, BPE training — register *derived
+deterministic checks* (the ``ann_topk_quantized`` precedent): the
+operator runs in full, is validated Spark-side against an exact twin or
+an independent algorithm, and the query returns data-derived counts the
+oracle can compute plus quality/consistency booleans the oracle pins to
+TRUE.  The same properties are pinned pair-level in ``tests/``.
+
+Reference parity: none — training-pipeline extensions per the build
+brief (dedup/similarity/sampling families).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.tables import load_table
+from ..llm.contrastive import negative_samples, negative_samples_sql
+from ..llm.pipeline import weighted_sample_exact
+from .llm_queries import _ANN_CHECK_SQL, _eager_summary, _query_vectors
+
+
+# -- negative_samples: deterministic contrastive negatives --------------------
+
+_NEG_K = 4
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k deterministic md5-draw negatives per anchor
+    (``llm/contrastive.py``): the oracle replays the identical dense
+    index, hash draws, dedupe and first-k selection bit-for-bit — the
+    cross-engine reproducibility a training pipeline needs for exact
+    resume."""
+    docs = load_table(spark, sf_dir, "documents")
+    anchors = docs.filter(F.col("doc_id") % 20 == 0)
+    out = negative_samples(anchors, docs, k=_NEG_K)
+    return (
+        out.select(
+            F.col("doc_id").alias("anchor_id"), "neg_id", "draw", "n_drawn"
+        )
+        .orderBy("anchor_id", F.col("draw").asc_nulls_last())
+    )
+
+
+NEGATIVE_SAMPLES_SQL = (
+    negative_samples_sql(_NEG_K, anchor_filter="doc_id % 20 = 0")
+    + "\nORDER BY a.anchor_id, f.draw NULLS LAST"
+)
+
+
+# -- weighted_sample_aes: Efraimidis–Spirakis exact-size sampling -------------
+
+
+def q_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ES exact-size weighted sampling (``llm/pipeline.py:
+    weighted_sample_exact``): exactly k rows per language, inclusion
+    probability ∝ weight, the reservoir key ``ln(u)/w`` drawn
+    deterministically from ``md5(doc_id)`` — the oracle replays the
+    identical draw and top-k, so the sampled id set matches exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    wt = F.when(F.col("doc_id") % 10 == 0, F.lit(50.0)).otherwise(F.lit(1.0))
+    s = weighted_sample_exact(docs, 20, wt, strata_col="lang")
+    return s.select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
+WEIGHTED_SAMPLE_AES_SQL = """
+WITH keyed AS (
+  SELECT lang, doc_id,
+         ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS UBIGINT)
+             + 1.0) / 281474976710657.0)
+         / (CASE WHEN doc_id % 10 = 0 THEN 50.0 ELSE 1.0 END) AS k
+  FROM documents
+), ranked AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k DESC, doc_id ASC) AS rn
+  FROM keyed
+)
+SELECT lang, doc_id FROM ranked WHERE rn <= 20
+ORDER BY lang, doc_id
+"""
+
+
+# -- pca_project: distributed PCA / whitening ---------------------------------
+
+
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (``llm/pca.py``): one moment-sketch pass fits the
+    model, one batched matmul per Arrow batch projects.  Eig is not
+    SQL-expressible, so this is a derived check: the oracle computes the
+    corpus counts and pins the spectral/projection invariants — variance
+    ordering, explained-variance bounds against the total variance,
+    projected-coordinate variance matching the eigenvalues, whitening to
+    unit variance — which the fixture verifies Spark-side."""
+    import numpy as np
+
+    from ..llm.pca import pca_project, pca_train, second_moments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 8
+    n, s, ss = second_moments(emb)
+    mean = s / n
+    total_var = float(np.trace(ss / n - np.outer(mean, mean)))
+    d = s.shape[0]
+    model = pca_train(emb, k=k)
+    ev = model["explained_variance"]
+
+    evr_monotone_ok = all(ev[i] >= ev[i + 1] - 1e-12 for i in range(k - 1))
+    evr_bounds_ok = 0.0 < sum(ev) <= total_var * (1 + 1e-9) + 1e-9
+    top1_ok = ev[0] >= total_var / d - 1e-9
+
+    # projected coordinates must have variance == eigenvalue, component-wise
+    proj = pca_project(emb, model).select(
+        F.posexplode("pca").alias("comp", "val")
+    )
+    got = {
+        int(r["comp"]): float(r["v"])
+        for r in proj.groupBy("comp").agg(F.var_pop("val").alias("v")).collect()
+    }
+    proj_var_ok = all(
+        abs(got[i] - ev[i]) <= 1e-3 * max(ev[i], 1e-12) + 1e-6 for i in range(k)
+    )
+    white = pca_project(emb, model, whiten=True).select(
+        F.posexplode("pca").alias("comp", "val")
+    )
+    gotw = {
+        int(r["comp"]): float(r["v"])
+        for r in white.groupBy("comp").agg(F.var_pop("val").alias("v")).collect()
+    }
+    whiten_ok = all(abs(gotw[i] - 1.0) <= 1e-2 for i in range(k))
+
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                int(d),
+                bool(evr_monotone_ok),
+                bool(evr_bounds_ok),
+                bool(top1_ok),
+                bool(proj_var_ok),
+                bool(whiten_ok),
+            )
+        ],
+        "n_vectors long, dim long, evr_monotone_ok boolean, evr_bounds_ok "
+        "boolean, top1_ok boolean, proj_var_ok boolean, whiten_ok boolean",
+    )
+
+
+PCA_PROJECT_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(MAX(len(embedding)) AS BIGINT) AS dim,
+       TRUE AS evr_monotone_ok,
+       TRUE AS evr_bounds_ok,
+       TRUE AS top1_ok,
+       TRUE AS proj_var_ok,
+       TRUE AS whiten_ok
+FROM embeddings
+"""
+
+
+# -- ann_pq_topk: product-quantized ADC search --------------------------------
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-k vs the exact float path: recall@5 ≥ 0.5 at
+    m=16 subspaces × 64 centroids (isotropic embeddings are PQ's worst
+    case; the ``tests/test_llm.py`` bound, measured ~0.60)."""
+    from ..llm.similarity import cosine_topk, cosine_topk_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vectors(spark, sf_dir)
+    approx = cosine_topk_pq(emb, qv, m=16, k_codes=64, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    exact = cosine_topk(emb, qv, k=5).select("query_id", "neighbor_id").persist()
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("nh")
+    )
+    n_q = qv.agg(F.count(F.lit(1)).alias("n_queries"))
+    summary = (
+        n_q.crossJoin(n_exact)
+        .crossJoin(n_hits)
+        .select(
+            F.col("n_queries"),
+            F.col("n_exact"),
+            (F.col("nh") >= 0.5 * F.col("n_exact")).alias("recall_ok"),
+        )
+    )
+    return _eager_summary(summary, [exact])
+
+
+# -- k_core_decomposition: peeling + coreness cross-check ---------------------
+
+
+def q_k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core via distributed peeling (``llm/graph.py: k_core``) over the
+    symmetrized customer↔supplier trade graph, cross-checked against the
+    independent :func:`coreness` decomposition — membership of the k-core
+    must equal {v : coreness(v) ≥ k}, and every member's within-core
+    degree must be ≥ k.  The peeling fixpoint is not ANSI-SQL-expressible,
+    so the oracle computes the graph's node/edge counts and pins the
+    consistency booleans."""
+    from ..llm.graph import coreness, k_core
+
+    k = 3
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    core = k_core(pairs, k).persist()
+    min_deg = core.agg(F.min("degree")).collect()[0][0]
+    n_core = core.count()
+    cz = coreness(pairs).persist()
+    high = cz.filter(F.col("coreness") >= k).select("node")
+    sym_diff = core.select("node").exceptAll(high).count() + high.exceptAll(
+        core.select("node")
+    ).count()
+
+    n_nodes = pairs.select(F.col("src").alias("n")).union(
+        pairs.select(F.col("dst").alias("n"))
+    ).distinct().count()
+    n_edges = pairs.count()
+    row = (
+        int(n_nodes),
+        int(n_edges),
+        bool(n_core > 0),
+        bool(min_deg is not None and int(min_deg) >= k),
+        bool(sym_diff == 0),
+    )
+    core.unpersist()
+    cz.unpersist()
+    return spark.createDataFrame(
+        [row],
+        "n_nodes long, n_edges long, core_nonempty_ok boolean, "
+        "min_degree_ok boolean, matches_coreness_ok boolean",
+    )
+
+
+K_CORE_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+SELECT (SELECT CAST(COUNT(DISTINCT n) AS BIGINT) FROM (
+          SELECT src AS n FROM pairs UNION ALL SELECT dst FROM pairs
+        )) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+       TRUE AS core_nonempty_ok,
+       TRUE AS min_degree_ok,
+       TRUE AS matches_coreness_ok
+"""
+
+
+# -- bpe_tokenize: trained byte-pair tokenizer --------------------------------
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained BPE (``llm/bpe.py``): the merge table is a pure
+    function of corpus word frequencies (deterministic across
+    partitionings, pinned in tests), encoding is an Arrow-batched UDF,
+    and decode(encode(x)) == x exactly.  Training is not SQL-expressible,
+    so the oracle computes corpus counts and pins the roundtrip and
+    compression invariants (words ≤ BPE tokens < 0.6 × chars)."""
+    from ..llm.bpe import bpe_tokens_col, bpe_train, decode_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=100)
+    toks = docs.select(
+        "doc_id", "text", bpe_tokens_col(F.col("text"), merges).alias("toks")
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("total_words"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(F.size("toks")).alias("total_bpe"),
+    ).collect()[0]
+    sample = toks.orderBy("doc_id").limit(20).collect()
+    roundtrip_ok = all(decode_tokens(list(r["toks"])) == r["text"] for r in sample)
+    compression_ok = (
+        int(stats["total_words"])
+        <= int(stats["total_bpe"])
+        < 0.6 * int(stats["total_chars"])
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(stats["n_docs"]),
+                int(stats["total_words"]),
+                int(stats["total_chars"]),
+                bool(roundtrip_ok),
+                bool(compression_ok),
+            )
+        ],
+        "n_docs long, total_words long, total_chars long, "
+        "roundtrip_ok boolean, compression_ok boolean",
+    )
+
+
+BPE_TOKENIZE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       TRUE AS roundtrip_ok,
+       TRUE AS compression_ok
+FROM documents
+"""
+
+
+QUERIES = {
+    "negative_samples": q_negative_samples,
+    "weighted_sample_aes": q_weighted_sample_aes,
+    "pca_project": q_pca_project,
+    "ann_pq_topk": q_ann_pq_topk,
+    "k_core_decomposition": q_k_core_decomposition,
+    "bpe_tokenize": q_bpe_tokenize,
+}
+
+ORACLES = {
+    "negative_samples": NEGATIVE_SAMPLES_SQL,
+    "weighted_sample_aes": WEIGHTED_SAMPLE_AES_SQL,
+    "pca_project": PCA_PROJECT_SQL,
+    "ann_pq_topk": _ANN_CHECK_SQL,
+    "k_core_decomposition": K_CORE_SQL,
+    "bpe_tokenize": BPE_TOKENIZE_SQL,
+}

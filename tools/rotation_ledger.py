@@ -46,6 +46,12 @@ REGISTERED_ROUND: dict[str, int] = {
     "metadata_tables": 10,
     "optimize_zorder": 10,
     "check_constraints": 10,
+    "negative_samples": 10,
+    "weighted_sample_aes": 10,
+    "pca_project": 10,
+    "ann_pq_topk": 10,
+    "k_core_decomposition": 10,
+    "bpe_tokenize": 10,
     "stream_interval_join_full": 8,
     "cdc_view_maintenance": 8,
     "delete_restore_history": 8,

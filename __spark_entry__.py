@@ -92,6 +92,10 @@ _PRIORITY: tuple[str, ...] = (
     "ann_pq_topk",
     "k_core_decomposition",
     "bpe_tokenize",
+    "asof_join_directions",
+    "bloom_semi_join",
+    "csv_orc_roundtrip",
+    "stream_enrich_snapshot",
     # stalest round-8-certified entries, standing rotation order
     "triangle_count",
     "markov_transitions",
@@ -106,16 +110,16 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_stats",
     "text_profile",
     "ann_cosine_topk",
-    "ioc_rest_source_pipeline",
-    "stream_interval_join_full",
-    "cdc_view_maintenance",
-    "delete_restore_history",
 )
 
 #: Exactly the overflow past the gate window (asserted in
 #: tests/test_entry_contract.py), stalest first.
 _TAIL: tuple[str, ...] = (
     # last driver row round 8 — mandatory round-11 window
+    "ioc_rest_source_pipeline",
+    "stream_interval_join_full",
+    "cdc_view_maintenance",
+    "delete_restore_history",
     "hidden_partition_pruning",
     "merge_versioned",
     "fuzzy_match2",

@@ -772,8 +772,77 @@ WITH post AS (
 """
 
 
+# -- csv_orc_roundtrip: interchange-format contracts --------------------------
+
+
+def q_csv_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV + ORC source/sink contracts (``io/formats.py``): the events
+    table round-trips through a gzipped quoted CSV (schema-explicit scan,
+    no inference — the JSON-bearing ``props`` column stresses the
+    quote/escape path) and through ORC (schema drift checked at plan
+    time), and both read-backs must checksum identically to the source.
+    ``ts`` travels as epoch-µs (CSV timestamp rendering is
+    millisecond-lossy by spec, so the long column IS the contract)."""
+    from pyspark.sql import types as T
+
+    from ..io.formats import read_csv, read_orc, write_csv, write_orc
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    root = _scratch_root("d2a_formats", sf_dir)
+    csv_path, orc_path = os.path.join(root, "csv"), os.path.join(root, "orc")
+    write_csv(e, csv_path, n_files=4)
+    write_orc(e, orc_path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    back_csv = read_csv(spark, csv_path, schema).withColumn("fmt", F.lit("csv"))
+    back_orc = read_orc(spark, orc_path, expected_schema=schema).withColumn(
+        "fmt", F.lit("orc")
+    )
+    both = back_csv.unionByName(back_orc.select(*back_csv.columns))
+    checksum = F.conv(F.substring(F.md5(F.col("props")), 1, 8), 16, 10).cast("long")
+    return (
+        both.groupBy("fmt", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", 2).alias("v_sum"),
+            F.sum("ts_us").alias("ts_sum"),
+            F.sum(checksum).alias("props_checksum"),
+        )
+        .orderBy("fmt", "event_type")
+    )
+
+
+CSV_ORC_ROUNDTRIP_SQL = f"""
+WITH fmts AS (SELECT 'csv' AS fmt UNION ALL SELECT 'orc')
+SELECT f.fmt, e.event_type, COUNT(*) AS n,
+       {DSUM_SQL("e.value", 2)} AS v_sum,
+       CAST(SUM(epoch_us(e.ts)) AS BIGINT) AS ts_sum,
+       CAST(SUM(CAST(('0x' || substr(md5(e.props), 1, 8)) AS UBIGINT)) AS BIGINT)
+         AS props_checksum
+FROM events e CROSS JOIN fmts f
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "sync_versioned": q_sync_versioned,
+    "csv_orc_roundtrip": q_csv_orc_roundtrip,
     "branch_wap_publish": q_branch_wap_publish,
     "deletion_vectors": q_deletion_vectors,
     "cdc_apply_mixed": q_cdc_apply_mixed,
@@ -786,6 +855,7 @@ QUERIES = {
 
 ORACLES = {
     "sync_versioned": SYNC_VERSIONED_SQL,
+    "csv_orc_roundtrip": CSV_ORC_ROUNDTRIP_SQL,
     "branch_wap_publish": BRANCH_WAP_SQL,
     "deletion_vectors": DELETION_VECTORS_SQL,
     "cdc_apply_mixed": CDC_APPLY_SQL,

@@ -1136,8 +1136,52 @@ ORDER BY 1
 """
 
 
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (``operators/bloomjoin.py``): the
+    probe side (all events) is reduced by a driver-built bloom bitmap
+    over a selective build key set before the exact join, so the join
+    shuffle carries only possibly-matching rows — at 100 TB the
+    difference between shuffling the table and shuffling the matching
+    fraction.  Bloom negatives are definitive, so the exact semi-join
+    afterwards removes only false positives; the oracle is the plain
+    IN-subquery the whole construction must equal.  The reduction is
+    asserted in-fixture (the bitmap must actually drop rows)."""
+    from ..operators.bloomjoin import bloom_semi_reduce, build_key_bloom
+
+    e = load_table(spark, sf_dir, "events")
+    build = (
+        e.filter((F.col("event_type") == "error") & (F.col("user_id") % 13 == 0))
+        .select("user_id")
+        .distinct()
+    )
+    words = build_key_bloom(build, "user_id")
+    reduced = bloom_semi_reduce(e, words, "user_id").localCheckpoint(eager=True)
+    n_all, n_reduced = e.count(), reduced.count()
+    if not n_reduced < n_all:
+        raise AssertionError("bloom reduction dropped nothing")
+    exact = reduced.join(F.broadcast(build), "user_id", "left_semi")
+    return (
+        exact.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", 2).alias("v_sum"))
+        .orderBy("event_type")
+    )
+
+
+BLOOM_SEMI_JOIN_SQL = f"""
+SELECT event_type, COUNT(*) AS n, {DSUM_SQL("value", 2)} AS v_sum
+FROM events
+WHERE user_id IN (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'error' AND user_id % 13 = 0
+)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "heavy_hitters": q_heavy_hitters,
+    "bloom_semi_join": q_bloom_semi_join,
     "exact_quantiles": q_exact_quantiles,
     "percentile_cont": q_percentile_cont,
     "equi_depth_hist": q_equi_depth_hist,
@@ -1159,6 +1203,7 @@ QUERIES = {
 
 ORACLES = {
     "heavy_hitters": HEAVY_HITTERS_SQL,
+    "bloom_semi_join": BLOOM_SEMI_JOIN_SQL,
     "exact_quantiles": EXACT_QUANTILES_SQL,
     "percentile_cont": PCONT_SQL,
     "equi_depth_hist": EQUI_DEPTH_SQL,

@@ -48,6 +48,7 @@ QUERIES = {
     "stream_upsert_exactly_once": incremental.stream_upsert_exactly_once,
     "stream_dedup_late": incremental.stream_dedup_late,
     "stateful_user_profiles": stateful.stateful_user_profiles,
+    "stream_enrich_snapshot": incremental.stream_enrich_snapshot,
 }
 
 ORACLES = {
@@ -67,4 +68,7 @@ ORACLES = {
     "stream_upsert_exactly_once": incremental.STREAM_EXACTLY_ONCE_SQL,
     "stream_dedup_late": incremental.STREAM_DEDUP_LATE_SQL,
     "stateful_user_profiles": stateful.STATEFUL_PROFILE_SQL,
+    # per-tick enrichment against the dim's then-current snapshot must
+    # equal the batch replay of (tick, user-parity)-cased scores
+    "stream_enrich_snapshot": incremental.STREAM_ENRICH_SQL,
 }

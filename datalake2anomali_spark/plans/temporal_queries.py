@@ -101,6 +101,68 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
 """
 
 
+def asof_click_error_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward and nearest as-of in one row per click
+    (``operators/temporal.py: asof_join(direction=…)``): ``forward``
+    matches the user's oldest error at-or-after the click, ``nearest``
+    the closer of backward/forward with ties to backward — both from the
+    same one-shuffle union-and-carry plan as the backward default.
+
+    Oracle: DuckDB's native ``ASOF LEFT JOIN`` run both ways, with the
+    nearest choice replayed as a CASE over the two candidates — an
+    independent implementation of the same contract.
+    """
+    clicks = _typed(spark, sf_dir, "click").drop("value")
+    errors = _typed(spark, sf_dir, "error").drop("value")
+    fwd = temporal.asof_join(
+        clicks, errors, keys=["user_id"], ts_col="ts", direction="forward"
+    )
+    near = temporal.asof_join(
+        clicks, errors, keys=["user_id"], ts_col="ts", direction="nearest"
+    )
+    f = fwd.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("event_id_r").alias("fwd_event_id"),
+        F.unix_micros(F.col("ts_r")).alias("fwd_ts_us"),
+    )
+    n = near.select(
+        "event_id",
+        F.col("event_id_r").alias("near_event_id"),
+        F.unix_micros(F.col("ts_r")).alias("near_ts_us"),
+    )
+    return f.join(n, "event_id").orderBy("event_id")
+
+
+ASOF_DIRECTIONS_SQL = """
+WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+r AS (SELECT * FROM events WHERE event_type = 'error'),
+fwd AS (
+  SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+         r.event_id AS fwd_event_id, epoch_us(r.ts) AS fwd_ts_us
+  FROM l ASOF LEFT JOIN r
+    ON l.user_id = r.user_id AND l.ts <= r.ts
+),
+bwd AS (
+  SELECT l.event_id, r.event_id AS b_id, epoch_us(r.ts) AS b_ts
+  FROM l ASOF LEFT JOIN r
+    ON l.user_id = r.user_id AND l.ts >= r.ts
+)
+SELECT f.event_id, f.user_id, f.ts_us, f.fwd_event_id, f.fwd_ts_us,
+       CASE WHEN b.b_ts IS NOT NULL
+                  AND (f.fwd_ts_us IS NULL
+                       OR f.ts_us - b.b_ts <= f.fwd_ts_us - f.ts_us)
+            THEN b.b_id ELSE f.fwd_event_id END AS near_event_id,
+       CASE WHEN b.b_ts IS NOT NULL
+                  AND (f.fwd_ts_us IS NULL
+                       OR f.ts_us - b.b_ts <= f.fwd_ts_us - f.ts_us)
+            THEN b.b_ts ELSE f.fwd_ts_us END AS near_ts_us
+FROM fwd f JOIN bwd b ON b.event_id = f.event_id
+ORDER BY f.event_id
+"""
+
+
 def range_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clicks landing in the 6 hours after each error, counted per error."""
     errors = _typed(spark, sf_dir, "error").select(
@@ -321,6 +383,7 @@ QUERIES = {
     "asof_join_click_error": asof_click_error,
     "time_travel": time_travel_states,
     "asof_join_tolerance": asof_click_error_tolerance,
+    "asof_join_directions": asof_click_error_directions,
     "range_join_error_clicks": range_join_error_clicks,
     "hypertable_rollup": hypertable_rollup,
     "burst_alerts": burst_alerts,
@@ -332,6 +395,7 @@ ORACLES = {
     "asof_join_click_error": ASOF_SQL,
     "time_travel": TIME_TRAVEL_SQL,
     "asof_join_tolerance": ASOF_TOLERANCE_SQL,
+    "asof_join_directions": ASOF_DIRECTIONS_SQL,
     "range_join_error_clicks": RANGE_SQL,
     "hypertable_rollup": ROLLUP_SQL,
     "burst_alerts": BURST_SQL,

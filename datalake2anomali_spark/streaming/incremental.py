@@ -939,3 +939,95 @@ def stream_enrich_with_table(
         and _time.monotonic() < deadline
     ):
         _time.sleep(0.02)
+
+
+def stream_enrich_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate fixture for :func:`stream_enrich_with_table`: two availableNow
+    ticks against a slowly-changing dimension stored as a versioned
+    table, with a MERGE landing between the ticks.
+
+    Tick 1 streams the even-id half of events and enriches against dim
+    v1 (score = user_id·10); a MERGE then bumps even users' scores by
+    100; tick 2 streams the odd-id half and must see dim v2 — the
+    foreachBatch snapshot re-resolution contract.  The appended output
+    is therefore a deterministic mix of both dim versions, which the
+    oracle replays with a CASE on (tick, user parity).
+    """
+    import shutil
+
+    from datalake2anomali_spark.functions.exact import dsum
+    from datalake2anomali_spark.io.publish import init_table, merge_into_versioned
+
+    e = load_sf_events(spark, sf_dir)
+    base = (
+        "/dev/shm"
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+        else tempfile.gettempdir()
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(base, f"d2a_enrich_{tag}")
+    shutil.rmtree(root, ignore_errors=True)  # pure function of the source
+    src = os.path.join(root, "src")
+    dim_root = os.path.join(root, "dim")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+
+    dim1 = (
+        e.select("user_id")
+        .distinct()
+        .withColumn(
+            "seg", F.when(F.col("user_id") % 3 == 0, "a").otherwise("b")
+        )
+        .withColumn("score", F.col("user_id") * 10)
+    )
+    init_table(spark, dim1, dim_root, "seg")
+
+    tick1 = e.filter(F.col("event_id") % 2 == 0)
+    tick2 = e.filter(F.col("event_id") % 2 == 1)
+    tick1.coalesce(1).write.mode("append").parquet(src)
+    spark.catalog.refreshByPath(src)
+    stream_enrich_with_table(
+        spark, src, dim_root, "seg", ["user_id"], out, ckpt
+    )
+
+    upd = dim1.filter(F.col("user_id") % 2 == 0).withColumn(
+        "score", F.col("score") + 100
+    )
+    merge_into_versioned(spark, dim_root, upd, ["user_id"], "seg")
+
+    tick2.coalesce(1).write.mode("append").parquet(src)
+    spark.catalog.refreshByPath(src)
+    stream_enrich_with_table(
+        spark, src, dim_root, "seg", ["user_id"], out, ckpt
+    )
+
+    spark.catalog.refreshByPath(out)
+    enriched = spark.read.parquet(out)
+    return (
+        enriched.groupBy("seg", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("score").alias("score_sum"),
+            dsum("value", 2).alias("v_sum"),
+        )
+        .orderBy("seg", "event_type")
+    )
+
+
+STREAM_ENRICH_SQL = """
+WITH enr AS (
+  SELECT CASE WHEN user_id % 3 = 0 THEN 'a' ELSE 'b' END AS seg,
+         event_type,
+         user_id * 10
+           + CASE WHEN event_id % 2 = 1 AND user_id % 2 = 0 THEN 100 ELSE 0 END
+           AS score,
+         value
+  FROM events
+)
+SELECT seg, event_type, COUNT(*) AS n,
+       CAST(SUM(score) AS BIGINT) AS score_sum,
+       CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS DOUBLE) / 100 AS v_sum
+FROM enr
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -52,6 +52,10 @@ REGISTERED_ROUND: dict[str, int] = {
     "ann_pq_topk": 10,
     "k_core_decomposition": 10,
     "bpe_tokenize": 10,
+    "asof_join_directions": 10,
+    "bloom_semi_join": 10,
+    "csv_orc_roundtrip": 10,
+    "stream_enrich_snapshot": 10,
     "stream_interval_join_full": 8,
     "cdc_view_maintenance": 8,
     "delete_restore_history": 8,

@@ -126,19 +126,62 @@ def _write_ref_atomic(root: str, fname: str, payload: dict) -> None:
     ref regex, then enters its final name via ``os.link`` — atomic among
     racing creators (EEXIST replaces O_EXCL) and never observable
     truncated, so a crash mid-write cannot leave a corrupt ref that
-    wedges every ``list_refs``/``vacuum`` until hand-repair."""
+    wedges every ``list_refs``/``vacuum`` until hand-repair.
+
+    NFS hardening (ADVICE r9 low): a lost ``link()`` reply is
+    retransmitted by the client and can surface EEXIST even though THIS
+    call created the ref — ``samefile(tmp, path)`` (same inode) proves
+    the link landed, so that case is success, not a duplicate.  Mounts
+    that refuse hard links altogether (EPERM/ENOTSUP) fall back to the
+    ``O_CREAT|O_EXCL`` write, which those filesystems do support.  A
+    failed tmp write (ENOSPC, crash) unlinks its litter on the error
+    path; anything that still escapes (SIGKILL) is reclaimed by
+    :func:`vacuum`'s age-gated ``_reftmp-*`` sweep."""
+    import errno as _errno
     import uuid as _uuid
 
     path = os.path.join(root, fname)
     tmp = os.path.join(root, f"_reftmp-{os.getpid()}-{_uuid.uuid4().hex}")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(json.dumps(payload, sort_keys=True))
-        fh.flush()
-        os.fsync(fh.fileno())
     try:
-        os.link(tmp, path)
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(json.dumps(payload, sort_keys=True))
+            fh.flush()
+            os.fsync(fh.fileno())
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+    try:
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            try:
+                ours = os.path.samefile(tmp, path)
+            except OSError:
+                ours = False
+            if not ours:
+                raise
+        except OSError as exc:
+            if exc.errno not in (
+                _errno.EPERM,
+                _errno.ENOTSUP,
+                getattr(_errno, "EOPNOTSUPP", _errno.ENOTSUP),
+                _errno.EXDEV,
+            ):
+                raise
+            # no hard links on this mount: exclusive create directly
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+            with os.fdopen(fd, "w", encoding="utf-8") as fh:
+                fh.write(json.dumps(payload, sort_keys=True))
+                fh.flush()
+                os.fsync(fh.fileno())
     finally:
-        os.unlink(tmp)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 def _verify_lock_ownership(lock: tuple[str, str] | None) -> None:
@@ -1527,6 +1570,20 @@ def vacuum(
     if retain_last < 1:
         raise ValueError("retain_last must be >= 1 (the current snapshot)")
     current = read_manifest(root)
+    # opportunistic sweep of orphaned ref tmp files (ADVICE r9 low): a
+    # creator that died between the tmp write and its unlink leaves an
+    # invisible _reftmp-* forever.  Age-gate on the claim TTL (floor 60 s)
+    # so an in-flight creator's sub-second window is never raced.
+    if not dry_run:
+        tmp_ttl = max(claim_ttl_seconds, 60.0)
+        for f in os.listdir(root):
+            if f.startswith("_reftmp-"):
+                p = os.path.join(root, f)
+                try:
+                    if time.time() - os.path.getmtime(p) > tmp_ttl:
+                        os.unlink(p)
+                except OSError:
+                    pass
     # the retain_last window counts MAIN commits only: branch commits
     # share the history namespace, and letting them occupy window slots
     # would silently shrink main's guaranteed time-travel depth whenever

@@ -5,6 +5,7 @@ operators/merge.py, compaction collapse, and vacuum GC."""
 from __future__ import annotations
 
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -1358,3 +1359,72 @@ def test_vacuum_dry_run_reports_without_touching(spark, sf_dir, vtable):
     assert _snap_fingerprint(spark, vtable) == before
     for v in did:
         assert not os.path.isdir(version_dir(vtable, v))
+
+
+def test_ref_creation_survives_nfs_link_quirks(spark, vtable, monkeypatch):
+    """ADVICE r9 low: (a) a retransmitted link() reply surfacing EEXIST
+    after the link actually landed must be treated as success; (b) mounts
+    refusing hard links (EPERM/ENOTSUP) fall back to O_CREAT|O_EXCL; (c) a
+    failed tmp write unlinks its litter; genuine duplicates still refuse."""
+    import errno
+
+    from datalake2anomali_spark.io.publish import (
+        create_branch,
+        list_refs,
+        read_manifest,
+    )
+
+    real_link = os.link
+
+    # (a) link succeeds but the (retransmitted) reply reports EEXIST
+    def link_then_eexist(src, dst, **kw):
+        real_link(src, dst, **kw)
+        raise FileExistsError(errno.EEXIST, "File exists", dst)
+
+    monkeypatch.setattr(os, "link", link_then_eexist)
+    create_branch(vtable, "nfsok")  # must NOT raise
+    assert list_refs(vtable)["branches"]["nfsok"]["version"] == read_manifest(
+        vtable
+    )["version"]
+
+    # (b) hard links unsupported on this mount
+    def link_enotsup(src, dst, **kw):
+        raise OSError(errno.ENOTSUP, "Operation not supported", dst)
+
+    monkeypatch.setattr(os, "link", link_enotsup)
+    create_branch(vtable, "nolink")
+    assert "nolink" in list_refs(vtable)["branches"]
+    with pytest.raises(FileExistsError):
+        create_branch(vtable, "nolink")  # duplicates still refuse
+
+    # (c) a failing tmp write leaves no litter
+    monkeypatch.setattr(os, "link", real_link)
+
+    def fsync_enospc(fd):
+        raise OSError(errno.ENOSPC, "No space left on device")
+
+    monkeypatch.setattr(os, "fsync", fsync_enospc)
+    with pytest.raises(OSError):
+        create_branch(vtable, "nospace")
+    monkeypatch.undo()
+    assert [f for f in os.listdir(vtable) if f.startswith("_reftmp-")] == []
+    assert "nospace" not in list_refs(vtable)["branches"]
+
+
+def test_vacuum_sweeps_stale_reftmp_litter(spark, vtable):
+    """ADVICE r9 low: vacuum reclaims _reftmp-* orphans older than the
+    TTL floor, leaves fresh ones (an in-flight creator) alone, and a dry
+    run touches neither."""
+    stale = os.path.join(vtable, "_reftmp-999-deadbeef")
+    fresh = os.path.join(vtable, "_reftmp-999-cafebabe")
+    for p in (stale, fresh):
+        with open(p, "w") as fh:
+            fh.write("{}")
+    old = time.time() - 3600.0
+    os.utime(stale, (old, old))
+
+    vacuum(vtable, retain_last=1, claim_ttl_seconds=0.0, dry_run=True)
+    assert os.path.exists(stale) and os.path.exists(fresh)  # dry run: no-op
+    vacuum(vtable, retain_last=1, claim_ttl_seconds=0.0)
+    assert not os.path.exists(stale)  # aged-out orphan reclaimed
+    assert os.path.exists(fresh)  # in-flight window respected

@@ -96,6 +96,8 @@ _PRIORITY: tuple[str, ...] = (
     "bloom_semi_join",
     "csv_orc_roundtrip",
     "stream_enrich_snapshot",
+    "table_follower_rollup",
+    "ann_ivfpq_topk",
     # stalest round-8-certified entries, standing rotation order
     "triangle_count",
     "markov_transitions",
@@ -108,14 +110,14 @@ _PRIORITY: tuple[str, ...] = (
     "ioc_incremental_cursor",
     "dedup_ngram_jaccard",
     "corpus_stats",
-    "text_profile",
-    "ann_cosine_topk",
 )
 
 #: Exactly the overflow past the gate window (asserted in
 #: tests/test_entry_contract.py), stalest first.
 _TAIL: tuple[str, ...] = (
     # last driver row round 8 — mandatory round-11 window
+    "text_profile",
+    "ann_cosine_topk",
     "ioc_rest_source_pipeline",
     "stream_interval_join_full",
     "cdc_view_maintenance",

@@ -772,6 +772,84 @@ WITH post AS (
 """
 
 
+# -- table_follower_rollup: change-feed follower maintaining a view -----------
+
+
+def q_table_follower_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-branch change-feed follower (``io/publish.py: TableFollower``)
+    maintaining a retraction rollup across bootstrap → MERGE → DELETE:
+    each poll sees exactly the committed span, an uncommitted poll
+    replays identically (at-least-once, asserted in-fixture), and the
+    folded view must hash-match the oracle's full recompute of the
+    post-change table — the incremental-view contract that at 100 TB
+    reads one delta instead of rescanning the table."""
+    from ..io.publish import (
+        TableFollower,
+        delete_from_versioned,
+        init_table,
+        merge_into_versioned,
+        read_snapshot,
+    )
+    from ..operators.views import apply_changes, rollup_state
+
+    e = _events(spark, sf_dir)
+    root = _scratch_root("d2a_follower", sf_dir)
+    init_table(spark, e, root, "event_date")
+    keys = ["event_date", "event_type"]
+    f = TableFollower(root, "event_date", ["event_id"], os.path.join(root, "_cur"))
+
+    ch, v1 = f.poll(spark)
+    if ch.filter(F.col("change_type") != "added").count():
+        raise AssertionError("bootstrap span must be pure adds")
+    empty = rollup_state(
+        read_snapshot(spark, root, "event_date").limit(0), keys,
+        sum_cols={"value": 2},
+    )
+    view = apply_changes(
+        empty, ch, ["event_id"], keys, sum_cols={"value": 2}
+    ).localCheckpoint(eager=True)
+    f.commit(v1)
+
+    src = e.filter(F.col("event_type") == "click").withColumn(
+        "value", F.col("value") + 3.0
+    )
+    merge_into_versioned(spark, root, src, ["event_id"], "event_date")
+    ch2, v2 = f.poll(spark)
+    replay, v_r = f.poll(spark)  # crash window: uncommitted → same span
+    if v_r != v2 or replay.count() != ch2.count():
+        raise AssertionError("uncommitted poll did not replay the span")
+    view = apply_changes(
+        view, ch2, ["event_id"], keys, sum_cols={"value": 2}
+    ).localCheckpoint(eager=True)
+    f.commit(v2)
+
+    delete_from_versioned(spark, root, "event_date", F.col("event_type") == "signup")
+    ch3, v3 = f.poll(spark)
+    view = apply_changes(
+        view, ch3, ["event_id"], keys, sum_cols={"value": 2}
+    ).localCheckpoint(eager=True)
+    f.commit(v3)
+    if f.poll(spark)[0] is not None:
+        raise AssertionError("caught-up follower returned a span")
+    return view.orderBy("event_date", "event_type")
+
+
+TABLE_FOLLOWER_SQL = """
+WITH post AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+         CASE WHEN event_type = 'click' THEN value + 3 ELSE value END AS value
+  FROM events
+  WHERE event_type <> 'signup'
+)
+SELECT event_date, event_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
+FROM post
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 # -- csv_orc_roundtrip: interchange-format contracts --------------------------
 
 
@@ -842,6 +920,7 @@ ORDER BY 1, 2
 
 QUERIES = {
     "sync_versioned": q_sync_versioned,
+    "table_follower_rollup": q_table_follower_rollup,
     "csv_orc_roundtrip": q_csv_orc_roundtrip,
     "branch_wap_publish": q_branch_wap_publish,
     "deletion_vectors": q_deletion_vectors,
@@ -855,6 +934,7 @@ QUERIES = {
 
 ORACLES = {
     "sync_versioned": SYNC_VERSIONED_SQL,
+    "table_follower_rollup": TABLE_FOLLOWER_SQL,
     "csv_orc_roundtrip": CSV_ORC_ROUNDTRIP_SQL,
     "branch_wap_publish": BRANCH_WAP_SQL,
     "deletion_vectors": DELETION_VECTORS_SQL,

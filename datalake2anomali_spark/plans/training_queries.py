@@ -194,6 +194,36 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _eager_summary(summary, [exact])
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with asymmetric distance (ADC) vs the exact float path:
+    recall@5 ≥ 0.4 at n_cells=16/nprobe=6, m=32×64 codes — bounded by the
+    nprobe ceiling the flat IVF shares plus PQ error on isotropic
+    embeddings (the ``tests/test_llm.py`` bound; chance is ~1%)."""
+    from ..llm.similarity import ann_ivfpq_topk, cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vectors(spark, sf_dir)
+    approx = ann_ivfpq_topk(
+        emb, qv, k=5, n_cells=16, nprobe=6, m=32, k_codes=64
+    ).select("query_id", "neighbor_id")
+    exact = cosine_topk(emb, qv, k=5).select("query_id", "neighbor_id").persist()
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("nh")
+    )
+    n_q = qv.agg(F.count(F.lit(1)).alias("n_queries"))
+    summary = (
+        n_q.crossJoin(n_exact)
+        .crossJoin(n_hits)
+        .select(
+            F.col("n_queries"),
+            F.col("n_exact"),
+            (F.col("nh") >= 0.4 * F.col("n_exact")).alias("recall_ok"),
+        )
+    )
+    return _eager_summary(summary, [exact])
+
+
 # -- k_core_decomposition: peeling + coreness cross-check ---------------------
 
 
@@ -322,6 +352,7 @@ QUERIES = {
     "weighted_sample_aes": q_weighted_sample_aes,
     "pca_project": q_pca_project,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "k_core_decomposition": q_k_core_decomposition,
     "bpe_tokenize": q_bpe_tokenize,
 }
@@ -331,6 +362,7 @@ ORACLES = {
     "weighted_sample_aes": WEIGHTED_SAMPLE_AES_SQL,
     "pca_project": PCA_PROJECT_SQL,
     "ann_pq_topk": _ANN_CHECK_SQL,
+    "ann_ivfpq_topk": _ANN_CHECK_SQL,
     "k_core_decomposition": K_CORE_SQL,
     "bpe_tokenize": BPE_TOKENIZE_SQL,
 }

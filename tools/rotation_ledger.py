@@ -56,6 +56,8 @@ REGISTERED_ROUND: dict[str, int] = {
     "bloom_semi_join": 10,
     "csv_orc_roundtrip": 10,
     "stream_enrich_snapshot": 10,
+    "table_follower_rollup": 10,
+    "ann_ivfpq_topk": 10,
     "stream_interval_join_full": 8,
     "cdc_view_maintenance": 8,
     "delete_restore_history": 8,

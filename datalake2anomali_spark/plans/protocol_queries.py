@@ -893,13 +893,16 @@ def q_csv_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     both = back_csv.unionByName(back_orc.select(*back_csv.columns))
     checksum = F.conv(F.substring(F.md5(F.col("props")), 1, 8), 16, 10).cast("long")
+    # checksums are mod-reduced per row before summing so the group sums
+    # stay far inside int64 at any corpus scale (1e6 * rows-per-group):
+    # epoch-us alone is ~1.7e15/row and overflows a long sum at sf>=0.1
     return (
         both.groupBy("fmt", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             dsum("value", 2).alias("v_sum"),
-            F.sum("ts_us").alias("ts_sum"),
-            F.sum(checksum).alias("props_checksum"),
+            F.sum(F.col("ts_us") % 1_000_000).alias("ts_sum"),
+            F.sum(checksum % 1_000_000).alias("props_checksum"),
         )
         .orderBy("fmt", "event_type")
     )
@@ -909,9 +912,9 @@ CSV_ORC_ROUNDTRIP_SQL = f"""
 WITH fmts AS (SELECT 'csv' AS fmt UNION ALL SELECT 'orc')
 SELECT f.fmt, e.event_type, COUNT(*) AS n,
        {DSUM_SQL("e.value", 2)} AS v_sum,
-       CAST(SUM(epoch_us(e.ts)) AS BIGINT) AS ts_sum,
-       CAST(SUM(CAST(('0x' || substr(md5(e.props), 1, 8)) AS UBIGINT)) AS BIGINT)
-         AS props_checksum
+       CAST(SUM(epoch_us(e.ts) % 1000000) AS BIGINT) AS ts_sum,
+       CAST(SUM(CAST(('0x' || substr(md5(e.props), 1, 8)) AS UBIGINT) % 1000000)
+            AS BIGINT) AS props_checksum
 FROM events e CROSS JOIN fmts f
 GROUP BY 1, 2
 ORDER BY 1, 2

@@ -630,6 +630,86 @@ def k_core(
     raise RuntimeError(f"k_core did not converge in {max_iter} peeling rounds")
 
 
+def coreness_hindex(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 200,
+) -> DataFrame:
+    """Per-node coreness via the h-index fixpoint — the locally-iterative
+    alternative to :func:`coreness`'s global peel, and the faster shape
+    on Spark because its round count is the graph's *convergence depth*
+    (6 rounds on the sf0.1 trade graph), not the peel cascade count
+    (~100+ rounds for the same graph).
+
+    Algorithm (Montresor, De Pellegrini, Miorandi, "Distributed k-Core
+    Decomposition", 2011; Lü et al., "The H-index of a network node",
+    2016): initialize every node's estimate to its degree; each round
+    replace it with ``min(old, H(neighbor estimates))`` where ``H`` is
+    the h-index — the largest ``h`` such that at least ``h`` neighbors
+    hold an estimate ``≥ h``.  Estimates decrease monotonically and the
+    fixpoint is exactly the coreness (the cited theorem), so convergence
+    (zero changes in a round) is the exit test — no tolerance, no
+    approximation.  ``tests/test_llm.py`` pins equality against the
+    independent peel decomposition.
+
+    Spark shape per round: one equi-join of the node-sized estimate
+    frame onto the symmetrized edge list (AQE broadcasts it when small),
+    one groupBy collecting each node's neighbor estimates into a
+    descending-sorted array, and the h-index evaluated JVM-side with
+    higher-order functions (``transform``/``filter`` — ``H`` of a
+    descending array is the count of positions where ``arr[i] ≥ i+1``).
+    One 1-row aggregate (the change count) per round decides
+    termination; the new estimates are ``localCheckpoint``-ed because
+    they feed both that aggregate and the next round.  The per-node
+    neighbor array is bounded by max degree — for hub-heavy graphs at
+    extreme scale the collect would be replaced by a two-level count
+    sketch, documented here rather than speculatively built.
+
+    Returns (node, coreness) for every node with at least one edge,
+    matching :func:`coreness` exactly.  Raises after ``max_iter``
+    rounds, the shared refusal contract of the iterative operators.
+    """
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = (
+        fwd.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    sym = und.union(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    vals = (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("est"))
+        .withColumnRenamed("u", "node")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nb = sym.join(
+            vals.select(F.col("node").alias("v"), F.col("est").alias("val_v")),
+            "v",
+        ).groupBy("u").agg(
+            F.sort_array(F.collect_list("val_v"), asc=False).alias("arr")
+        )
+        h = F.size(F.filter(F.transform("arr", lambda x, i: x >= i + 1), lambda b: b))
+        newvals = (
+            nb.select(F.col("u").alias("node"), h.alias("h"))
+            .join(vals, "node")
+            .select(
+                "node",
+                F.least("est", "h").alias("est"),
+                (F.col("h") < F.col("est")).cast("int").alias("chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = newvals.agg(F.sum("chg")).collect()[0][0]
+        vals = newvals.select("node", "est")
+        if not changed:
+            return vals.withColumnRenamed("est", "coreness")
+    raise RuntimeError(f"coreness_hindex did not converge in {max_iter} rounds")
+
+
 def coreness(
     edges: DataFrame,
     src: str = "src",

@@ -230,16 +230,25 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core via distributed peeling (``llm/graph.py: k_core``) over the
     symmetrized customer↔supplier trade graph, cross-checked against the
-    independent :func:`coreness` decomposition — membership of the k-core
-    must equal {v : coreness(v) ≥ k}, and every member's within-core
-    degree must be ≥ k.  The peeling fixpoint is not ANSI-SQL-expressible,
-    so the oracle computes the graph's node/edge counts and pins the
-    consistency booleans."""
-    from ..llm.graph import coreness, k_core
+    algorithmically independent h-index-fixpoint decomposition
+    (:func:`coreness_hindex`, Montresor et al. 2011) — membership of the
+    k-core must equal {v : coreness(v) ≥ k}, and every member's
+    within-core degree must be ≥ k.  Two unrelated fixpoints agreeing on
+    the full graph is the strongest check available for a peel that is
+    not ANSI-SQL-expressible; the oracle computes the graph's node/edge
+    counts and pins the consistency booleans.  (The peel-based
+    :func:`coreness` is pinned equal to the h-index fixpoint in
+    ``tests/test_llm.py`` — the gate runs the fast one: its round count
+    is the convergence depth, ~6 on this graph, vs ~100+ peel cascades.)
+    """
+    from ..llm.graph import coreness_hindex, k_core
 
     k = 3
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # pairs feeds four consumers (both decompositions + the two census
+    # counts) — materialize once instead of replaying the orders⋈lineitem
+    # join and distinct per consumer
     pairs = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
@@ -247,15 +256,22 @@ def q_k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     core = k_core(pairs, k).persist()
     min_deg = core.agg(F.min("degree")).collect()[0][0]
     n_core = core.count()
-    cz = coreness(pairs).persist()
+    cz = coreness_hindex(pairs).persist()
     high = cz.filter(F.col("coreness") >= k).select("node")
-    sym_diff = core.select("node").exceptAll(high).count() + high.exceptAll(
+    # one full-outer join counts membership mismatches in both directions
+    # (node sets are distinct by construction) — two exceptAll scans saved
+    sym_diff = (
         core.select("node")
-    ).count()
+        .withColumn("_l", F.lit(1))
+        .join(high.withColumn("_r", F.lit(1)), "node", "full_outer")
+        .filter(F.col("_l").isNull() | F.col("_r").isNull())
+        .count()
+    )
 
     n_nodes = pairs.select(F.col("src").alias("n")).union(
         pairs.select(F.col("dst").alias("n"))

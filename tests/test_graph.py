@@ -410,3 +410,29 @@ def test_coreness_matches_python_reference(spark):
     for k in (1, 2, 3):
         in_core = {r.node for r in k_core(df, k).collect()}
         assert in_core == {n for n, c in want.items() if c >= k}, k
+
+
+def test_coreness_hindex_matches_peel(spark):
+    """The h-index fixpoint (Montresor et al. 2011) must equal the
+    peel-based decomposition exactly — on the core/periphery graph, a
+    star (hub's estimate must fall from degree 5 to 1), a clique, a
+    path, and a duplicated/self-loop/reversed edge list (canonicalization
+    shared with the other graph ops)."""
+    from datalake2anomali_spark.llm.graph import coreness, coreness_hindex
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    tail = [(0, 10), (10, 11), (11, 12), (2, 20)]
+    tri = [(30, 31), (31, 32), (30, 32), (32, 0)]
+    cases = [
+        k4 + tail + tri,
+        [(100, i) for i in range(1, 6)],  # star: hub h-index iterates down
+        [(a, b) for a in range(5) for b in range(a + 1, 5)],  # K5
+        [(i, i + 1) for i in range(8)],  # path
+        # noise: duplicates, reversed duplicates, self-loop
+        k4 + [(1, 0), (0, 1), (7, 7), (0, 10), (10, 0)] + tail,
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "src long, dst long")
+        want = {r.node: r.coreness for r in coreness(df).collect()}
+        got = {r.node: r.coreness for r in coreness_hindex(df).collect()}
+        assert got == want, (edges, got, want)

@@ -61,6 +61,10 @@ _VDIR = re.compile(r"^_v(\d+)$")
 _HIST = re.compile(r"^_MANIFEST\.v(\d+)\.json$")
 #: A commit lock older than this is a crashed committer; stealable.
 _LOCK_TTL_SECONDS = 60.0
+#: _reftmp-* litter younger than this is never swept: a live ref creator
+#: can stall this long between its tmp fsync and os.link (NFS stall, GC
+#: pause) and must not find its tmp gone when it resumes.
+_REFTMP_SWEEP_FLOOR_SECONDS = 900.0
 
 
 def read_manifest(
@@ -132,11 +136,12 @@ def _write_ref_atomic(root: str, fname: str, payload: dict) -> None:
     retransmitted by the client and can surface EEXIST even though THIS
     call created the ref — ``samefile(tmp, path)`` (same inode) proves
     the link landed, so that case is success, not a duplicate.  Mounts
-    that refuse hard links altogether (EPERM/ENOTSUP) fall back to the
-    ``O_CREAT|O_EXCL`` write, which those filesystems do support.  A
-    failed tmp write (ENOSPC, crash) unlinks its litter on the error
-    path; anything that still escapes (SIGKILL) is reclaimed by
-    :func:`vacuum`'s age-gated ``_reftmp-*`` sweep."""
+    that refuse hard links altogether (EPERM/EACCES/ENOTSUP/EXDEV) fall
+    back to the ``O_CREAT|O_EXCL`` write, which those filesystems do
+    support.  A failed write — tmp or fallback — unlinks its litter on
+    the error path; anything that still escapes (SIGKILL) is reclaimed
+    by :func:`vacuum`'s age-gated ``_reftmp-*`` sweep
+    (``_REFTMP_SWEEP_FLOOR_SECONDS``)."""
     import errno as _errno
     import uuid as _uuid
 
@@ -166,17 +171,31 @@ def _write_ref_atomic(root: str, fname: str, payload: dict) -> None:
         except OSError as exc:
             if exc.errno not in (
                 _errno.EPERM,
+                _errno.EACCES,
                 _errno.ENOTSUP,
                 getattr(_errno, "EOPNOTSUPP", _errno.ENOTSUP),
                 _errno.EXDEV,
             ):
                 raise
-            # no hard links on this mount: exclusive create directly
+            # no hard links on this mount: exclusive create directly.
+            # A failed write here sits at the FINAL name, so unlink it on
+            # the way out — otherwise a truncated ref wedges every
+            # list_refs/vacuum until hand-repair, the exact corruption
+            # this function exists to prevent (only a SIGKILL inside
+            # this narrow window can still leak a partial ref, and only
+            # on no-hardlink mounts)
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
-            with os.fdopen(fd, "w", encoding="utf-8") as fh:
-                fh.write(json.dumps(payload, sort_keys=True))
-                fh.flush()
-                os.fsync(fh.fileno())
+            try:
+                with os.fdopen(fd, "w", encoding="utf-8") as fh:
+                    fh.write(json.dumps(payload, sort_keys=True))
+                    fh.flush()
+                    os.fsync(fh.fileno())
+            except BaseException:
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+                raise
     finally:
         try:
             os.unlink(tmp)
@@ -1427,6 +1446,99 @@ def delete_from_versioned(
     return v
 
 
+def update_versioned(
+    spark: SparkSession,
+    root: str,
+    partition_col: str,
+    condition,
+    set_exprs: dict,
+    ref: str | None = None,
+    commit_hook=None,
+) -> int:
+    """UPDATE ... SET on the versioned table, atomically and
+    partition-pruned — the predicate-update quarter of the DML surface
+    next to MERGE / DELETE / OPTIMIZE (generalizing the reference's
+    whole-record PATCH upsert, ``src/Datalake2Anomali.py:397-404``, to
+    per-column predicate updates).
+
+    ``set_exprs`` maps existing column names to replacement Column
+    expressions, evaluated per matched row and cast to the column's
+    declared type (ANSI UPDATE assignment-cast semantics); unlisted
+    columns pass through.  SQL UPDATE predicate semantics: TRUE rows
+    update, FALSE **and NULL** rows survive unchanged; a predicate
+    matching nothing commits nothing.
+
+    Copy-on-write with the shared ownership rules: the affected set is
+    the matched rows' partitions PLUS — when ``set_exprs`` reassigns
+    ``partition_col`` — the updated rows' destination partitions, so a
+    partition-moving UPDATE rewrites both the old home and the new one
+    while untouched partitions keep their manifest entry (the
+    MERGE old-home discipline).  A merge-on-read UPDATE (deletion
+    vector + appended replacement rows, the late-arriving Delta/Iceberg
+    shape) needs an append-delta read path the format does not define
+    yet; rather than fake it with a rewrite this writer is CoW-only.
+
+    Returns the published version.
+    """
+    manifest = read_manifest(root, ref=ref)
+    target = read_snapshot(spark, root, partition_col, ref=ref)
+    data_cols = list(target.columns)
+    schema = {f.name: f.dataType for f in target.schema.fields}
+    unknown = [c for c in set_exprs if c not in schema]
+    if unknown:
+        raise ValueError(
+            f"UPDATE assigns unknown columns {sorted(unknown)}; "
+            "UPDATE cannot add columns — use MERGE with schema evolution"
+        )
+
+    cond_true = F.coalesce(condition.cast("boolean"), F.lit(False))
+    matched = target.filter(cond_true)
+    old_homes = matched.select(partition_col).distinct()
+    if partition_col in set_exprs:
+        new_homes = matched.select(
+            set_exprs[partition_col].cast(schema[partition_col]).alias(partition_col)
+        ).distinct()
+        affected = old_homes.union(new_homes).distinct()
+    else:
+        affected = old_homes
+    raw_affected = [r[0] for r in affected.collect()]
+    if not raw_affected:
+        return manifest["version"]  # nothing matched: no empty commit
+    _require_non_null_partitions(raw_affected)
+
+    hit = target.filter(
+        F.col(partition_col)
+        .cast("string")
+        .isin(sorted(str(x) for x in raw_affected))
+    )
+    # one projection does both halves: matched rows take the SET exprs,
+    # survivors pass through — no union, no second scan
+    content = hit.select(
+        *[
+            F.when(cond_true, set_exprs[c].cast(schema[c]))
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in data_cols
+        ]
+    )
+    if manifest.get("constraints"):
+        content = content.localCheckpoint(eager=True)
+        _check_constraints(content, manifest["constraints"])
+
+    v = _claim_version(root)
+    vdir = version_dir(root, v)
+    content.write.mode("overwrite").partitionBy(partition_col).parquet(vdir)
+    spark.catalog.refreshByPath(vdir)
+    _commit_ownership_rewrite(
+        spark, root, manifest, v, vdir, partition_col,
+        {str(x) for x in raw_affected}, "update", content, commit_hook,
+        ref=ref,
+    )
+    return v
+
+
 def compact_versioned(
     spark: SparkSession,
     root: str,
@@ -1572,10 +1684,16 @@ def vacuum(
     current = read_manifest(root)
     # opportunistic sweep of orphaned ref tmp files (ADVICE r9 low): a
     # creator that died between the tmp write and its unlink leaves an
-    # invisible _reftmp-* forever.  Age-gate on the claim TTL (floor 60 s)
-    # so an in-flight creator's sub-second window is never raced.
+    # invisible _reftmp-* forever.  The age gate has its own floor (15
+    # minutes, NOT the claim TTL, which gate fixtures set to 0): the
+    # hardened creation path exists precisely because a creator can
+    # stall arbitrarily long between the tmp fsync and os.link (NFS
+    # stall, GC pause), and sweeping a LIVE creator's tmp turns that
+    # stall into a spurious FileNotFoundError at link time.  Litter
+    # reclamation has no promptness requirement, so the floor is sized
+    # for the pathological stall, not the common sub-second window.
     if not dry_run:
-        tmp_ttl = max(claim_ttl_seconds, 60.0)
+        tmp_ttl = max(claim_ttl_seconds, _REFTMP_SWEEP_FLOOR_SECONDS)
         for f in os.listdir(root):
             if f.startswith("_reftmp-"):
                 p = os.path.join(root, f)

@@ -650,7 +650,7 @@ def coreness_hindex(
     hold an estimate ``≥ h``.  Estimates decrease monotonically and the
     fixpoint is exactly the coreness (the cited theorem), so convergence
     (zero changes in a round) is the exit test — no tolerance, no
-    approximation.  ``tests/test_llm.py`` pins equality against the
+    approximation.  ``tests/test_graph.py`` pins equality against the
     independent peel decomposition.
 
     Spark shape per round: one equi-join of the node-sized estimate

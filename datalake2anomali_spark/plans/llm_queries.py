@@ -381,6 +381,34 @@ def _eager_summary(df: DataFrame, cached: list[DataFrame]) -> DataFrame:
     return df.sparkSession.createDataFrame(rows, df.schema)
 
 
+def _recall_vs_exact(
+    qv: DataFrame, approx: DataFrame, exact: DataFrame, threshold: float
+) -> DataFrame:
+    """Shared recall@k derived-check scaffold for the ANN gate queries
+    (flat LSH / IVF / quantized / PQ / IVF-PQ all pin the same property):
+    count the exact top-k pairs the approximate index recovers and assert
+    ``recall ≥ threshold``, returning the query/pair counts the DuckDB
+    oracle recomputes (``_ANN_CHECK_SQL``) plus the pinned boolean."""
+    exact = exact.select("query_id", "neighbor_id").persist()
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("nh"))
+    )
+    n_q = qv.agg(F.count(F.lit(1)).alias("n_queries"))
+    summary = (
+        n_q.crossJoin(n_exact)
+        .crossJoin(n_hits)
+        .select(
+            F.col("n_queries"),
+            F.col("n_exact"),
+            (F.col("nh") >= threshold * F.col("n_exact")).alias("recall_ok"),
+        )
+    )
+    return _eager_summary(summary, [exact])
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH vs exact n-gram Jaccard: recall ≥ 0.9, precision 1.
 
@@ -490,25 +518,8 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the tests/test_llm.py bound for 8 tables × 4 bits on random vectors)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vectors(spark, sf_dir)
-    approx = ann_hyperplane_topk(emb, qv, k=5, n_tables=8, bits_per_table=4).select(
-        "query_id", "neighbor_id"
-    )
-    exact = cosine_topk(emb, qv, k=5).select("query_id", "neighbor_id").persist()
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    n_hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi").agg(
-        F.count(F.lit(1)).alias("nh")
-    )
-    n_q = qv.agg(F.count(F.lit(1)).alias("n_queries"))
-    summary = (
-        n_q.crossJoin(n_exact)
-        .crossJoin(n_hits)
-        .select(
-            F.col("n_queries"),
-            F.col("n_exact"),
-            (F.col("nh") >= 0.5 * F.col("n_exact")).alias("recall_ok"),
-        )
-    )
-    return _eager_summary(summary, [exact])
+    approx = ann_hyperplane_topk(emb, qv, k=5, n_tables=8, bits_per_table=4)
+    return _recall_vs_exact(qv, approx, cosine_topk(emb, qv, k=5), 0.5)
 
 
 _ANN_CHECK_SQL = """
@@ -541,25 +552,8 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the tests/test_llm.py bound)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vectors(spark, sf_dir)
-    approx = ann_ivf_topk(emb, qv, k=5, n_cells=16, nprobe=6).select(
-        "query_id", "neighbor_id"
-    )
-    exact = cosine_topk(emb, qv, k=5).select("query_id", "neighbor_id").persist()
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    n_hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi").agg(
-        F.count(F.lit(1)).alias("nh")
-    )
-    n_q = qv.agg(F.count(F.lit(1)).alias("n_queries"))
-    summary = (
-        n_q.crossJoin(n_exact)
-        .crossJoin(n_hits)
-        .select(
-            F.col("n_queries"),
-            F.col("n_exact"),
-            (F.col("nh") >= 0.5 * F.col("n_exact")).alias("recall_ok"),
-        )
-    )
-    return _eager_summary(summary, [exact])
+    approx = ann_ivf_topk(emb, qv, k=5, n_cells=16, nprobe=6)
+    return _recall_vs_exact(qv, approx, cosine_topk(emb, qv, k=5), 0.5)
 
 
 def q_ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -571,23 +565,8 @@ def q_ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vectors(spark, sf_dir)
-    approx = cosine_topk_quantized(emb, qv, k=5).select("query_id", "neighbor_id")
-    exact = cosine_topk(emb, qv, k=5).select("query_id", "neighbor_id").persist()
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    n_hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi").agg(
-        F.count(F.lit(1)).alias("nh")
-    )
-    n_q = qv.agg(F.count(F.lit(1)).alias("n_queries"))
-    summary = (
-        n_q.crossJoin(n_exact)
-        .crossJoin(n_hits)
-        .select(
-            F.col("n_queries"),
-            F.col("n_exact"),
-            (F.col("nh") >= 0.9 * F.col("n_exact")).alias("recall_ok"),
-        )
-    )
-    return _eager_summary(summary, [exact])
+    approx = cosine_topk_quantized(emb, qv, k=5)
+    return _recall_vs_exact(qv, approx, cosine_topk(emb, qv, k=5), 0.9)
 
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

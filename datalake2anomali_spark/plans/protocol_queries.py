@@ -921,6 +921,96 @@ ORDER BY 1, 2
 """
 
 
+# -- update_set: UPDATE ... SET (round-11 registration queue) -----------------
+#
+# Built ahead with its oracle settled; NOT in QUERIES/ORACLES yet — the
+# round-10 gate window is full, and a registered-but-never-windowed query
+# would sit uncertified.  Wire both dicts in round 11 (2 lines).
+
+
+def q_update_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... SET, copy-on-write with partition-move support
+    (``io/publish.py: update_versioned``): a non-moving per-column
+    update (clicks take ``value*1.5 + 1``) then a partition-moving one
+    (every 5th signup relocates to a literal future date), with UPDATE's
+    row-count invariance and the MERGE ownership rules asserted
+    in-fixture — bystander partitions keep their version, old and new
+    homes take the fresh one.  The oracle replays both SETs as CASE
+    projections (disjoint predicates, so order does not matter)."""
+    from ..io.publish import (
+        init_table,
+        read_manifest,
+        read_snapshot,
+        update_versioned,
+    )
+
+    e = _events(spark, sf_dir)
+    root = _scratch_root("d2a_update", sf_dir)
+    init_table(spark, e, root, "event_date")
+    n0 = e.count()
+
+    v1 = update_versioned(
+        spark, root, "event_date",
+        F.col("event_type") == "click",
+        {"value": F.col("value") * 1.5 + 1},
+    )
+    moved_cond = (F.col("event_type") == "signup") & (F.col("event_id") % 5 == 0)
+    snap1 = read_snapshot(spark, root, "event_date")
+    moved_parts = {
+        str(r[0])
+        for r in snap1.filter(moved_cond).select("event_date").distinct().collect()
+    }
+    v2 = update_versioned(
+        spark, root, "event_date",
+        moved_cond,
+        {"event_date": F.lit("2041-01-01")},
+    )
+    m = read_manifest(root)
+    if m["operation"] != "update":
+        raise AssertionError("UPDATE not recorded as update commit")
+    touched = moved_parts | {"2041-01-01"}
+    for p, ver in m["partitions"].items():
+        want = v2 if p in touched else v1
+        if int(ver) != want:
+            raise AssertionError(
+                f"ownership violated: partition {p} at v{ver}, expected v{want}"
+            )
+    snap2 = read_snapshot(spark, root, "event_date")
+    if snap2.count() != n0:
+        raise AssertionError("UPDATE changed the row count")
+    return (
+        snap2.groupBy(
+            "event_type",
+            (F.col("event_date") == "2041-01-01").alias("moved"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", 2).alias("v_sum"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("event_type", "moved")
+    )
+
+
+UPDATE_SET_SQL = f"""
+WITH post AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_type = 'click' THEN value * 1.5 + 1 ELSE value END AS value,
+         CASE WHEN event_type = 'signup' AND event_id % 5 = 0
+              THEN '2041-01-01' ELSE strftime(ts, '%Y-%m-%d') END AS event_date
+  FROM events
+)
+SELECT event_type, event_date = '2041-01-01' AS moved, COUNT(*) AS n,
+       {DSUM_SQL("value", 2)} AS v_sum,
+       MIN(event_id) AS min_id,
+       MAX(event_id) AS max_id
+FROM post
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "sync_versioned": q_sync_versioned,
     "table_follower_rollup": q_table_follower_rollup,

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from ..io.tables import load_table
 from ..llm.contrastive import negative_samples, negative_samples_sql
 from ..llm.pipeline import weighted_sample_exact
-from .llm_queries import _ANN_CHECK_SQL, _eager_summary, _query_vectors
+from .llm_queries import _ANN_CHECK_SQL, _query_vectors, _recall_vs_exact
 
 
 # -- negative_samples: deterministic contrastive negatives --------------------
@@ -173,25 +173,8 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vectors(spark, sf_dir)
-    approx = cosine_topk_pq(emb, qv, m=16, k_codes=64, k=5).select(
-        "query_id", "neighbor_id"
-    )
-    exact = cosine_topk(emb, qv, k=5).select("query_id", "neighbor_id").persist()
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    n_hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi").agg(
-        F.count(F.lit(1)).alias("nh")
-    )
-    n_q = qv.agg(F.count(F.lit(1)).alias("n_queries"))
-    summary = (
-        n_q.crossJoin(n_exact)
-        .crossJoin(n_hits)
-        .select(
-            F.col("n_queries"),
-            F.col("n_exact"),
-            (F.col("nh") >= 0.5 * F.col("n_exact")).alias("recall_ok"),
-        )
-    )
-    return _eager_summary(summary, [exact])
+    approx = cosine_topk_pq(emb, qv, m=16, k_codes=64, k=5)
+    return _recall_vs_exact(qv, approx, cosine_topk(emb, qv, k=5), 0.5)
 
 
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,25 +186,8 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vectors(spark, sf_dir)
-    approx = ann_ivfpq_topk(
-        emb, qv, k=5, n_cells=16, nprobe=6, m=32, k_codes=64
-    ).select("query_id", "neighbor_id")
-    exact = cosine_topk(emb, qv, k=5).select("query_id", "neighbor_id").persist()
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    n_hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi").agg(
-        F.count(F.lit(1)).alias("nh")
-    )
-    n_q = qv.agg(F.count(F.lit(1)).alias("n_queries"))
-    summary = (
-        n_q.crossJoin(n_exact)
-        .crossJoin(n_hits)
-        .select(
-            F.col("n_queries"),
-            F.col("n_exact"),
-            (F.col("nh") >= 0.4 * F.col("n_exact")).alias("recall_ok"),
-        )
-    )
-    return _eager_summary(summary, [exact])
+    approx = ann_ivfpq_topk(emb, qv, k=5, n_cells=16, nprobe=6, m=32, k_codes=64)
+    return _recall_vs_exact(qv, approx, cosine_topk(emb, qv, k=5), 0.4)
 
 
 # -- k_core_decomposition: peeling + coreness cross-check ---------------------
@@ -238,7 +204,7 @@ def q_k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     not ANSI-SQL-expressible; the oracle computes the graph's node/edge
     counts and pins the consistency booleans.  (The peel-based
     :func:`coreness` is pinned equal to the h-index fixpoint in
-    ``tests/test_llm.py`` — the gate runs the fast one: its round count
+    ``tests/test_graph.py`` — the gate runs the fast one: its round count
     is the convergence depth, ~6 on this graph, vs ~100+ peel cascades.)
     """
     from ..llm.graph import coreness_hindex, k_core

@@ -1031,3 +1031,95 @@ FROM enr
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def stream_into_hidden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingestion INTO a hidden-partitioned table
+    (round-11 registration queue): the :func:`stream_upsert_exactly_once`
+    recipe — availableNow ticks, keyed MERGE per micro-batch, idempotence
+    ledger — but the sink is ``io/hidden.py: merge_into_hidden`` on a
+    ``days(ts)`` spec, so every batch derives the layout column from the
+    recorded spec and a streaming writer gets hidden partitioning for
+    free.  The final read goes through ``read_hidden`` with a
+    ts-between predicate (pruned through the transform), which the
+    oracle replays as a plain WHERE over the source window — certifying
+    both halves of the contract: batches landed exactly once, and the
+    hidden read returns precisely the predicate window.
+    """
+    import shutil
+
+    from ..io.hidden import init_hidden_table, merge_into_hidden, read_hidden
+
+    e = load_sf_events(spark, sf_dir)
+    base = (
+        "/dev/shm"
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+        else tempfile.gettempdir()
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    top = os.path.join(base, f"d2a_streamhid_{tag}")
+    shutil.rmtree(top, ignore_errors=True)  # pure function of the source
+    src = os.path.join(top, "src")
+    root = os.path.join(top, "table")
+    ckpt = os.path.join(top, "ckpt")
+    ledger = os.path.join(top, "ledger")
+
+    lo, hi = e.agg(
+        F.min(F.expr("unix_micros(ts)")), F.max(F.expr("unix_micros(ts)"))
+    ).collect()[0]
+    # parenthesization matters: the oracle replays 2 * ((hi-lo) // 3),
+    # which differs from (2*(hi-lo)) // 3 by 1 µs when the span % 3 != 0
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * ((hi - lo) // 3)
+    us = F.expr("unix_micros(ts)")
+    init_hidden_table(spark, e.filter(us <= cut1), root, ["days", "ts"])
+
+    def _apply(batch_df: DataFrame, _bid: int) -> None:
+        merge_into_hidden(
+            batch_df.sparkSession, root, batch_df, ["event_id"]
+        )
+
+    wrapped = exactly_once_batch(_apply, ledger)
+    for s in (
+        e.filter((us > cut1) & (us <= cut2)),
+        e.filter(us > cut2),
+    ):
+        s.coalesce(1).write.mode("append").parquet(src)
+        spark.catalog.refreshByPath(src)
+        q = (
+            read_events_stream(spark, src)
+            .writeStream.foreachBatch(wrapped)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # hidden-pruned read of the middle window only
+    got = read_hidden(spark, root, ("between", "ts", int(cut1) + 1, int(cut2)))
+    return (
+        got.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("v_cents"),
+            F.countDistinct("event_id").alias("n_ids"),
+        )
+        .orderBy("event_type")
+    )
+
+
+STREAM_INTO_HIDDEN_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v_cents,
+       COUNT(DISTINCT event_id) AS n_ids
+FROM events
+WHERE epoch_us(ts) > (SELECT MIN(epoch_us(ts))
+                        + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 3
+                      FROM events)
+  AND epoch_us(ts) <= (SELECT MIN(epoch_us(ts))
+                         + 2 * ((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 3)
+                       FROM events)
+GROUP BY 1
+ORDER BY 1
+"""

@@ -1428,3 +1428,123 @@ def test_vacuum_sweeps_stale_reftmp_litter(spark, vtable):
     vacuum(vtable, retain_last=1, claim_ttl_seconds=0.0)
     assert not os.path.exists(stale)  # aged-out orphan reclaimed
     assert os.path.exists(fresh)  # in-flight window respected
+
+
+def test_update_versioned_semantics(spark, sf_dir, vtable):
+    """UPDATE ... SET: matched rows take the cast SET exprs, FALSE and
+    NULL predicate rows survive unchanged, untouched partitions keep
+    their manifest version, a partition-moving UPDATE rewrites old AND
+    new homes, and no-match / unknown-column cases refuse correctly."""
+    from datalake2anomali_spark.io.publish import update_versioned
+
+    before = read_snapshot(spark, vtable, "event_date").cache()
+    v0 = read_manifest(vtable)["version"]
+    parts0 = dict(read_manifest(vtable)["partitions"])
+
+    # non-moving update: double the value of click events
+    v1 = update_versioned(
+        spark, vtable, "event_date",
+        F.col("event_type") == "click",
+        {"value": F.col("value") * 2},
+    )
+    after1 = read_snapshot(spark, vtable, "event_date")
+    want1 = before.withColumn(
+        "value",
+        F.when(F.col("event_type") == "click", F.col("value") * 2).otherwise(
+            F.col("value")
+        ),
+    )
+    assert after1.exceptAll(want1).count() == 0
+    assert want1.exceptAll(after1).count() == 0
+    m1 = read_manifest(vtable)
+    assert m1["operation"] == "update"
+    # every partition held a click -> all rewrite; spot the ownership rule
+    # on the moving update below instead
+    assert m1["version"] == v1 > v0
+
+    # NULL-predicate rows survive: value IS NULL makes the AND null
+    null_cond = (F.col("value") > F.lit(1e18)) & (F.col("event_id") < F.lit(None))
+    v2 = update_versioned(
+        spark, vtable, "event_date", null_cond, {"value": F.lit(0.0)}
+    )
+    assert v2 == v1  # nothing matched: no commit
+    assert read_manifest(vtable)["version"] == v1
+
+    # partition-moving update: relocate one date's signups to a new date
+    dates = sorted(parts0)
+    src_date, keep_date = dates[0], dates[1]
+    moved_cond = (F.col("event_date") == src_date) & (
+        F.col("event_type") == "signup"
+    )
+    n_moved = after1.filter(moved_cond).count()
+    assert n_moved > 0
+    v3 = update_versioned(
+        spark, vtable, "event_date",
+        moved_cond,
+        {"event_date": F.lit("2040-12-31"), "event_type": F.lit("signup_moved")},
+    )
+    m3 = read_manifest(vtable)
+    after3 = read_snapshot(spark, vtable, "event_date")
+    assert after3.filter(F.col("event_date") == "2040-12-31").count() == n_moved
+    assert (
+        after3.filter(
+            (F.col("event_date") == src_date) & (F.col("event_type") == "signup")
+        ).count()
+        == 0
+    )
+    assert after3.count() == after1.count()  # UPDATE never changes row count
+    # ownership: old home and new home carry v3, a bystander keeps v1
+    assert m3["partitions"][src_date] == v3
+    assert m3["partitions"]["2040-12-31"] == v3
+    assert m3["partitions"][keep_date] == v1
+    # SET exprs are cast to the column's declared type
+    assert dict(after3.dtypes)["event_date"] == "string"
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_versioned(
+            spark, vtable, "event_date", F.lit(True), {"nope": F.lit(1)}
+        )
+    before.unpersist()
+
+
+def test_update_versioned_respects_constraints_and_branches(
+    spark, sf_dir, vtable, tmp_path
+):
+    """UPDATE validates CHECK constraints on the rewritten rows and a
+    branch-ref UPDATE leaves main untouched until fast_forward."""
+    from datalake2anomali_spark.io.publish import (
+        ConstraintViolationError,
+        create_branch,
+        fast_forward,
+        init_table,
+        update_versioned,
+    )
+
+    croot = str(tmp_path / "events_uc")
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    init_table(
+        spark, e, croot, "event_date",
+        constraints={"value_nonneg": "value >= 0 OR value IS NULL"},
+    )
+    v_before = read_manifest(croot)["version"]
+    with pytest.raises(ConstraintViolationError, match="value_nonneg"):
+        update_versioned(
+            spark, croot, "event_date",
+            F.col("event_type") == "click",
+            {"value": F.lit(-1.0)},
+        )
+    assert read_manifest(croot)["version"] == v_before  # refused: no commit
+
+    create_branch(vtable, "upd")
+    main_before = _snap_fingerprint(spark, vtable)
+    update_versioned(
+        spark, vtable, "event_date",
+        F.col("event_type") == "click",
+        {"value": F.col("value") + 1},
+        ref="upd",
+    )
+    assert _snap_fingerprint(spark, vtable) == main_before  # main invisible
+    fast_forward(vtable, "upd")
+    assert _snap_fingerprint(spark, vtable) != main_before

@@ -889,3 +889,38 @@ def test_stream_enrich_sees_dim_updates_between_ticks(spark, sf_dir, tmp_path):
     assert tick1.filter(F.col("tier") != "bronze").count() == 0  # frozen history
     assert tick2.filter(F.col("tier") != "gold").count() == 0  # fresh snapshot
     assert tick2.count() > 0
+
+
+def test_stream_into_hidden_matches_batch_window(spark, sf_dir):
+    """Streaming MERGE into the hidden-partitioned table: after the
+    availableNow ticks, the hidden-pruned between-read of the middle
+    time window equals the plain batch computation over the source —
+    duplicate or dropped batch effects, a wrong hidden layout column,
+    or an off-by-one predicate bound would all break the rollup."""
+    from datalake2anomali_spark.streaming.incremental import (
+        load_sf_events,
+        stream_into_hidden,
+    )
+
+    got = {
+        r["event_type"]: (r["n_rows"], r["v_cents"], r["n_ids"])
+        for r in stream_into_hidden(spark, sf_dir).collect()
+    }
+    e = load_sf_events(spark, sf_dir)
+    lo, hi = e.agg(
+        F.min(F.expr("unix_micros(ts)")), F.max(F.expr("unix_micros(ts)"))
+    ).collect()[0]
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * ((hi - lo) // 3)
+    us = F.expr("unix_micros(ts)")
+    want = {
+        r["event_type"]: (r["n_rows"], r["v_cents"], r["n_ids"])
+        for r in e.filter((us > cut1) & (us <= cut2))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("v_cents"),
+            F.countDistinct("event_id").alias("n_ids"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -575,6 +575,59 @@ def _dv_versions(manifest: dict):
             yield int(v)
 
 
+def _append_dir(root: str, version: int) -> str:
+    """Append-delta parquet of a merge-on-read UPDATE commit — the
+    replacement rows, partitioned like the table.  Lives INSIDE the
+    commit's claimed version directory next to ``_dv`` so it inherits
+    the immutability, claim-marker, and vacuum-protection rules."""
+    return os.path.join(version_dir(root, version), "_append")
+
+
+def _carry_appends(manifest: dict, rewritten_pvals: set[str]) -> dict | None:
+    """The append-delta record carried into a commit that REWRITES
+    ``rewritten_pvals``: rewritten partitions drop their append entries
+    (the rewrite read the applied snapshot, so the replacement rows are
+    now physical in the fresh directory), untouched partitions keep
+    theirs — the exact :func:`_carry_dv` discipline."""
+    ap = manifest.get("appends")
+    if not ap:
+        return None
+    kept = {p: list(vs) for p, vs in ap.items() if p not in rewritten_pvals}
+    return kept or None
+
+
+def _append_versions(manifest: dict):
+    for vs in manifest.get("appends", {}).values():
+        for v in vs:
+            yield int(v)
+
+
+def _widen_partition_stats(old: dict, add: dict) -> dict:
+    """Zone-map entry after appending rows to a partition: per column the
+    union of the recorded [min, max] and the appended rows' — widening
+    only, never tightening, so skipping stays advisory-safe.  A ``None``
+    bound on either side stays ``None`` (the reader already treats it as
+    unusable-for-skipping, the conservative direction)."""
+    out = {}
+    for c, rng in old.items():
+        arng = add.get(c)
+        if arng is None:
+            out[c] = rng
+            continue
+        lo = None if rng[0] is None or arng[0] is None else min(rng[0], arng[0])
+        hi = None if rng[1] is None or arng[1] is None else max(rng[1], arng[1])
+        out[c] = [lo, hi]
+    return out
+
+
+def _or_bloom_hex(a: str, b: str) -> str:
+    """Union of two per-partition bloom filters (same geometry): bitwise
+    OR of the hex bitmaps — appending rows can only SET bits, so the
+    merged filter keeps the no-false-negative guarantee."""
+    width = max(len(a), len(b))
+    return format(int(a, 16) | int(b, 16), f"0{width}x")
+
+
 def _partition_stats(
     spark: SparkSession,
     vdir: str,
@@ -905,15 +958,49 @@ def read_snapshot(
             ]
         )
 
+    # merge-on-read UPDATE append-deltas: partitions that survived the
+    # skipping above also contribute their replacement-row files.  Each
+    # piece (base or append) carries its writing version as ``_wv`` when
+    # appends exist, because deletion vectors then apply by SEQUENCE —
+    # a vector at version d deletes only rows written at versions < d
+    # (Iceberg's sequence-number rule), which is what keeps an update's
+    # own replacement rows alive while it kills the rows they replace.
+    live_pvals = {p for ps in by_version.values() for p in ps}
+    app_by_version: dict[int, list[str]] = {}
+    for pval, avs in (manifest.get("appends") or {}).items():
+        if pval in live_pvals:
+            for av in avs:
+                app_by_version.setdefault(int(av), []).append(pval)
+    seq_aware = bool(app_by_version)
+
+    def _tag_wv(df: DataFrame, wv: int) -> DataFrame:
+        return df.withColumn("_wv", F.lit(wv)) if seq_aware else df
+
     pieces = []
     for v, pvals in sorted(by_version.items()):
         vdir = version_dir(root, v)
         spark.catalog.refreshByPath(vdir)
         pieces.append(
-            _normalize_types(
-                spark.read.parquet(vdir).filter(
-                    F.col(partition_col).cast("string").isin(pvals)
-                )
+            _tag_wv(
+                _normalize_types(
+                    spark.read.parquet(vdir).filter(
+                        F.col(partition_col).cast("string").isin(pvals)
+                    )
+                ),
+                v,
+            )
+        )
+    for av, pvals in sorted(app_by_version.items()):
+        adir = _append_dir(root, av)
+        spark.catalog.refreshByPath(adir)
+        pieces.append(
+            _tag_wv(
+                _normalize_types(
+                    spark.read.parquet(adir).filter(
+                        F.col(partition_col).cast("string").isin(sorted(pvals))
+                    )
+                ),
+                av,
             )
         )
     def _project_schema(df: DataFrame) -> DataFrame:
@@ -981,14 +1068,41 @@ def read_snapshot(
             )
             for dvv, pvals in sorted(live_by_version.items())
         ]
-        allv = vecs[0]
-        for piece in vecs[1:]:
-            allv = allv.unionByName(piece)
-        out = out.join(
-            allv.select(partition_col, *dv["key_cols"]).distinct(),
-            [partition_col, *dv["key_cols"]],
-            "left_anti",
-        )
+        if seq_aware:
+            # sequence-aware application: tag every vector tuple with its
+            # commit version and anti-join on keys AND ``_dvv > _wv`` —
+            # a vector deletes only rows OLDER than itself, so an
+            # update's replacement rows (written at the vector's own
+            # version) survive while the rows they replace die
+            vecs = [
+                piece.withColumn("_dvv", F.lit(dvv))
+                for piece, (dvv, _p) in zip(vecs, sorted(live_by_version.items()))
+            ]
+            allv = vecs[0]
+            for piece in vecs[1:]:
+                allv = allv.unionByName(piece)
+            probe = allv.select(
+                partition_col, *dv["key_cols"], "_dvv"
+            ).distinct().alias("_dvp")
+            left = out.alias("_dvl")
+            cond = F.col(f"_dvl.{partition_col}") == F.col(
+                f"_dvp.{partition_col}"
+            )
+            for k in dv["key_cols"]:
+                cond = cond & (F.col(f"_dvl.{k}") == F.col(f"_dvp.{k}"))
+            cond = cond & (F.col("_dvp._dvv") > F.col("_dvl._wv"))
+            out = left.join(probe, cond, "left_anti")
+        else:
+            allv = vecs[0]
+            for piece in vecs[1:]:
+                allv = allv.unionByName(piece)
+            out = out.join(
+                allv.select(partition_col, *dv["key_cols"]).distinct(),
+                [partition_col, *dv["key_cols"]],
+                "left_anti",
+            )
+    if seq_aware:
+        out = out.drop("_wv")
     return _row_filters(_project_schema(out))
 
 
@@ -1265,6 +1379,9 @@ def optimize_partitions(
     carried_dv = _carry_dv(manifest, chosen_set)
     if carried_dv:
         new_manifest["dv"] = carried_dv
+    carried_ap = _carry_appends(manifest, chosen_set)
+    if carried_ap:
+        new_manifest["appends"] = carried_ap
     _commit_checked(root, new_manifest, manifest["version"])
     return v, sorted(chosen)
 
@@ -1454,6 +1571,8 @@ def update_versioned(
     set_exprs: dict,
     ref: str | None = None,
     commit_hook=None,
+    mode: str = "copy_on_write",
+    key_cols: list[str] | None = None,
 ) -> int:
     """UPDATE ... SET on the versioned table, atomically and
     partition-pruned — the predicate-update quarter of the DML surface
@@ -1468,18 +1587,33 @@ def update_versioned(
     update, FALSE **and NULL** rows survive unchanged; a predicate
     matching nothing commits nothing.
 
-    Copy-on-write with the shared ownership rules: the affected set is
-    the matched rows' partitions PLUS — when ``set_exprs`` reassigns
-    ``partition_col`` — the updated rows' destination partitions, so a
-    partition-moving UPDATE rewrites both the old home and the new one
-    while untouched partitions keep their manifest entry (the
-    MERGE old-home discipline).  A merge-on-read UPDATE (deletion
-    vector + appended replacement rows, the late-arriving Delta/Iceberg
-    shape) needs an append-delta read path the format does not define
-    yet; rather than fake it with a rewrite this writer is CoW-only.
+    ``mode="copy_on_write"`` (default) uses the shared ownership rules:
+    the affected set is the matched rows' partitions PLUS — when
+    ``set_exprs`` reassigns ``partition_col`` — the updated rows'
+    destination partitions, so a partition-moving UPDATE rewrites both
+    the old home and the new one while untouched partitions keep their
+    manifest entry (the MERGE old-home discipline).
+
+    ``mode="merge_on_read"`` (requires ``key_cols``) is the Delta/
+    Iceberg deletion-vector UPDATE: the commit writes the matched rows'
+    (partition, key) tuples as a vector file PLUS the replacement rows
+    as an append-delta — no data partition rewrites, so write cost is
+    O(updated rows) instead of O(affected partitions).  Readers apply
+    vectors by SEQUENCE (a vector deletes only rows written before it),
+    so the commit's own replacement rows survive; any later rewrite of
+    a partition — MERGE/sync/CDC/OPTIMIZE/compact/CoW-UPDATE —
+    materializes and clears its vectors and append-deltas together.
+    Zone maps and bloom filters WIDEN with the appended rows (never
+    tighten), so metadata skipping stays safe.  ``key_cols`` must
+    identify rows within a partition, match the table's existing
+    vectors, and may not themselves be assigned; ``partition_col``
+    reassignment (a partition-moving update) also requires
+    ``copy_on_write``.
 
     Returns the published version.
     """
+    if mode not in ("copy_on_write", "merge_on_read"):
+        raise ValueError(f"unknown update mode {mode!r}")
     manifest = read_manifest(root, ref=ref)
     target = read_snapshot(spark, root, partition_col, ref=ref)
     data_cols = list(target.columns)
@@ -1493,6 +1627,11 @@ def update_versioned(
 
     cond_true = F.coalesce(condition.cast("boolean"), F.lit(False))
     matched = target.filter(cond_true)
+    if mode == "merge_on_read":
+        return _update_merge_on_read(
+            spark, root, partition_col, manifest, matched, set_exprs,
+            schema, data_cols, key_cols, ref, commit_hook,
+        )
     old_homes = matched.select(partition_col).distinct()
     if partition_col in set_exprs:
         new_homes = matched.select(
@@ -1536,6 +1675,121 @@ def update_versioned(
         {str(x) for x in raw_affected}, "update", content, commit_hook,
         ref=ref,
     )
+    return v
+
+
+def _update_merge_on_read(
+    spark: SparkSession,
+    root: str,
+    partition_col: str,
+    manifest: dict,
+    matched: DataFrame,
+    set_exprs: dict,
+    schema: dict,
+    data_cols: list[str],
+    key_cols: list[str] | None,
+    ref: str | None,
+    commit_hook,
+) -> int:
+    """The merge-on-read arm of :func:`update_versioned`: deletion
+    vector for the matched rows' pre-images + append-delta of their
+    replacements, one atomic commit, no partition rewrites."""
+    if not key_cols:
+        raise ValueError("merge_on_read update requires key_cols")
+    frozen = [c for c in set_exprs if c == partition_col or c in key_cols]
+    if frozen:
+        raise ValueError(
+            f"merge_on_read UPDATE cannot reassign partition/key columns "
+            f"{sorted(frozen)}; use mode='copy_on_write'"
+        )
+    old_dv = manifest.get("dv")
+    if old_dv and old_dv["key_cols"] != list(key_cols):
+        raise ValueError(
+            f"table vectors are keyed by {old_dv['key_cols']}; "
+            f"got {list(key_cols)}"
+        )
+    # materialize the matched set once: the vector write, the count, and
+    # the replacement write below would otherwise each re-run the
+    # snapshot scan + predicate (and diverge under a nondeterministic
+    # predicate); the checkpoint is O(updated rows) — exactly what this
+    # commit writes anyway
+    matched = matched.localCheckpoint(eager=True)
+    counts_raw = matched.groupBy(partition_col).count().collect()
+    if not counts_raw:
+        return manifest["version"]  # nothing matched: no empty commit
+    _require_non_null_partitions([r[0] for r in counts_raw])
+    counts = {str(r[0]): int(r[1]) for r in counts_raw}
+
+    replacement = matched.select(
+        *[
+            set_exprs[c].cast(schema[c]).alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in data_cols
+        ]
+    )
+    if manifest.get("constraints"):
+        replacement = replacement.localCheckpoint(eager=True)
+        _check_constraints(replacement, manifest["constraints"])
+
+    v = _claim_version(root)
+    matched.select(partition_col, *key_cols).write.mode("overwrite").parquet(
+        _dv_dir(root, v)
+    )
+    adir = _append_dir(root, v)
+    replacement.write.mode("overwrite").partitionBy(partition_col).parquet(adir)
+    spark.catalog.refreshByPath(adir)
+
+    new_manifest = dict(manifest)
+    new_manifest["version"] = v
+    new_manifest["operation"] = "update_mor"
+    files = {p: list(vs) for p, vs in (old_dv or {}).get("files", {}).items()}
+    deleted = dict((old_dv or {}).get("deleted", {}))
+    for p, n in counts.items():
+        files.setdefault(p, []).append(v)
+        deleted[p] = int(deleted.get(p, 0)) + n
+    new_manifest["dv"] = {
+        "key_cols": list(key_cols),
+        "files": files,
+        "deleted": deleted,
+    }
+    ap = {p: list(vs) for p, vs in (manifest.get("appends") or {}).items()}
+    for p in counts:
+        ap.setdefault(p, []).append(v)
+    new_manifest["appends"] = ap
+    if manifest.get("rows"):
+        # physical rows grow by the appended replacements; the matching
+        # dv['deleted'] growth keeps the metadata-only logical count
+        # (rows − deleted) invariant, as UPDATE must be.  A partition
+        # with no recorded count stays unrecorded (still incomplete).
+        rows = dict(manifest["rows"])
+        for p, n in counts.items():
+            if p in rows:
+                rows[p] = int(rows[p]) + n
+        new_manifest["rows"] = rows
+    old_stats = manifest.get("stats")
+    if old_stats:
+        stats_cols = sorted(next(iter(old_stats.values())).keys())
+        add = _partition_stats(spark, adir, partition_col, stats_cols)
+        new_manifest["stats"] = {
+            p: _widen_partition_stats(st, add[p]) if p in add else st
+            for p, st in old_stats.items()
+        }
+    old_blooms = manifest.get("bloom")
+    if old_blooms:
+        addb = _partition_blooms(
+            spark, adir, partition_col,
+            sorted(next(iter(old_blooms.values())).keys()),
+        )
+        new_manifest["bloom"] = {
+            p: {c: _or_bloom_hex(bm[c], addb[p][c]) for c in bm}
+            if p in addb
+            else bm
+            for p, bm in old_blooms.items()
+        }
+    if commit_hook is not None:
+        commit_hook()
+    _commit_checked(root, new_manifest, manifest["version"], ref=ref)
     return v
 
 
@@ -1740,12 +1994,14 @@ def vacuum(
         protect.add(snap_v)
         protect.update(int(v) for v in snap["partitions"].values())
         protect.update(_dv_versions(snap))  # deletion vectors of the snapshot
+        protect.update(_append_versions(snap))  # MoR-update append-deltas
     for head in branch_heads:
         # a branch pointer is authoritative even if its history file is
         # somehow gone; protect everything its mapping references
         protect.add(int(head["version"]))
         protect.update(int(v) for v in head["partitions"].values())
         protect.update(_dv_versions(head))
+        protect.update(_append_versions(head))
 
     now = time.time()
     for name in os.listdir(root):
@@ -1886,6 +2142,9 @@ def _commit_ownership_rewrite(
     carried_dv = _carry_dv(manifest, affected_vals)
     if carried_dv:
         new_manifest["dv"] = carried_dv
+    carried_ap = _carry_appends(manifest, affected_vals)
+    if carried_ap:
+        new_manifest["appends"] = carried_ap
     if ref is not None:
         # branch commits carry their ref identity and the main version
         # they forked from — fast_forward's publish precondition
@@ -2004,6 +2263,7 @@ def restore_version(root: str, version: int) -> int:
     target = read_manifest(root, version)  # raises if vacuumed/never committed
     needed = {int(x) for x in target["partitions"].values()}
     needed.update(_dv_versions(target))
+    needed.update(_append_versions(target))
     for v in needed:
         if not os.path.isdir(version_dir(root, v)):
             raise FileNotFoundError(
@@ -2017,7 +2277,9 @@ def restore_version(root: str, version: int) -> int:
         "partitions": dict(target["partitions"]),
         "operation": f"restore(v{version})",
     }
-    for extra in ("stats", "bloom", "schema", "rows", "constraints", "dv"):
+    for extra in (
+        "stats", "bloom", "schema", "rows", "constraints", "dv", "appends"
+    ):
         if extra in target:
             manifest[extra] = target[extra]
     _commit_checked(root, manifest, current["version"])
@@ -2084,7 +2346,9 @@ def fast_forward(root: str, name: str) -> int:
         "partitions": dict(head["partitions"]),
         "operation": f"publish({name}@v{head['version']})",
     }
-    for extra in ("stats", "bloom", "schema", "rows", "constraints", "dv"):
+    for extra in (
+        "stats", "bloom", "schema", "rows", "constraints", "dv", "appends"
+    ):
         if extra in head:
             manifest[extra] = head[extra]
     _commit_checked(root, manifest, base)
@@ -2199,6 +2463,7 @@ def describe_detail(root: str) -> dict:
     live_versions = sorted(
         {int(v) for v in manifest["partitions"].values()}
         | set(_dv_versions(manifest))
+        | set(_append_versions(manifest))
     )
     size = 0
     for v in live_versions:

@@ -1011,6 +1011,78 @@ ORDER BY 1, 2
 """
 
 
+# -- update_mor: merge-on-read UPDATE (round-11 registration queue) -----------
+
+
+def q_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE ... SET (``update_versioned(
+    mode="merge_on_read")``): the commit writes a deletion vector for the
+    matched rows' pre-images plus their replacements as an append-delta —
+    no partition rewrites — and readers apply vectors by sequence, so a
+    SECOND overlapping update kills the first update's replacement rows
+    while its own survive.  Scripted with result parity against a
+    copy-on-write twin after every commit (the MoR/CoW drift pin,
+    extending the ``deletion_vectors`` property to UPDATE), no-rewrite
+    and metadata-rowcount-invariance asserted from the manifest.  The
+    oracle replays the stacked SETs as one CASE projection."""
+    from ..io.publish import (
+        init_table,
+        read_manifest,
+        read_snapshot,
+        snapshot_rowcount,
+        update_versioned,
+    )
+
+    e = _events(spark, sf_dir)
+    mor = _scratch_root("d2a_updmor", sf_dir)
+    cow = _scratch_root("d2a_updcow", sf_dir)
+    init_table(spark, e, mor, "event_date")
+    init_table(spark, e, cow, "event_date")
+    n0 = e.count()
+
+    upds = [
+        (F.col("event_type") == "click", {"value": F.col("value") * 2}),
+        (
+            (F.col("event_type") == "click") & (F.col("event_id") % 3 == 0),
+            {"value": F.col("value") + 7},
+        ),
+    ]
+    for cond, sets in upds:
+        update_versioned(
+            spark, mor, "event_date", cond, sets,
+            mode="merge_on_read", key_cols=["event_id"],
+        )
+        update_versioned(spark, cow, "event_date", cond, sets)
+        if _fingerprint(spark, mor) != _fingerprint(spark, cow):
+            raise AssertionError(
+                "merge-on-read UPDATE diverged from copy-on-write"
+            )
+
+    m = read_manifest(mor)
+    if m["operation"] != "update_mor":
+        raise AssertionError("MoR update not recorded as update_mor")
+    if not all(int(x) == 1 for x in m["partitions"].values()):
+        raise AssertionError("MoR update rewrote data partitions")
+    if not m.get("appends"):
+        raise AssertionError("MoR update recorded no append-deltas")
+    if snapshot_rowcount(mor) != n0:
+        raise AssertionError("UPDATE changed the metadata rowcount")
+    return _type_rollup(read_snapshot(spark, mor, "event_date"))
+
+
+UPDATE_MOR_SQL = f"""
+WITH post AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_type = 'click' AND event_id % 3 = 0
+                THEN value * 2 + 7
+              WHEN event_type = 'click' THEN value * 2
+              ELSE value END AS value
+  FROM events
+)
+{_TYPE_ROLLUP_SQL}
+"""
+
+
 QUERIES = {
     "sync_versioned": q_sync_versioned,
     "table_follower_rollup": q_table_follower_rollup,

@@ -1548,3 +1548,183 @@ def test_update_versioned_respects_constraints_and_branches(
     assert _snap_fingerprint(spark, vtable) == main_before  # main invisible
     fast_forward(vtable, "upd")
     assert _snap_fingerprint(spark, vtable) != main_before
+
+
+def test_update_merge_on_read_parity_and_sequence(spark, sf_dir, tmp_path):
+    """Merge-on-read UPDATE: vector + append-delta commit, no partition
+    rewrites, result parity with the copy-on-write twin on the same
+    predicates — including a SECOND overlapping MoR update, which only
+    sequence-aware vector application gets right (the first update's
+    replacement rows must die to the second's vector while the second's
+    replacements survive their own)."""
+    from datalake2anomali_spark.io.publish import (
+        snapshot_rowcount,
+        update_versioned,
+    )
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    mor, cow = str(tmp_path / "mor"), str(tmp_path / "cow")
+    for root in (mor, cow):
+        init_table(
+            spark, e, root, "event_date",
+            stats_cols=["value"], bloom_cols=["event_type"],
+        )
+    n0 = e.count()
+    upd1 = (F.col("event_type") == "click", {"value": F.col("value") * 2})
+    upd2 = (
+        (F.col("event_type") == "click") & (F.col("event_id") % 3 == 0),
+        {"value": F.col("value") + 7},
+    )
+    v0 = read_manifest(mor)["version"]
+    parts0 = dict(read_manifest(mor)["partitions"])
+    for cond, sets in (upd1, upd2):
+        update_versioned(
+            spark, mor, "event_date", cond, sets,
+            mode="merge_on_read", key_cols=["event_id"],
+        )
+        update_versioned(spark, cow, "event_date", cond, sets)
+
+    got = read_snapshot(spark, mor, "event_date")
+    want = read_snapshot(spark, cow, "event_date")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    m = read_manifest(mor)
+    assert m["operation"] == "update_mor"
+    assert m["partitions"] == parts0  # no partition was rewritten
+    assert m["appends"] and all(len(vs) >= 1 for vs in m["appends"].values())
+    assert snapshot_rowcount(mor) == n0  # metadata-only count invariant
+
+    # zone maps widened, not broken: a range read for the post-update
+    # values must still find them (old max was pre-doubling)
+    hi = got.agg(F.max("value")).collect()[0][0]
+    ranged = read_snapshot(
+        spark, mor, "event_date", predicate=("value", hi, hi)
+    )
+    assert ranged.count() == got.filter(F.col("value") == hi).count() > 0
+
+    # time travel: AS OF the first MoR update sees exactly one doubling
+    v1 = v0 + 1
+    asof = read_snapshot(spark, mor, "event_date", version=v1)
+    want1 = e.withColumn(
+        "value",
+        F.when(F.col("event_type") == "click", F.col("value") * 2).otherwise(
+            F.col("value")
+        ),
+    )
+    assert asof.exceptAll(want1).count() == 0
+    assert want1.exceptAll(asof).count() == 0
+
+    # MoR DELETE over MoR-updated rows: the replacement rows die too
+    from datalake2anomali_spark.io.publish import delete_from_versioned
+
+    delete_from_versioned(
+        spark, mor, "event_date",
+        F.col("event_type") == "click",
+        mode="merge_on_read", key_cols=["event_id"],
+    )
+    assert (
+        read_snapshot(spark, mor, "event_date")
+        .filter(F.col("event_type") == "click")
+        .count()
+        == 0
+    )
+
+
+def test_update_mor_materializes_on_rewrite_and_survives_vacuum(
+    spark, sf_dir, tmp_path
+):
+    """A partition rewrite (CoW UPDATE here) clears the rewritten
+    partition's vectors AND append-deltas while bystanders keep theirs;
+    vacuum never reclaims a version directory an append-delta still
+    references; restore_version round-trips the appends record."""
+    from datalake2anomali_spark.io.publish import (
+        restore_version,
+        update_versioned,
+    )
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    root = str(tmp_path / "morv")
+    init_table(spark, e, root, "event_date")
+    update_versioned(
+        spark, root, "event_date",
+        F.col("event_type") == "purchase",
+        {"value": F.col("value") + 100},
+        mode="merge_on_read", key_cols=["event_id"],
+    )
+    m1 = read_manifest(root)
+    fp1 = _snap_fingerprint(spark, root)
+    dates = sorted(m1["appends"])
+    target_date, keeper = dates[0], dates[1]
+
+    # rewrite ONE partition via CoW update; its append entry must clear
+    update_versioned(
+        spark, root, "event_date",
+        F.col("event_date") == target_date,
+        {"value": F.col("value")},  # identity SET: pure materialization
+    )
+    m2 = read_manifest(root)
+    assert target_date not in m2.get("appends", {})
+    assert keeper in m2["appends"]
+    assert target_date not in m2.get("dv", {}).get("files", {})
+    assert _snap_fingerprint(spark, root) == fp1  # content unchanged
+
+    # restore to the pre-materialization snapshot: appends record returns
+    restore_version(root, m1["version"])
+    assert read_manifest(root)["appends"] == m1["appends"]
+    assert _snap_fingerprint(spark, root) == fp1
+
+    # vacuum with retain_last=1: the MoR commit's version dir (vectors +
+    # appends referenced by the restored head) must survive
+    removed = vacuum(root, retain_last=1, claim_ttl_seconds=0.0)
+    assert _snap_fingerprint(spark, root) == fp1
+    av = int(m1["appends"][keeper][0])
+    assert os.path.isdir(version_dir(root, av))
+    assert av not in removed
+
+
+def test_update_mor_refusals(spark, sf_dir, tmp_path):
+    """MoR UPDATE refuses: missing key_cols, reassigning partition/key
+    columns, mismatched vector keys; no-match commits nothing."""
+    from datalake2anomali_spark.io.publish import update_versioned
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    root = str(tmp_path / "morr")
+    init_table(spark, e, root, "event_date")
+    with pytest.raises(ValueError, match="requires key_cols"):
+        update_versioned(
+            spark, root, "event_date", F.lit(True), {"value": F.lit(1.0)},
+            mode="merge_on_read",
+        )
+    with pytest.raises(ValueError, match="cannot reassign"):
+        update_versioned(
+            spark, root, "event_date", F.lit(True),
+            {"event_date": F.lit("2041-01-01")},
+            mode="merge_on_read", key_cols=["event_id"],
+        )
+    v0 = read_manifest(root)["version"]
+    assert (
+        update_versioned(
+            spark, root, "event_date",
+            F.col("event_type") == "no_such_type", {"value": F.lit(0.0)},
+            mode="merge_on_read", key_cols=["event_id"],
+        )
+        == v0
+    )
+    update_versioned(
+        spark, root, "event_date",
+        F.col("event_type") == "click", {"value": F.col("value") * 2},
+        mode="merge_on_read", key_cols=["event_id"],
+    )
+    with pytest.raises(ValueError, match="keyed by"):
+        update_versioned(
+            spark, root, "event_date",
+            F.col("event_type") == "click", {"value": F.col("value")},
+            mode="merge_on_read", key_cols=["event_type"],
+        )

@@ -1083,6 +1083,76 @@ WITH post AS (
 """
 
 
+# -- multi_statement_txn: BEGIN ... COMMIT (round-11 registration queue) ------
+
+
+def q_multi_statement_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-statement transaction (``io/transaction.py: Transaction``):
+    UPDATE + DELETE + MERGE staged against one pinned snapshot and
+    published as ONE atomic version — staging invisible (asserted from
+    the manifest mid-flight), exactly one version number consumed, the
+    statement batch recorded as the commit operation.  Statements see
+    each other in order; the oracle replays the same algebra as chained
+    CTEs (update projection → delete filter → source-presence merge)."""
+    from ..io.publish import init_table, read_manifest, read_snapshot
+    from ..io.transaction import Transaction
+
+    e = _events(spark, sf_dir)
+    root = _scratch_root("d2a_txn", sf_dir)
+    init_table(spark, e, root, "event_date")
+    v0 = read_manifest(root)["version"]
+
+    src = (
+        e.filter(F.col("event_type") == "purchase")
+        .withColumn("value", F.col("value") + 1000)
+        .unionByName(
+            e.filter(F.col("event_type") == "error")
+            .withColumn("event_id", F.col("event_id") + 70_000_000)
+            .withColumn("event_type", F.lit("promo"))
+            .withColumn("value", F.col("value") + 0.5)
+        )
+    )
+    txn = Transaction(spark, root, "event_date")
+    txn.update(F.col("event_type") == "click", {"value": F.col("value") * 2})
+    txn.delete((F.col("event_type") == "view") & (F.col("event_id") % 4 == 0))
+    txn.merge(src, ["event_id"])
+    if read_manifest(root)["version"] != v0:
+        raise AssertionError("staging moved the table before commit")
+    v = txn.commit()
+    if v != v0 + 1:
+        raise AssertionError("transaction did not publish as ONE version")
+    m = read_manifest(root)
+    if m["operation"] != "txn(update,delete,merge)":
+        raise AssertionError(f"wrong txn operation record: {m['operation']}")
+    return _type_rollup(read_snapshot(spark, root, "event_date"))
+
+
+MULTI_STATEMENT_TXN_SQL = f"""
+WITH p1 AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_type = 'click' THEN value * 2 ELSE value END AS value
+  FROM events
+),
+p2 AS (
+  SELECT * FROM p1 WHERE NOT (event_type = 'view' AND event_id % 4 = 0)
+),
+src AS (
+  SELECT event_id, event_type, value + 1000 AS value
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT event_id + 70000000, 'promo', value + 0.5
+  FROM events WHERE event_type = 'error'
+),
+post AS (
+  SELECT * FROM p2
+  WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.event_id = p2.event_id)
+  UNION ALL
+  SELECT * FROM src
+)
+{_TYPE_ROLLUP_SQL}
+"""
+
+
 QUERIES = {
     "sync_versioned": q_sync_versioned,
     "table_follower_rollup": q_table_follower_rollup,

@@ -1,0 +1,224 @@
+"""Secondary value index over a versioned table, maintained through the
+change feed.
+
+The index is itself a small versioned table mapping ``(value,
+partition, n)`` — for every distinct value of the indexed column, the
+partitions holding it and how many rows — bucketed by a hash of the
+value so point lookups prune the index read too.  It exists for the
+two things manifest bloom filters cannot do: EXACT pruning (a bloom
+false positive reads an extra partition; the index never does), and
+post-hoc creation (indexing a column never requires rewriting the
+table, because the index derives from reads).
+
+Maintenance is incremental and idempotent: a :class:`..io.publish
+.TableFollower` cursor walks the base table's commits; each refresh
+diffs the followed span (Delta-CDF shape), reduces it to the touched
+``(value, partition)`` pairs, RECOMPUTES those pairs' true counts from
+the target snapshot restricted to the touched partitions (partition-
+pruned — incremental cost scales with the delta's partition footprint,
+not the table), and applies them as one mixed upsert/delete CDC commit
+(:func:`..io.publish.cdc_apply_versioned`).  Recomputing from the
+target snapshot instead of folding signed deltas is what makes a
+replayed crash span harmless — the at-least-once cursor turns into
+exactly-once index state for free.
+
+At 100 TB: the index is ~|distinct values × partitions containing
+them| rows — metadata-scale; refresh reads only partitions the span
+touched; lookups read one index bucket then exactly the partitions
+holding the value.
+
+NULL values are not indexed (SQL equality never matches NULL);
+look NULLs up with a full predicate read.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .publish import (
+    TableFollower,
+    cdc_apply_versioned,
+    init_table,
+    read_manifest,
+    read_snapshot,
+)
+
+_META = "_INDEX.json"
+
+
+def _bucket_expr(value_col, n_buckets: int):
+    return F.pmod(
+        F.xxhash64(value_col.cast("string")), F.lit(n_buckets)
+    ).cast("string")
+
+
+def _meta(index_root: str) -> dict:
+    with open(os.path.join(index_root, _META), encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def _follower(index_root: str, meta: dict) -> TableFollower:
+    return TableFollower(
+        meta["root"],
+        meta["partition_col"],
+        meta["key_cols"],
+        os.path.join(index_root, "_follower"),
+    )
+
+
+def create_value_index(
+    spark: SparkSession,
+    root: str,
+    partition_col: str,
+    col: str,
+    key_cols: list[str],
+    index_root: str,
+    n_buckets: int = 16,
+) -> int:
+    """Bootstrap the index from the base table's CURRENT snapshot and pin
+    the follower cursor at that version.  Returns the indexed version."""
+    base_v = read_manifest(root)["version"]
+    snap = read_snapshot(spark, root, partition_col, version=base_v)
+    if col not in snap.columns:
+        raise ValueError(f"no column {col!r} to index")
+    idx = (
+        snap.filter(F.col(col).isNotNull())
+        .groupBy(
+            F.col(col).alias("value"),
+            F.col(partition_col).cast("string").alias("partition"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bucket", _bucket_expr(F.col("value"), n_buckets))
+    )
+    init_table(spark, idx, index_root, "bucket")
+    with open(os.path.join(index_root, _META), "w", encoding="utf-8") as fh:
+        json.dump(
+            {
+                "root": root,
+                "partition_col": partition_col,
+                "col": col,
+                "key_cols": list(key_cols),
+                "n_buckets": n_buckets,
+            },
+            fh,
+            sort_keys=True,
+        )
+    _follower(index_root, _meta(index_root)).commit(base_v)
+    return base_v
+
+
+def refresh_value_index(spark: SparkSession, index_root: str) -> int:
+    """Advance the index to the base table's current version.  No-op when
+    caught up.  Idempotent under crash-replay (see module docstring).
+    Returns the version the index now reflects."""
+    meta = _meta(index_root)
+    col, pcol = meta["col"], meta["partition_col"]
+    follower = _follower(index_root, meta)
+    changes, target_v = follower.poll(spark)
+    if changes is None:
+        return target_v
+
+    def _side(prefix: str, kinds: list[str]) -> DataFrame:
+        vcol = col if col in meta["key_cols"] else f"{prefix}_{col}"
+        pc = pcol if pcol in meta["key_cols"] else f"{prefix}_{pcol}"
+        return (
+            changes.filter(F.col("change_type").isin(kinds))
+            .filter(F.col(vcol).isNotNull())
+            .select(
+                F.col(vcol).alias("value"),
+                F.col(pc).cast("string").alias("partition"),
+            )
+        )
+
+    touched = (
+        _side("pre", ["removed", "changed"])
+        .union(_side("post", ["added", "changed"]))
+        .distinct()
+        .localCheckpoint(eager=True)  # bounded by the span's churn
+    )
+    parts = {r["partition"] for r in touched.select("partition").distinct().collect()}
+    if not parts:
+        follower.commit(target_v)
+        return target_v
+
+    base = read_snapshot(
+        spark, meta["root"], pcol, version=target_v,
+        partition_filter=lambda p: p in parts,
+    )
+    truth = (
+        base.filter(F.col(col).isNotNull())
+        .groupBy(
+            F.col(col).alias("value"),
+            F.col(pcol).cast("string").alias("partition"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(touched), ["value", "partition"], "leftsemi")
+    )
+    ops = touched.join(truth, ["value", "partition"], "left").select(
+        "value",
+        "partition",
+        F.col("n"),
+        _bucket_expr(F.col("value"), meta["n_buckets"]).alias("bucket"),
+        F.when(F.col("n").isNull(), F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("_op"),
+    )
+    cdc_apply_versioned(
+        spark, index_root, ops, ["value", "partition"], "bucket"
+    )
+    follower.commit(target_v)
+    return target_v
+
+
+def index_lookup_partitions(
+    spark: SparkSession, index_root: str, value
+) -> set[str]:
+    """The exact set of base-table partitions holding ``value`` — one
+    bucket-pruned read of the index table."""
+    meta = _meta(index_root)
+    bucket = spark.range(1).select(
+        _bucket_expr(F.lit(value), meta["n_buckets"]).alias("b")
+    ).collect()[0]["b"]
+    idx = read_snapshot(
+        spark, index_root, "bucket",
+        partition_filter=lambda p: p == bucket,
+    )
+    return {
+        r["partition"]
+        for r in idx.filter(F.col("value") == F.lit(value))
+        .select("partition")
+        .distinct()
+        .collect()
+    }
+
+
+def indexed_read(
+    spark: SparkSession, index_root: str, value, refresh: bool = True
+) -> DataFrame:
+    """Point lookup through the index: read ONLY the partitions the index
+    proves can hold ``value``, then apply the exact equality filter.
+
+    Correctness requires a fresh index — the partition filter's safety
+    contract.  ``refresh=True`` (default) advances the index first;
+    ``refresh=False`` refuses a stale index instead of silently missing
+    newly written rows."""
+    meta = _meta(index_root)
+    if refresh:
+        refresh_value_index(spark, index_root)
+    else:
+        cur = read_manifest(meta["root"])["version"]
+        pos = _follower(index_root, meta).position()
+        if pos != cur:
+            raise ValueError(
+                f"index at {index_root!r} reflects v{pos} but the table is "
+                f"at v{cur}; refresh it or pass refresh=True"
+            )
+    parts = index_lookup_partitions(spark, index_root, value)
+    return read_snapshot(
+        spark, meta["root"], meta["partition_col"],
+        partition_filter=lambda p: p in parts,
+    ).filter(F.col(meta["col"]) == F.lit(value))

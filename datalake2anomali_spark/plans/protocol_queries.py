@@ -1153,6 +1153,91 @@ post AS (
 """
 
 
+# -- secondary_index_lookup: CDF-maintained value index (r11 queue) -----------
+
+
+def q_secondary_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary value index (``io/index.py``): an exact (value →
+    partitions, n) sidecar table bootstrapped from a snapshot and then
+    maintained INCREMENTALLY through the change feed — one transaction
+    (a merge into a brand-new partition + a delete, composed through
+    ``io/transaction.py``) lands on the base table, one
+    ``refresh_value_index`` catches the index up (recomputing only the
+    touched partitions' pairs, idempotently), and the point lookups go
+    through ``indexed_read``'s partition-filter pruning.  In-fixture
+    pins: the index version equals the table version, the synthetic
+    user's lookup prunes to exactly its one home partition, and the read
+    refuses nothing (exactness is asserted by the oracle comparison).
+    The oracle replays the post state with plain WHEREs."""
+    from ..io.index import (
+        create_value_index,
+        index_lookup_partitions,
+        indexed_read,
+        refresh_value_index,
+    )
+    from ..io.publish import init_table, read_manifest
+    from ..io.transaction import Transaction
+
+    e = _events(spark, sf_dir)
+    root = _scratch_root("d2a_sidx_base", sf_dir)
+    idx = _scratch_root("d2a_sidx_idx", sf_dir)
+    init_table(spark, e, root, "event_date")
+    create_value_index(spark, root, "event_date", "user_id", ["event_id"], idx)
+
+    syn_user = 999_999_999
+    syn = (
+        e.filter(F.col("event_id") % 97 == 0)
+        .withColumn("event_id", F.col("event_id") + 80_000_000)
+        .withColumn("user_id", F.lit(syn_user))
+        .withColumn("event_type", F.lit("synthetic"))
+        .withColumn("event_date", F.lit("2040-01-01"))
+    )
+    txn = Transaction(spark, root, "event_date")
+    txn.merge(syn, ["event_id"]).delete(F.col("event_type") == "error")
+    txn.commit()
+    if refresh_value_index(spark, idx) != read_manifest(root)["version"]:
+        raise AssertionError("index did not catch up to the table version")
+    homes = index_lookup_partitions(spark, idx, syn_user)
+    if homes != {"2040-01-01"}:
+        raise AssertionError(f"index pruning is not exact: {sorted(homes)}")
+
+    u_min = e.agg(F.min("user_id")).collect()[0][0]
+    out = indexed_read(spark, idx, syn_user, refresh=False).unionByName(
+        indexed_read(spark, idx, int(u_min), refresh=False)
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", 2).alias("v_sum"),
+            F.countDistinct("event_date").alias("n_dates"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SECONDARY_INDEX_LOOKUP_SQL = f"""
+WITH post AS (
+  SELECT event_id, user_id, value, strftime(ts, '%Y-%m-%d') AS event_date
+  FROM events WHERE event_type <> 'error'
+  UNION ALL
+  SELECT event_id + 80000000, 999999999, value, '2040-01-01'
+  FROM events WHERE event_id % 97 = 0
+),
+keys AS (SELECT MIN(user_id) AS u FROM events UNION ALL SELECT 999999999)
+SELECT user_id, COUNT(*) AS n,
+       {DSUM_SQL("value", 2)} AS v_sum,
+       COUNT(DISTINCT event_date) AS n_dates,
+       MIN(event_id) AS min_id,
+       MAX(event_id) AS max_id
+FROM post JOIN keys ON post.user_id = keys.u
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "sync_versioned": q_sync_versioned,
     "table_follower_rollup": q_table_follower_rollup,

@@ -1,0 +1,219 @@
+"""Multi-table catalog with atomic cross-table commits.
+
+A catalog is one versioned pointer file mapping table names to
+``(root, pinned_version)``.  Readers that go through
+:func:`catalog_read` see every member table AT ITS PINNED VERSION — a
+consistent cross-table snapshot — regardless of how far the individual
+table pointers have advanced.  :class:`CatalogTransaction` makes a
+batch of table writes visible TOGETHER: the member writes land as
+ordinary table commits (data + per-table manifests — durable but
+invisible to catalog readers), then one compare-and-swap of the catalog
+pointer publishes all the new pins atomically.  This is the
+Nessie/lakeFS commit model reduced to its pointer core: per-table
+writers need no coordination beyond their own optimistic commit, and
+cross-table atomicity costs exactly one ``os.replace``.
+
+Crash anywhere before the catalog swap leaves the catalog view
+untouched (the staged table versions are ordinary history — vacuumable
+garbage if never published).  A concurrent catalog committer is caught
+by the catalog's own version CAS under the shared commit-lock protocol.
+
+Retention: a member table's :func:`..io.publish.vacuum` must retain
+enough versions to cover the catalog's pin lag (``retain_last``), the
+same contract ``TableFollower`` documents for change-feed consumers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .publish import (
+    ConcurrentWriteError,
+    _commit_lock,
+    _release_lock_if_ours,
+    _verify_lock_ownership,
+    read_manifest,
+    read_snapshot,
+)
+
+_CATALOG = "_CATALOG.json"
+
+
+def _catalog_path(croot: str, version: int | None = None) -> str:
+    name = _CATALOG if version is None else f"_CATALOG.v{version}.json"
+    return os.path.join(croot, name)
+
+
+def catalog_manifest(croot: str, version: int | None = None) -> dict:
+    try:
+        with open(_catalog_path(croot, version), encoding="utf-8") as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"no catalog at {croot!r}"
+            + (f" version v{version}" if version is not None else "")
+        ) from None
+
+
+def _swap_catalog(croot: str, manifest: dict, lock) -> None:
+    """History file first, then the atomic pointer swap — the
+    :func:`..io.publish._commit_manifest` discipline on the catalog's
+    own pointer (a crash between the two leaves an orphan history file,
+    never a dangling pointer)."""
+    payload = json.dumps(manifest, sort_keys=True)
+    hist = _catalog_path(croot, manifest["version"])
+    with open(hist, "w", encoding="utf-8") as fh:
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
+    fd, tmp = tempfile.mkstemp(prefix="_CATALOG.", suffix=".tmp", dir=croot)
+    with os.fdopen(fd, "w", encoding="utf-8") as fh:
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        _verify_lock_ownership(lock)
+    except ConcurrentWriteError:
+        os.unlink(tmp)
+        try:
+            os.unlink(hist)
+        except FileNotFoundError:
+            pass
+        raise
+    os.replace(tmp, _catalog_path(croot))
+
+
+def create_catalog(croot: str) -> None:
+    os.makedirs(croot, exist_ok=True)
+    if os.path.exists(_catalog_path(croot)):
+        raise FileExistsError(f"catalog already exists at {croot!r}")
+    lock = _commit_lock(croot)
+    try:
+        _swap_catalog(croot, {"version": 0, "tables": {}}, lock)
+    finally:
+        _release_lock_if_ours(lock)
+
+
+def catalog_register(croot: str, name: str, table_root: str) -> int:
+    """Add (or re-pin) ``name`` at the table's CURRENT version.  Returns
+    the new catalog version."""
+    table_v = read_manifest(table_root)["version"]
+    lock = _commit_lock(croot)
+    try:
+        cat = catalog_manifest(croot)
+        cat = {
+            "version": cat["version"] + 1,
+            "tables": {
+                **cat["tables"],
+                name: {"root": table_root, "version": table_v},
+            },
+        }
+        _swap_catalog(croot, cat, lock)
+    finally:
+        _release_lock_if_ours(lock)
+    return cat["version"]
+
+
+def catalog_read(
+    spark: SparkSession,
+    croot: str,
+    name: str,
+    partition_col: str,
+    catalog_version: int | None = None,
+    **kw,
+) -> DataFrame:
+    """Read member table ``name`` at its catalog-pinned version — the
+    consistent cross-table snapshot.  ``catalog_version`` time-travels
+    the whole catalog.  Extra kwargs pass through to
+    :func:`..io.publish.read_snapshot` (predicates, skipping hooks)."""
+    cat = catalog_manifest(croot, catalog_version)
+    try:
+        entry = cat["tables"][name]
+    except KeyError:
+        raise KeyError(
+            f"catalog at {croot!r} has no table {name!r}; "
+            f"registered: {sorted(cat['tables'])}"
+        ) from None
+    return read_snapshot(
+        spark, entry["root"], partition_col, version=entry["version"], **kw
+    )
+
+
+class CatalogTransaction:
+    """Atomic multi-table publish.
+
+    >>> ctx = CatalogTransaction(croot)
+    >>> v_a = merge_into_versioned(spark, ctx.root("events"), ...)
+    >>> ctx.advance("events", v_a)
+    >>> v_b = update_versioned(spark, ctx.root("user_totals"), ...)
+    >>> ctx.advance("user_totals", v_b)
+    >>> ctx.commit()     # both pins flip in ONE pointer swap
+
+    The member writes are ordinary table commits; until ``commit``,
+    :func:`catalog_read` keeps serving every table at the pin this
+    transaction started from, so the catalog view is never half-updated.
+    ``commit`` refuses (``ConcurrentWriteError``) if the catalog moved
+    since the transaction began — the staged table versions stay durable
+    and can be re-pinned by a retry transaction."""
+
+    def __init__(self, croot: str):
+        self._croot = croot
+        self._base = catalog_manifest(croot)
+        self._pins: dict[str, int] = {}
+        self._closed = False
+
+    def _check_open(self) -> None:
+        if self._closed:
+            raise RuntimeError(
+                "catalog transaction already committed or rolled back"
+            )
+
+    def root(self, name: str) -> str:
+        """The member table's root, for handing to any table writer."""
+        try:
+            return self._base["tables"][name]["root"]
+        except KeyError:
+            raise KeyError(
+                f"catalog has no table {name!r}; "
+                f"registered: {sorted(self._base['tables'])}"
+            ) from None
+
+    def advance(self, name: str, version: int) -> "CatalogTransaction":
+        """Stage ``name``'s pin to move to ``version`` at commit."""
+        self._check_open()
+        self.root(name)  # validates membership
+        self._pins[name] = int(version)
+        return self
+
+    def rollback(self) -> None:
+        self._check_open()
+        self._closed = True
+
+    def commit(self) -> int:
+        """One CAS pointer swap publishing every staged pin.  Returns the
+        new catalog version (the base version if nothing was staged)."""
+        self._check_open()
+        self._closed = True
+        if not self._pins:
+            return self._base["version"]
+        lock = _commit_lock(self._croot)
+        try:
+            cur = catalog_manifest(self._croot)
+            if cur["version"] != self._base["version"]:
+                raise ConcurrentWriteError(
+                    f"catalog at {self._croot!r} moved from "
+                    f"v{self._base['version']} to v{cur['version']} during "
+                    "this transaction; retry against the new catalog"
+                )
+            tables = dict(cur["tables"])
+            for name, v in self._pins.items():
+                tables[name] = {**tables[name], "version": v}
+            new = {"version": cur["version"] + 1, "tables": tables}
+            _swap_catalog(self._croot, new, lock)
+        finally:
+            _release_lock_if_ours(lock)
+        return new["version"]

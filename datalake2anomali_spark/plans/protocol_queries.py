@@ -1238,6 +1238,121 @@ ORDER BY 1
 """
 
 
+# -- cross_table_txn: atomic multi-table catalog commit (r11 queue) -----------
+
+
+def q_cross_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic cross-table publish (``io/catalog.py``): an events table
+    and its per-user totals rollup live under one catalog; a synthetic
+    batch lands in the events table and the matching rollup row in the
+    totals table, and BOTH become visible in one catalog pointer swap.
+    In-fixture pins: mid-transaction the catalog still serves the old
+    consistent pair (the new user is invisible through the catalog even
+    though the table pointer already shows it), and after commit the
+    rollup-equals-totals invariant holds exactly (integer cents, one
+    distributed full-outer mismatch count).  The oracle recomputes the
+    final totals table from the source."""
+    from ..io.catalog import (
+        CatalogTransaction,
+        catalog_read,
+        catalog_register,
+        create_catalog,
+    )
+    from ..io.publish import init_table, merge_into_versioned, read_snapshot
+
+    def totals_of(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "v_cents"
+                ),
+            )
+            .withColumn("bucket", F.pmod("user_id", F.lit(8)).cast("string"))
+        )
+
+    e = _events(spark, sf_dir)
+    a_root = _scratch_root("d2a_cat_events", sf_dir)
+    b_root = _scratch_root("d2a_cat_totals", sf_dir)
+    croot = _scratch_root("d2a_cat", sf_dir)
+    init_table(spark, e, a_root, "event_date")
+    init_table(spark, totals_of(e), b_root, "bucket")
+    create_catalog(croot)
+    catalog_register(croot, "events", a_root)
+    catalog_register(croot, "user_totals", b_root)
+
+    syn_user = 888_888_888
+    syn = (
+        e.filter(F.col("event_id") % 211 == 0)
+        .withColumn("event_id", F.col("event_id") + 90_000_000)
+        .withColumn("user_id", F.lit(syn_user))
+        .withColumn("event_date", F.lit("2041-06-01"))
+    )
+    ctx = CatalogTransaction(croot)
+    v_a = merge_into_versioned(
+        spark, ctx.root("events"), syn, ["event_id"], "event_date"
+    )
+    ctx.advance("events", v_a)
+    # the table pointer moved, the catalog view did not
+    mid = catalog_read(spark, croot, "events", "event_date").filter(
+        F.col("user_id") == syn_user
+    )
+    if mid.count() != 0:
+        raise AssertionError("catalog leaked a pre-publish table version")
+    new_b = totals_of(read_snapshot(spark, a_root, "event_date")).filter(
+        F.col("user_id") == syn_user
+    )
+    v_b = merge_into_versioned(
+        spark, ctx.root("user_totals"), new_b, ["user_id"], "bucket"
+    )
+    ctx.advance("user_totals", v_b)
+    ctx.commit()
+
+    a = catalog_read(spark, croot, "events", "event_date")
+    b = catalog_read(spark, croot, "user_totals", "bucket").select(
+        "user_id", "n", "v_cents"
+    )
+    mismatches = (
+        totals_of(a)
+        .select("user_id", "n", "v_cents")
+        .join(b.withColumnRenamed("n", "bn").withColumnRenamed("v_cents", "bv"),
+              ["user_id"], "full_outer")
+        .filter(
+            ~(F.col("n").eqNullSafe(F.col("bn")))
+            | ~(F.col("v_cents").eqNullSafe(F.col("bv")))
+        )
+        .count()
+    )
+    if mismatches:
+        raise AssertionError(
+            f"rollup/totals invariant broken for {mismatches} users"
+        )
+    return b.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").alias("total_rows"),
+        F.sum("v_cents").alias("v_cents_total"),
+    )
+
+
+CROSS_TABLE_TXN_SQL = """
+WITH post AS (
+  SELECT user_id, value FROM events
+  UNION ALL
+  SELECT 888888888, value FROM events WHERE event_id % 211 = 0
+),
+b AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS v_cents
+  FROM post GROUP BY 1
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS total_rows,
+       CAST(SUM(v_cents) AS BIGINT) AS v_cents_total
+FROM b
+"""
+
+
 QUERIES = {
     "sync_versioned": q_sync_versioned,
     "table_follower_rollup": q_table_follower_rollup,

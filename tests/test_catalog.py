@@ -1,0 +1,160 @@
+"""Multi-table catalog (io/catalog.py): consistent cross-table reads,
+atomic two-table publish, catalog time travel, conflict detection, and
+transaction lifecycle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake2anomali_spark.io.catalog import (
+    CatalogTransaction,
+    catalog_manifest,
+    catalog_read,
+    catalog_register,
+    create_catalog,
+)
+from datalake2anomali_spark.io.publish import (
+    ConcurrentWriteError,
+    init_table,
+    merge_into_versioned,
+    read_snapshot,
+)
+from datalake2anomali_spark.io.tables import load_table
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+
+
+def _totals_of(df):
+    return (
+        df.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v_sum"))
+        .withColumn("bucket", F.pmod("user_id", F.lit(8)).cast("string"))
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r["user_id"], r["n"], round(r["v_sum"] or 0.0, 6))
+        for r in df.select("user_id", "n", "v_sum").collect()
+    )
+
+
+def _setup(spark, sf_dir, tmp_path):
+    a_root = str(tmp_path / "events")
+    b_root = str(tmp_path / "totals")
+    croot = str(tmp_path / "cat")
+    e = _events(spark, sf_dir)
+    init_table(spark, e, a_root, "event_date")
+    init_table(spark, _totals_of(e), b_root, "bucket")
+    create_catalog(croot)
+    catalog_register(croot, "events", a_root)
+    catalog_register(croot, "user_totals", b_root)
+    return a_root, b_root, croot, e
+
+
+def _invariant_holds(spark, croot, catalog_version=None):
+    a = catalog_read(spark, croot, "events", "event_date", catalog_version)
+    b = catalog_read(spark, croot, "user_totals", "bucket", catalog_version)
+    return _rows(_totals_of(a)) == _rows(b)
+
+
+def test_catalog_atomic_cross_table_commit(spark, sf_dir, tmp_path):
+    """The A-rollup == B invariant holds at EVERY catalog snapshot: after
+    A's table-level write but before the catalog commit the catalog view
+    stays (old, old); the one pointer swap flips to (new, new); the old
+    catalog version remains time-travel-readable and consistent."""
+    a_root, b_root, croot, e = _setup(spark, sf_dir, tmp_path)
+    assert _invariant_holds(spark, croot)
+    cat_v0 = catalog_manifest(croot)["version"]
+
+    syn = (
+        e.limit(500)
+        .withColumn("event_id", F.col("event_id") + 90_000_000)
+        .withColumn("user_id", F.lit(888_888_888))
+        .withColumn("event_date", F.lit("2041-06-01"))
+    )
+    ctx = CatalogTransaction(croot)
+    v_a = merge_into_versioned(
+        spark, ctx.root("events"), syn, ["event_id"], "event_date"
+    )
+    ctx.advance("events", v_a)
+    # A's TABLE pointer already shows the new rows ...
+    assert (
+        read_snapshot(spark, a_root, "event_date")
+        .filter(F.col("user_id") == 888_888_888)
+        .count()
+        == 500
+    )
+    # ... but the CATALOG view is still the consistent old pair
+    assert (
+        catalog_read(spark, croot, "events", "event_date")
+        .filter(F.col("user_id") == 888_888_888)
+        .count()
+        == 0
+    )
+    assert _invariant_holds(spark, croot)
+
+    new_b = _totals_of(read_snapshot(spark, a_root, "event_date")).filter(
+        F.col("user_id") == 888_888_888
+    )
+    v_b = merge_into_versioned(
+        spark, ctx.root("user_totals"), new_b, ["user_id"], "bucket"
+    )
+    ctx.advance("user_totals", v_b)
+    assert _invariant_holds(spark, croot)  # still pre-publish
+    cat_v1 = ctx.commit()
+    assert cat_v1 == cat_v0 + 1
+
+    # post-publish: both new, still consistent; old catalog still readable
+    assert (
+        catalog_read(spark, croot, "events", "event_date")
+        .filter(F.col("user_id") == 888_888_888)
+        .count()
+        == 500
+    )
+    assert _invariant_holds(spark, croot)
+    assert _invariant_holds(spark, croot, catalog_version=cat_v0)
+    assert (
+        catalog_read(
+            spark, croot, "events", "event_date", catalog_version=cat_v0
+        )
+        .filter(F.col("user_id") == 888_888_888)
+        .count()
+        == 0
+    )
+
+
+def test_catalog_conflict_and_lifecycle(spark, sf_dir, tmp_path):
+    a_root, b_root, croot, e = _setup(spark, sf_dir, tmp_path)
+
+    with pytest.raises(FileExistsError):
+        create_catalog(croot)
+    with pytest.raises(KeyError, match="no table"):
+        catalog_read(spark, croot, "nope", "x")
+
+    # concurrent catalog move between begin and commit -> refused
+    ctx = CatalogTransaction(croot)
+    ctx.advance("events", 1)
+    catalog_register(croot, "events_again", a_root)
+    with pytest.raises(ConcurrentWriteError, match="catalog"):
+        ctx.commit()
+    with pytest.raises(RuntimeError, match="already committed"):
+        ctx.commit()
+
+    # empty commit publishes nothing; rollback closes
+    v = catalog_manifest(croot)["version"]
+    assert CatalogTransaction(croot).commit() == v
+    rb = CatalogTransaction(croot)
+    rb.advance("events", 1)
+    rb.rollback()
+    with pytest.raises(RuntimeError, match="already committed"):
+        rb.advance("events", 1)
+    assert catalog_manifest(croot)["version"] == v
+
+    with pytest.raises(KeyError, match="no table"):
+        CatalogTransaction(croot).advance("missing", 1)

@@ -583,6 +583,22 @@ def _append_dir(root: str, version: int) -> str:
     return os.path.join(version_dir(root, version), "_append")
 
 
+def _resolve_vdir(root: str, manifest: dict, v: int) -> str:
+    """The version directory's REAL location: local first, then each of
+    the manifest's ``fallback_roots`` in order — how a shallow clone
+    (:func:`clone_table`) reads the source's immutable directories
+    without copying a byte.  Own writes always land locally, so a local
+    directory shadows any fallback of the same number."""
+    local = version_dir(root, v)
+    if os.path.isdir(local):
+        return local
+    for fb in manifest.get("fallback_roots", []):
+        cand = version_dir(fb, v)
+        if os.path.isdir(cand):
+            return cand
+    return local  # let the reader raise its usual missing-dir error
+
+
 def _carry_appends(manifest: dict, rewritten_pvals: set[str]) -> dict | None:
     """The append-delta record carried into a commit that REWRITES
     ``rewritten_pvals``: rewritten partitions drop their append entries
@@ -978,7 +994,7 @@ def read_snapshot(
 
     pieces = []
     for v, pvals in sorted(by_version.items()):
-        vdir = version_dir(root, v)
+        vdir = _resolve_vdir(root, manifest, v)
         spark.catalog.refreshByPath(vdir)
         pieces.append(
             _tag_wv(
@@ -991,7 +1007,7 @@ def read_snapshot(
             )
         )
     for av, pvals in sorted(app_by_version.items()):
-        adir = _append_dir(root, av)
+        adir = os.path.join(_resolve_vdir(root, manifest, av), "_append")
         spark.catalog.refreshByPath(adir)
         pieces.append(
             _tag_wv(
@@ -1037,7 +1053,9 @@ def read_snapshot(
             # every partition skipped by metadata: empty relation whose
             # schema matches a non-empty read exactly
             any_v = min(int(v) for v in manifest["partitions"].values())
-            empty = spark.read.parquet(version_dir(root, any_v)).limit(0)
+            empty = spark.read.parquet(
+                _resolve_vdir(root, manifest, any_v)
+            ).limit(0)
             return _row_filters(_project_schema(empty))
         raise ValueError(f"versioned table at {root!r} has no live partitions")
     out = pieces[0]
@@ -1063,7 +1081,9 @@ def read_snapshot(
             for dvv in vs:
                 live_by_version.setdefault(int(dvv), []).append(pval)
         vecs = [
-            spark.read.parquet(_dv_dir(root, dvv)).filter(
+            spark.read.parquet(
+                os.path.join(_resolve_vdir(root, manifest, dvv), "_dv")
+            ).filter(
                 F.col(partition_col).cast("string").isin(sorted(pvals))
             )
             for dvv, pvals in sorted(live_by_version.items())
@@ -1319,7 +1339,7 @@ def optimize_partitions(
             _hive_partition_dir(partition_col, pv): pv for pv in owned
         }
         for rel, (n_files, _b) in dataset_file_stats(
-            version_dir(root, ver)
+            _resolve_vdir(root, manifest, ver)
         ).items():
             pv = dir_to_raw.get(rel)
             if pv is not None and n_files >= min_files:
@@ -1382,6 +1402,8 @@ def optimize_partitions(
     carried_ap = _carry_appends(manifest, chosen_set)
     if carried_ap:
         new_manifest["appends"] = carried_ap
+    if manifest.get("fallback_roots"):
+        new_manifest["fallback_roots"] = list(manifest["fallback_roots"])
     _commit_checked(root, new_manifest, manifest["version"])
     return v, sorted(chosen)
 
@@ -1833,7 +1855,9 @@ def compact_versioned(
     for pval, ver in manifest["partitions"].items():
         by_version.setdefault(int(ver), set()).add(pval)
     for ver, owned in by_version.items():
-        for rel, (_n, b) in dataset_file_stats(version_dir(root, ver)).items():
+        for rel, (_n, b) in dataset_file_stats(
+            _resolve_vdir(root, manifest, ver)
+        ).items():
             if rel.split("=", 1)[-1] in owned:
                 live_bytes += b
     n_ranges = max(1, math.ceil(live_bytes / target_file_bytes))
@@ -2145,6 +2169,8 @@ def _commit_ownership_rewrite(
     carried_ap = _carry_appends(manifest, affected_vals)
     if carried_ap:
         new_manifest["appends"] = carried_ap
+    if manifest.get("fallback_roots"):
+        new_manifest["fallback_roots"] = list(manifest["fallback_roots"])
     if ref is not None:
         # branch commits carry their ref identity and the main version
         # they forked from — fast_forward's publish precondition
@@ -2265,7 +2291,7 @@ def restore_version(root: str, version: int) -> int:
     needed.update(_dv_versions(target))
     needed.update(_append_versions(target))
     for v in needed:
-        if not os.path.isdir(version_dir(root, v)):
+        if not os.path.isdir(_resolve_vdir(root, target, v)):
             raise FileNotFoundError(
                 f"cannot restore to v{version}: its data directory _v{v} "
                 "was vacuumed; only versions within the retention window "
@@ -2278,11 +2304,175 @@ def restore_version(root: str, version: int) -> int:
         "operation": f"restore(v{version})",
     }
     for extra in (
-        "stats", "bloom", "schema", "rows", "constraints", "dv", "appends"
+        "stats", "bloom", "schema", "rows", "constraints", "dv", "appends",
+        "fallback_roots",
     ):
         if extra in target:
             manifest[extra] = target[extra]
     _commit_checked(root, manifest, current["version"])
+    return v_new
+
+
+def clone_table(src_root: str, dst_root: str) -> int:
+    """SHALLOW CLONE: a new independent table at ``dst_root`` whose
+    manifest re-references the source's CURRENT version directories —
+    zero data copied, created in one manifest write.  The clone records
+    ``fallback_roots`` (the source root, plus the source's own fallbacks
+    when cloning a clone) and every reader resolves a version directory
+    locally first, then down the fallback chain
+    (:func:`_resolve_vdir`); the clone's own writes claim fresh version
+    numbers locally, so the two tables diverge freely after the clone
+    (Delta's ``CREATE TABLE ... SHALLOW CLONE``).
+
+    Retention contract: the clone references the source's immutable
+    directories, so a source :func:`vacuum` aggressive enough to reclaim
+    the cloned snapshot breaks the clone — the same caveat Delta
+    documents.  A :func:`compact_versioned` on the clone rewrites it
+    fully local and drops the fallback chain (the materialize escape
+    hatch).  Returns the clone's version (the source's current)."""
+    src = read_manifest(src_root)
+    if os.path.exists(os.path.join(dst_root, MANIFEST)):
+        raise FileExistsError(f"table already exists at {dst_root!r}")
+    os.makedirs(dst_root, exist_ok=True)
+    manifest = dict(src)
+    manifest["operation"] = f"clone({src_root})"
+    chain = [os.path.abspath(src_root)] + [
+        p for p in src.get("fallback_roots", [])
+    ]
+    manifest["fallback_roots"] = chain
+    _commit_manifest(dst_root, manifest)
+    return manifest["version"]
+
+
+class MergeConflictError(RuntimeError):
+    """A branch merge found partitions (or table metadata) changed on
+    BOTH sides since the fork; merging would silently drop one side."""
+
+
+def _side_touched(side: dict, base: dict) -> set[str]:
+    """Partitions whose state differs from the fork base — owner version,
+    merge-on-read vectors, or append-deltas; covers added and dropped
+    partitions (present on one side only)."""
+    def _dv(m: dict, p: str):
+        dv = m.get("dv", {})
+        return (dv.get("files", {}).get(p), dv.get("deleted", {}).get(p))
+
+    out = set()
+    for p in set(side["partitions"]) | set(base["partitions"]):
+        if (
+            side["partitions"].get(p) != base["partitions"].get(p)
+            or _dv(side, p) != _dv(base, p)
+            or side.get("appends", {}).get(p) != base.get("appends", {}).get(p)
+        ):
+            out.add(p)
+    return out
+
+
+def merge_branch(root: str, name: str) -> int:
+    """Three-way merge of branch ``name`` into main — the
+    write-audit-publish publish step that still works after main
+    advanced, where :func:`fast_forward` must refuse.
+
+    Conflict unit is the PARTITION: each side's touched set is every
+    partition whose owner version, deletion-vector state, or
+    append-delta state differs from the fork-base snapshot; a partition
+    touched by both sides raises :class:`MergeConflictError` (rebase the
+    branch), as does a table-level field — schema, constraints, vector
+    key columns — changed differently on both sides.  Disjoint merges
+    assemble the new main manifest per partition from whichever side
+    touched it (base otherwise), with rows / zone maps / bloom filters /
+    vectors / appends following the same per-partition selection, and
+    publish as ONE new main commit under the usual compare-and-swap.
+    The branch pointer is left in place.  Returns the new main version.
+    """
+    head = read_manifest(root, ref=name)
+    cur = read_manifest(root)
+    if cur["version"] == head["branch_base"]:
+        return fast_forward(root, name)  # trivial: main never moved
+    base = read_manifest(root, head["branch_base"])
+    b_touch = _side_touched(head, base)
+    m_touch = _side_touched(cur, base)
+    conflicts = sorted(b_touch & m_touch)
+    if conflicts:
+        raise MergeConflictError(
+            f"branch {name!r} and main both changed partitions "
+            f"{conflicts[:10]}{'...' if len(conflicts) > 10 else ''}; "
+            "rebase the branch and replay its writes"
+        )
+
+    def _pick_field(field: str):
+        b_changed = head.get(field) != base.get(field)
+        m_changed = cur.get(field) != base.get(field)
+        if b_changed and m_changed and head.get(field) != cur.get(field):
+            raise MergeConflictError(
+                f"branch {name!r} and main changed {field!r} differently"
+            )
+        return head.get(field) if b_changed else cur.get(field)
+
+    def _winner(p: str) -> dict:
+        return head if p in b_touch else (cur if p in m_touch else base)
+
+    all_pvals = (
+        set(head["partitions"]) | set(cur["partitions"]) | set(base["partitions"])
+    )
+    parts: dict[str, int] = {}
+    rows: dict[str, int] = {}
+    stats: dict[str, dict] = {}
+    blooms: dict[str, dict] = {}
+    dv_files: dict[str, list] = {}
+    dv_deleted: dict[str, int] = {}
+    appends: dict[str, list] = {}
+    for p in all_pvals:
+        w = _winner(p)
+        if p not in w["partitions"]:
+            continue  # dropped by the side that touched it
+        parts[p] = w["partitions"][p]
+        if p in w.get("rows", {}):
+            rows[p] = w["rows"][p]
+        if p in w.get("stats", {}):
+            stats[p] = w["stats"][p]
+        if p in w.get("bloom", {}):
+            blooms[p] = w["bloom"][p]
+        wdv = w.get("dv", {})
+        if p in wdv.get("files", {}):
+            dv_files[p] = list(wdv["files"][p])
+            dv_deleted[p] = int(wdv.get("deleted", {}).get(p, 0))
+        if p in w.get("appends", {}):
+            appends[p] = list(w["appends"][p])
+
+    v_new = _claim_version(root)
+    manifest: dict = {
+        "version": v_new,
+        "partitions": parts,
+        "operation": f"merge_branch({name}@v{head['version']})",
+    }
+    for field in ("schema", "constraints", "fallback_roots"):
+        val = _pick_field(field)
+        if val is not None:
+            manifest[field] = val
+    if rows:
+        manifest["rows"] = rows
+    if stats:
+        manifest["stats"] = stats
+    if blooms:
+        manifest["bloom"] = blooms
+    if dv_files:
+        key_sets = [
+            m["dv"]["key_cols"] for m in (head, cur) if m.get("dv")
+        ]
+        if any(k != key_sets[0] for k in key_sets):
+            raise MergeConflictError(
+                f"branch {name!r} and main carry vectors with different "
+                "key columns"
+            )
+        manifest["dv"] = {
+            "key_cols": key_sets[0],
+            "files": dv_files,
+            "deleted": dv_deleted,
+        }
+    if appends:
+        manifest["appends"] = appends
+    _commit_checked(root, manifest, cur["version"])
     return v_new
 
 
@@ -2347,7 +2537,8 @@ def fast_forward(root: str, name: str) -> int:
         "operation": f"publish({name}@v{head['version']})",
     }
     for extra in (
-        "stats", "bloom", "schema", "rows", "constraints", "dv", "appends"
+        "stats", "bloom", "schema", "rows", "constraints", "dv", "appends",
+        "fallback_roots",
     ):
         if extra in head:
             manifest[extra] = head[extra]
@@ -2467,7 +2658,7 @@ def describe_detail(root: str) -> dict:
     )
     size = 0
     for v in live_versions:
-        for dirpath, _dn, files in os.walk(version_dir(root, v)):
+        for dirpath, _dn, files in os.walk(_resolve_vdir(root, manifest, v)):
             for f in files:
                 try:
                     size += os.path.getsize(os.path.join(dirpath, f))
@@ -2604,7 +2795,7 @@ def files_df(
         owned.setdefault(int(v), set()).add(p)
     out = []
     for v, pvals in sorted(owned.items()):
-        vdir = version_dir(root, v)
+        vdir = _resolve_vdir(root, manifest, v)
         # directory names are hive-ESCAPED (':' → '%3A' etc. — e.g. the
         # 'g1:' generation prefixes of evolved specs); match the escaped
         # form of each owned raw value and emit the RAW value, exactly as

@@ -1353,6 +1353,152 @@ FROM b
 """
 
 
+# -- shallow_clone_divergence: zero-copy clone (r11 queue) --------------------
+
+
+def q_shallow_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone (``io/publish.py: clone_table``): the clone is
+    created without copying a byte (asserted: zero parquet under the
+    clone root), reads resolve through the fallback chain to the
+    source's immutable directories, and the two tables then diverge
+    independently — a delete lands on the clone only, a merge on the
+    source only (all four isolation directions pinned with cheap
+    filtered counts).  The oracle replays both divergent states and the
+    fixture returns their side-tagged rollup."""
+    from ..io.publish import (
+        clone_table,
+        delete_from_versioned,
+        init_table,
+        merge_into_versioned,
+        read_snapshot,
+    )
+
+    e = _events(spark, sf_dir)
+    src = _scratch_root("d2a_clone_src", sf_dir)
+    dst = _scratch_root("d2a_clone_dst", sf_dir)
+    init_table(spark, e, src, "event_date")
+    clone_table(src, dst)
+    if any(
+        f.endswith(".parquet") for _d, _dn, fs in os.walk(dst) for f in fs
+    ):
+        raise AssertionError("shallow clone copied data files")
+
+    syn = (
+        e.filter(F.col("event_id") % 401 == 0)
+        .withColumn("event_id", F.col("event_id") + 60_000_000)
+        .withColumn("event_type", F.lit("cloned_in"))
+    )
+    delete_from_versioned(
+        spark, dst, "event_date", F.col("event_type") == "click"
+    )
+    merge_into_versioned(spark, src, syn, ["event_id"], "event_date")
+
+    s = read_snapshot(spark, src, "event_date")
+    d = read_snapshot(spark, dst, "event_date")
+    if s.filter(F.col("event_type") == "click").count() == 0:
+        raise AssertionError("clone delete leaked into the source")
+    if d.filter(F.col("event_type") == "click").count() != 0:
+        raise AssertionError("clone delete did not apply")
+    if s.filter(F.col("event_type") == "cloned_in").count() == 0:
+        raise AssertionError("source merge did not apply")
+    if d.filter(F.col("event_type") == "cloned_in").count() != 0:
+        raise AssertionError("source merge leaked into the clone")
+    tagged = s.withColumn("side", F.lit("src")).unionByName(
+        d.withColumn("side", F.lit("clone"))
+    )
+    return (
+        tagged.groupBy("side", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", 2).alias("v_sum"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("side", "event_type")
+    )
+
+
+SHALLOW_CLONE_DIVERGENCE_SQL = f"""
+WITH post AS (
+  SELECT 'src' AS side, event_id, event_type, value FROM events
+  UNION ALL
+  SELECT 'src', event_id + 60000000, 'cloned_in', value
+  FROM events WHERE event_id % 401 = 0
+  UNION ALL
+  SELECT 'clone', event_id, event_type, value
+  FROM events WHERE event_type <> 'click'
+)
+SELECT side, event_type, COUNT(*) AS n,
+       {DSUM_SQL("value", 2)} AS v_sum,
+       MIN(event_id) AS min_id,
+       MAX(event_id) AS max_id
+FROM post
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# -- branch_merge_disjoint: three-way branch merge (r11 queue) ----------------
+
+
+def q_branch_merge_disjoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way branch merge (``io/publish.py: merge_branch``): the
+    branch drops the earliest date via a merge-on-read DELETE while main
+    concurrently merges new rows into a brand-new date — the exact case
+    ``fast_forward`` must refuse (main moved) — and the partition-level
+    merge publishes BOTH effects in one main commit, carrying the
+    branch's deletion vectors into main's manifest (asserted).  The
+    oracle replays both sides' set algebra."""
+    from ..io.publish import (
+        create_branch,
+        delete_from_versioned,
+        init_table,
+        merge_branch,
+        merge_into_versioned,
+        read_manifest,
+        read_snapshot,
+    )
+
+    e = _events(spark, sf_dir)
+    root = _scratch_root("d2a_bmerge", sf_dir)
+    init_table(spark, e, root, "event_date")
+    victim = e.agg(F.min("event_date")).collect()[0][0]
+
+    create_branch(root, "work")
+    delete_from_versioned(
+        spark, root, "event_date",
+        F.col("event_date") == victim,
+        ref="work", mode="merge_on_read", key_cols=["event_id"],
+    )
+    syn = (
+        e.filter(F.col("event_id") % 301 == 0)
+        .withColumn("event_id", F.col("event_id") + 61_000_000)
+        .withColumn("event_date", F.lit("2042-03-01"))
+    )
+    merge_into_versioned(spark, root, syn, ["event_id"], "event_date")
+
+    v = merge_branch(root, "work")
+    m = read_manifest(root)
+    if m["version"] != v or not m["operation"].startswith("merge_branch(work@"):
+        raise AssertionError("branch merge not recorded as merge_branch")
+    if victim not in m.get("dv", {}).get("files", {}):
+        raise AssertionError("branch deletion vectors not carried into main")
+    return _type_rollup(read_snapshot(spark, root, "event_date"))
+
+
+BRANCH_MERGE_DISJOINT_SQL = f"""
+WITH post AS (
+  SELECT event_id, event_type, value FROM events
+  WHERE strftime(ts, '%Y-%m-%d')
+        <> (SELECT MIN(strftime(ts, '%Y-%m-%d')) FROM events)
+  UNION ALL
+  SELECT event_id + 61000000, event_type, value
+  FROM events WHERE event_id % 301 = 0
+)
+{_TYPE_ROLLUP_SQL}
+"""
+
+
 QUERIES = {
     "sync_versioned": q_sync_versioned,
     "table_follower_rollup": q_table_follower_rollup,

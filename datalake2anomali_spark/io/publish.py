@@ -583,6 +583,22 @@ def _append_dir(root: str, version: int) -> str:
     return os.path.join(version_dir(root, version), "_append")
 
 
+def _apply_renames(df: DataFrame, renames: list, written_v: int) -> DataFrame:
+    """Map a piece's PHYSICAL column names to the table's logical names:
+    apply, in commit order, every rename committed AFTER the piece was
+    written (a piece written post-rename already carries the new name).
+    If the target name is already physically present it must be a column
+    that was logically dropped before the rename was allowed (rename
+    validation refuses live duplicates), so the stale physical column is
+    dropped first."""
+    for r in renames:
+        if int(r["v"]) > written_v and r["from"] in df.columns:
+            if r["to"] in df.columns:
+                df = df.drop(r["to"])
+            df = df.withColumnRenamed(r["from"], r["to"])
+    return df
+
+
 def _resolve_vdir(root: str, manifest: dict, v: int) -> str:
     """The version directory's REAL location: local first, then each of
     the manifest's ``fallback_roots`` in order — how a shallow clone
@@ -992,6 +1008,7 @@ def read_snapshot(
     def _tag_wv(df: DataFrame, wv: int) -> DataFrame:
         return df.withColumn("_wv", F.lit(wv)) if seq_aware else df
 
+    renames = manifest.get("renames", [])
     pieces = []
     for v, pvals in sorted(by_version.items()):
         vdir = _resolve_vdir(root, manifest, v)
@@ -999,7 +1016,9 @@ def read_snapshot(
         pieces.append(
             _tag_wv(
                 _normalize_types(
-                    spark.read.parquet(vdir).filter(
+                    _apply_renames(
+                        spark.read.parquet(vdir), renames, v
+                    ).filter(
                         F.col(partition_col).cast("string").isin(pvals)
                     )
                 ),
@@ -1012,7 +1031,9 @@ def read_snapshot(
         pieces.append(
             _tag_wv(
                 _normalize_types(
-                    spark.read.parquet(adir).filter(
+                    _apply_renames(
+                        spark.read.parquet(adir), renames, av
+                    ).filter(
                         F.col(partition_col).cast("string").isin(sorted(pvals))
                     )
                 ),
@@ -1404,6 +1425,8 @@ def optimize_partitions(
         new_manifest["appends"] = carried_ap
     if manifest.get("fallback_roots"):
         new_manifest["fallback_roots"] = list(manifest["fallback_roots"])
+    if manifest.get("renames"):
+        new_manifest["renames"] = list(manifest["renames"])
     _commit_checked(root, new_manifest, manifest["version"])
     return v, sorted(chosen)
 
@@ -1815,6 +1838,132 @@ def _update_merge_on_read(
     return v
 
 
+def alter_table_columns(
+    root: str,
+    add: list[tuple[str, str]] | None = None,
+    drop: list[str] | None = None,
+    rename: dict[str, str] | None = None,
+    ref: str | None = None,
+) -> int:
+    """Metadata-only column evolution — ADD / DROP / RENAME COLUMN with
+    zero data rewritten (Iceberg's name-mapping schema evolution; what
+    Delta needs column-mapping mode for).
+
+    ``add``: ``(name, ddl_type)`` pairs — existing rows read the new
+    column as NULL (the recorded-schema projection fills it), new writes
+    carry it.  ``drop``: the recorded schema stops projecting the
+    column; old files keep the bytes (reclaimed as partitions naturally
+    rewrite).  ``rename``: ``{old: new}`` — recorded in the manifest's
+    rename log, and every reader maps each piece's PHYSICAL names to the
+    logical schema by replaying the renames committed after that piece
+    was written (:func:`_apply_renames`), so files written before and
+    after the rename read uniformly with no rewrite.
+
+    Refused: touching ``partition_col`` is impossible to express here
+    (the directory layout carries the name) — the partition column is
+    whatever the caller passes to readers/writers, so this function
+    refuses any add/drop/rename name that collides with a live
+    deletion-vector key column, and any drop/rename of a column a CHECK
+    constraint references.  Applies in drop → rename → add order within
+    one commit.  Returns the published version."""
+    import re as _re
+
+    manifest = read_manifest(root, ref=ref)
+    schema = [list(x) for x in manifest.get("schema") or []]
+    if not schema:
+        raise ValueError(
+            f"table at {root!r} records no schema; cannot alter columns"
+        )
+    names = [n for n, _t in schema]
+    dv_keys = set(manifest.get("dv", {}).get("key_cols", []))
+    constraints = manifest.get("constraints", {})
+
+    def _constraint_refs(col: str) -> list[str]:
+        pat = _re.compile(rf"\b{_re.escape(col)}\b")
+        return [name for name, sql in constraints.items() if pat.search(sql)]
+
+    add = list(add or [])
+    drop = list(drop or [])
+    rename = dict(rename or {})
+    if not (add or drop or rename):
+        raise ValueError("nothing to alter: pass add, drop, and/or rename")
+
+    for col in drop:
+        if col not in names:
+            raise ValueError(f"cannot drop unknown column {col!r}")
+        if col in dv_keys:
+            raise ValueError(
+                f"column {col!r} keys the table's deletion vectors"
+            )
+        refs = _constraint_refs(col)
+        if refs:
+            raise ValueError(
+                f"column {col!r} is referenced by constraints {refs}"
+            )
+    schema = [[n, t] for n, t in schema if n not in drop]
+    names = [n for n, _t in schema]
+
+    for old, new in rename.items():
+        if old not in names:
+            raise ValueError(f"cannot rename unknown column {old!r}")
+        if new in names:
+            raise ValueError(f"rename target {new!r} already exists")
+        if old in dv_keys:
+            raise ValueError(
+                f"column {old!r} keys the table's deletion vectors"
+            )
+        refs = _constraint_refs(old)
+        if refs:
+            raise ValueError(
+                f"column {old!r} is referenced by constraints {refs}"
+            )
+    schema = [
+        [rename.get(n, n), t] for n, t in schema
+    ]
+    names = [n for n, _t in schema]
+
+    for col, ddl in add:
+        if col in names:
+            raise ValueError(f"cannot add existing column {col!r}")
+        schema.append([col, ddl])
+        names.append(col)
+
+    v = _claim_version(root)
+    new_manifest = dict(manifest)
+    new_manifest["version"] = v
+    new_manifest["schema"] = schema
+    parts = ", ".join(
+        [f"drop {c}" for c in drop]
+        + [f"rename {o}->{n}" for o, n in rename.items()]
+        + [f"add {c}" for c, _t in add]
+    )
+    new_manifest["operation"] = f"alter({parts})"
+    if rename:
+        new_manifest["renames"] = list(manifest.get("renames", [])) + [
+            {"from": o, "to": n, "v": v} for o, n in rename.items()
+        ]
+    if manifest.get("stats"):
+        new_manifest["stats"] = {
+            p: {
+                rename.get(c, c): rng
+                for c, rng in st.items()
+                if c not in drop
+            }
+            for p, st in manifest["stats"].items()
+        }
+    if manifest.get("bloom"):
+        new_manifest["bloom"] = {
+            p: {
+                rename.get(c, c): bm
+                for c, bm in bms.items()
+                if c not in drop
+            }
+            for p, bms in manifest["bloom"].items()
+        }
+    _commit_checked(root, new_manifest, manifest["version"], ref=ref)
+    return v
+
+
 def compact_versioned(
     spark: SparkSession,
     root: str,
@@ -2171,6 +2320,10 @@ def _commit_ownership_rewrite(
         new_manifest["appends"] = carried_ap
     if manifest.get("fallback_roots"):
         new_manifest["fallback_roots"] = list(manifest["fallback_roots"])
+    if manifest.get("renames"):
+        # rewritten pieces carry logical names, but untouched partitions'
+        # older files still need the physical->logical mapping
+        new_manifest["renames"] = list(manifest["renames"])
     if ref is not None:
         # branch commits carry their ref identity and the main version
         # they forked from — fast_forward's publish precondition
@@ -2305,7 +2458,7 @@ def restore_version(root: str, version: int) -> int:
     }
     for extra in (
         "stats", "bloom", "schema", "rows", "constraints", "dv", "appends",
-        "fallback_roots",
+        "fallback_roots", "renames",
     ):
         if extra in target:
             manifest[extra] = target[extra]
@@ -2446,7 +2599,7 @@ def merge_branch(root: str, name: str) -> int:
         "partitions": parts,
         "operation": f"merge_branch({name}@v{head['version']})",
     }
-    for field in ("schema", "constraints", "fallback_roots"):
+    for field in ("schema", "constraints", "fallback_roots", "renames"):
         val = _pick_field(field)
         if val is not None:
             manifest[field] = val
@@ -2538,7 +2691,7 @@ def fast_forward(root: str, name: str) -> int:
     }
     for extra in (
         "stats", "bloom", "schema", "rows", "constraints", "dv", "appends",
-        "fallback_roots",
+        "fallback_roots", "renames",
     ):
         if extra in head:
             manifest[extra] = head[extra]

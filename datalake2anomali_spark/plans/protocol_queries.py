@@ -1499,6 +1499,103 @@ WITH post AS (
 """
 
 
+# -- column_evolution: metadata-only ADD/DROP/RENAME (r11 queue) --------------
+
+
+def q_column_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column evolution (``io/publish.py:
+    alter_table_columns``): one commit adds ``score``, renames ``value``
+    to ``amount`` and drops ``props`` with ZERO parquet rewritten
+    (asserted by file count), readers map each piece's physical names
+    through the rename log, and a post-alter MERGE writes the new
+    physical names so the final read mixes pre- and post-alter pieces
+    (old rows surface NULL scores, renamed values carry through, the
+    rename-followed zone maps still prune).  The oracle replays the
+    rename as a SELECT alias and the merge as a UNION."""
+    from ..io.publish import (
+        alter_table_columns,
+        init_table,
+        merge_into_versioned,
+        read_manifest,
+        read_snapshot,
+    )
+
+    e = _events(spark, sf_dir)
+    root = _scratch_root("d2a_colevo", sf_dir)
+    init_table(spark, e, root, "event_date", stats_cols=["value"])
+
+    def n_parquet() -> int:
+        return sum(
+            1
+            for _d, _dn, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before = n_parquet()
+    alter_table_columns(
+        root,
+        add=[("score", "double")],
+        drop=["props"],
+        rename={"value": "amount"},
+    )
+    if n_parquet() != before:
+        raise AssertionError("ALTER rewrote data files")
+    m = read_manifest(root)
+    if [n for n, _t in m["schema"]] != [
+        "event_id", "ts", "user_id", "event_type", "amount", "event_date",
+        "score",
+    ]:
+        raise AssertionError(f"wrong post-alter schema: {m['schema']}")
+
+    snap = read_snapshot(spark, root, "event_date")
+    fresh = (
+        snap.filter(F.col("event_type") == "purchase")
+        .withColumn("event_id", F.col("event_id") + 55_000_000)
+        .withColumn("amount", F.lit(123.0))
+        .withColumn("score", F.lit(0.5))
+    )
+    merge_into_versioned(spark, root, fresh, ["event_id"], "event_date")
+    after = read_snapshot(spark, root, "event_date")
+    # the rename-followed zone maps still prune: range read returns rows
+    hi = after.agg(F.max("amount")).collect()[0][0]
+    ranged = read_snapshot(
+        spark, root, "event_date", predicate=("amount", float(hi), float(hi))
+    )
+    if ranged.count() == 0:
+        raise AssertionError("renamed zone map lost the range read")
+    return (
+        after.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("amount", 2).alias("amount_sum"),
+            F.count("score").alias("n_scored"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+COLUMN_EVOLUTION_SQL = f"""
+WITH post AS (
+  SELECT event_id, event_type, value AS amount, CAST(NULL AS DOUBLE) AS score
+  FROM events
+  UNION ALL
+  SELECT event_id + 55000000, event_type, 123.0, 0.5
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT event_type, COUNT(*) AS n,
+       {DSUM_SQL("amount", 2)} AS amount_sum,
+       COUNT(score) AS n_scored,
+       MIN(event_id) AS min_id,
+       MAX(event_id) AS max_id
+FROM post
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "sync_versioned": q_sync_versioned,
     "table_follower_rollup": q_table_follower_rollup,

@@ -79,9 +79,16 @@ def _swap_catalog(croot: str, manifest: dict, lock) -> None:
         _verify_lock_ownership(lock)
     except ConcurrentWriteError:
         os.unlink(tmp)
+        # drop OUR orphan history file — but catalog versions are not
+        # dir-claimed like table versions, so a lock thief may have
+        # already committed its OWN _CATALOG.v{N}.json under the same
+        # number; unlink only if the content is still ours (a committed
+        # thief's snapshot must survive a stalled loser's cleanup)
         try:
-            os.unlink(hist)
-        except FileNotFoundError:
+            with open(hist, encoding="utf-8") as fh:
+                if fh.read() == payload:
+                    os.unlink(hist)
+        except (FileNotFoundError, OSError):
             pass
         raise
     os.replace(tmp, _catalog_path(croot))

@@ -202,13 +202,18 @@ def indexed_read(
     """Point lookup through the index: read ONLY the partitions the index
     proves can hold ``value``, then apply the exact equality filter.
 
-    Correctness requires a fresh index — the partition filter's safety
-    contract.  ``refresh=True`` (default) advances the index first;
-    ``refresh=False`` refuses a stale index instead of silently missing
-    newly written rows."""
+    Correctness requires the index and the base read to agree on a
+    version — the partition filter's safety contract.  ``refresh=True``
+    (default) advances the index first; ``refresh=False`` refuses a
+    stale index instead of silently missing newly written rows.  Either
+    way the base table is read PINNED at the version the index reflects,
+    so a writer landing between the freshness check and the scan cannot
+    slip rows past the stale partition set.  (Concurrent refreshers of
+    the same index are a single-maintainer contract, as with any
+    follower cursor.)"""
     meta = _meta(index_root)
     if refresh:
-        refresh_value_index(spark, index_root)
+        pinned = refresh_value_index(spark, index_root)
     else:
         cur = read_manifest(meta["root"])["version"]
         pos = _follower(index_root, meta).position()
@@ -217,8 +222,9 @@ def indexed_read(
                 f"index at {index_root!r} reflects v{pos} but the table is "
                 f"at v{cur}; refresh it or pass refresh=True"
             )
+        pinned = cur
     parts = index_lookup_partitions(spark, index_root, value)
     return read_snapshot(
-        spark, meta["root"], meta["partition_col"],
+        spark, meta["root"], meta["partition_col"], version=pinned,
         partition_filter=lambda p: p in parts,
     ).filter(F.col(meta["col"]) == F.lit(value))

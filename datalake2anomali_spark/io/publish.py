@@ -350,13 +350,24 @@ class ConcurrentWriteError(RuntimeError):
 
 
 def _next_version(root: str) -> int:
-    """1 + the highest ``_v*`` directory ON DISK — published or orphaned —
-    so a crashed writer's leftovers are never written into again."""
+    """1 + the highest version seen on disk: ``_v*`` directories
+    (published or orphaned — a crashed writer's leftovers are never
+    written into again) AND ``_MANIFEST.v*`` history files.  The history
+    scan matters for a shallow clone: its root starts with ZERO local
+    ``_v*`` directories while its manifest references the source's
+    version numbers through ``fallback_roots`` — without it, the clone's
+    first claim would reuse version 1, move the pointer backward, and a
+    later local ``_v{N}`` would shadow the fallback directory still
+    owning untouched partitions."""
     vs = [0]
     for name in os.listdir(root):
         m = _VDIR.match(name)
         if m and os.path.isdir(os.path.join(root, name)):
             vs.append(int(m.group(1)))
+            continue
+        h = _HIST.match(name)
+        if h:
+            vs.append(int(h.group(1)))
     return max(vs) + 1
 
 
@@ -583,19 +594,40 @@ def _append_dir(root: str, version: int) -> str:
     return os.path.join(version_dir(root, version), "_append")
 
 
-def _apply_renames(df: DataFrame, renames: list, written_v: int) -> DataFrame:
+def _map_physical(df: DataFrame, manifest: dict, written_v: int) -> DataFrame:
     """Map a piece's PHYSICAL column names to the table's logical names:
-    apply, in commit order, every rename committed AFTER the piece was
-    written (a piece written post-rename already carries the new name).
-    If the target name is already physically present it must be a column
-    that was logically dropped before the rename was allowed (rename
-    validation refuses live duplicates), so the stale physical column is
-    dropped first."""
-    for r in renames:
-        if int(r["v"]) > written_v and r["from"] in df.columns:
-            if r["to"] in df.columns:
-                df = df.drop(r["to"])
-            df = df.withColumnRenamed(r["from"], r["to"])
+    replay, in commit order, every schema event committed AFTER the
+    piece was written (a piece written post-event already carries the
+    new physical layout).
+
+    - rename: if the target name is already physically present it must
+      be a column that was logically dropped before the rename was
+      allowed (validation refuses live duplicates), so the stale
+      physical column is dropped first, then the rename applies.
+    - add: a piece that physically carries the added name must be
+      holding a DROPPED predecessor's bytes — those must read as NULL
+      under the re-added column, not resurrect, so the stale physical
+      column is dropped (the recorded-schema projection then fills
+      NULL).
+
+    Within one commit renames replay before adds, matching
+    :func:`alter_table_columns`' drop → rename → add validation order
+    (a single commit may rename ``a`` away AND re-add a fresh ``a``)."""
+    events = sorted(
+        [(int(r["v"]), 0, r) for r in manifest.get("renames", [])]
+        + [(int(a["v"]), 1, a) for a in manifest.get("adds", [])],
+        key=lambda e: (e[0], e[1]),
+    )
+    for v, kind, ev in events:
+        if v <= written_v:
+            continue
+        if kind == 0:
+            if ev["from"] in df.columns:
+                if ev["to"] in df.columns:
+                    df = df.drop(ev["to"])
+                df = df.withColumnRenamed(ev["from"], ev["to"])
+        elif ev["name"] in df.columns:
+            df = df.drop(ev["name"])
     return df
 
 
@@ -1008,7 +1040,6 @@ def read_snapshot(
     def _tag_wv(df: DataFrame, wv: int) -> DataFrame:
         return df.withColumn("_wv", F.lit(wv)) if seq_aware else df
 
-    renames = manifest.get("renames", [])
     pieces = []
     for v, pvals in sorted(by_version.items()):
         vdir = _resolve_vdir(root, manifest, v)
@@ -1016,8 +1047,8 @@ def read_snapshot(
         pieces.append(
             _tag_wv(
                 _normalize_types(
-                    _apply_renames(
-                        spark.read.parquet(vdir), renames, v
+                    _map_physical(
+                        spark.read.parquet(vdir), manifest, v
                     ).filter(
                         F.col(partition_col).cast("string").isin(pvals)
                     )
@@ -1031,8 +1062,8 @@ def read_snapshot(
         pieces.append(
             _tag_wv(
                 _normalize_types(
-                    _apply_renames(
-                        spark.read.parquet(adir), renames, av
+                    _map_physical(
+                        spark.read.parquet(adir), manifest, av
                     ).filter(
                         F.col(partition_col).cast("string").isin(sorted(pvals))
                     )
@@ -1346,7 +1377,7 @@ def optimize_partitions(
     from .compact import dataset_file_stats
 
     manifest = read_manifest(root)
-    frag: list[tuple[int, str]] = []
+    n_by_pval: dict[str, int] = {}
     by_version: dict[int, set[str]] = {}
     for pval, ver in manifest["partitions"].items():
         by_version.setdefault(int(ver), set()).add(pval)
@@ -1363,8 +1394,28 @@ def optimize_partitions(
             _resolve_vdir(root, manifest, ver)
         ).items():
             pv = dir_to_raw.get(rel)
-            if pv is not None and n_files >= min_files:
-                frag.append((n_files, pv))
+            if pv is not None:
+                n_by_pval[pv] = n_by_pval.get(pv, 0) + n_files
+    # merge-on-read append-deltas fragment a partition exactly like small
+    # files (every read unions them in) — count them, or an update-heavy
+    # partition never qualifies for OPTIMIZE no matter how bad its read
+    # amplification gets
+    ap_by_version: dict[int, set[str]] = {}
+    for pval, avs in manifest.get("appends", {}).items():
+        for av in avs:
+            ap_by_version.setdefault(int(av), set()).add(pval)
+    for av, owned in ap_by_version.items():
+        adir = os.path.join(_resolve_vdir(root, manifest, av), "_append")
+        dir_to_raw = {
+            _hive_partition_dir(partition_col, pv): pv for pv in owned
+        }
+        for rel, (n_files, _b) in dataset_file_stats(adir).items():
+            pv = dir_to_raw.get(rel)
+            if pv is not None:
+                n_by_pval[pv] = n_by_pval.get(pv, 0) + n_files
+    frag = [
+        (n, pv) for pv, n in n_by_pval.items() if n >= min_files
+    ]
     frag.sort(reverse=True)  # worst-fragmented first under the cap
     chosen = [pv for _n, pv in frag[: max_partitions or len(frag)]]
     if not chosen:
@@ -1425,8 +1476,9 @@ def optimize_partitions(
         new_manifest["appends"] = carried_ap
     if manifest.get("fallback_roots"):
         new_manifest["fallback_roots"] = list(manifest["fallback_roots"])
-    if manifest.get("renames"):
-        new_manifest["renames"] = list(manifest["renames"])
+    for log in ("renames", "adds"):
+        if manifest.get(log):
+            new_manifest[log] = list(manifest[log])
     _commit_checked(root, new_manifest, manifest["version"])
     return v, sorted(chosen)
 
@@ -1826,8 +1878,17 @@ def _update_merge_on_read(
             spark, adir, partition_col,
             sorted(next(iter(old_blooms.values())).keys()),
         )
+        # a column whose appended rows are all NULL has no entry in the
+        # append bloom — NULL never matches an equality probe, so the
+        # existing filter stands unchanged (indexing addb[p][c] directly
+        # would crash the commit after the data writes)
         new_manifest["bloom"] = {
-            p: {c: _or_bloom_hex(bm[c], addb[p][c]) for c in bm}
+            p: {
+                c: _or_bloom_hex(bm[c], addb[p][c])
+                if c in addb.get(p, {})
+                else bm[c]
+                for c in bm
+            }
             if p in addb
             else bm
             for p, bm in old_blooms.items()
@@ -1942,6 +2003,13 @@ def alter_table_columns(
         new_manifest["renames"] = list(manifest.get("renames", [])) + [
             {"from": o, "to": n, "v": v} for o, n in rename.items()
         ]
+    if add:
+        # the add log shadows a dropped predecessor's physical bytes in
+        # never-rewritten pieces: a re-added name must read NULL there,
+        # not resurrect the old column (_map_physical)
+        new_manifest["adds"] = list(manifest.get("adds", [])) + [
+            {"name": c, "v": v} for c, _t in add
+        ]
     if manifest.get("stats"):
         new_manifest["stats"] = {
             p: {
@@ -2009,6 +2077,21 @@ def compact_versioned(
         ).items():
             if rel.split("=", 1)[-1] in owned:
                 live_bytes += b
+    # merge-on-read sidecars (vectors + append-deltas) are live bytes the
+    # compaction will fold in; omitting them undersizes n_ranges for
+    # update-heavy tables
+    for v in set(_dv_versions(manifest)) | set(_append_versions(manifest)):
+        for sub in ("_dv", "_append"):
+            side = os.path.join(_resolve_vdir(root, manifest, v), sub)
+            for dirpath, _dn, files in os.walk(side):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        try:
+                            live_bytes += os.path.getsize(
+                                os.path.join(dirpath, f)
+                            )
+                        except OSError:
+                            pass
     n_ranges = max(1, math.ceil(live_bytes / target_file_bytes))
 
     snap = read_snapshot(spark, root, partition_col)
@@ -2320,10 +2403,12 @@ def _commit_ownership_rewrite(
         new_manifest["appends"] = carried_ap
     if manifest.get("fallback_roots"):
         new_manifest["fallback_roots"] = list(manifest["fallback_roots"])
-    if manifest.get("renames"):
-        # rewritten pieces carry logical names, but untouched partitions'
-        # older files still need the physical->logical mapping
-        new_manifest["renames"] = list(manifest["renames"])
+    for log in ("renames", "adds"):
+        if manifest.get(log):
+            # rewritten pieces carry logical names, but untouched
+            # partitions' older files still need the physical->logical
+            # mapping (and add-shadowing)
+            new_manifest[log] = list(manifest[log])
     if ref is not None:
         # branch commits carry their ref identity and the main version
         # they forked from — fast_forward's publish precondition
@@ -2458,7 +2543,7 @@ def restore_version(root: str, version: int) -> int:
     }
     for extra in (
         "stats", "bloom", "schema", "rows", "constraints", "dv", "appends",
-        "fallback_roots", "renames",
+        "fallback_roots", "renames", "adds",
     ):
         if extra in target:
             manifest[extra] = target[extra]
@@ -2552,6 +2637,20 @@ def merge_branch(root: str, name: str) -> int:
             f"{conflicts[:10]}{'...' if len(conflicts) > 10 else ''}; "
             "rebase the branch and replay its writes"
         )
+    # schema events (schema / rename log / add log) conflict with ANY
+    # data write on the other side: the rename replay orders events by
+    # version NUMBER, and a piece written concurrently on the other fork
+    # can carry a version above the event's without having seen it —
+    # its physical names would map wrongly (silently NULL columns).
+    _meta_fields = ("schema", "constraints", "renames", "adds")
+    b_meta = any(head.get(f) != base.get(f) for f in _meta_fields)
+    m_meta = any(cur.get(f) != base.get(f) for f in _meta_fields)
+    if (b_meta and m_touch) or (m_meta and b_touch):
+        raise MergeConflictError(
+            f"branch {name!r} or main changed table metadata "
+            "(schema/constraints/rename log) while the other side wrote "
+            "data; rebase the branch and replay"
+        )
 
     def _pick_field(field: str):
         b_changed = head.get(field) != base.get(field)
@@ -2599,7 +2698,9 @@ def merge_branch(root: str, name: str) -> int:
         "partitions": parts,
         "operation": f"merge_branch({name}@v{head['version']})",
     }
-    for field in ("schema", "constraints", "fallback_roots", "renames"):
+    for field in (
+        "schema", "constraints", "fallback_roots", "renames", "adds"
+    ):
         val = _pick_field(field)
         if val is not None:
             manifest[field] = val
@@ -2691,7 +2792,7 @@ def fast_forward(root: str, name: str) -> int:
     }
     for extra in (
         "stats", "bloom", "schema", "rows", "constraints", "dv", "appends",
-        "fallback_roots", "renames",
+        "fallback_roots", "renames", "adds",
     ):
         if extra in head:
             manifest[extra] = head[extra]

@@ -159,10 +159,22 @@ class Transaction:
         if extra:
             raise ValueError(f"merge source adds columns {extra}")
         src = source.select(*self._data_cols)
-        self._collect_homes(
-            _affected_partitions(self._df, src, key_cols, self._pcol)
+        homes_df = _affected_partitions(self._df, src, key_cols, self._pcol)
+        homes = [r[0] for r in homes_df.distinct().collect()]
+        _require_non_null_partitions(homes)
+        self._affected.update(str(v) for v in homes)
+        # restrict the full-outer resolution to the merge's own
+        # partitions — bystander rows pass through untouched, so a
+        # one-partition merge joins one partition, not the whole staged
+        # table (and the plain isin filters stay Catalyst-prunable)
+        in_homes = F.col(self._pcol).cast("string").isin(
+            sorted(str(v) for v in homes)
         )
-        self._df = _merge_resolved(self._df, src, key_cols, self._data_cols)
+        hit = self._df.filter(in_homes)
+        rest = self._df.filter(~in_homes)
+        self._df = rest.unionByName(
+            _merge_resolved(hit, src, key_cols, self._data_cols)
+        )
         self._ops.append("merge")
         return self
 

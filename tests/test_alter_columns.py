@@ -155,3 +155,32 @@ def test_alter_refusals(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="deletion vectors"):
         alter_table_columns(root, rename={"event_id": "eid"})
     assert read_manifest(root)["version"] == v + 1  # only the delete landed
+
+
+def test_alter_readd_does_not_resurrect_dropped_bytes(spark, sf_dir, tmp_path):
+    """DROP then ADD of the same name: never-rewritten pieces physically
+    hold the old column, but the re-added column must read NULL — the
+    add log shadows the stale bytes."""
+    root = str(tmp_path / "readd")
+    e = _events(spark, sf_dir)
+    init_table(spark, e, root, "event_date")
+    alter_table_columns(root, drop=["props"])
+    alter_table_columns(root, add=[("props", "string")])
+    snap = read_snapshot(spark, root, "event_date")
+    assert snap.filter(F.col("props").isNotNull()).count() == 0
+    assert snap.count() == e.count()
+    # a post-re-add write's real values DO surface
+    fresh = (
+        snap.filter(F.col("event_type") == "signup")
+        .withColumn("event_id", F.col("event_id") + 56_000_000)
+        .withColumn("props", F.lit("fresh"))
+    )
+    merge_into_versioned(spark, root, fresh, ["event_id"], "event_date")
+    after = read_snapshot(spark, root, "event_date")
+    assert after.filter(F.col("props") == "fresh").count() == fresh.count()
+    assert (
+        after.filter(
+            (F.col("event_id") < 56_000_000) & F.col("props").isNotNull()
+        ).count()
+        == 0
+    )

@@ -187,3 +187,70 @@ def test_merge_branch_conflicts_and_trivial(spark, sf_dir, tmp_path):
     )
     with pytest.raises(MergeConflictError, match="schema"):
         merge_branch(root, "widen")
+
+
+def test_clone_version_counter_never_collides(spark, sf_dir, tmp_path):
+    """The clone's first claims must start PAST the source's version
+    numbers: a partition-scoped write on a fresh clone advances the
+    version forward and never shadows a fallback directory that still
+    owns untouched partitions."""
+    src = str(tmp_path / "vsrc")
+    dst = str(tmp_path / "vdst")
+    e = _events(spark, sf_dir)
+    init_table(spark, e, src, "event_date")
+    # advance src to v2+ so the clone references several version numbers
+    merge_into_versioned(
+        spark, src,
+        e.filter(F.col("event_type") == "signup").withColumn(
+            "value", F.col("value") + 1
+        ),
+        ["event_id"], "event_date",
+    )
+    src_v = read_manifest(src)["version"]
+    assert src_v >= 2
+    clone_table(src, dst)
+
+    dates = sorted(r[0] for r in e.select("event_date").distinct().collect())
+    # two partition-scoped writes: most partitions stay fallback-owned
+    for d in dates[:2]:
+        v = delete_from_versioned(
+            spark, dst, "event_date",
+            (F.col("event_date") == d) & (F.col("event_type") == "click"),
+        )
+        assert v > src_v  # forward, never reusing a referenced number
+    got = read_snapshot(spark, dst, "event_date")
+    want_gone = read_snapshot(spark, src, "event_date").filter(
+        F.col("event_date").isin(dates[:2]) & (F.col("event_type") == "click")
+    )
+    assert got.count() == read_snapshot(spark, src, "event_date").count() - want_gone.count()
+    # untouched partitions still resolve through the fallback chain
+    assert (
+        got.filter(F.col("event_date") == dates[3]).count()
+        == read_snapshot(spark, src, "event_date")
+        .filter(F.col("event_date") == dates[3])
+        .count()
+        > 0
+    )
+
+
+def test_merge_branch_metadata_vs_data_conflict(spark, sf_dir, tmp_path):
+    """A rename on one fork conflicts with ANY data write on the other:
+    the concurrently written pieces carry version numbers above the
+    rename without having seen it, so replaying by version would map
+    their physical names wrongly."""
+    from datalake2anomali_spark.io.publish import alter_table_columns
+
+    root = str(tmp_path / "mvd")
+    e = _events(spark, sf_dir)
+    init_table(spark, e, root, "event_date")
+    create_branch(root, "ren")
+    alter_table_columns(root, rename={"value": "amount"}, ref="ren")
+    merge_into_versioned(
+        spark, root,
+        e.filter(F.col("event_type") == "error").withColumn(
+            "event_id", F.col("event_id") + 62_000_000
+        ),
+        ["event_id"], "event_date",
+    )
+    with pytest.raises(MergeConflictError, match="metadata"):
+        merge_branch(root, "ren")

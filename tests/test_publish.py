@@ -1728,3 +1728,52 @@ def test_update_mor_refusals(spark, sf_dir, tmp_path):
             F.col("event_type") == "click", {"value": F.col("value")},
             mode="merge_on_read", key_cols=["event_type"],
         )
+
+
+def test_update_mor_all_null_bloom_column_and_optimize_counts_appends(
+    spark, sf_dir, tmp_path
+):
+    """Two merge-on-read regressions: (a) an UPDATE that NULLs a bloom
+    column for every matched row must still commit (the append bloom has
+    no entry for that column); (b) OPTIMIZE counts append-deltas as
+    fragmentation, so an update-heavy partition qualifies and the
+    rewrite clears its vectors and appends."""
+    from datalake2anomali_spark.io.publish import (
+        optimize_partitions,
+        update_versioned,
+    )
+
+    root = str(tmp_path / "mornull")
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    init_table(spark, e, root, "event_date", bloom_cols=["event_type"])
+    fp_blind = None
+    update_versioned(
+        spark, root, "event_date",
+        F.col("event_type") == "error",
+        {"event_type": F.lit(None).cast("string")},
+        mode="merge_on_read", key_cols=["event_id"],
+    )
+    snap = read_snapshot(spark, root, "event_date")
+    assert snap.filter(F.col("event_type").isNull()).count() == e.filter(
+        F.col("event_type") == "error"
+    ).count()
+    # bloom probe on an untouched value still works post-widening
+    probed = read_snapshot(
+        spark, root, "event_date", eq_predicate=("event_type", "click")
+    )
+    assert probed.count() == e.filter(F.col("event_type") == "click").count()
+
+    m1 = read_manifest(root)
+    assert m1.get("appends")
+    fp_blind = _snap_fingerprint(spark, root)
+    v, rewritten = optimize_partitions(
+        spark, root, "event_date", "event_id", min_files=2
+    )
+    assert set(rewritten) >= set(m1["appends"])  # append piles qualified
+    m2 = read_manifest(root)
+    for p in rewritten:
+        assert p not in m2.get("appends", {})
+        assert p not in m2.get("dv", {}).get("files", {})
+    assert _snap_fingerprint(spark, root) == fp_blind  # content preserved

@@ -54,10 +54,13 @@ def _fingerprint(spark: SparkSession, root: str, **kw) -> tuple:
     from ..io.publish import read_snapshot
 
     df = read_snapshot(spark, root, "event_date", **kw)
-    return (
-        df.count(),
-        df.agg(F.sum(F.hash(*sorted(df.columns))).alias("h")).collect()[0]["h"],
-    )
+    # one aggregate action, not count()+agg(): the fixtures fingerprint
+    # after every commit, so each saved pass is a full snapshot scan
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.hash(*sorted(df.columns))).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
 
 
 def _type_rollup(snap: DataFrame) -> DataFrame:
@@ -815,6 +818,9 @@ def q_table_follower_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merge_into_versioned(spark, root, src, ["event_id"], "event_date")
     ch2, v2 = f.poll(spark)
+    # the span is consumed twice (replay assertion + fold) and each pass
+    # is a full two-snapshot diff join — checkpoint once, delta-sized
+    ch2 = ch2.localCheckpoint(eager=True)
     replay, v_r = f.poll(spark)  # crash window: uncommitted → same span
     if v_r != v2 or replay.count() != ch2.count():
         raise AssertionError("uncommitted poll did not replay the span")

@@ -936,6 +936,11 @@ def q_cdc_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdf = table_changes(
         spark, root, "event_date", ["event_id"], 1, v3, include_images=True
     )
+    # no checkpoint here: the refresh is ONE action, so Catalyst's
+    # ReusedExchange computes the diff subtree once across the post/pre/
+    # extrema consumers — measured flat-to-worse with an eager
+    # materialization (unlike the follower fixture, whose consumers are
+    # separate actions)
     new_snap = read_snapshot(spark, root, "event_date")
     refreshed = apply_changes(
         view,

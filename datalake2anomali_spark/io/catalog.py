@@ -150,6 +150,32 @@ def catalog_read(
     )
 
 
+def catalog_pinned_versions(croot: str, table_root: str) -> set[int]:
+    """Versions of ``table_root`` pinned by ANY addressable catalog
+    snapshot (the live pointer plus every retained history file) — feed
+    to ``vacuum(table_root, protect_versions=...)`` so a member table's
+    own retention window never reclaims a snapshot the catalog can still
+    serve (the retention contract in the module docstring, made
+    enforceable instead of advisory)."""
+    import re as _re
+
+    rp = os.path.realpath(table_root)
+    out: set[int] = set()
+    pat = _re.compile(r"^_CATALOG(?:\.v\d+)?\.json$")
+    for name in os.listdir(croot):
+        if not pat.match(name):
+            continue
+        try:
+            with open(os.path.join(croot, name), encoding="utf-8") as fh:
+                cat = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for entry in cat.get("tables", {}).values():
+            if os.path.realpath(entry["root"]) == rp:
+                out.add(int(entry["version"]))
+    return out
+
+
 class CatalogTransaction:
     """Atomic multi-table publish.
 

@@ -2160,6 +2160,7 @@ def vacuum(
     retain_last: int = 1,
     claim_ttl_seconds: float = 3600.0,
     dry_run: bool = False,
+    protect_versions: set[int] | None = None,
 ) -> list[int]:
     """Garbage-collect unreferenced version directories, keeping the last
     ``retain_last`` committed snapshots fully time-travel-readable.
@@ -2234,6 +2235,12 @@ def vacuum(
     refs = list_refs(root)
     ref_pinned: set[int] = {h["version"] for h in refs["branches"].values()}
     ref_pinned.update(refs["tags"].values())
+    # externally pinned snapshots — catalog pins
+    # (:func:`..io.catalog.catalog_pinned_versions`), shallow-clone
+    # sources, or any retention policy beyond this table's own window —
+    # are protected exactly like a named ref: the snapshot, everything
+    # it references, and its history manifest all survive
+    ref_pinned.update(int(v) for v in (protect_versions or ()))
     branch_heads = [
         read_manifest(root, ref=name) for name in refs["branches"]
     ]

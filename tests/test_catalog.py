@@ -158,3 +158,42 @@ def test_catalog_conflict_and_lifecycle(spark, sf_dir, tmp_path):
 
     with pytest.raises(KeyError, match="no table"):
         CatalogTransaction(croot).advance("missing", 1)
+
+
+def test_catalog_pins_protect_member_vacuum(spark, sf_dir, tmp_path):
+    """A member table's own retention window must not reclaim a snapshot
+    the catalog still serves: vacuum with catalog_pinned_versions keeps
+    the pinned snapshot readable; without it, the same vacuum reclaims
+    it (the documented retention contract, both directions)."""
+    from datalake2anomali_spark.io.catalog import catalog_pinned_versions
+    from datalake2anomali_spark.io.publish import (
+        delete_from_versioned,
+        vacuum,
+    )
+
+    a_root, b_root, croot, e = _setup(spark, sf_dir, tmp_path)
+    pinned_v = catalog_manifest(croot)["tables"]["events"]["version"]
+
+    # advance the table WITHOUT re-pinning the catalog
+    delete_from_versioned(
+        spark, a_root, "event_date", F.col("event_type") == "error"
+    )
+    delete_from_versioned(
+        spark, a_root, "event_date", F.col("event_type") == "view"
+    )
+
+    pins = catalog_pinned_versions(croot, a_root)
+    assert pinned_v in pins
+    removed = vacuum(
+        a_root, retain_last=1, claim_ttl_seconds=0.0, protect_versions=pins
+    )
+    assert pinned_v not in removed
+    # the catalog view still serves the pinned snapshot in full
+    snap = catalog_read(spark, croot, "events", "event_date")
+    assert snap.filter(F.col("event_type") == "error").count() > 0
+    assert snap.count() == e.count()
+
+    # without the pins, the same vacuum reclaims it and the read breaks
+    vacuum(a_root, retain_last=1, claim_ttl_seconds=0.0)
+    with pytest.raises(Exception):
+        catalog_read(spark, croot, "events", "event_date").count()

@@ -2416,6 +2416,21 @@ def _commit_ownership_rewrite(
             # partitions' older files still need the physical->logical
             # mapping (and add-shadowing)
             new_manifest[log] = list(manifest[log])
+    old_names = {n for n, _t in (manifest.get("schema") or [])}
+    grown = [
+        n
+        for n, _t in new_manifest["schema"]
+        if old_names and n not in old_names
+    ]
+    if grown:
+        # a schema-widening write (merge allow_schema_evolution) is an
+        # implicit ADD COLUMN: record it in the add log so a column that
+        # was DROPPED earlier and now returns by this door reads NULL in
+        # never-rewritten pieces instead of resurrecting stale bytes —
+        # the same shadowing alter_table_columns' explicit add gets
+        new_manifest["adds"] = list(new_manifest.get("adds", [])) + [
+            {"name": n, "v": v} for n in grown
+        ]
     if ref is not None:
         # branch commits carry their ref identity and the main version
         # they forked from — fast_forward's publish precondition

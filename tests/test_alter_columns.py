@@ -184,3 +184,38 @@ def test_alter_readd_does_not_resurrect_dropped_bytes(spark, sf_dir, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_schema_evolution_merge_does_not_resurrect_dropped_bytes(
+    spark, sf_dir, tmp_path
+):
+    """Re-adding a dropped column through merge(allow_schema_evolution)
+    — not through alter — must also shadow the stale physical bytes in
+    never-rewritten pieces."""
+    root = str(tmp_path / "evoreadd")
+    e = _events(spark, sf_dir)
+    init_table(spark, e, root, "event_date")
+    alter_table_columns(root, drop=["props"])
+    # pieces for most partitions still physically hold `props`; the
+    # evolution merge rewrites ONLY the error rows' partitions... use a
+    # single-date source so bystander partitions stay old
+    d = e.agg(F.min("event_date")).collect()[0][0]
+    src = (
+        e.filter(F.col("event_date") == d)
+        .drop("props")
+        .withColumn("event_id", F.col("event_id") + 57_000_000)
+        .withColumn("props", F.lit("evolved"))
+    )
+    merge_into_versioned(
+        spark, root, src, ["event_id"], "event_date",
+        allow_schema_evolution=True,
+    )
+    snap = read_snapshot(spark, root, "event_date")
+    assert snap.filter(F.col("props") == "evolved").count() == src.count()
+    # untouched partitions' stale physical props reads NULL, not old data
+    assert (
+        snap.filter(
+            (F.col("event_id") < 57_000_000) & F.col("props").isNotNull()
+        ).count()
+        == 0
+    )

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -150,30 +151,79 @@ def catalog_read(
     )
 
 
+#: Matches the live pointer and every history file _catalog_path writes —
+#: derived from the same constant so the two can never drift apart.
+_CATALOG_FILE = re.compile(
+    r"^" + re.escape(_CATALOG[: -len(".json")]) + r"(?:\.v\d+)?\.json$"
+)
+
+
 def catalog_pinned_versions(croot: str, table_root: str) -> set[int]:
     """Versions of ``table_root`` pinned by ANY addressable catalog
     snapshot (the live pointer plus every retained history file) — feed
     to ``vacuum(table_root, protect_versions=...)`` so a member table's
     own retention window never reclaims a snapshot the catalog can still
-    serve (the retention contract in the module docstring, made
-    enforceable instead of advisory)."""
-    import re as _re
+    serve.  Bound the pin set with :func:`expire_catalog_versions`
+    (otherwise history files — and therefore pins — accumulate forever).
 
+    Fails CLOSED: an unreadable or corrupt catalog file raises instead
+    of silently under-reporting pins, because the caller is about to
+    delete data based on this answer.
+
+    Serialization caveat: a catalog commit can land between this call
+    and the vacuum that consumes it, pinning a version the vacuum just
+    reclaimed — run member-table vacuums from the same maintenance actor
+    that publishes catalog transactions (or keep ``retain_last``
+    covering the publish lag, the advisory contract this helper
+    tightens but cannot replace without a cross-store lock)."""
     rp = os.path.realpath(table_root)
     out: set[int] = set()
-    pat = _re.compile(r"^_CATALOG(?:\.v\d+)?\.json$")
     for name in os.listdir(croot):
-        if not pat.match(name):
+        if not _CATALOG_FILE.match(name):
             continue
         try:
             with open(os.path.join(croot, name), encoding="utf-8") as fh:
                 cat = json.load(fh)
-        except (OSError, ValueError):
-            continue
+        except (OSError, ValueError) as exc:
+            raise RuntimeError(
+                f"cannot read catalog file {name!r} while collecting "
+                f"vacuum pins; refusing to under-protect: {exc}"
+            ) from exc
         for entry in cat.get("tables", {}).values():
             if os.path.realpath(entry["root"]) == rp:
                 out.add(int(entry["version"]))
     return out
+
+
+def expire_catalog_versions(croot: str, keep_last: int = 10) -> list[int]:
+    """Prune catalog HISTORY files past the ``keep_last`` newest (the
+    live pointer is never touched) — the catalog-side retention knob
+    that keeps :func:`catalog_pinned_versions` (and therefore member
+    vacuums) from protecting every version ever pinned.  A pruned
+    catalog version is no longer time-travel-readable, exactly like a
+    table history manifest past ``vacuum``'s window.  Runs under the
+    catalog commit lock.  Returns the expired catalog versions."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    lock = _commit_lock(croot)
+    try:
+        current = catalog_manifest(croot)["version"]
+        hist = []
+        for name in os.listdir(croot):
+            if _CATALOG_FILE.match(name) and ".v" in name:
+                hist.append(int(name.rsplit(".v", 1)[1][: -len(".json")]))
+        keep = set(sorted(hist)[-keep_last:]) | {current}
+        removed = []
+        for v in hist:
+            if v not in keep:
+                try:
+                    os.unlink(_catalog_path(croot, v))
+                    removed.append(v)
+                except FileNotFoundError:
+                    pass
+        return sorted(removed)
+    finally:
+        _release_lock_if_ours(lock)
 
 
 class CatalogTransaction:

@@ -550,13 +550,13 @@ def q_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_into_versioned(spark, root, ins, ["event_id"], "event_date")
     delete_from_versioned(spark, root, "event_date", F.col("event_type") == "signup")
 
-    # files view: the live footprint reproduces the table's cardinality —
-    # physical paths vs the manifest's metadata-only count (a stronger
-    # pin than scanning the snapshot twice, and one full scan cheaper)
-    from ..io.publish import snapshot_rowcount
-
+    # files view: the live footprint reproduces the snapshot — the
+    # physical recount must match the READ PATH's count (manifest rows
+    # would be near-tautological: they were recorded by the same writer
+    # scans of the same files, and would miss a read_snapshot defect)
     paths = [r["path"] for r in files_df(spark, root).collect()]
-    if spark.read.parquet(*paths).count() != snapshot_rowcount(root):
+    n_live = read_snapshot(spark, root, "event_date").count()
+    if spark.read.parquet(*paths).count() != n_live:
         raise AssertionError("files_df paths do not reproduce the live snapshot")
 
     hist = history_df(spark, root).select("version", "operation")

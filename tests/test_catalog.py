@@ -197,3 +197,41 @@ def test_catalog_pins_protect_member_vacuum(spark, sf_dir, tmp_path):
     vacuum(a_root, retain_last=1, claim_ttl_seconds=0.0)
     with pytest.raises(Exception):
         catalog_read(spark, croot, "events", "event_date").count()
+
+
+def test_expire_catalog_versions_bounds_pins(spark, sf_dir, tmp_path):
+    """Catalog history expiry: old catalog versions stop being
+    time-travel-readable and drop OUT of the pin set, so member vacuums
+    regain their retention; the live pointer and the kept window stay."""
+    from datalake2anomali_spark.io.catalog import (
+        catalog_pinned_versions,
+        expire_catalog_versions,
+    )
+
+    a_root, b_root, croot, e = _setup(spark, sf_dir, tmp_path)
+    # several catalog commits re-pinning events at fresh versions
+    from datalake2anomali_spark.io.publish import delete_from_versioned
+
+    for t in ("error", "view", "signup"):
+        delete_from_versioned(
+            spark, a_root, "event_date", F.col("event_type") == t
+        )
+        catalog_register(croot, "events", a_root)
+
+    pins_before = catalog_pinned_versions(croot, a_root)
+    assert len(pins_before) >= 4  # init pin + three re-pins
+    removed = expire_catalog_versions(croot, keep_last=1)
+    assert removed  # something actually expired
+    pins_after = catalog_pinned_versions(croot, a_root)
+    assert len(pins_after) < len(pins_before)
+    cur = catalog_manifest(croot)
+    assert cur["tables"]["events"]["version"] in pins_after  # live pin kept
+    with pytest.raises(FileNotFoundError):
+        catalog_manifest(croot, removed[0])  # expired: fails fast
+
+    # fail-closed pin collection: a corrupt catalog file raises
+    bad = str(tmp_path / "cat" / "_CATALOG.v999.json")
+    with open(bad, "w", encoding="utf-8") as fh:
+        fh.write("{not json")
+    with pytest.raises(RuntimeError, match="refusing to under-protect"):
+        catalog_pinned_versions(croot, a_root)

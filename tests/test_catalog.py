@@ -235,3 +235,34 @@ def test_expire_catalog_versions_bounds_pins(spark, sf_dir, tmp_path):
         fh.write("{not json")
     with pytest.raises(RuntimeError, match="refusing to under-protect"):
         catalog_pinned_versions(croot, a_root)
+
+
+def test_catalog_transactions_race_exactly_one_wins(spark, sf_dir, tmp_path):
+    """Two catalog transactions racing to publish: exactly one commit
+    lands, the loser gets ConcurrentWriteError, and the catalog ends at
+    the winner's consistent state (never a blend)."""
+    import threading
+
+    a_root, b_root, croot, e = _setup(spark, sf_dir, tmp_path)
+    base_v = catalog_manifest(croot)["version"]
+    results = {}
+    barrier = threading.Barrier(2, timeout=120)
+
+    def committer(tag, pin_a, pin_b):
+        ctx = CatalogTransaction(croot)
+        ctx.advance("events", pin_a).advance("user_totals", pin_b)
+        barrier.wait()
+        try:
+            results[tag] = ("ok", ctx.commit())
+        except ConcurrentWriteError:
+            results[tag] = ("conflict", None)
+
+    t1 = threading.Thread(target=committer, args=("x", 1, 1))
+    t2 = threading.Thread(target=committer, args=("y", 1, 1))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    outcomes = sorted(kind for kind, _v in results.values())
+    assert outcomes == ["conflict", "ok"]
+    winner_v = next(v for kind, v in results.values() if kind == "ok")
+    cat = catalog_manifest(croot)
+    assert cat["version"] == winner_v == base_v + 1
+    assert cat["tables"]["events"]["version"] == 1

@@ -98,6 +98,8 @@ _PRIORITY: tuple[str, ...] = (
     "stream_enrich_snapshot",
     "table_follower_rollup",
     "ann_ivfpq_topk",
+    "multi_table_txn",
+    "merge_schema_widening",
     # stalest round-8-certified entries, standing rotation order
     "triangle_count",
     "markov_transitions",
@@ -108,14 +110,14 @@ _PRIORITY: tuple[str, ...] = (
     "item_similarity",
     "ioc_indicators_observed",
     "ioc_incremental_cursor",
-    "dedup_ngram_jaccard",
-    "corpus_stats",
 )
 
 #: Exactly the overflow past the gate window (asserted in
 #: tests/test_entry_contract.py), stalest first.
 _TAIL: tuple[str, ...] = (
     # last driver row round 8 — mandatory round-11 window
+    "dedup_ngram_jaccard",
+    "corpus_stats",
     "text_profile",
     "ann_cosine_topk",
     "ioc_rest_source_pipeline",

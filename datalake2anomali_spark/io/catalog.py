@@ -226,6 +226,112 @@ def expire_catalog_versions(croot: str, keep_last: int = 10) -> list[int]:
         _release_lock_if_ours(lock)
 
 
+class MultiTableTransaction:
+    """BEGIN … COMMIT spanning SEVERAL catalog member tables.
+
+    >>> mtxn = MultiTableTransaction(spark, croot,
+    ...                              {"events": "event_date",
+    ...                               "user_totals": "bucket"})
+    >>> mtxn.table("events").update(cond, {"value": F.col("value") * 2})
+    >>> mtxn.table("events").merge(batch, ["event_id"])
+    >>> mtxn.table("user_totals").merge(new_totals, ["user_id"])
+    >>> mtxn.commit()     # every table's pin flips in ONE catalog swap
+
+    Statements stage per-table through :class:`..io.transaction.
+    Transaction` (UPDATE / DELETE / MERGE against the member's snapshot,
+    one Catalyst plan per table, nothing on disk until commit).
+    ``commit`` is three ordered phases:
+
+    1. **precheck** — every member's staged final state is validated
+       against its CHECK constraints before ANY table commits, so the
+       common deterministic failure (a constraint violation) leaves
+       zero orphan table versions;
+    2. **member commits** — each staged table publishes as one ordinary
+       durable table commit, still INVISIBLE to catalog readers (their
+       pins haven't moved);
+    3. **catalog CAS** — one pointer swap flips every staged pin
+       together; :func:`catalog_read` never observes a half-updated
+       batch.
+
+    A crash or a concurrent-writer conflict between phases 2 and 3
+    leaves the catalog view untouched; the already-committed member
+    versions are durable-but-unpublished history (vacuumable garbage, or
+    re-pinnable by a retry) — the Nessie/lakeFS recovery story.  The
+    constructor refuses (``ConcurrentWriteError``) when a member table's
+    head has moved past its catalog pin: staging against the pin would
+    silently drop the unpinned commits at publish, so the caller must
+    first re-pin (``catalog_register``) or rebase."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        croot: str,
+        partition_cols: dict[str, str],
+    ):
+        from .transaction import Transaction
+
+        self._ctx = CatalogTransaction(croot)
+        self._txns: dict[str, "Transaction"] = {}
+        for name, pcol in partition_cols.items():
+            root = self._ctx.root(name)
+            pin = self._ctx._base["tables"][name]["version"]
+            head = read_manifest(root)["version"]
+            if head != pin:
+                raise ConcurrentWriteError(
+                    f"member table {name!r} is at v{head}, past its catalog "
+                    f"pin v{pin}; re-pin it (catalog_register) or rebase "
+                    "before starting a multi-table transaction"
+                )
+            self._txns[name] = Transaction(spark, root, pcol)
+        self._closed = False
+
+    def _check_open(self) -> None:
+        if self._closed:
+            raise RuntimeError(
+                "multi-table transaction already committed or rolled back; "
+                "start a new one"
+            )
+
+    def table(self, name: str):
+        """The member's :class:`Transaction` — stage update/delete/merge
+        on it directly."""
+        self._check_open()
+        try:
+            return self._txns[name]
+        except KeyError:
+            raise KeyError(
+                f"transaction does not cover table {name!r}; "
+                f"covered: {sorted(self._txns)}"
+            ) from None
+
+    def rollback(self) -> None:
+        """Discard every member's staged batch (nothing was written)."""
+        self._check_open()
+        self._closed = True
+        for txn in self._txns.values():
+            if not txn._closed:
+                txn.rollback()
+        self._ctx.rollback()
+
+    def commit(self) -> int:
+        """Publish the staged batches: precheck all, commit members,
+        flip every pin in one catalog CAS.  Returns the new catalog
+        version (the base version when no member staged anything).
+        Single-shot whatever happens: a failed commit (constraint
+        violation, concurrent writer) closes this object — start a new
+        transaction to retry, against the then-current pins."""
+        self._check_open()
+        self._closed = True
+        for txn in self._txns.values():
+            txn.precheck()
+        for name, txn in self._txns.items():
+            base_v = txn._manifest["version"]
+            v = txn.commit()
+            if v != base_v:
+                self._ctx.advance(name, v)
+        return self._ctx.commit()
+
+
 class CatalogTransaction:
     """Atomic multi-table publish.
 

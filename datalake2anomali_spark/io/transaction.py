@@ -180,6 +180,22 @@ class Transaction:
 
     # -- terminal -----------------------------------------------------------
 
+    def precheck(self) -> None:
+        """Validate the staged final state against the table's CHECK
+        constraints WITHOUT publishing anything.  ``commit`` re-verifies
+        on the exact checkpointed content it writes; this earlier gate
+        exists for :class:`..io.catalog.MultiTableTransaction`, which
+        prechecks EVERY member before committing ANY — so a constraint
+        violation in the last table leaves zero orphan commits in the
+        first."""
+        self._check_open()
+        if not self._affected or not self._manifest.get("constraints"):
+            return
+        content = self._df.filter(
+            F.col(self._pcol).cast("string").isin(sorted(self._affected))
+        )
+        _check_constraints(content, self._manifest["constraints"])
+
     def rollback(self) -> None:
         """Discard the staged batch.  Nothing was written — this only
         closes the object so accidental reuse fails loudly."""

@@ -1362,6 +1362,294 @@ FROM b
 """
 
 
+# -- multi_table_txn: BEGIN ... COMMIT across catalog tables ------------------
+
+
+def q_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table BEGIN … COMMIT (``io/catalog.py:
+    MultiTableTransaction``): UPDATE + MERGE staged on an events table
+    and a MERGE on its per-user totals rollup, all against one
+    consistent catalog snapshot, published in ONE catalog pointer swap.
+    In-fixture pins: staging moves neither table head nor the catalog;
+    the commit advances the catalog exactly one version with both pins
+    at their new heads; a second transaction whose LAST member violates
+    a CHECK aborts with zero orphan table commits (precheck-all before
+    commit-any) and the catalog view unchanged; a member whose head
+    moved past its pin is refused at BEGIN; and the rollup-equals-totals
+    invariant holds exactly through the catalog view.  The oracle
+    recomputes the final totals from the source."""
+    from ..io.catalog import (
+        MultiTableTransaction,
+        catalog_manifest,
+        catalog_read,
+        catalog_register,
+        create_catalog,
+    )
+    from ..io.publish import (
+        ConcurrentWriteError,
+        ConstraintViolationError,
+        alter_table_columns,
+        init_table,
+        read_manifest,
+    )
+
+    def totals_of(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "v_cents"
+                ),
+            )
+            .withColumn("bucket", F.pmod("user_id", F.lit(8)).cast("string"))
+        )
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "event_date"
+    )
+    a_root = _scratch_root("d2a_mtxn_events", sf_dir)
+    b_root = _scratch_root("d2a_mtxn_totals", sf_dir)
+    croot = _scratch_root("d2a_mtxn_cat", sf_dir)
+    init_table(spark, e, a_root, "event_date")
+    init_table(
+        spark, totals_of(e), b_root, "bucket", constraints={"n_pos": "n > 0"}
+    )
+    create_catalog(croot)
+    catalog_register(croot, "events", a_root)
+    catalog_register(croot, "user_totals", b_root)
+    cat_v0 = catalog_manifest(croot)["version"]
+    a_v0 = read_manifest(a_root)["version"]
+    b_v0 = read_manifest(b_root)["version"]
+
+    syn_user = 777_777_777
+    syn = (
+        e.filter(F.col("event_id") % 173 == 0)
+        .withColumn("event_id", F.col("event_id") + 91_000_000)
+        .withColumn("user_id", F.lit(syn_user))
+        .withColumn("event_type", F.lit("synthetic"))
+        .withColumn("event_date", F.lit("2042-03-01"))
+    )
+    # the staged events final state, reconstructed independently so the
+    # totals source is a pure plan (staging writes nothing to read back)
+    post = e.withColumn(
+        "value",
+        F.when(F.col("event_type") == "click", F.col("value") * 2).otherwise(
+            F.col("value")
+        ),
+    ).unionByName(syn)
+
+    mtxn = MultiTableTransaction(
+        spark, croot, {"events": "event_date", "user_totals": "bucket"}
+    )
+    mtxn.table("events").update(
+        F.col("event_type") == "click", {"value": F.col("value") * 2}
+    )
+    mtxn.table("events").merge(syn, ["event_id"])
+    mtxn.table("user_totals").merge(totals_of(post), ["user_id"])
+    if read_manifest(a_root)["version"] != a_v0:
+        raise AssertionError("staging moved the events table head")
+    if catalog_manifest(croot)["version"] != cat_v0:
+        raise AssertionError("staging moved the catalog")
+    v_cat = mtxn.commit()
+    if v_cat != cat_v0 + 1:
+        raise AssertionError("batch did not publish as ONE catalog version")
+    cat = catalog_manifest(croot)
+    a_v1 = read_manifest(a_root)["version"]
+    b_v1 = read_manifest(b_root)["version"]
+    if (
+        cat["tables"]["events"]["version"] != a_v1
+        or cat["tables"]["user_totals"]["version"] != b_v1
+    ):
+        raise AssertionError("published pins are not at the member heads")
+
+    # constraint violation in the LAST member: zero orphans, catalog still
+    # serving the consistent committed pair
+    bad = MultiTableTransaction(
+        spark, croot, {"events": "event_date", "user_totals": "bucket"}
+    )
+    bad.table("events").delete(F.col("event_type") == "synthetic")
+    bad.table("user_totals").update(
+        F.col("user_id") == syn_user, {"n": F.lit(-1).cast("long")}
+    )
+    try:
+        bad.commit()
+        raise AssertionError("CHECK violation did not abort the batch")
+    except ConstraintViolationError:
+        pass
+    if read_manifest(a_root)["version"] != a_v1:
+        raise AssertionError("aborted batch left an orphan events commit")
+    if read_manifest(b_root)["version"] != b_v1:
+        raise AssertionError("aborted batch left an orphan totals commit")
+    if catalog_manifest(croot)["version"] != v_cat:
+        raise AssertionError("aborted batch moved the catalog")
+
+    # a head moved past its pin outside the catalog is refused at BEGIN
+    alter_table_columns(b_root, add=[("note", "string")])
+    try:
+        MultiTableTransaction(spark, croot, {"user_totals": "bucket"})
+        raise AssertionError("stale pin was not refused")
+    except ConcurrentWriteError:
+        pass
+
+    a = catalog_read(spark, croot, "events", "event_date")
+    b = catalog_read(spark, croot, "user_totals", "bucket")
+    mismatches = (
+        totals_of(a)
+        .select("user_id", "n", "v_cents")
+        .join(
+            b.select(
+                "user_id",
+                F.col("n").alias("bn"),
+                F.col("v_cents").alias("bv"),
+            ),
+            ["user_id"],
+            "full_outer",
+        )
+        .filter(
+            ~(F.col("n").eqNullSafe(F.col("bn")))
+            | ~(F.col("v_cents").eqNullSafe(F.col("bv")))
+        )
+        .count()
+    )
+    if mismatches:
+        raise AssertionError(
+            f"rollup/totals invariant broken for {mismatches} users"
+        )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n").alias("total_rows"),
+            F.sum("v_cents").alias("v_cents_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_merge_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through MERGE (``io/publish.py:
+    merge_into_versioned(allow_schema_evolution=True)``) — the implicit
+    ADD COLUMN door, exercised through its nastiest corner: (1) a
+    widening merge adds ``score`` (every partition rewrites, non-source
+    rows read typed NULL); (2) ``alter_table_columns`` DROPs it —
+    metadata-only, so every file still physically holds the bytes;
+    (3) a single-partition evolution merge RE-ADDS ``score`` — and the
+    add-log shadowing must make the never-rewritten partitions' stale
+    physical bytes read NULL instead of resurrecting, while the merged
+    partition's fresh values surface.  A plain widen without the
+    add-log record would silently pass (1) and corrupt at (3), which is
+    why the fixture scripts all three.  In-fixture pins: schema
+    presence/absence per phase, the rejected no-flag widen, and the
+    zero-resurrection count; the oracle replays the final state."""
+    from ..io.publish import (
+        alter_table_columns,
+        init_table,
+        merge_into_versioned,
+        read_manifest,
+        read_snapshot,
+    )
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "event_date"
+    )
+    root = _scratch_root("d2a_widen", sf_dir)
+    init_table(spark, e, root, "event_date")
+
+    src1 = e.filter(F.col("event_type") == "purchase").withColumn(
+        "score", F.col("value") / 10
+    )
+    try:
+        merge_into_versioned(spark, root, src1, ["event_id"], "event_date")
+        raise AssertionError("unflagged widening merge was not refused")
+    except ValueError:
+        pass
+    merge_into_versioned(
+        spark, root, src1, ["event_id"], "event_date",
+        allow_schema_evolution=True,
+    )
+    snap = read_snapshot(spark, root, "event_date")
+    if "score" not in snap.columns:
+        raise AssertionError("widening merge did not add the column")
+    if snap.filter(
+        (F.col("event_type") != "purchase") & F.col("score").isNotNull()
+    ).count():
+        raise AssertionError("non-source rows did not read NULL score")
+
+    alter_table_columns(root, drop=["score"])
+    if "score" in read_snapshot(spark, root, "event_date").columns:
+        raise AssertionError("DROP COLUMN did not take")
+
+    d0 = e.agg(F.min("event_date")).collect()[0][0]
+    src3 = e.filter(F.col("event_date") == d0).withColumn(
+        "score", F.col("value") / 20
+    )
+    merge_into_versioned(
+        spark, root, src3, ["event_id"], "event_date",
+        allow_schema_evolution=True,
+    )
+    snap = read_snapshot(spark, root, "event_date")
+    # the anti-resurrection pin: every partition except d0 still
+    # physically holds phase-1 score bytes, and they must read NULL
+    if snap.filter(
+        (F.col("event_date") != d0) & F.col("score").isNotNull()
+    ).count():
+        raise AssertionError("dropped column bytes resurrected after re-add")
+    if read_manifest(root)["version"] != 4:
+        raise AssertionError("expected versions init/widen/drop/re-add")
+    return (
+        snap.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("score").alias("n_score"),
+            dsum("score", 4).alias("score_sum"),
+            dsum("value", 2).alias("v_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+MERGE_SCHEMA_WIDENING_SQL = """
+WITH post AS (
+  SELECT event_type, value,
+         CASE WHEN strftime(ts, '%Y-%m-%d') =
+                   (SELECT MIN(strftime(ts, '%Y-%m-%d')) FROM events)
+              THEN value / 20 ELSE NULL END AS score
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n,
+       COUNT(score) AS n_score,
+       {DSUM4} AS score_sum,
+       {DSUM2} AS v_sum
+FROM post
+GROUP BY 1
+ORDER BY 1
+""".format(DSUM4=DSUM_SQL("score", 4), DSUM2=DSUM_SQL("value", 2))
+
+
+MULTI_TABLE_TXN_SQL = """
+WITH post AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'click' THEN value * 2 ELSE value END AS value
+  FROM events
+  UNION ALL
+  SELECT 777777777, value FROM events WHERE event_id % 173 = 0
+),
+t AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS v_cents
+  FROM post GROUP BY 1
+)
+SELECT CAST(user_id % 8 AS VARCHAR) AS bucket,
+       COUNT(*) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS total_rows,
+       CAST(SUM(v_cents) AS BIGINT) AS v_cents_sum
+FROM t
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 # -- shallow_clone_divergence: zero-copy clone (r11 queue) --------------------
 
 
@@ -1617,6 +1905,8 @@ QUERIES = {
     "metadata_tables": q_metadata_tables,
     "optimize_zorder": q_optimize_zorder,
     "check_constraints": q_check_constraints,
+    "multi_table_txn": q_multi_table_txn,
+    "merge_schema_widening": q_merge_schema_widening,
 }
 
 ORACLES = {
@@ -1631,4 +1921,6 @@ ORACLES = {
     "metadata_tables": METADATA_TABLES_SQL,
     "optimize_zorder": OPTIMIZE_ZORDER_SQL,
     "check_constraints": CHECK_CONSTRAINTS_SQL,
+    "multi_table_txn": MULTI_TABLE_TXN_SQL,
+    "merge_schema_widening": MERGE_SCHEMA_WIDENING_SQL,
 }

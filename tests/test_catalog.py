@@ -237,6 +237,139 @@ def test_expire_catalog_versions_bounds_pins(spark, sf_dir, tmp_path):
         catalog_pinned_versions(croot, a_root)
 
 
+def test_multi_table_txn_atomic_publish(spark, sf_dir, tmp_path):
+    """Statements staged on two tables publish in ONE catalog swap:
+    nothing moves before commit (table heads included), both pins flip
+    together, and the cross-table rollup invariant holds after."""
+    from datalake2anomali_spark.io.catalog import MultiTableTransaction
+    from datalake2anomali_spark.io.publish import read_manifest
+
+    a_root, b_root, croot, e = _setup(spark, sf_dir, tmp_path)
+    cat_v0 = catalog_manifest(croot)["version"]
+    a_v0 = read_manifest(a_root)["version"]
+    b_v0 = read_manifest(b_root)["version"]
+
+    syn = (
+        e.limit(300)
+        .withColumn("event_id", F.col("event_id") + 91_000_000)
+        .withColumn("user_id", F.lit(777_777_777))
+        .withColumn("event_date", F.lit("2042-03-01"))
+    )
+    post = e.withColumn(
+        "value",
+        F.when(F.col("event_type") == "click", F.col("value") * 2).otherwise(
+            F.col("value")
+        ),
+    ).unionByName(syn)
+
+    mtxn = MultiTableTransaction(
+        spark, croot, {"events": "event_date", "user_totals": "bucket"}
+    )
+    mtxn.table("events").update(
+        F.col("event_type") == "click", {"value": F.col("value") * 2}
+    )
+    mtxn.table("events").merge(syn, ["event_id"])
+    mtxn.table("user_totals").merge(_totals_of(post), ["user_id"])
+    # staging wrote nothing: heads and catalog unchanged
+    assert read_manifest(a_root)["version"] == a_v0
+    assert read_manifest(b_root)["version"] == b_v0
+    assert catalog_manifest(croot)["version"] == cat_v0
+
+    cat_v1 = mtxn.commit()
+    assert cat_v1 == cat_v0 + 1
+    cat = catalog_manifest(croot)
+    assert cat["tables"]["events"]["version"] == read_manifest(a_root)["version"]
+    assert (
+        cat["tables"]["user_totals"]["version"]
+        == read_manifest(b_root)["version"]
+    )
+    assert _invariant_holds(spark, croot)
+    assert (
+        catalog_read(spark, croot, "events", "event_date")
+        .filter(F.col("user_id") == 777_777_777)
+        .count()
+        == 300
+    )
+    # single-shot: reuse fails loudly
+    with pytest.raises(RuntimeError, match="already committed"):
+        mtxn.commit()
+
+
+def test_multi_table_txn_constraint_violation_leaves_no_orphans(
+    spark, sf_dir, tmp_path
+):
+    """A CHECK violation in the SECOND member aborts the whole batch
+    BEFORE the first member commits: no table head moves, the catalog
+    stays at its base version, and the cross-table invariant holds."""
+    from datalake2anomali_spark.io.catalog import MultiTableTransaction
+    from datalake2anomali_spark.io.publish import (
+        ConstraintViolationError,
+        read_manifest,
+    )
+
+    a_root = str(tmp_path / "events")
+    b_root = str(tmp_path / "totals")
+    croot = str(tmp_path / "cat")
+    e = _events(spark, sf_dir)
+    init_table(spark, e, a_root, "event_date")
+    init_table(
+        spark, _totals_of(e), b_root, "bucket", constraints={"n_pos": "n > 0"}
+    )
+    create_catalog(croot)
+    catalog_register(croot, "events", a_root)
+    catalog_register(croot, "user_totals", b_root)
+    cat_v0 = catalog_manifest(croot)["version"]
+    a_v0 = read_manifest(a_root)["version"]
+    b_v0 = read_manifest(b_root)["version"]
+
+    mtxn = MultiTableTransaction(
+        spark, croot, {"events": "event_date", "user_totals": "bucket"}
+    )
+    mtxn.table("events").delete(F.col("event_type") == "error")
+    mtxn.table("user_totals").update(
+        F.col("n") > 0, {"n": F.lit(-1).cast("long")}
+    )
+    with pytest.raises(ConstraintViolationError, match="n_pos"):
+        mtxn.commit()
+    # precheck-before-any-commit: zero orphan table versions
+    assert read_manifest(a_root)["version"] == a_v0
+    assert read_manifest(b_root)["version"] == b_v0
+    assert catalog_manifest(croot)["version"] == cat_v0
+    assert _invariant_holds(spark, croot)
+
+
+def test_multi_table_txn_refuses_stale_pin_and_unknown_table(
+    spark, sf_dir, tmp_path
+):
+    """A member whose head moved past its catalog pin is refused at
+    BEGIN (staging against the pin would drop the unpinned commits at
+    publish); unknown table names fail loudly; rollback closes every
+    member."""
+    from datalake2anomali_spark.io.catalog import MultiTableTransaction
+    from datalake2anomali_spark.io.publish import alter_table_columns
+
+    a_root, b_root, croot, e = _setup(spark, sf_dir, tmp_path)
+
+    with pytest.raises(KeyError, match="no table"):
+        MultiTableTransaction(spark, croot, {"missing": "x"})
+
+    mtxn = MultiTableTransaction(spark, croot, {"events": "event_date"})
+    with pytest.raises(KeyError, match="does not cover"):
+        mtxn.table("user_totals")
+    mtxn.table("events").delete(F.col("event_type") == "error")
+    mtxn.rollback()
+    with pytest.raises(RuntimeError, match="already committed"):
+        mtxn.table("events").delete(F.col("event_type") == "view")
+    assert catalog_manifest(croot)["version"] == 2  # nothing published
+
+    # advance the totals head OUTSIDE the catalog (metadata-only commit)
+    alter_table_columns(b_root, add=[("note", "string")])
+    with pytest.raises(ConcurrentWriteError, match="past its catalog pin"):
+        MultiTableTransaction(spark, croot, {"user_totals": "bucket"})
+    # un-staled members still work
+    MultiTableTransaction(spark, croot, {"events": "event_date"})
+
+
 def test_catalog_transactions_race_exactly_one_wins(spark, sf_dir, tmp_path):
     """Two catalog transactions racing to publish: exactly one commit
     lands, the loser gets ConcurrentWriteError, and the catalog ends at

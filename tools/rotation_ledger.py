@@ -58,6 +58,8 @@ REGISTERED_ROUND: dict[str, int] = {
     "stream_enrich_snapshot": 10,
     "table_follower_rollup": 10,
     "ann_ivfpq_topk": 10,
+    "multi_table_txn": 10,
+    "merge_schema_widening": 10,
     "stream_interval_join_full": 8,
     "cdc_view_maintenance": 8,
     "delete_restore_history": 8,

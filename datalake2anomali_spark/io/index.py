@@ -111,11 +111,67 @@ def create_value_index(
     return base_v
 
 
+def _follow_renames(index_root: str, meta: dict) -> dict:
+    """Advance the index's recorded column names through renames the
+    base table committed AFTER the follower's cursor (the version the
+    index state is correct through — the anchor that keeps a pre-index
+    rename of a since-reused name from misapplying).  The updated meta
+    persists before any data work so a crash mid-refresh replays with
+    the right names.  A DROP of the indexed column has no rename event
+    and surfaces as the loud missing-column read error — recreate the
+    index."""
+    cursor = _follower(index_root, meta).position()
+    if cursor is None:
+        return meta
+    base = read_manifest(meta["root"])
+    # renames and adds replay together in version order (the
+    # _map_physical discipline): an ADD event hitting a tracked name
+    # means the original column was dropped and the name reused — the
+    # tracked identity is gone and silently following the impostor
+    # would heal touched pairs to the wrong column's stats
+    events = sorted(
+        [(int(r["v"]), 0, r) for r in base.get("renames", []) if int(r["v"]) > cursor]
+        + [(int(a["v"]), 1, a) for a in base.get("adds", []) if int(a["v"]) > cursor],
+        key=lambda e: (e[0], e[1]),
+    )
+    changed = False
+    for _v, kind, ev in events:
+        tracked = {meta["col"], meta["partition_col"], *meta["key_cols"]}
+        if kind == 1:
+            if ev["name"] in tracked:
+                raise ValueError(
+                    f"column {ev['name']!r} tracked by the index at "
+                    f"{index_root!r} was dropped and re-added in the base "
+                    "table (add log v"
+                    f"{ev['v']}); the index no longer describes a live "
+                    "column — recreate it"
+                )
+            continue
+        for field in ("col", "partition_col"):
+            if meta[field] == ev["from"]:
+                meta[field] = ev["to"]
+                changed = True
+        if ev["from"] in meta["key_cols"]:
+            meta["key_cols"] = [
+                ev["to"] if k == ev["from"] else k for k in meta["key_cols"]
+            ]
+            changed = True
+    if changed:
+        tmp = os.path.join(index_root, _META + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(meta, fh, sort_keys=True)
+        os.replace(tmp, os.path.join(index_root, _META))
+    return meta
+
+
 def refresh_value_index(spark: SparkSession, index_root: str) -> int:
     """Advance the index to the base table's current version.  No-op when
     caught up.  Idempotent under crash-replay (see module docstring).
+    Renames of the indexed/key columns in the followed span are followed
+    automatically (:func:`_follow_renames`); the CDF itself aligns
+    schema evolution inside the span (``table_changes``).
     Returns the version the index now reflects."""
-    meta = _meta(index_root)
+    meta = _follow_renames(index_root, _meta(index_root))
     col, pcol = meta["col"], meta["partition_col"]
     follower = _follower(index_root, meta)
     changes, target_v = follower.poll(spark)

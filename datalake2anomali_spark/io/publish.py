@@ -3117,9 +3117,30 @@ def table_changes(
     ``v_to`` without rescanning the table's full history (Delta CDF /
     Iceberg changelog shape, derived rather than stored: correct for any
     pair of live versions, at the cost of diffing two snapshot reads).
+
+    Schema evolution inside the span is tolerated: the old snapshot is
+    aligned to ``v_to``'s logical schema before diffing — renames replay
+    through the same event log pieces use (:func:`_map_physical`, with
+    the old snapshot treated as one piece written at ``v_from``),
+    columns added in the span surface as typed NULL on the old side
+    (their new values report as ``changed``), and columns dropped in
+    the span leave the diff (the data no longer has them).  ``key_cols``
+    are ``v_to``'s names.
     """
     from ..operators.quality import snapshot_diff
 
     old = read_snapshot(spark, root, partition_col, version=v_from)
     new = read_snapshot(spark, root, partition_col, version=v_to)
+    if old.columns != new.columns:
+        to_manifest = read_manifest(root, v_to)
+        old = _map_physical(old, to_manifest, written_v=v_from)
+        dtypes = dict(new.dtypes)
+        old = old.select(
+            *[
+                F.col(c)
+                if c in old.columns
+                else F.lit(None).cast(dtypes[c]).alias(c)
+                for c in new.columns
+            ]
+        )
     return snapshot_diff(old, new, key_cols, include_images=include_images)

@@ -1,0 +1,267 @@
+"""Cross-feature interaction pins: the lakehouse surfaces that landed
+separately (shallow clone, deletion vectors, merge-on-read UPDATE,
+column renames, transactions) composed pairwise — the bug class the
+review passes kept finding inside single features, pinned here across
+feature boundaries so a regression in the shared read/commit paths
+(`_resolve_vdir` fallback chains, `_apply_renames` replay,
+`_carry_dv`/`_carry_appends`) fails loudly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalake2anomali_spark.io.publish import (
+    alter_table_columns,
+    clone_table,
+    compact_versioned,
+    delete_from_versioned,
+    init_table,
+    read_manifest,
+    read_snapshot,
+    update_versioned,
+)
+from datalake2anomali_spark.io.tables import load_table
+from datalake2anomali_spark.io.transaction import Transaction
+
+
+def _events(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+        .select("event_id", "user_id", "event_type", "value", "event_date")
+    )
+
+
+def test_clone_carries_and_stacks_deletion_vectors(spark, sf_dir, tmp_path):
+    """A clone of a table with LIVE merge-on-read vectors reads them
+    through the fallback chain; its own MoR deletes stack locally
+    without leaking to the source; compaction materializes everything
+    and drops the chain."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    e = _events(spark, sf_dir)
+    init_table(spark, e, src, "event_date")
+    delete_from_versioned(
+        spark, src, "event_date", F.col("event_type") == "error",
+        mode="merge_on_read", key_cols=["event_id"],
+    )
+    n_src = read_snapshot(spark, src, "event_date").count()
+    clone_table(src, dst)
+    assert read_snapshot(spark, dst, "event_date").count() == n_src
+
+    delete_from_versioned(
+        spark, dst, "event_date", F.col("event_type") == "click",
+        mode="merge_on_read", key_cols=["event_id"],
+    )
+    d = read_snapshot(spark, dst, "event_date")
+    exp = e.filter(~F.col("event_type").isin("error", "click")).count()
+    assert d.filter(F.col("event_type") == "click").count() == 0
+    assert d.count() == exp
+    # source keeps its clicks (clone vectors are local)
+    assert (
+        read_snapshot(spark, src, "event_date")
+        .filter(F.col("event_type") == "click")
+        .count()
+        > 0
+    )
+
+    compact_versioned(spark, dst, "event_date", "event_id")
+    m = read_manifest(dst)
+    assert not m.get("fallback_roots")
+    assert read_snapshot(spark, dst, "event_date").count() == exp
+
+
+def test_transaction_after_column_rename_replays_physical_names(
+    spark, sf_dir, tmp_path
+):
+    """UPDATE/MERGE staged through a Transaction against a RENAMED
+    column: old pieces still physically hold the old name and must
+    replay the rename; the rewritten partitions come out under the new
+    name with exact values."""
+    root = str(tmp_path / "t")
+    e = _events(spark, sf_dir)
+    init_table(spark, e, root, "event_date")
+    alter_table_columns(root, rename={"value": "amount"})
+
+    txn = Transaction(spark, root, "event_date")
+    txn.update(F.col("event_type") == "click", {"amount": F.col("amount") * 2})
+    src = (
+        e.withColumnRenamed("value", "amount")
+        .filter(F.col("event_type") == "purchase")
+        .withColumn("amount", F.col("amount") + 1000)
+    )
+    txn.merge(src, ["event_id"])
+    txn.commit()
+
+    snap = read_snapshot(spark, root, "event_date")
+    assert "amount" in snap.columns and "value" not in snap.columns
+    got = snap.agg(
+        F.sum(F.round(F.col("amount") * 100).cast("long"))
+    ).collect()[0][0]
+    want = (
+        e.withColumn(
+            "value",
+            F.when(F.col("event_type") == "click", F.col("value") * 2)
+            .when(F.col("event_type") == "purchase", F.col("value") + 1000)
+            .otherwise(F.col("value")),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")))
+        .collect()[0][0]
+    )
+    assert got == want
+
+
+def test_merge_on_read_update_on_clone_via_fallback_chain(
+    spark, sf_dir, tmp_path
+):
+    """update_versioned(mode=merge_on_read) on a SHALLOW CLONE: the
+    vector + append-delta land under the clone root while the
+    pre-image pieces resolve through the fallback chain; the source
+    stays untouched."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    e = _events(spark, sf_dir)
+    init_table(spark, e, src, "event_date")
+    clone_table(src, dst)
+    update_versioned(
+        spark, dst, "event_date",
+        F.col("event_type") == "view", {"value": F.lit(0.0)},
+        mode="merge_on_read", key_cols=["event_id"],
+    )
+    d = read_snapshot(spark, dst, "event_date")
+    assert (
+        d.filter(
+            (F.col("event_type") == "view") & (F.col("value") != 0.0)
+        ).count()
+        == 0
+    )
+    assert d.count() == e.count()
+    n_views = e.filter(F.col("event_type") == "view").count()
+    assert (
+        read_snapshot(spark, src, "event_date")
+        .filter((F.col("event_type") == "view") & (F.col("value") == 0.0))
+        .count()
+        < n_views
+    )
+
+
+def test_table_changes_aligns_schema_evolution_in_span(
+    spark, sf_dir, tmp_path
+):
+    """A CDF span crossing a rename + an add + a drop still diffs: the
+    old snapshot aligns to the target's logical schema (renames replay,
+    added columns NULL-fill, dropped columns leave), so followers
+    survive schema evolution instead of refusing the whole span."""
+    from datalake2anomali_spark.io.publish import (
+        merge_into_versioned,
+        table_changes,
+    )
+
+    root = str(tmp_path / "t")
+    e = _events(spark, sf_dir)
+    init_table(spark, e, root, "event_date")
+    v0 = read_manifest(root)["version"]
+
+    alter_table_columns(root, rename={"value": "amount"}, drop=["user_id"])
+    d0 = e.agg(F.min("event_date")).collect()[0][0]
+    src = (
+        e.drop("user_id")
+        .withColumnRenamed("value", "amount")
+        .filter((F.col("event_date") == d0) & (F.col("event_type") == "click"))
+        .withColumn("amount", F.col("amount") + 5)
+        .withColumn("score", F.lit(1.5))
+    )
+    merge_into_versioned(
+        spark, root, src, ["event_id"], "event_date",
+        allow_schema_evolution=True,
+    )
+    v1 = read_manifest(root)["version"]
+
+    ch = table_changes(spark, root, "event_date", ["event_id"], v0, v1)
+    by_type = {r["change_type"]: r["n"] for r in
+               ch.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # only the merged rows changed (amount moved and score appeared);
+    # the rename itself must NOT report every row as changed
+    assert by_type.get("changed", 0) == src.count()
+    assert "added" not in by_type and "removed" not in by_type
+    # images carry the target schema's names
+    chi = table_changes(
+        spark, root, "event_date", ["event_id"], v0, v1, include_images=True
+    )
+    assert "pre_amount" in chi.columns and "post_score" in chi.columns
+    row = chi.filter(F.col("change_type") == "changed").select(
+        "pre_score", "post_score"
+    ).first()
+    assert row["pre_score"] is None and row["post_score"] == 1.5
+
+
+def test_value_index_follows_column_renames(spark, sf_dir, tmp_path):
+    """Renaming the indexed column (or unrelated columns) between
+    refreshes must not break the index: the refresh follows the rename
+    log from its cursor and keeps serving exact lookups; a drop+re-add
+    of a tracked name is refused loudly (the identity is gone)."""
+    import pytest
+
+    from datalake2anomali_spark.io.index import (
+        create_value_index,
+        index_lookup_partitions,
+        indexed_read,
+        refresh_value_index,
+    )
+
+    root = str(tmp_path / "t")
+    idx = str(tmp_path / "i")
+    e = _events(spark, sf_dir)
+    init_table(spark, e, root, "event_date")
+    create_value_index(spark, root, "event_date", "user_id", ["event_id"], idx)
+
+    alter_table_columns(root, rename={"user_id": "uid", "value": "amount"})
+    delete_from_versioned(
+        spark, root, "event_date", F.col("event_type") == "error"
+    )
+    v = refresh_value_index(spark, idx)
+    assert v == read_manifest(root)["version"]
+    u = int(e.agg(F.min("user_id")).collect()[0][0])
+    homes = index_lookup_partitions(spark, idx, u)
+    want = {
+        r["event_date"]
+        for r in e.filter(
+            (F.col("user_id") == u) & (F.col("event_type") != "error")
+        ).select("event_date").distinct().collect()
+    }
+    assert homes == want
+    out = indexed_read(spark, idx, u, refresh=False)
+    assert "uid" in out.columns and "user_id" not in out.columns
+    assert out.count() == e.filter(
+        (F.col("user_id") == u) & (F.col("event_type") != "error")
+    ).count()
+
+    # drop + re-add the indexed name: identity broken, refusal is loud
+    alter_table_columns(root, drop=["uid"])
+    alter_table_columns(root, add=[("uid", "bigint")])
+    with pytest.raises(ValueError, match="dropped and re-added"):
+        refresh_value_index(spark, idx)
+
+
+def test_transaction_rewrite_materializes_live_vectors(
+    spark, sf_dir, tmp_path
+):
+    """A Transaction whose rewrite touches partitions carrying LIVE
+    deletion vectors must materialize them (deleted rows stay deleted
+    after the partitions rewrite under the txn's version)."""
+    root = str(tmp_path / "t")
+    e = _events(spark, sf_dir)
+    init_table(spark, e, root, "event_date")
+    delete_from_versioned(
+        spark, root, "event_date", F.col("event_type") == "error",
+        mode="merge_on_read", key_cols=["event_id"],
+    )
+    txn = Transaction(spark, root, "event_date")
+    txn.update(F.col("event_type") == "click", {"value": F.col("value") * 3})
+    txn.delete(F.col("event_type") == "signup")
+    txn.commit()
+    snap = read_snapshot(spark, root, "event_date")
+    assert snap.filter(F.col("event_type") == "error").count() == 0
+    assert snap.count() == e.filter(
+        ~F.col("event_type").isin("error", "signup")
+    ).count()

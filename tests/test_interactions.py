@@ -243,6 +243,116 @@ def test_value_index_follows_column_renames(spark, sf_dir, tmp_path):
         refresh_value_index(spark, idx)
 
 
+def test_partition_column_rename_maps_mixed_directory_names(
+    spark, sf_dir, tmp_path
+):
+    """Renaming the PARTITION column: pieces written before the rename
+    keep their ``event_date=...`` hive directories, pieces written after
+    use ``day=...``, and the rename replay unifies both under the new
+    logical name; partition-value pruning stays name-independent."""
+    from datalake2anomali_spark.io.publish import merge_into_versioned
+
+    root = str(tmp_path / "t")
+    e = _events(spark, sf_dir)
+    init_table(spark, e, root, "event_date")
+    alter_table_columns(root, rename={"event_date": "day"})
+    assert read_snapshot(spark, root, "day").count() == e.count()
+
+    # a write AFTER the rename creates day=... directories next to the
+    # old event_date=... ones
+    src = (
+        e.withColumnRenamed("event_date", "day")
+        .filter(F.col("event_type") == "purchase")
+        .withColumn("value", F.col("value") + 1)
+    )
+    merge_into_versioned(spark, root, src, ["event_id"], "day")
+    snap = read_snapshot(spark, root, "day")
+    assert snap.count() == e.count()
+    assert "day" in snap.columns and "event_date" not in snap.columns
+    got = snap.agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+    ).collect()[0][0]
+    want = (
+        e.withColumn(
+            "value",
+            F.when(
+                F.col("event_type") == "purchase", F.col("value") + 1
+            ).otherwise(F.col("value")),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")))
+        .collect()[0][0]
+    )
+    assert got == want
+    # value-based pruning is partition-NAME independent
+    d0 = e.agg(F.min("event_date")).collect()[0][0]
+    pruned = read_snapshot(
+        spark, root, "day", partition_filter=lambda p: p == d0
+    )
+    assert pruned.count() == e.filter(F.col("event_date") == d0).count()
+
+
+def test_branch_alter_isolated_until_fast_forward(spark, sf_dir, tmp_path):
+    """A column rename committed on a BRANCH leaves main's schema
+    untouched until fast_forward publishes it — write-audit-publish for
+    schema changes, with exact value preservation across the publish."""
+    from datalake2anomali_spark.io.publish import create_branch, fast_forward
+
+    root = str(tmp_path / "t")
+    e = _events(spark, sf_dir)
+    init_table(spark, e, root, "event_date")
+    create_branch(root, "audit")
+    alter_table_columns(root, rename={"value": "amount"}, ref="audit")
+    assert "value" in read_snapshot(spark, root, "event_date").columns
+    assert (
+        "amount"
+        in read_snapshot(spark, root, "event_date", ref="audit").columns
+    )
+    fast_forward(root, "audit")
+    post = read_snapshot(spark, root, "event_date")
+    assert "amount" in post.columns and "value" not in post.columns
+    got = post.agg(
+        F.sum(F.round(F.col("amount") * 100).cast("long"))
+    ).collect()[0][0]
+    want = e.agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+    ).collect()[0][0]
+    assert got == want
+
+
+def test_cdc_apply_composes_with_widened_schema(spark, sf_dir, tmp_path):
+    """cdc_apply_versioned onto a table widened by an evolution merge:
+    the ops frame carries the widened schema and applies cleanly."""
+    from datalake2anomali_spark.io.publish import (
+        cdc_apply_versioned,
+        merge_into_versioned,
+    )
+
+    root = str(tmp_path / "t")
+    e = _events(spark, sf_dir)
+    init_table(spark, e, root, "event_date")
+    merge_into_versioned(
+        spark,
+        root,
+        e.filter(F.col("event_type") == "purchase").withColumn(
+            "score", F.col("value") / 10
+        ),
+        ["event_id"],
+        "event_date",
+        allow_schema_evolution=True,
+    )
+    clicks = e.filter(F.col("event_type") == "click")
+    ops = (
+        clicks.limit(50)
+        .withColumn("score", F.lit(None).cast("double"))
+        .withColumn("value", F.col("value") * 7)
+        .withColumn("_op", F.lit("upsert"))
+    )
+    cdc_apply_versioned(spark, root, ops, ["event_id"], "event_date")
+    snap = read_snapshot(spark, root, "event_date")
+    assert snap.count() == e.count()
+    assert "score" in snap.columns
+
+
 def test_transaction_rewrite_materializes_live_vectors(
     spark, sf_dir, tmp_path
 ):

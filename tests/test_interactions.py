@@ -340,17 +340,29 @@ def test_cdc_apply_composes_with_widened_schema(spark, sf_dir, tmp_path):
         "event_date",
         allow_schema_evolution=True,
     )
-    clicks = e.filter(F.col("event_type") == "click")
+    # deterministic subset: cdc_apply_versioned evaluates the ops frame
+    # in several separate actions, so a limit() could pick different rows
+    # per evaluation and corrupt the ownership set
+    touched = e.filter(
+        (F.col("event_type") == "click") & (F.col("event_id") % 7 == 0)
+    )
     ops = (
-        clicks.limit(50)
-        .withColumn("score", F.lit(None).cast("double"))
+        touched.withColumn("score", F.lit(None).cast("double"))
         .withColumn("value", F.col("value") * 7)
         .withColumn("_op", F.lit("upsert"))
     )
     cdc_apply_versioned(spark, root, ops, ["event_id"], "event_date")
     snap = read_snapshot(spark, root, "event_date")
     assert snap.count() == e.count()
-    assert "score" in snap.columns
+    # the upserts actually landed: touched keys carry value*7 and NULL
+    # score, and their pre-update values are gone
+    got = snap.join(touched.select("event_id", F.col("value").alias("pre")),
+                    "event_id")
+    n_touched = touched.count()
+    assert n_touched > 0
+    assert got.filter(
+        (F.col("value") == F.col("pre") * 7) & F.col("score").isNull()
+    ).count() == n_touched
 
 
 def test_transaction_rewrite_materializes_live_vectors(

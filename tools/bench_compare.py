@@ -1,0 +1,58 @@
+"""Compare two bench JSON records per-query.
+
+    python tools/bench_compare.py OLD.json NEW.json [--warm] [--top N]
+
+Prints the common-query ratio (sum_new / sum_old over queries present in
+BOTH records — the cross-round comparable number) and the N worst
+per-query drifts.  Rows under 0.5 s in both records are summed into the
+ratio but suppressed from the drift list (sub-second absolute noise).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def _load(path: str, warm: bool) -> dict[str, float]:
+    with open(path, encoding="utf-8") as fh:
+        rec = json.load(fh)
+    key = "queries_warm" if warm else "queries"
+    out = rec.get(key) or {}
+    if not out:
+        raise SystemExit(f"{path} has no {key!r}")
+    return out
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    warm = "--warm" in sys.argv
+    top = 10
+    if "--top" in sys.argv:
+        top = int(sys.argv[sys.argv.index("--top") + 1])
+        args = [a for a in args if a != str(top)]
+    old, new = _load(args[0], warm), _load(args[1], warm)
+    common = sorted(set(old) & set(new))
+    if not common:
+        raise SystemExit("no common queries")
+    s_old = sum(old[q] for q in common)
+    s_new = sum(new[q] for q in common)
+    tag = "warm" if warm else "cold"
+    print(
+        f"common {len(common)} queries ({tag}): {s_new:.1f}s vs {s_old:.1f}s "
+        f"= {s_new / s_old:.3f}x"
+    )
+    drifts = [
+        (new[q] / old[q], q, old[q], new[q])
+        for q in common
+        if old[q] > 0 and (old[q] >= 0.5 or new[q] >= 0.5)
+    ]
+    for ratio, q, o, n in sorted(drifts, reverse=True)[:top]:
+        print(f"  {ratio:5.2f}x  {q}: {o:.2f}s -> {n:.2f}s")
+    only_new = sorted(set(new) - set(old))
+    if only_new:
+        print(f"new-only ({len(only_new)}): " + ", ".join(only_new))
+
+
+if __name__ == "__main__":
+    main()

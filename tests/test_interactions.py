@@ -365,6 +365,35 @@ def test_cdc_apply_composes_with_widened_schema(spark, sf_dir, tmp_path):
     ).count() == n_touched
 
 
+def test_follower_behind_vacuum_window_fails_loud(spark, sf_dir, tmp_path):
+    """A follower whose cursor fell behind the vacuum retention window
+    must fail LOUDLY on poll — never return a silent partial diff.  The
+    documented contract: retain_last must cover the polling lag."""
+    import pytest
+
+    from datalake2anomali_spark.io.publish import TableFollower, vacuum
+
+    root = str(tmp_path / "t")
+    e = _events(spark, sf_dir)
+    init_table(spark, e, root, "event_date")
+    fol = TableFollower(root, "event_date", ["event_id"], str(tmp_path / "c"))
+    changes, v = fol.poll(spark)
+    assert changes is not None  # bootstrap
+    fol.commit(v)
+
+    for t in ("error", "view", "signup"):
+        delete_from_versioned(
+            spark, root, "event_date", F.col("event_type") == t
+        )
+    vacuum(root, retain_last=1, claim_ttl_seconds=0.0)
+    with pytest.raises(Exception):
+        ch, tv = fol.poll(spark)
+        # reaching here means poll returned; force plan execution so a
+        # lazily-failing read still surfaces before any consumer commits
+        if ch is not None:
+            ch.count()
+
+
 def test_transaction_rewrite_materializes_live_vectors(
     spark, sf_dir, tmp_path
 ):

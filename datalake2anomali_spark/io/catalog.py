@@ -272,8 +272,22 @@ class MultiTableTransaction:
 
         self._ctx = CatalogTransaction(croot)
         self._txns: dict[str, "Transaction"] = {}
+        seen_roots: dict[str, str] = {}
         for name, pcol in partition_cols.items():
             root = self._ctx.root(name)
+            rp = os.path.realpath(root)
+            if rp in seen_roots:
+                # two catalog names over one physical table: the first
+                # member's commit would move the head past the second's
+                # pin mid-batch — a guaranteed orphan commit plus a
+                # wedged pin.  Refuse at BEGIN, where the docstring
+                # promises unsafe configs are caught.
+                raise ValueError(
+                    f"members {seen_roots[rp]!r} and {name!r} are both "
+                    f"backed by {root!r}; stage one transaction per "
+                    "physical table"
+                )
+            seen_roots[rp] = name
             pin = self._ctx._base["tables"][name]["version"]
             head = read_manifest(root)["version"]
             if head != pin:

@@ -120,33 +120,44 @@ def _follow_renames(index_root: str, meta: dict) -> dict:
     the right names.  A DROP of the indexed column has no rename event
     and surfaces as the loud missing-column read error — recreate the
     index."""
+    from .publish import _schema_events
+
     cursor = _follower(index_root, meta).position()
     if cursor is None:
         return meta
     base = read_manifest(meta["root"])
-    # renames and adds replay together in version order (the
-    # _map_physical discipline): an ADD event hitting a tracked name
-    # means the original column was dropped and the name reused — the
-    # tracked identity is gone and silently following the impostor
-    # would heal touched pairs to the wrong column's stats
-    events = sorted(
-        [(int(r["v"]), 0, r) for r in base.get("renames", []) if int(r["v"]) > cursor]
-        + [(int(a["v"]), 1, a) for a in base.get("adds", []) if int(a["v"]) > cursor],
-        key=lambda e: (e[0], e[1]),
-    )
+    # renames and adds replay together in the reader's exact event order
+    # (publish._schema_events — the shared merge, so the two replays can
+    # never diverge).  Two ways a tracked identity dies, both refused
+    # loudly because silently following the impostor would heal touched
+    # pairs to the wrong column's stats:
+    #  - an ADD of a tracked name (the column was dropped, the name
+    #    reused by a fresh column);
+    #  - a rename of ANOTHER column INTO a tracked name (legal only when
+    #    the tracked column was dropped first — same reuse, different
+    #    event).
     changed = False
-    for _v, kind, ev in events:
+    for v, kind, ev in _schema_events(base):
+        if v <= cursor:
+            continue
         tracked = {meta["col"], meta["partition_col"], *meta["key_cols"]}
         if kind == 1:
             if ev["name"] in tracked:
                 raise ValueError(
                     f"column {ev['name']!r} tracked by the index at "
                     f"{index_root!r} was dropped and re-added in the base "
-                    "table (add log v"
-                    f"{ev['v']}); the index no longer describes a live "
-                    "column — recreate it"
+                    f"table (add log v{ev['v']}); the index no longer "
+                    "describes a live column — recreate it"
                 )
             continue
+        if ev["to"] in tracked:
+            raise ValueError(
+                f"column {ev['to']!r} tracked by the index at "
+                f"{index_root!r} was dropped and another column "
+                f"({ev['from']!r}) renamed onto its name in the base "
+                f"table (rename log v{ev['v']}); the index no longer "
+                "describes a live column — recreate it"
+            )
         for field in ("col", "partition_col"):
             if meta[field] == ev["from"]:
                 meta[field] = ev["to"]
@@ -160,6 +171,8 @@ def _follow_renames(index_root: str, meta: dict) -> dict:
         tmp = os.path.join(index_root, _META + ".tmp")
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(meta, fh, sort_keys=True)
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(tmp, os.path.join(index_root, _META))
     return meta
 

@@ -594,6 +594,20 @@ def _append_dir(root: str, version: int) -> str:
     return os.path.join(version_dir(root, version), "_append")
 
 
+def _schema_events(manifest: dict) -> list[tuple[int, int, dict]]:
+    """The manifest's rename/add event log merged in replay order:
+    ``(version, kind, event)`` with kind 0 = rename, 1 = add — renames
+    before adds within one commit, matching :func:`alter_table_columns`'
+    drop → rename → add validation order.  The ONE ordering every
+    replayer (:func:`_map_physical`, the index's rename follower) must
+    share, or their replays silently diverge."""
+    return sorted(
+        [(int(r["v"]), 0, r) for r in manifest.get("renames", [])]
+        + [(int(a["v"]), 1, a) for a in manifest.get("adds", [])],
+        key=lambda e: (e[0], e[1]),
+    )
+
+
 def _map_physical(df: DataFrame, manifest: dict, written_v: int) -> DataFrame:
     """Map a piece's PHYSICAL column names to the table's logical names:
     replay, in commit order, every schema event committed AFTER the
@@ -613,12 +627,7 @@ def _map_physical(df: DataFrame, manifest: dict, written_v: int) -> DataFrame:
     Within one commit renames replay before adds, matching
     :func:`alter_table_columns`' drop → rename → add validation order
     (a single commit may rename ``a`` away AND re-add a fresh ``a``)."""
-    events = sorted(
-        [(int(r["v"]), 0, r) for r in manifest.get("renames", [])]
-        + [(int(a["v"]), 1, a) for a in manifest.get("adds", [])],
-        key=lambda e: (e[0], e[1]),
-    )
-    for v, kind, ev in events:
+    for v, kind, ev in _schema_events(manifest):
         if v <= written_v:
             continue
         if kind == 0:
@@ -3131,8 +3140,18 @@ def table_changes(
 
     old = read_snapshot(spark, root, partition_col, version=v_from)
     new = read_snapshot(spark, root, partition_col, version=v_to)
-    if old.columns != new.columns:
-        to_manifest = read_manifest(root, v_to)
+    to_manifest = read_manifest(root, v_to)
+    # alignment must trigger on IN-SPAN schema events even when the two
+    # column-name lists coincide: a drop+re-add of the same name leaves
+    # the lists equal while the old side still carries the DEAD column's
+    # values — diffing them would report every row changed against
+    # pre-images of an identity that no longer exists
+    span_events = [
+        e
+        for _v, _k, e in _schema_events(to_manifest)
+        if v_from < int(e["v"]) <= v_to
+    ]
+    if old.columns != new.columns or span_events:
         old = _map_physical(old, to_manifest, written_v=v_from)
         dtypes = dict(new.dtypes)
         old = old.select(

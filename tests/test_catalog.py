@@ -362,6 +362,14 @@ def test_multi_table_txn_refuses_stale_pin_and_unknown_table(
         mtxn.table("events").delete(F.col("event_type") == "view")
     assert catalog_manifest(croot)["version"] == 2  # nothing published
 
+    # two catalog names over ONE physical table: the first member's
+    # commit would strand the second mid-batch — refused at BEGIN
+    catalog_register(croot, "events_alias", a_root)
+    with pytest.raises(ValueError, match="both backed by"):
+        MultiTableTransaction(
+            spark, croot, {"events": "event_date", "events_alias": "event_date"}
+        )
+
     # advance the totals head OUTSIDE the catalog (metadata-only commit)
     alter_table_columns(b_root, add=[("note", "string")])
     with pytest.raises(ConcurrentWriteError, match="past its catalog pin"):

@@ -365,6 +365,66 @@ def test_cdc_apply_composes_with_widened_schema(spark, sf_dir, tmp_path):
     ).count() == n_touched
 
 
+def test_value_index_refuses_rename_into_tracked_name(
+    spark, sf_dir, tmp_path
+):
+    """Drop the indexed column and rename ANOTHER column onto its name
+    in one commit (legal: drop applies before rename): the tracked
+    identity is gone and refresh must refuse loudly — silently following
+    the impostor made lookups return empty for live values."""
+    import pytest
+
+    from datalake2anomali_spark.io.index import (
+        create_value_index,
+        refresh_value_index,
+    )
+
+    root = str(tmp_path / "t")
+    idx = str(tmp_path / "i")
+    e = _events(spark, sf_dir)
+    init_table(spark, e, root, "event_date")
+    create_value_index(spark, root, "event_date", "user_id", ["event_id"], idx)
+    alter_table_columns(
+        root, drop=["user_id"], rename={"event_id": "user_id"}
+    )
+    with pytest.raises(ValueError, match="renamed onto its name"):
+        refresh_value_index(spark, idx)
+
+
+def test_table_changes_aligns_same_shape_drop_readd(spark, sf_dir, tmp_path):
+    """Drop + re-add of a column leaves the two snapshots' column lists
+    IDENTICAL while the old side still carries the dead column's values;
+    the span-event check must trigger alignment anyway, or every row
+    reports changed against pre-images of a dead identity."""
+    from datalake2anomali_spark.io.publish import (
+        merge_into_versioned,
+        table_changes,
+    )
+
+    root = str(tmp_path / "t")
+    e = _events(spark, sf_dir)
+    init_table(spark, e, root, "event_date")
+    v0 = read_manifest(root)["version"]
+
+    alter_table_columns(root, drop=["value"])
+    alter_table_columns(root, add=[("value", "double")])
+    d0 = e.agg(F.min("event_date")).collect()[0][0]
+    src = (
+        e.filter((F.col("event_date") == d0) & (F.col("event_type") == "click"))
+        .withColumn("value", F.lit(42.0))
+    )
+    merge_into_versioned(spark, root, src, ["event_id"], "event_date")
+    v1 = read_manifest(root)["version"]
+
+    ch = table_changes(spark, root, "event_date", ["event_id"], v0, v1,
+                       include_images=True)
+    changed = ch.filter(F.col("change_type") == "changed")
+    # ONLY the merged rows changed — not every row that once had a value
+    assert changed.count() == src.count()
+    row = changed.select("pre_value", "post_value").first()
+    assert row["pre_value"] is None and row["post_value"] == 42.0
+
+
 def test_follower_behind_vacuum_window_fails_loud(spark, sf_dir, tmp_path):
     """A follower whose cursor fell behind the vacuum retention window
     must fail LOUDLY on poll — never return a silent partial diff.  The

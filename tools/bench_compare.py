@@ -10,8 +10,8 @@ ratio but suppressed from the drift list (sub-second absolute noise).
 
 from __future__ import annotations
 
+import argparse
 import json
-import sys
 
 
 def _load(path: str, warm: bool) -> dict[str, float]:
@@ -25,13 +25,14 @@ def _load(path: str, warm: bool) -> dict[str, float]:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    warm = "--warm" in sys.argv
-    top = 10
-    if "--top" in sys.argv:
-        top = int(sys.argv[sys.argv.index("--top") + 1])
-        args = [a for a in args if a != str(top)]
-    old, new = _load(args[0], warm), _load(args[1], warm)
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("old_record")
+    ap.add_argument("new_record")
+    ap.add_argument("--warm", action="store_true")
+    ap.add_argument("--top", type=int, default=10)
+    ns = ap.parse_args()
+    warm, top = ns.warm, ns.top
+    old, new = _load(ns.old_record, warm), _load(ns.new_record, warm)
     common = sorted(set(old) & set(new))
     if not common:
         raise SystemExit("no common queries")

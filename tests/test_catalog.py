@@ -378,6 +378,60 @@ def test_multi_table_txn_refuses_stale_pin_and_unknown_table(
     MultiTableTransaction(spark, croot, {"events": "event_date"})
 
 
+def test_multi_table_txn_loser_leaves_catalog_consistent(
+    spark, sf_dir, tmp_path
+):
+    """Two multi-table transactions begun against the same pins: the
+    first commits fully; the second's member commit hits the table-level
+    CAS (its Transaction pinned the pre-winner snapshot), aborts before
+    ANY of its writes land, and the catalog stays at the winner's
+    consistent state."""
+    from datalake2anomali_spark.io.catalog import MultiTableTransaction
+    from datalake2anomali_spark.io.publish import read_manifest
+
+    a_root, b_root, croot, e = _setup(spark, sf_dir, tmp_path)
+
+    def stage(mtxn, seed):
+        syn = (
+            e.limit(100)
+            .withColumn("event_id", F.col("event_id") + seed)
+            .withColumn("user_id", F.lit(seed))
+            .withColumn("event_date", F.lit("2043-01-01"))
+        )
+        mtxn.table("events").merge(syn, ["event_id"])
+        post = e.unionByName(syn)
+        mtxn.table("user_totals").merge(_totals_of(post), ["user_id"])
+
+    m1 = MultiTableTransaction(
+        spark, croot, {"events": "event_date", "user_totals": "bucket"}
+    )
+    m2 = MultiTableTransaction(
+        spark, croot, {"events": "event_date", "user_totals": "bucket"}
+    )
+    stage(m1, 93_000_000)
+    stage(m2, 94_000_000)
+    cat_v1 = m1.commit()
+    a_v1 = read_manifest(a_root)["version"]
+    b_v1 = read_manifest(b_root)["version"]
+
+    with pytest.raises(ConcurrentWriteError):
+        m2.commit()
+    # the loser left nothing behind: no orphan table commits, catalog at
+    # the winner's state, cross-table invariant intact
+    assert read_manifest(a_root)["version"] == a_v1
+    assert read_manifest(b_root)["version"] == b_v1
+    assert catalog_manifest(croot)["version"] == cat_v1
+    assert _invariant_holds(spark, croot)
+    assert (
+        catalog_read(spark, croot, "events", "event_date")
+        .filter(F.col("user_id") == 93_000_000)
+        .count()
+        == 100
+    )
+    with pytest.raises(RuntimeError, match="already committed"):
+        m2.commit()
+
+
 def test_catalog_transactions_race_exactly_one_wins(spark, sf_dir, tmp_path):
     """Two catalog transactions racing to publish: exactly one commit
     lands, the loser gets ConcurrentWriteError, and the catalog ends at

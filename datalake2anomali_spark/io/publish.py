@@ -1118,6 +1118,15 @@ def read_snapshot(
                 _resolve_vdir(root, manifest, any_v)
             ).limit(0)
             return _row_filters(_project_schema(empty))
+        if schema_rec:
+            # a fully-emptied table (every row deleted) is still a table:
+            # it reads zero rows under the recorded schema and accepts
+            # later writes — without this, one full DELETE would brick the
+            # table forever (every writer starts with a snapshot read)
+            empty = spark.createDataFrame(
+                [], ", ".join(f"{n} {t}" for n, t in schema_rec)
+            )
+            return _row_filters(empty)
         raise ValueError(f"versioned table at {root!r} has no live partitions")
     out = pieces[0]
     for p in pieces[1:]:
@@ -1579,6 +1588,7 @@ def delete_from_versioned(
     ref: str | None = None,
     mode: str = "copy_on_write",
     key_cols: list[str] | None = None,
+    commit_hook=None,
 ) -> int:
     """DELETE FROM the versioned table, atomically and partition-pruned
     (the missing third of the DML surface next to MERGE and OPTIMIZE).
@@ -1642,6 +1652,8 @@ def delete_from_versioned(
             "files": files,
             "deleted": deleted,
         }
+        if commit_hook is not None:
+            commit_hook()
         _commit_checked(root, new_manifest, manifest["version"], ref=ref)
         return v
 
@@ -1664,7 +1676,7 @@ def delete_from_versioned(
     spark.catalog.refreshByPath(vdir)
     _commit_ownership_rewrite(
         spark, root, manifest, v, vdir, partition_col,
-        affected_vals, "delete", survivors, ref=ref,
+        affected_vals, "delete", survivors, commit_hook, ref=ref,
     )
     return v
 

@@ -22,3 +22,19 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+def hyp_settings():
+    """Shared hypothesis settings for every model/property test — ONE
+    soak knob (`SPARK_GRAFT_HYP_EXAMPLES=25 pytest tests/*model*`)
+    instead of six copy-pasted blocks."""
+    from hypothesis import HealthCheck
+
+    return dict(
+        max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "5")),
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.too_slow,
+        ],
+    )

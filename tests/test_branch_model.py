@@ -13,7 +13,7 @@ asserted after every single commit on either side.
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from datalake2anomali_spark.io.publish import (
@@ -26,14 +26,9 @@ from datalake2anomali_spark.io.publish import (
     read_snapshot,
 )
 
-_SETTINGS = dict(
-    max_examples=5,
-    deadline=None,
-    suppress_health_check=[
-        HealthCheck.function_scoped_fixture,
-        HealthCheck.too_slow,
-    ],
-)
+from tests.conftest import hyp_settings
+
+_SETTINGS = hyp_settings()
 
 _PARTS = ["a", "b", "c", "d"]
 

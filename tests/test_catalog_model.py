@@ -13,7 +13,7 @@ expiry); this net keeps them fixed under orderings no fixture scripts.
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from datalake2anomali_spark.io.catalog import (
@@ -32,14 +32,9 @@ from datalake2anomali_spark.io.publish import (
     vacuum,
 )
 
-_SETTINGS = dict(
-    max_examples=5,
-    deadline=None,
-    suppress_health_check=[
-        HealthCheck.function_scoped_fixture,
-        HealthCheck.too_slow,
-    ],
-)
+from tests.conftest import hyp_settings
+
+_SETTINGS = hyp_settings()
 
 _op = st.one_of(
     st.tuples(st.just("write"), st.integers(1, 9)),      # table-only commit
@@ -118,6 +113,11 @@ def test_catalog_retention_under_interleavings(
                 f"catalog v{cv} drifted after {kind}"
             )
 
-    # sanity: the table head itself has every model write
-    head = read_manifest(root)["version"]
-    assert head >= 1
+    # the table HEAD (not the catalog view) carries every model write
+    from datalake2anomali_spark.io.publish import read_snapshot
+
+    head_state = {
+        r["k"]: r["x"] for r in read_snapshot(spark, root, "p").collect()
+    }
+    assert head_state == model, "table head missing model writes"
+    assert read_manifest(root)["version"] >= 1

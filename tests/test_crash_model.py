@@ -15,10 +15,11 @@ pointwise.
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from datalake2anomali_spark.io.publish import (
+    delete_from_versioned,
     init_table,
     merge_into_versioned,
     read_snapshot,
@@ -26,14 +27,9 @@ from datalake2anomali_spark.io.publish import (
     vacuum,
 )
 
-_SETTINGS = dict(
-    max_examples=5,
-    deadline=None,
-    suppress_health_check=[
-        HealthCheck.function_scoped_fixture,
-        HealthCheck.too_slow,
-    ],
-)
+from tests.conftest import hyp_settings
+
+_SETTINGS = hyp_settings()
 
 
 class _Boom(RuntimeError):
@@ -45,10 +41,14 @@ def _crash():
 
 
 _op = st.tuples(
-    st.sampled_from(["merge", "update_cow", "update_mor"]),
-    st.integers(1, 9),      # seed
-    st.booleans(),          # crash this commit first?
-    st.booleans(),          # vacuum between crash and retry?
+    st.sampled_from(
+        ["merge", "update_cow", "update_mor", "delete_cow", "delete_mor"]
+    ),
+    st.integers(1, 9),  # seed
+    # clean commit, crash-then-retry, or crash-vacuum-then-retry — a
+    # three-way mode instead of two booleans so no generated value is
+    # dead weight in the clean half of the space
+    st.sampled_from(["clean", "crash", "crash_vacuum"]),
 )
 
 
@@ -69,8 +69,9 @@ def test_crashed_commits_leave_no_trace_and_retry_lands(
     )
     init_table(spark, df, root, "p")
 
-    for kind, seed, crash, vac in ops:
+    for kind, seed, mode_tag in ops:
         def run(hook=None):
+            """Apply the op; return (upserts, deleted_keys) for the model."""
             if kind == "merge":
                 keys = list(range(2000 + seed * 10, 2000 + seed * 10 + 6))
                 src = spark.createDataFrame(
@@ -80,8 +81,14 @@ def test_crashed_commits_leave_no_trace_and_retry_lands(
                 merge_into_versioned(
                     spark, root, src, ["k"], "p", commit_hook=hook
                 )
-                return {k: (str(k % 3), k + seed) for k in keys}
-            mode = "copy_on_write" if kind == "update_cow" else "merge_on_read"
+                return {k: (str(k % 3), k + seed) for k in keys}, []
+            mode = "merge_on_read" if kind.endswith("_mor") else "copy_on_write"
+            if kind.startswith("delete"):
+                delete_from_versioned(
+                    spark, root, "p", F.col("k") % 4 == seed % 4,
+                    mode=mode, key_cols=["k"], commit_hook=hook,
+                )
+                return {}, [k for k in model if k % 4 == seed % 4]
             update_versioned(
                 spark, root, "p", F.col("k") % 3 == seed % 3,
                 {"x": F.col("x") + 5}, mode=mode, key_cols=["k"],
@@ -91,9 +98,9 @@ def test_crashed_commits_leave_no_trace_and_retry_lands(
                 k: (p, x + 5)
                 for k, (p, x) in model.items()
                 if k % 3 == seed % 3
-            }
+            }, []
 
-        if crash:
+        if mode_tag != "clean":
             try:
                 run(hook=_crash)
                 raise AssertionError("injected crash did not propagate")
@@ -101,9 +108,12 @@ def test_crashed_commits_leave_no_trace_and_retry_lands(
                 pass
             # the table reads exactly the pre-crash state
             assert _state(spark, root) == model, f"crashed {kind} left a trace"
-            if vac:
+            if mode_tag == "crash_vacuum":
                 # reclaim the orphan; the read must still be the model
                 vacuum(root, retain_last=1, claim_ttl_seconds=0.0)
                 assert _state(spark, root) == model, "vacuum after crash drifted"
-        model.update(run())
+        upserts, deleted = run()
+        model.update(upserts)
+        for k in deleted:
+            model.pop(k, None)
         assert _state(spark, root) == model, f"retry of {kind} did not land"

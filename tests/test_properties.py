@@ -10,16 +10,14 @@ boundaries or partitioning).
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import given, settings, strategies as st
 
 from datalake2anomali_spark.llm.dedup import minhash_signatures, ngram_jaccard_pairs
 from datalake2anomali_spark.llm.graph import connected_components
 
-_SETTINGS = dict(
-    max_examples=5,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
-)
+from tests.conftest import hyp_settings
+
+_SETTINGS = hyp_settings()
 
 _WORDS = ["alpha", "beta", "gamma", "delta", "eps"]
 _doc = st.lists(st.sampled_from(_WORDS), min_size=4, max_size=12).map(" ".join)

@@ -1777,3 +1777,44 @@ def test_update_mor_all_null_bloom_column_and_optimize_counts_appends(
         assert p not in m2.get("appends", {})
         assert p not in m2.get("dv", {}).get("files", {})
     assert _snap_fingerprint(spark, root) == fp_blind  # content preserved
+
+
+def test_fully_emptied_table_stays_alive(spark, sf_dir, tmp_path):
+    """DELETE of every row must not brick the table: the emptied table
+    reads ZERO rows under the recorded schema (not an error), further
+    predicate DML no-ops, and a later MERGE repopulates it — one full
+    DELETE used to make the table permanently unreadable AND unwritable
+    (every writer starts with a snapshot read)."""
+    from pyspark.sql import functions as F
+
+    from datalake2anomali_spark.io.publish import (
+        delete_from_versioned,
+        init_table,
+        merge_into_versioned,
+        read_snapshot,
+        update_versioned,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(k, str(k % 2), k) for k in range(10)], "k long, p string, x long"
+    )
+    init_table(spark, df, root, "p")
+    delete_from_versioned(spark, root, "p", F.lit(True))
+
+    snap = read_snapshot(spark, root, "p")
+    assert snap.count() == 0
+    assert snap.columns == ["k", "p", "x"]
+    # predicate DML on the empty table is a clean no-op
+    update_versioned(spark, root, "p", F.lit(True), {"x": F.lit(0).cast("long")})
+    delete_from_versioned(spark, root, "p", F.lit(True))
+
+    src = spark.createDataFrame(
+        [(99, "z", 1), (100, "w", 2)], "k long, p string, x long"
+    )
+    merge_into_versioned(spark, root, src, ["k"], "p")
+    got = sorted(
+        (r["k"], r["p"], r["x"])
+        for r in read_snapshot(spark, root, "p").collect()
+    )
+    assert got == [(99, "z", 1), (100, "w", 2)]

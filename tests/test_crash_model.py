@@ -100,12 +100,24 @@ def test_crashed_commits_leave_no_trace_and_retry_lands(
                 if k % 3 == seed % 3
             }, []
 
+        # will this op commit at all?  A predicate matching NOTHING is a
+        # documented engine no-op — it returns before the injection
+        # point, so the "crash" cannot fire (found by the 25-example
+        # soak: delete the same residue twice, second is empty)
+        will_commit = kind == "merge" or (
+            any(k % 4 == seed % 4 for k in model)
+            if kind.startswith("delete")
+            else any(k % 3 == seed % 3 for k in model)
+        )
         if mode_tag != "clean":
-            try:
-                run(hook=_crash)
-                raise AssertionError("injected crash did not propagate")
-            except _Boom:
-                pass
+            if will_commit:
+                try:
+                    run(hook=_crash)
+                    raise AssertionError("injected crash did not propagate")
+                except _Boom:
+                    pass
+            else:
+                run(hook=_crash)  # engine no-ops before the hook
             # the table reads exactly the pre-crash state
             assert _state(spark, root) == model, f"crashed {kind} left a trace"
             if mode_tag == "crash_vacuum":

@@ -2621,6 +2621,17 @@ def clone_table(src_root: str, dst_root: str) -> int:
         p for p in src.get("fallback_roots", [])
     ]
     manifest["fallback_roots"] = chain
+    # a hidden-partitioned source keeps its transform spec in a sidecar
+    # next to the manifest ("_PARTITION_SPEC.json" — io/hidden.py, named
+    # here literally because hidden imports publish); the spec is table
+    # metadata exactly like the schema, so the clone must carry it or
+    # every read_hidden/merge_into_hidden on the clone dies on a missing
+    # spec file
+    spec = os.path.join(src_root, "_PARTITION_SPEC.json")
+    if os.path.exists(spec):
+        import shutil as _shutil
+
+        _shutil.copyfile(spec, os.path.join(dst_root, "_PARTITION_SPEC.json"))
     _commit_manifest(dst_root, manifest)
     return manifest["version"]
 

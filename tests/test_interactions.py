@@ -425,6 +425,42 @@ def test_table_changes_aligns_same_shape_drop_readd(spark, sf_dir, tmp_path):
     assert row["pre_value"] is None and row["post_value"] == 42.0
 
 
+def test_clone_of_hidden_table_carries_the_spec(spark, sf_dir, tmp_path):
+    """Cloning a hidden-partitioned table must carry the transform spec
+    sidecar: without it every read_hidden/merge_into_hidden on the clone
+    died on a missing _PARTITION_SPEC.json.  The copy is clone-time
+    state — later spec evolution on either side stays independent."""
+    from datalake2anomali_spark.io.hidden import (
+        evolve_partition_spec,
+        init_hidden_table,
+        merge_into_hidden,
+        read_hidden,
+        read_spec,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    init_hidden_table(spark, e, src, ["days", "ts"])
+    clone_table(src, dst)
+
+    assert read_hidden(spark, dst).count() == e.count()
+    upd = e.filter(F.col("event_id") % 11 == 0).withColumn(
+        "value", F.col("value") + 1000
+    )
+    merge_into_hidden(spark, dst, upd, ["event_id"])
+    assert (
+        read_hidden(spark, dst).filter(F.col("value") >= 1000).count()
+        == upd.count()
+    )
+    assert (
+        read_hidden(spark, src).filter(F.col("value") >= 1000).count() == 0
+    )
+    # spec evolution on the clone does not leak to the source
+    evolve_partition_spec(dst, ["bucket", 8, "event_id"])
+    assert read_spec(src) == ["days", "ts"]
+
+
 def test_follower_behind_vacuum_window_fails_loud(spark, sf_dir, tmp_path):
     """A follower whose cursor fell behind the vacuum retention window
     must fail LOUDLY on poll — never return a silent partial diff.  The

@@ -353,6 +353,13 @@ def evolve_partition_spec(root: str, new_spec: list) -> int:
     the SAME generation index to different transforms — readers would
     then prune one evolve's ``g{i}:`` partitions under the other's
     transform and silently drop rows.
+
+    Scope: the spec is TABLE metadata shared by every ref — an evolve
+    changes the next write's layout on main AND on branches (Iceberg's
+    model exactly: branches pin snapshots, partition specs are
+    table-level).  Reads stay correct either way (each partition prunes
+    under the generation that wrote it); do not expect branch-isolated
+    layout experiments from write-audit-publish.
     """
     from .publish import (
         _commit_lock,

@@ -1124,7 +1124,7 @@ def read_snapshot(
             # later writes — without this, one full DELETE would brick the
             # table forever (every writer starts with a snapshot read)
             empty = spark.createDataFrame(
-                [], ", ".join(f"{n} {t}" for n, t in schema_rec)
+                [], ", ".join(f"`{n}` {t}" for n, t in schema_rec)
             )
             return _row_filters(empty)
         raise ValueError(f"versioned table at {root!r} has no live partitions")

@@ -1124,7 +1124,11 @@ def read_snapshot(
             # later writes — without this, one full DELETE would brick the
             # table forever (every writer starts with a snapshot read)
             empty = spark.createDataFrame(
-                [], ", ".join(f"`{n}` {t}" for n, t in schema_rec)
+                [],
+                ", ".join(
+                    "`{}` {}".format(n.replace("`", "``"), t)
+                    for n, t in schema_rec
+                ),
             )
             return _row_filters(empty)
         raise ValueError(f"versioned table at {root!r} has no live partitions")
@@ -2622,16 +2626,25 @@ def clone_table(src_root: str, dst_root: str) -> int:
     ]
     manifest["fallback_roots"] = chain
     # a hidden-partitioned source keeps its transform spec in a sidecar
-    # next to the manifest ("_PARTITION_SPEC.json" — io/hidden.py, named
-    # here literally because hidden imports publish); the spec is table
-    # metadata exactly like the schema, so the clone must carry it or
-    # every read_hidden/merge_into_hidden on the clone dies on a missing
-    # spec file
-    spec = os.path.join(src_root, "_PARTITION_SPEC.json")
-    if os.path.exists(spec):
+    # next to the manifest; the spec is table metadata exactly like the
+    # schema, so the clone must carry it or every read_hidden /
+    # merge_into_hidden on the clone dies on a missing spec file.  A
+    # non-hidden source conversely CLEARS any stale sidecar in dst (a
+    # crashed earlier clone of a hidden source could have left one, and
+    # inheriting it would silently mis-prune the new clone's reads).
+    from .hidden import SPEC_FILE  # lazy: hidden imports publish
+
+    spec_src = os.path.join(src_root, SPEC_FILE)
+    spec_dst = os.path.join(dst_root, SPEC_FILE)
+    if os.path.exists(spec_src):
         import shutil as _shutil
 
-        _shutil.copyfile(spec, os.path.join(dst_root, "_PARTITION_SPEC.json"))
+        _shutil.copyfile(spec_src, spec_dst)
+    else:
+        try:
+            os.unlink(spec_dst)
+        except FileNotFoundError:
+            pass
     _commit_manifest(dst_root, manifest)
     return manifest["version"]
 

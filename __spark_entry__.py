@@ -49,73 +49,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # L + staleness_bound, and a never-certified query is always in-window.
 # tests/test_entry_contract.py asserts the ledger, the bound, and the
 # window bookkeeping; no literal counts here (they drift — ADVICE r5).
-#  - _PRIORITY (the round-10 window): the round-7-certified entries at
-#    their staleness deadline (mandatory leads), the queries new this
-#    round (first exposure cannot be deferred), then the stalest
-#    round-8-certified entries in their standing rotation order.
-#  - _TAIL holds exactly the overflow, stalest first: the remaining
-#    round-8-certified entries (mandatory round-11 window), then the
-#    round-9-certified block (deadline round 12).
+#  - _PRIORITY (the round-11 window): the round-8-certified entries at
+#    their staleness deadline (mandatory leads, standing rotation
+#    order), then the nine queries registered this round (first
+#    exposure cannot be deferred).  41 + 9 fills the window exactly —
+#    the registry is now at its 150-entry certifiable ceiling.
+#  - _TAIL holds exactly the overflow, stalest first: the
+#    round-9-certified block (mandatory round-12 window), then the
+#    round-10-certified block (deadline round 13) in CORRECTNESS_r10
+#    order.
 _PRIORITY: tuple[str, ...] = (
-    # last driver row round 7 — staleness deadline round 10
-    "burst_alerts",
-    "dedup_keep_best",
-    "heavy_hitters",
-    "zorder_key",
-    "schema_evolution",
-    "gap_fill_locf",
-    "scd2_history",
-    "funnel_analysis",
-    "cohort_retention",
-    "ewma_features",
-    "table_diff",
-    "fuzzy_match",
-    "compaction_roundtrip",
-    "stream_sessionize",
-    "pagerank",
-    "phrase_search",
-    "incremental_view",
-    "rolling_median",
-    # new this round — first exposure cannot be deferred
-    "sync_versioned",
-    "branch_wap_publish",
-    "deletion_vectors",
-    "cdc_apply_mixed",
-    "spec_evolution",
-    "multi_field_spec",
-    "metadata_tables",
-    "optimize_zorder",
-    "check_constraints",
-    "negative_samples",
-    "weighted_sample_aes",
-    "pca_project",
-    "ann_pq_topk",
-    "k_core_decomposition",
-    "bpe_tokenize",
-    "asof_join_directions",
-    "bloom_semi_join",
-    "csv_orc_roundtrip",
-    "stream_enrich_snapshot",
-    "table_follower_rollup",
-    "ann_ivfpq_topk",
-    "multi_table_txn",
-    "merge_schema_widening",
-    # stalest round-8-certified entries, standing rotation order
-    "triangle_count",
-    "markov_transitions",
-    "stream_view_maintenance",
-    "json_flatten",
-    "time_travel",
-    "robust_outliers",
-    "item_similarity",
-    "ioc_indicators_observed",
-    "ioc_incremental_cursor",
-)
-
-#: Exactly the overflow past the gate window (asserted in
-#: tests/test_entry_contract.py), stalest first.
-_TAIL: tuple[str, ...] = (
-    # last driver row round 8 — mandatory round-11 window
+    # last driver row round 8 — staleness deadline round 11
     "dedup_ngram_jaccard",
     "corpus_stats",
     "text_profile",
@@ -157,7 +101,22 @@ _TAIL: tuple[str, ...] = (
     "ann_ivf_topk",
     "decontaminate",
     "bm25_scores",
-    # last driver row round 9 — deadline round 12
+    # new this round — first exposure cannot be deferred
+    "update_set",
+    "update_mor",
+    "multi_statement_txn",
+    "secondary_index_lookup",
+    "cross_table_txn",
+    "shallow_clone_divergence",
+    "branch_merge_disjoint",
+    "column_evolution",
+    "stream_into_hidden",
+)
+
+#: Exactly the overflow past the gate window (asserted in
+#: tests/test_entry_contract.py), stalest first.
+_TAIL: tuple[str, ...] = (
+    # last driver row round 9 — mandatory round-12 window
     "ioc_advisory_enrichment",
     "stateful_user_profiles",
     "dedup_substrings",
@@ -208,6 +167,57 @@ _TAIL: tuple[str, ...] = (
     "asof_join_tolerance",
     "multimodal_ops",
     "stream_burst_alerts",
+    # last driver row round 10 — deadline round 13 (CORRECTNESS_r10 order)
+    "burst_alerts",
+    "dedup_keep_best",
+    "heavy_hitters",
+    "zorder_key",
+    "schema_evolution",
+    "gap_fill_locf",
+    "scd2_history",
+    "funnel_analysis",
+    "cohort_retention",
+    "ewma_features",
+    "table_diff",
+    "fuzzy_match",
+    "compaction_roundtrip",
+    "stream_sessionize",
+    "pagerank",
+    "phrase_search",
+    "incremental_view",
+    "rolling_median",
+    "sync_versioned",
+    "branch_wap_publish",
+    "deletion_vectors",
+    "cdc_apply_mixed",
+    "spec_evolution",
+    "multi_field_spec",
+    "metadata_tables",
+    "optimize_zorder",
+    "check_constraints",
+    "negative_samples",
+    "weighted_sample_aes",
+    "pca_project",
+    "ann_pq_topk",
+    "k_core_decomposition",
+    "bpe_tokenize",
+    "asof_join_directions",
+    "bloom_semi_join",
+    "csv_orc_roundtrip",
+    "stream_enrich_snapshot",
+    "table_follower_rollup",
+    "ann_ivfpq_topk",
+    "multi_table_txn",
+    "merge_schema_widening",
+    "triangle_count",
+    "markov_transitions",
+    "stream_view_maintenance",
+    "json_flatten",
+    "time_travel",
+    "robust_outliers",
+    "item_similarity",
+    "ioc_indicators_observed",
+    "ioc_incremental_cursor",
 )
 
 _MODULES = (

@@ -1907,6 +1907,14 @@ QUERIES = {
     "check_constraints": q_check_constraints,
     "multi_table_txn": q_multi_table_txn,
     "merge_schema_widening": q_merge_schema_widening,
+    "update_set": q_update_set,
+    "update_mor": q_update_mor,
+    "multi_statement_txn": q_multi_statement_txn,
+    "secondary_index_lookup": q_secondary_index_lookup,
+    "cross_table_txn": q_cross_table_txn,
+    "shallow_clone_divergence": q_shallow_clone_divergence,
+    "branch_merge_disjoint": q_branch_merge_disjoint,
+    "column_evolution": q_column_evolution,
 }
 
 ORACLES = {
@@ -1923,4 +1931,12 @@ ORACLES = {
     "check_constraints": CHECK_CONSTRAINTS_SQL,
     "multi_table_txn": MULTI_TABLE_TXN_SQL,
     "merge_schema_widening": MERGE_SCHEMA_WIDENING_SQL,
+    "update_set": UPDATE_SET_SQL,
+    "update_mor": UPDATE_MOR_SQL,
+    "multi_statement_txn": MULTI_STATEMENT_TXN_SQL,
+    "secondary_index_lookup": SECONDARY_INDEX_LOOKUP_SQL,
+    "cross_table_txn": CROSS_TABLE_TXN_SQL,
+    "shallow_clone_divergence": SHALLOW_CLONE_DIVERGENCE_SQL,
+    "branch_merge_disjoint": BRANCH_MERGE_DISJOINT_SQL,
+    "column_evolution": COLUMN_EVOLUTION_SQL,
 }

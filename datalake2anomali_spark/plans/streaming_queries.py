@@ -49,6 +49,7 @@ QUERIES = {
     "stream_dedup_late": incremental.stream_dedup_late,
     "stateful_user_profiles": stateful.stateful_user_profiles,
     "stream_enrich_snapshot": incremental.stream_enrich_snapshot,
+    "stream_into_hidden": incremental.stream_into_hidden,
 }
 
 ORACLES = {
@@ -71,4 +72,7 @@ ORACLES = {
     # per-tick enrichment against the dim's then-current snapshot must
     # equal the batch replay of (tick, user-parity)-cased scores
     "stream_enrich_snapshot": incremental.STREAM_ENRICH_SQL,
+    # the exactly-once streaming MERGE into the hidden-partitioned table
+    # must equal the batch replay of the same window (between-predicate)
+    "stream_into_hidden": incremental.STREAM_INTO_HIDDEN_SQL,
 }

@@ -37,6 +37,15 @@ STALENESS_BOUND = 3
 #: (needed because the evidence files cannot date a query they have no
 #: row for).  Entries are removed once the query earns its first row.
 REGISTERED_ROUND: dict[str, int] = {
+    "update_set": 11,
+    "update_mor": 11,
+    "multi_statement_txn": 11,
+    "secondary_index_lookup": 11,
+    "cross_table_txn": 11,
+    "shallow_clone_divergence": 11,
+    "branch_merge_disjoint": 11,
+    "column_evolution": 11,
+    "stream_into_hidden": 11,
     "sync_versioned": 10,
     "branch_wap_publish": 10,
     "deletion_vectors": 10,

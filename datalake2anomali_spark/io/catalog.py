@@ -255,12 +255,20 @@ class MultiTableTransaction:
 
     A crash or a concurrent-writer conflict between phases 2 and 3
     leaves the catalog view untouched; the already-committed member
-    versions are durable-but-unpublished history (vacuumable garbage, or
-    re-pinnable by a retry) — the Nessie/lakeFS recovery story.  The
-    constructor refuses (``ConcurrentWriteError``) when a member table's
-    head has moved past its catalog pin: staging against the pin would
-    silently drop the unpinned commits at publish, so the caller must
-    first re-pin (``catalog_register``) or rebase."""
+    versions are durable-but-unpublished history (vacuumable garbage) —
+    the Nessie/lakeFS recovery story.  The constructor refuses
+    (``ConcurrentWriteError``) when a member table's head has moved past
+    its catalog pin: staging against the pin would silently drop the
+    unpinned commits at publish.  Recovery depends on WHY the head
+    moved.  An independent writer's direct commit: acknowledge it by
+    re-pinning (``catalog_register``), then start the batch.  A partial
+    phase-2 failure of a PREVIOUS batch (some members committed, the
+    CAS never ran): never re-pin the advanced members in isolation —
+    that publishes a torn half-batch, exactly what the class exists to
+    prevent.  Either restore those member tables to their pins
+    (discarding the orphaned half), or re-pin EVERY member and re-stage
+    the FULL batch against the new pins so the retry republishes all of
+    it together."""
 
     def __init__(
         self,
@@ -293,8 +301,14 @@ class MultiTableTransaction:
             if head != pin:
                 raise ConcurrentWriteError(
                     f"member table {name!r} is at v{head}, past its catalog "
-                    f"pin v{pin}; re-pin it (catalog_register) or rebase "
-                    "before starting a multi-table transaction"
+                    f"pin v{pin}. If an independent writer committed to the "
+                    "member directly, re-pin it (catalog_register) and "
+                    "retry. If this is debris of a PREVIOUS batch that "
+                    "failed between member commits and the catalog CAS, do "
+                    "NOT re-pin this member alone — that publishes a torn "
+                    "half-batch; restore the member to its pin, or re-pin "
+                    "every member and re-stage the full batch against the "
+                    "new pins"
                 )
             self._txns[name] = Transaction(spark, root, pcol)
         self._closed = False

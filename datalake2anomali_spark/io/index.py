@@ -117,15 +117,24 @@ def _follow_renames(index_root: str, meta: dict) -> dict:
     index state is correct through — the anchor that keeps a pre-index
     rename of a since-reused name from misapplying).  The updated meta
     persists before any data work so a crash mid-refresh replays with
-    the right names.  A DROP of the indexed column has no rename event
-    and surfaces as the loud missing-column read error — recreate the
-    index."""
+    the right names; the persisted ``schema_through`` watermark marks
+    the base version whose schema events are already reflected, so the
+    replay skips them instead of re-matching a rename's ``to`` name
+    against the now-updated meta (which would spuriously raise the
+    reuse refusal and brick the index).  A DROP of the indexed column
+    has no rename event and surfaces as the loud missing-column read
+    error — recreate the index."""
     from .publish import _schema_events
 
     cursor = _follower(index_root, meta).position()
     if cursor is None:
         return meta
     base = read_manifest(meta["root"])
+    # Idempotence anchor: events at or below either the follower cursor
+    # (index data correct through) or the persisted schema watermark
+    # (names already followed — a crash landed meta but not the cursor)
+    # are reflected already and must not replay.
+    anchor = max(cursor, meta.get("schema_through", cursor))
     # renames and adds replay together in the reader's exact event order
     # (publish._schema_events — the shared merge, so the two replays can
     # never diverge).  Two ways a tracked identity dies, both refused
@@ -138,7 +147,7 @@ def _follow_renames(index_root: str, meta: dict) -> dict:
     #    event).
     changed = False
     for v, kind, ev in _schema_events(base):
-        if v <= cursor:
+        if v <= anchor:
             continue
         tracked = {meta["col"], meta["partition_col"], *meta["key_cols"]}
         if kind == 1:
@@ -168,6 +177,7 @@ def _follow_renames(index_root: str, meta: dict) -> dict:
             ]
             changed = True
     if changed:
+        meta["schema_through"] = base["version"]
         tmp = os.path.join(index_root, _META + ".tmp")
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(meta, fh, sort_keys=True)

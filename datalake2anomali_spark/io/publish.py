@@ -3174,9 +3174,18 @@ def table_changes(
     """
     from ..operators.quality import snapshot_diff
 
-    old = read_snapshot(spark, root, partition_col, version=v_from)
-    new = read_snapshot(spark, root, partition_col, version=v_to)
     to_manifest = read_manifest(root, v_to)
+    # ``partition_col`` is v_to's name; if the partition column was
+    # RENAMED inside the span, the v_from snapshot only knows the old
+    # name — derive it by replaying the span's rename events backwards
+    # from v_to's name, or the old-side read throws UNRESOLVED_COLUMN
+    # and any follower span crossing the rename wedges (ADVICE r10).
+    from_pcol = partition_col
+    for _v, kind, ev in reversed(_schema_events(to_manifest)):
+        if kind == 0 and v_from < int(ev["v"]) <= v_to and ev["to"] == from_pcol:
+            from_pcol = ev["from"]
+    old = read_snapshot(spark, root, from_pcol, version=v_from)
+    new = read_snapshot(spark, root, partition_col, version=v_to)
     # alignment must trigger on IN-SPAN schema events even when the two
     # column-name lists coincide: a drop+re-add of the same name leaves
     # the lists equal while the old side still carries the DEAD column's

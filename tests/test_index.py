@@ -136,3 +136,43 @@ def test_indexed_read_stale_refusal_and_autorefresh(spark, sf_dir, tmp_path):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_index_rename_replay_after_crash_is_idempotent(spark, sf_dir, tmp_path):
+    """ADVICE r10 (high): a crash AFTER _follow_renames persisted the
+    renamed meta but BEFORE the follower cursor advanced must replay
+    cleanly.  Before the fix, the replayed rename event's 'to' name was
+    already tracked, so refresh spuriously raised the reuse refusal and
+    permanently bricked the index; the persisted ``schema_through``
+    watermark now skips already-reflected events."""
+    from datalake2anomali_spark.io.index import _follow_renames, _meta
+    from datalake2anomali_spark.io.publish import alter_table_columns
+
+    root, idx, e = _setup(spark, sf_dir, tmp_path)
+    alter_table_columns(root, rename={"user_id": "uid"})
+    delete_from_versioned(
+        spark, root, "event_date", F.col("event_type") == "error"
+    )
+
+    # crash window: names followed + persisted, cursor NOT advanced
+    meta = _follow_renames(idx, _meta(idx))
+    assert meta["col"] == "uid"
+    assert meta["schema_through"] == read_manifest(root)["version"]
+
+    # replay (the retried refresh) must not raise and must land exactly
+    v = refresh_value_index(spark, idx)
+    assert v == read_manifest(root)["version"]
+    u = int(e.agg(F.min("user_id")).collect()[0][0])
+    want = {
+        r["event_date"]
+        for r in e.filter(
+            (F.col("user_id") == u) & (F.col("event_type") != "error")
+        ).select("event_date").distinct().collect()
+    }
+    assert index_lookup_partitions(spark, idx, u) == want
+
+    # a LATER genuine identity break is still refused loudly
+    alter_table_columns(root, drop=["uid"])
+    alter_table_columns(root, add=[("uid", "bigint")])
+    with pytest.raises(ValueError, match="dropped and re-added"):
+        refresh_value_index(spark, idx)

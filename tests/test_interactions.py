@@ -512,3 +512,63 @@ def test_transaction_rewrite_materializes_live_vectors(
     assert snap.count() == e.filter(
         ~F.col("event_type").isin("error", "signup")
     ).count()
+
+
+def test_cdf_and_index_span_crossing_partition_column_rename(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r10 (medium): a CDF span crossing a PARTITION-column
+    rename used to read the old snapshot with v_to's name and throw
+    UNRESOLVED_COLUMN, permanently wedging any follower. table_changes
+    now derives v_from's name by replaying the span renames backwards;
+    the value-index follower (which feeds the renamed name into the
+    span) must cross it too."""
+    from datalake2anomali_spark.io.index import (
+        create_value_index,
+        index_lookup_partitions,
+        refresh_value_index,
+    )
+    from datalake2anomali_spark.io.publish import table_changes
+
+    root = str(tmp_path / "t")
+    idx = str(tmp_path / "i")
+    e = _events(spark, sf_dir)
+    init_table(spark, e, root, "event_date")
+    create_value_index(spark, root, "event_date", "user_id", ["event_id"], idx)
+    v0 = read_manifest(root)["version"]
+
+    alter_table_columns(root, rename={"event_date": "day"})
+    delete_from_versioned(
+        spark, root, "day", F.col("event_type") == "error"
+    )
+    v1 = read_manifest(root)["version"]
+
+    # direct CDF span across the partition-column rename: deletes
+    # surface, the rename itself reports nothing
+    ch = table_changes(spark, root, "day", ["event_id"], v0, v1)
+    by = {
+        r["change_type"]: r["n"]
+        for r in ch.groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by.get("removed", 0) == e.filter(
+        F.col("event_type") == "error"
+    ).count()
+    assert "added" not in by and "changed" not in by
+    # images carry the TARGET schema's partition-column name
+    chi = table_changes(
+        spark, root, "day", ["event_id"], v0, v1, include_images=True
+    )
+    assert "pre_day" in chi.columns and "pre_event_date" not in chi.columns
+
+    # the index follower crosses the same span end-to-end
+    assert refresh_value_index(spark, idx) == v1
+    u = int(e.agg(F.min("user_id")).collect()[0][0])
+    want = {
+        r["event_date"]
+        for r in e.filter(
+            (F.col("user_id") == u) & (F.col("event_type") != "error")
+        ).select("event_date").distinct().collect()
+    }
+    assert index_lookup_partitions(spark, idx, u) == want

@@ -245,7 +245,11 @@ def refresh_value_index(spark: SparkSession, index_root: str) -> int:
         F.when(F.col("n").isNull(), F.lit("delete"))
         .otherwise(F.lit("upsert"))
         .alias("_op"),
-    )
+    ).localCheckpoint(eager=True)  # CDC apply takes several actions over
+    # this frame (op validation, affected-partition collect, the write,
+    # commit stats); without the checkpoint each one re-executes the
+    # base-table read + groupBy lineage behind `truth`.  Bounded by the
+    # span's churn, like `touched`.
     cdc_apply_versioned(
         spark, index_root, ops, ["value", "partition"], "bucket"
     )

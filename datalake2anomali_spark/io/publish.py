@@ -3184,8 +3184,25 @@ def table_changes(
     for _v, kind, ev in reversed(_schema_events(to_manifest)):
         if kind == 0 and v_from < int(ev["v"]) <= v_to and ev["to"] == from_pcol:
             from_pcol = ev["from"]
-    old = read_snapshot(spark, root, from_pcol, version=v_from)
-    new = read_snapshot(spark, root, partition_col, version=v_to)
+    # Manifest-level pruning: a partition whose owner version,
+    # deletion-vector state and append-delta state are IDENTICAL in both
+    # manifests references the same immutable directories on both sides
+    # and cannot contribute a diff row — skip it on both reads.  This is
+    # what makes the derived CDF delta-sized instead of table-sized: a
+    # span that churned 3 of 10,000 partitions diffs 3 partitions.
+    # Conservative by construction (any data change rewrites the
+    # partition / its DV / its appends and so flips manifest state);
+    # a content-identical rewrite (compaction) is included and simply
+    # diffs to nothing.
+    from_manifest = read_manifest(root, v_from)
+    churned = _side_touched(to_manifest, from_manifest)
+    _pf = lambda p: p in churned  # noqa: E731
+    old = read_snapshot(
+        spark, root, from_pcol, version=v_from, partition_filter=_pf
+    )
+    new = read_snapshot(
+        spark, root, partition_col, version=v_to, partition_filter=_pf
+    )
     # alignment must trigger on IN-SPAN schema events even when the two
     # column-name lists coincide: a drop+re-add of the same name leaves
     # the lists equal while the old side still carries the DEAD column's

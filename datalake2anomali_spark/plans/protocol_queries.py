@@ -50,6 +50,64 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shared_events_root(spark: SparkSession, sf_dir: str) -> str:
+    """A process-shared IMMUTABLE copy of the events table (event_date
+    partitioned), built at most once per (sf_dir, source-file content).
+    Fixtures shallow-clone it (:func:`..io.publish.clone_table`, one
+    manifest write) instead of each paying a full ``init_table`` write;
+    every mutation lands on the CLONE's local versions, so the shared
+    base is never written after creation and purity w.r.t. the source
+    table is kept by the content stamp (mtime+size of the source
+    parquet — a regenerated sf_dir rebuilds the base)."""
+    from ..io.publish import init_table, read_manifest
+
+    base = (
+        "/dev/shm"
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+        else tempfile.gettempdir()
+    )
+    root = os.path.join(
+        base, "d2a_SHARED_events_" + sf_dir.strip("/").replace("/", "_")
+    )
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    stamp_file = os.path.join(root, "_SOURCE_STAMP")
+    try:
+        read_manifest(root)
+        with open(stamp_file, encoding="utf-8") as fh:
+            if fh.read() == stamp:
+                return root
+    except (FileNotFoundError, OSError):
+        pass
+    # Build under a private name, then rename into place, so a
+    # concurrent process (bench vs pytest) never observes a half-built
+    # base; losing the rename race just means adopting the winner's
+    # identical copy.
+    tmp = f"{root}.build.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    init_table(spark, _events(spark, sf_dir), tmp, "event_date")
+    with open(os.path.join(tmp, "_SOURCE_STAMP"), "w", encoding="utf-8") as fh:
+        fh.write(stamp)
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # raced: adopt the winner
+    return root
+
+
+def _cloned_events(spark: SparkSession, prefix: str, sf_dir: str) -> str:
+    """A fixture-private mutable table seeded from the shared base by
+    shallow clone — fresh every call (the clone root is recreated), at
+    metadata cost instead of a table write."""
+    from ..io.publish import clone_table
+
+    root = _scratch_root(prefix, sf_dir)
+    clone_table(_shared_events_root(spark, sf_dir), root)
+    return root
+
+
 def _fingerprint(spark: SparkSession, root: str, **kw) -> tuple:
     from ..io.publish import read_snapshot
 
@@ -109,10 +167,7 @@ def q_sync_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _events(spark, sf_dir)
-    root = _scratch_root("d2a_sync", sf_dir)
-    from ..io.publish import init_table
-
-    init_table(spark, e, root, "event_date")
+    root = _cloned_events(spark, "d2a_sync", sf_dir)
     n_main = e.count()
 
     # unconditional flavor, isolated on a branch: table := source
@@ -176,15 +231,13 @@ def q_branch_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         create_branch,
         describe_detail,
         fast_forward,
-        init_table,
         read_manifest,
         read_snapshot,
         version_as_of_timestamp,
     )
 
     e = _events(spark, sf_dir)
-    root = _scratch_root("d2a_wap", sf_dir)
-    init_table(spark, e, root, "event_date")
+    root = _cloned_events(spark, "d2a_wap", sf_dir)
     n_total = e.count()
     main_before = _fingerprint(spark, root)
     v_main = read_manifest(root)["version"]
@@ -281,17 +334,14 @@ def q_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io.publish import (
         compact_versioned,
         delete_from_versioned,
-        init_table,
         read_manifest,
         read_snapshot,
         snapshot_rowcount,
     )
 
     e = _events(spark, sf_dir)
-    mor = _scratch_root("d2a_dv_mor", sf_dir)
-    cow = _scratch_root("d2a_dv_cow", sf_dir)
-    init_table(spark, e, mor, "event_date")
-    init_table(spark, e, cow, "event_date")
+    mor = _cloned_events(spark, "d2a_dv_mor", sf_dir)
+    cow = _cloned_events(spark, "d2a_dv_cow", sf_dir)
 
     cond1 = (F.col("event_type") == "view") & (F.col("event_id") % 3 == 0)
     cond2 = (F.col("event_type") == "signup") & (F.col("event_id") % 2 == 0)
@@ -343,11 +393,10 @@ def q_cdc_apply_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-writer convention).  The oracle replays the same U/I/D
     set-algebra over the source.
     """
-    from ..io.publish import cdc_apply_versioned, init_table, read_snapshot
+    from ..io.publish import cdc_apply_versioned, read_snapshot
 
     e = _events(spark, sf_dir)
-    root = _scratch_root("d2a_cdc_mixed", sf_dir)
-    init_table(spark, e, root, "event_date")
+    root = _cloned_events(spark, "d2a_cdc_mixed", sf_dir)
 
     ups = e.filter(F.col("event_type") == "click").withColumn(
         "value", F.col("value") + 500.0
@@ -535,7 +584,6 @@ def q_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_from_versioned,
         files_df,
         history_df,
-        init_table,
         merge_into_versioned,
         partitions_df,
         read_snapshot,
@@ -621,7 +669,6 @@ def q_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..io.publish import (
         compact_versioned,
-        init_table,
         optimize_partitions,
         read_manifest,
         read_snapshot,
@@ -725,7 +772,6 @@ def q_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io.publish import (
         ConstraintViolationError,
         compact_versioned,
-        init_table,
         merge_into_versioned,
         read_manifest,
         read_snapshot,
@@ -792,15 +838,13 @@ def q_table_follower_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io.publish import (
         TableFollower,
         delete_from_versioned,
-        init_table,
         merge_into_versioned,
         read_snapshot,
     )
     from ..operators.views import apply_changes, rollup_state
 
     e = _events(spark, sf_dir)
-    root = _scratch_root("d2a_follower", sf_dir)
-    init_table(spark, e, root, "event_date")
+    root = _cloned_events(spark, "d2a_follower", sf_dir)
     keys = ["event_date", "event_type"]
     f = TableFollower(root, "event_date", ["event_id"], os.path.join(root, "_cur"))
 
@@ -947,15 +991,13 @@ def q_update_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     homes take the fresh one.  The oracle replays both SETs as CASE
     projections (disjoint predicates, so order does not matter)."""
     from ..io.publish import (
-        init_table,
         read_manifest,
         read_snapshot,
         update_versioned,
     )
 
     e = _events(spark, sf_dir)
-    root = _scratch_root("d2a_update", sf_dir)
-    init_table(spark, e, root, "event_date")
+    root = _cloned_events(spark, "d2a_update", sf_dir)
     n0 = e.count()
 
     v1 = update_versioned(
@@ -1035,7 +1077,6 @@ def q_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     and metadata-rowcount-invariance asserted from the manifest.  The
     oracle replays the stacked SETs as one CASE projection."""
     from ..io.publish import (
-        init_table,
         read_manifest,
         read_snapshot,
         snapshot_rowcount,
@@ -1043,10 +1084,8 @@ def q_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _events(spark, sf_dir)
-    mor = _scratch_root("d2a_updmor", sf_dir)
-    cow = _scratch_root("d2a_updcow", sf_dir)
-    init_table(spark, e, mor, "event_date")
-    init_table(spark, e, cow, "event_date")
+    mor = _cloned_events(spark, "d2a_updmor", sf_dir)
+    cow = _cloned_events(spark, "d2a_updcow", sf_dir)
     n0 = e.count()
 
     upds = [
@@ -1103,12 +1142,11 @@ def q_multi_statement_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     statement batch recorded as the commit operation.  Statements see
     each other in order; the oracle replays the same algebra as chained
     CTEs (update projection → delete filter → source-presence merge)."""
-    from ..io.publish import init_table, read_manifest, read_snapshot
+    from ..io.publish import read_manifest, read_snapshot
     from ..io.transaction import Transaction
 
     e = _events(spark, sf_dir)
-    root = _scratch_root("d2a_txn", sf_dir)
-    init_table(spark, e, root, "event_date")
+    root = _cloned_events(spark, "d2a_txn", sf_dir)
     v0 = read_manifest(root)["version"]
 
     src = (
@@ -1169,11 +1207,16 @@ def q_secondary_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Secondary value index (``io/index.py``): an exact (value →
     partitions, n) sidecar table bootstrapped from a snapshot and then
     maintained INCREMENTALLY through the change feed — one transaction
-    (a merge into a brand-new partition + a delete, composed through
-    ``io/transaction.py``) lands on the base table, one
+    (a merge into a brand-new partition + a date-scoped delete, composed
+    through ``io/transaction.py``) lands on the base table, one
     ``refresh_value_index`` catches the index up (recomputing only the
     touched partitions' pairs, idempotently), and the point lookups go
-    through ``indexed_read``'s partition-filter pruning.  In-fixture
+    through ``indexed_read``'s partition-filter pruning.  The delete is
+    date-scoped on purpose: the followed span churns 5 of ~30
+    partitions, so the refresh exercises ``table_changes``'s
+    manifest-level pruning — the delta-sized maintenance path the index
+    exists for (full-churn refresh is covered by the model/crash nets,
+    not re-paid per gate run).  In-fixture
     pins: the index version equals the table version, the synthetic
     user's lookup prunes to exactly its one home partition, and the read
     refuses nothing (exactness is asserted by the oracle comparison).
@@ -1184,13 +1227,12 @@ def q_secondary_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         indexed_read,
         refresh_value_index,
     )
-    from ..io.publish import init_table, read_manifest
+    from ..io.publish import read_manifest
     from ..io.transaction import Transaction
 
     e = _events(spark, sf_dir)
-    root = _scratch_root("d2a_sidx_base", sf_dir)
+    root = _cloned_events(spark, "d2a_sidx_base", sf_dir)
     idx = _scratch_root("d2a_sidx_idx", sf_dir)
-    init_table(spark, e, root, "event_date")
     create_value_index(spark, root, "event_date", "user_id", ["event_id"], idx)
 
     syn_user = 999_999_999
@@ -1202,7 +1244,9 @@ def q_secondary_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("event_date", F.lit("2040-01-01"))
     )
     txn = Transaction(spark, root, "event_date")
-    txn.merge(syn, ["event_id"]).delete(F.col("event_type") == "error")
+    txn.merge(syn, ["event_id"]).delete(
+        (F.col("event_type") == "error") & (F.col("event_date") < "2024-01-05")
+    )
     txn.commit()
     if refresh_value_index(spark, idx) != read_manifest(root)["version"]:
         raise AssertionError("index did not catch up to the table version")
@@ -1230,7 +1274,8 @@ def q_secondary_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SECONDARY_INDEX_LOOKUP_SQL = f"""
 WITH post AS (
   SELECT event_id, user_id, value, strftime(ts, '%Y-%m-%d') AS event_date
-  FROM events WHERE event_type <> 'error'
+  FROM events
+  WHERE NOT (event_type = 'error' AND strftime(ts, '%Y-%m-%d') < '2024-01-05')
   UNION ALL
   SELECT event_id + 80000000, 999999999, value, '2040-01-01'
   FROM events WHERE event_id % 97 = 0
@@ -1282,10 +1327,9 @@ def q_cross_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     e = _events(spark, sf_dir)
-    a_root = _scratch_root("d2a_cat_events", sf_dir)
+    a_root = _cloned_events(spark, "d2a_cat_events", sf_dir)
     b_root = _scratch_root("d2a_cat_totals", sf_dir)
     croot = _scratch_root("d2a_cat", sf_dir)
-    init_table(spark, e, a_root, "event_date")
     init_table(spark, totals_of(e), b_root, "bucket")
     create_catalog(croot)
     catalog_register(croot, "events", a_root)
@@ -1389,7 +1433,6 @@ def q_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ConcurrentWriteError,
         ConstraintViolationError,
         alter_table_columns,
-        init_table,
         read_manifest,
     )
 
@@ -1544,7 +1587,6 @@ def q_merge_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-resurrection count; the oracle replays the final state."""
     from ..io.publish import (
         alter_table_columns,
-        init_table,
         merge_into_versioned,
         read_manifest,
         read_snapshot,
@@ -1665,15 +1707,13 @@ def q_shallow_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io.publish import (
         clone_table,
         delete_from_versioned,
-        init_table,
         merge_into_versioned,
         read_snapshot,
     )
 
     e = _events(spark, sf_dir)
-    src = _scratch_root("d2a_clone_src", sf_dir)
+    src = _cloned_events(spark, "d2a_clone_src", sf_dir)
     dst = _scratch_root("d2a_clone_dst", sf_dir)
-    init_table(spark, e, src, "event_date")
     clone_table(src, dst)
     if any(
         f.endswith(".parquet") for _d, _dn, fs in os.walk(dst) for f in fs
@@ -1749,7 +1789,6 @@ def q_branch_merge_disjoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io.publish import (
         create_branch,
         delete_from_versioned,
-        init_table,
         merge_branch,
         merge_into_versioned,
         read_manifest,
@@ -1757,8 +1796,7 @@ def q_branch_merge_disjoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _events(spark, sf_dir)
-    root = _scratch_root("d2a_bmerge", sf_dir)
-    init_table(spark, e, root, "event_date")
+    root = _cloned_events(spark, "d2a_bmerge", sf_dir)
     victim = e.agg(F.min("event_date")).collect()[0][0]
 
     create_branch(root, "work")
@@ -1811,7 +1849,6 @@ def q_column_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     rename as a SELECT alias and the merge as a UNION."""
     from ..io.publish import (
         alter_table_columns,
-        init_table,
         merge_into_versioned,
         read_manifest,
         read_snapshot,

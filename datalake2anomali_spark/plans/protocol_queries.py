@@ -80,20 +80,36 @@ def _shared_events_root(spark: SparkSession, sf_dir: str) -> str:
                 return root
     except (FileNotFoundError, OSError):
         pass
-    # Build under a private name, then rename into place, so a
-    # concurrent process (bench vs pytest) never observes a half-built
-    # base; losing the rename race just means adopting the winner's
-    # identical copy.
+    # Build under a private name, then swap into place, so a concurrent
+    # process (bench vs pytest) never observes a half-built or absent
+    # base: a stale root is renamed ASIDE (never rmtree'd in place —
+    # readers holding the old path keep a complete tree) before the
+    # build is renamed in, and only then is the displaced copy deleted.
     tmp = f"{root}.build.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     init_table(spark, _events(spark, sf_dir), tmp, "event_date")
     with open(os.path.join(tmp, "_SOURCE_STAMP"), "w", encoding="utf-8") as fh:
         fh.write(stamp)
-    shutil.rmtree(root, ignore_errors=True)
+    displaced = f"{root}.stale.{os.getpid()}"
+    try:
+        os.rename(root, displaced)
+    except OSError:
+        displaced = None  # no prior root (or a racer already moved it)
     try:
         os.rename(tmp, root)
     except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # raced: adopt the winner
+        shutil.rmtree(tmp, ignore_errors=True)  # raced: a winner installed
+    if displaced is not None:
+        shutil.rmtree(displaced, ignore_errors=True)
+    # Re-verify rather than trusting the rename outcome: if the adopt
+    # path swallowed a failure that was NOT the benign race (so root is
+    # stale or absent), fail loudly instead of running fixtures against
+    # a base that violates the stamp's purity contract.
+    with open(stamp_file, encoding="utf-8") as fh:
+        if fh.read() != stamp:
+            raise RuntimeError(
+                f"shared events base {root} has a stale stamp after swap"
+            )
     return root
 
 
@@ -584,6 +600,7 @@ def q_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_from_versioned,
         files_df,
         history_df,
+        init_table,
         merge_into_versioned,
         partitions_df,
         read_snapshot,
@@ -669,6 +686,7 @@ def q_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..io.publish import (
         compact_versioned,
+        init_table,
         optimize_partitions,
         read_manifest,
         read_snapshot,
@@ -772,6 +790,7 @@ def q_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io.publish import (
         ConstraintViolationError,
         compact_versioned,
+        init_table,
         merge_into_versioned,
         read_manifest,
         read_snapshot,
@@ -1433,6 +1452,7 @@ def q_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ConcurrentWriteError,
         ConstraintViolationError,
         alter_table_columns,
+        init_table,
         read_manifest,
     )
 
@@ -1587,6 +1607,7 @@ def q_merge_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-resurrection count; the oracle replays the final state."""
     from ..io.publish import (
         alter_table_columns,
+        init_table,
         merge_into_versioned,
         read_manifest,
         read_snapshot,
@@ -1849,6 +1870,7 @@ def q_column_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     rename as a SELECT alias and the merge as a UNION."""
     from ..io.publish import (
         alter_table_columns,
+        init_table,
         merge_into_versioned,
         read_manifest,
         read_snapshot,

@@ -24,7 +24,7 @@ import symtable
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-SCAN = ["datalake2anomali_spark", "tools", "__spark_entry__.py", "bench.py"]
+SCAN = ["datalake2anomali_spark", "tools", "tests", "__spark_entry__.py", "bench.py"]
 
 # Module-scope dunders are injected by the import machinery, not bound in
 # source; they resolve as globals inside functions.

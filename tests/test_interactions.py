@@ -8,6 +8,8 @@ feature boundaries so a regression in the shared read/commit paths
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from datalake2anomali_spark.io.publish import (
@@ -572,3 +574,175 @@ def test_cdf_and_index_span_crossing_partition_column_rename(
         ).select("event_date").distinct().collect()
     }
     assert index_lookup_partitions(spark, idx, u) == want
+
+
+def test_optimize_partitions_on_clone_materializes_locally(
+    spark, sf_dir, tmp_path
+):
+    """Partial OPTIMIZE on a SHALLOW CLONE whose data still lives in the
+    source via fallback_roots: the rewritten partitions must
+    materialize under the CLONE (never write into the source), the
+    untouched partitions keep resolving through the fallback chain, and
+    the source's manifest and reads are byte-identical afterwards."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    e = _events(spark, sf_dir)
+    # fragment every partition so OPTIMIZE has work on the clone
+    init_table(
+        spark, e.repartition(6).localCheckpoint(eager=True), src, "event_date"
+    )
+    src_m0 = read_manifest(src)
+    clone_table(src, dst)
+
+    from datalake2anomali_spark.io.publish import optimize_partitions
+
+    v_opt, done = optimize_partitions(
+        spark, dst, "event_date", "event_id", min_files=2, max_partitions=2
+    )
+    assert len(done) == 2
+    m = read_manifest(dst)
+    # rewritten partitions are owned by a clone-LOCAL version dir;
+    # untouched ones still point through the fallback chain
+    from datalake2anomali_spark.io.publish import _resolve_vdir, version_dir
+
+    for pval, ver in m["partitions"].items():
+        resolved = _resolve_vdir(dst, m, int(ver))
+        if pval in done:
+            assert resolved == version_dir(dst, int(ver)), (
+                f"optimized partition {pval} resolved outside the clone"
+            )
+        assert os.path.isdir(resolved)
+    # source untouched: same manifest, same content
+    assert read_manifest(src) == src_m0
+    key = F.sum(F.hash("event_id", "event_type")).alias("h")
+    assert (
+        read_snapshot(spark, dst, "event_date").agg(key).collect()
+        == read_snapshot(spark, src, "event_date").agg(key).collect()
+    )
+    # full compaction afterwards drops the chain entirely
+    compact_versioned(spark, dst, "event_date", "event_id")
+    assert not read_manifest(dst).get("fallback_roots")
+    assert (
+        read_snapshot(spark, dst, "event_date").count() == e.count()
+    )
+
+
+def test_check_constraints_enforced_on_branch_and_survive_publish(
+    spark, sf_dir, tmp_path
+):
+    """CHECK constraints × write-audit-publish: a branch head forked
+    from a constrained table ENFORCES the table's constraints (the
+    audit step can't stage garbage), a satisfying branch write lands
+    invisibly to main, and after fast_forward publishes the branch the
+    constraint set is still live on main."""
+    from datalake2anomali_spark.io.publish import (
+        ConstraintViolationError,
+        create_branch,
+        fast_forward,
+        merge_into_versioned,
+    )
+
+    root = str(tmp_path / "t")
+    e = _events(spark, sf_dir)
+    cons = {"positive_value": "value >= 0"}
+    init_table(spark, e, root, "event_date", constraints=cons)
+    v0 = read_manifest(root)["version"]
+    create_branch(root, "audit")
+
+    bad = e.limit(5).withColumn("value", F.lit(-1.0))
+    try:
+        merge_into_versioned(
+            spark, root, bad, ["event_id"], "event_date", ref="audit"
+        )
+        raise AssertionError("violating branch write was accepted")
+    except ConstraintViolationError:
+        pass
+    # main AND the branch are both still at the fork state
+    assert read_manifest(root)["version"] == v0
+
+    good = (
+        e.filter(F.col("event_type") == "purchase")
+        .withColumn("event_id", F.col("event_id") + 31_000_000)
+        .withColumn("value", F.abs("value") + 1.0)
+    )
+    merge_into_versioned(
+        spark, root, good, ["event_id"], "event_date", ref="audit"
+    )
+    # invisible to main until publish
+    assert read_snapshot(spark, root, "event_date").count() == e.count()
+    fast_forward(root, "audit")
+    n_after = read_snapshot(spark, root, "event_date").count()
+    assert n_after == e.count() + good.count()
+    # the published manifest still carries the constraints: a violating
+    # MAIN write is rejected post-publish
+    try:
+        merge_into_versioned(spark, root, bad, ["event_id"], "event_date")
+        raise AssertionError("violating main write accepted after publish")
+    except ConstraintViolationError:
+        pass
+    assert (
+        read_snapshot(spark, root, "event_date").count() == n_after
+    )
+
+
+def test_multi_table_txn_catalog_time_travel(spark, sf_dir, tmp_path):
+    """MultiTableTransaction × catalog time travel: after the one-swap
+    commit moves both member pins, reading the catalog AT ITS PRE-TXN
+    VERSION reproduces both tables' original consistent snapshot —
+    the cross-table AS OF the single-table fixtures can't exercise."""
+    from datalake2anomali_spark.io.catalog import (
+        MultiTableTransaction,
+        catalog_manifest,
+        catalog_read,
+        catalog_register,
+        create_catalog,
+    )
+
+    croot = str(tmp_path / "cat")
+    a_root = str(tmp_path / "events")
+    b_root = str(tmp_path / "totals")
+    e = _events(spark, sf_dir)
+    totals = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    ).withColumn("bucket", F.pmod("user_id", F.lit(4)).cast("string"))
+    init_table(spark, e, a_root, "event_date")
+    init_table(spark, totals, b_root, "bucket")
+    create_catalog(croot)
+    catalog_register(croot, "events", a_root)
+    catalog_register(croot, "totals", b_root)
+    cat_v0 = catalog_manifest(croot)["version"]
+
+    mtxn = MultiTableTransaction(
+        spark, croot, {"events": "event_date", "totals": "bucket"}
+    )
+    mtxn.table("events").update(
+        F.col("event_type") == "click", {"value": F.col("value") + 7.0}
+    )
+    syn = totals.limit(3).withColumn("n", F.col("n") + 1000)
+    mtxn.table("totals").merge(syn, ["user_id"])
+    mtxn.commit()
+    cat_v1 = catalog_manifest(croot)["version"]
+    assert cat_v1 == cat_v0 + 1
+
+    # current catalog view sees the transaction on BOTH tables
+    cur_e = catalog_read(spark, croot, "events", "event_date")
+    cur_t = catalog_read(spark, croot, "totals", "bucket")
+    assert cur_t.filter(F.col("n") > 999).count() == 3
+    s_cur = cur_e.agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+    ).collect()[0][0]
+
+    # time-traveled catalog reproduces the pre-txn snapshot exactly
+    old_e = catalog_read(
+        spark, croot, "events", "event_date", catalog_version=cat_v0
+    )
+    old_t = catalog_read(
+        spark, croot, "totals", "bucket", catalog_version=cat_v0
+    )
+    s_old = old_e.agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+    ).collect()[0][0]
+    n_clicks = e.filter(F.col("event_type") == "click").count()
+    assert s_cur - s_old == 700 * n_clicks
+    assert old_t.filter(F.col("n") > 999).count() == 0
+    assert old_t.count() == totals.count()

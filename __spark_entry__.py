@@ -52,7 +52,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #  - _PRIORITY (the round-12 window): column_evolution first (its r11
 #    exposure errored on the NameError, so it is still never-certified —
 #    first exposure cannot be deferred), then the round-9-certified
-#    block at its staleness deadline in its standing rotation order.
+#    block in its standing rotation order (deadline round 13 under
+#    bound 4; certifying it on the original 3-round cadence anyway
+#    keeps the deferral cascade at size 1).
 #    The r9 block is 50 strong, so with column_evolution the mandatory
 #    set is 51 for a 50-row window: string_funcs (six green rows
 #    r1-r9, code untouched since r3 — the lowest-risk entry) defers to
@@ -68,7 +70,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY: tuple[str, ...] = (
     # never certified — r11 exposure errored; must be in-window
     "column_evolution",
-    # last driver row round 9 — staleness deadline round 12
+    # last driver row round 9 — deadline round 13 under bound 4; kept
+    # on the round-12 schedule anyway so the cascade stays size-1
     "ioc_advisory_enrichment",
     "stateful_user_profiles",
     "dedup_substrings",

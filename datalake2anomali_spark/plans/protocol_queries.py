@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -91,6 +92,7 @@ def _shared_events_root(spark: SparkSession, sf_dir: str) -> str:
     with open(os.path.join(tmp, "_SOURCE_STAMP"), "w", encoding="utf-8") as fh:
         fh.write(stamp)
     displaced = f"{root}.stale.{os.getpid()}"
+    shutil.rmtree(displaced, ignore_errors=True)  # pid-reuse debris
     try:
         os.rename(root, displaced)
     except OSError:
@@ -104,13 +106,23 @@ def _shared_events_root(spark: SparkSession, sf_dir: str) -> str:
     # Re-verify rather than trusting the rename outcome: if the adopt
     # path swallowed a failure that was NOT the benign race (so root is
     # stale or absent), fail loudly instead of running fixtures against
-    # a base that violates the stamp's purity contract.
-    with open(stamp_file, encoding="utf-8") as fh:
-        if fh.read() != stamp:
-            raise RuntimeError(
-                f"shared events base {root} has a stale stamp after swap"
-            )
-    return root
+    # a base that violates the stamp's purity contract.  The root is
+    # legitimately ABSENT for an instant while a concurrent racer sits
+    # between its two renames, so poll briefly before declaring failure.
+    deadline = time.monotonic() + 5.0
+    while True:
+        try:
+            with open(stamp_file, encoding="utf-8") as fh:
+                if fh.read() == stamp:
+                    return root
+            break  # present but mismatched: genuinely stale
+        except FileNotFoundError:
+            if time.monotonic() >= deadline:
+                break
+            time.sleep(0.05)
+    raise RuntimeError(
+        f"shared events base {root} has a stale or missing stamp after swap"
+    )
 
 
 def _cloned_events(spark: SparkSession, prefix: str, sf_dir: str) -> str:

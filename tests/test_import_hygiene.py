@@ -7,13 +7,14 @@ while their call sites remained.  Runtime gates only see such a bug when
 the query actually runs — with the rotation window that can be three
 rounds later.  This test catches the whole class statically in
 milliseconds: for every function (at any nesting depth) in every module
-of ``datalake2anomali_spark/``, ``tools/``, ``bench.py`` and
-``__spark_entry__.py``, any name the function reads from GLOBAL scope
-must actually be bound at module level (import, assignment, def, class)
-or be a builtin.  ``symtable`` does the scope resolution, so locals,
-closure cells, comprehension targets, lambda args, and ``global``
-declarations are all handled by the compiler's own rules rather than a
-hand-rolled AST walk.
+of ``datalake2anomali_spark/``, ``tools/``, ``tests/``, ``bench.py``
+and ``__spark_entry__.py``, any name the function reads from GLOBAL
+scope must actually be bound at module level (import, assignment, def,
+class — or assigned through an explicit ``global`` declaration in some
+function) or be a builtin.  ``symtable`` does the scope resolution, so
+locals, closure cells, comprehension targets, lambda args, and
+``global`` declarations are all handled by the compiler's own rules
+rather than a hand-rolled AST walk.
 """
 
 from __future__ import annotations
@@ -49,11 +50,23 @@ def _py_files():
 
 
 def _module_bindings(table: symtable.SymbolTable) -> set:
-    return {
+    names = {
         s.get_name()
         for s in table.get_symbols()
         if s.is_assigned() or s.is_imported()
     }
+    # a `global x; x = ...` inside any function also binds the module
+    # name — the module table itself doesn't list it
+    def _global_writes(t):
+        if t.get_type() == "function":
+            for s in t.get_symbols():
+                if s.is_declared_global() and s.is_assigned():
+                    names.add(s.get_name())
+        for c in t.get_children():
+            _global_writes(c)
+
+    _global_writes(table)
+    return names
 
 
 def _walk(table, module_names, path, problems):

@@ -648,6 +648,7 @@ def test_check_constraints_enforced_on_branch_and_survive_publish(
     init_table(spark, e, root, "event_date", constraints=cons)
     v0 = read_manifest(root)["version"]
     create_branch(root, "audit")
+    branch_m0 = read_manifest(root, ref="audit")
 
     bad = e.limit(5).withColumn("value", F.lit(-1.0))
     try:
@@ -659,6 +660,7 @@ def test_check_constraints_enforced_on_branch_and_survive_publish(
         pass
     # main AND the branch are both still at the fork state
     assert read_manifest(root)["version"] == v0
+    assert read_manifest(root, ref="audit") == branch_m0
 
     good = (
         e.filter(F.col("event_type") == "purchase")

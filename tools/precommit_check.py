@@ -5,24 +5,21 @@ Run before EVERY commit::
     python tools/precommit_check.py
 
 Always runs the millisecond static layers (import hygiene + entry
-contract import).  If the staged-or-unstaged diff touches ``plans/`` or
-``io/publish.py`` — the blast radius of the round-11 six-query
-NameError — it additionally runs ``tests/test_plan_shapes.py``, which
-builds/executes every registered query (~4 min) and is the test that
-would have caught commit 69914d9 before it shipped.  Exit code 0 =
+contract).  If the diff — staged, unstaged, or untracked — touches
+``plans/``, any ``io/`` module the plan fixtures import at call time,
+or the entry module, it additionally runs ``tests/test_plan_shapes.py``,
+which builds/executes every registered query (~4 min) and is the test
+that would have caught commit 69914d9 before it shipped.  Exit code 0 =
 safe to commit.
 """
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 
-REPO = "/root/repo"
-
-
-def _sh(args: list) -> "subprocess.CompletedProcess":
-    return subprocess.run(args, cwd=REPO, capture_output=True, text=True)
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _changed_files() -> set:
@@ -30,26 +27,36 @@ def _changed_files() -> set:
     for args in (
         ["git", "diff", "--name-only"],
         ["git", "diff", "--name-only", "--cached"],
+        ["git", "ls-files", "--others", "--exclude-standard"],
     ):
-        r = _sh(args)
+        r = subprocess.run(args, cwd=REPO, capture_output=True, text=True)
         out.update(line.strip() for line in r.stdout.splitlines() if line.strip())
     return out
 
 
 def main() -> int:
-    steps = [["python", "-m", "pytest", "tests/test_import_hygiene.py",
-              "tests/test_entry_contract.py::test_every_query_has_oracle_or_documented_exception",
+    steps = [[sys.executable, "-m", "pytest", "tests/test_import_hygiene.py",
+              "tests/test_entry_contract.py",
               "-q", "--no-header"]]
     changed = _changed_files()
+    # plans/ fixtures import io/ modules at call time, so a symbol
+    # rename anywhere under io/ breaks registered queries exactly like
+    # the round-11 NameError — the whole subpackage is hot.
     hot = [
         f for f in changed
         if f.startswith("datalake2anomali_spark/plans/")
-        or f == "datalake2anomali_spark/io/publish.py"
+        or f.startswith("datalake2anomali_spark/io/")
         or f == "__spark_entry__.py"
     ]
     if hot:
-        print(f"plan-affecting diff ({len(hot)} files) -> running plan-shape build of every registered query")
-        steps.append(["python", "-m", "pytest", "tests/test_plan_shapes.py", "-q", "--no-header"])
+        print(
+            f"plan-affecting diff ({len(hot)} files) -> running the "
+            "plan-shape build of every registered query"
+        )
+        steps.append(
+            [sys.executable, "-m", "pytest", "tests/test_plan_shapes.py",
+             "-q", "--no-header"]
+        )
     for args in steps:
         print("+", " ".join(args), flush=True)
         r = subprocess.run(args, cwd=REPO)

@@ -368,3 +368,119 @@ def test_index_refresh_crash_mid_apply_converges(
         v = refresh_value_index(spark, idx)
         assert v == read_manifest(root)["version"]
         check_lookups()
+
+
+# ---------------------------------------------------------------------------
+# 5. maintenance ops: compact / partial OPTIMIZE / restore crash at the CAS
+# ---------------------------------------------------------------------------
+
+_maint_step = st.tuples(
+    st.sampled_from(["merge", "compact", "optimize"]),
+    st.integers(1, 9),
+    st.sampled_from(["clean", "crash", "crash_vacuum"]),
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_maint_step, min_size=2, max_size=5))
+def test_maintenance_crash_leaves_state_and_retry_lands(
+    spark, tmp_path_factory, steps
+):
+    """Compaction and partial OPTIMIZE never change logical state, so
+    the invariant is total: after ANY maintenance op — crashed at the
+    CAS, vacuumed after the crash, or clean — the table reads exactly
+    the model; crashed merges leave no trace and their retry lands."""
+    from datalake2anomali_spark.io.publish import (
+        compact_versioned,
+        optimize_partitions,
+        vacuum,
+    )
+
+    root = str(tmp_path_factory.mktemp("maint") / "t")
+    model = {k: (str(k % 3), k * 10) for k in range(24)}
+    # fragment so OPTIMIZE has work from the start
+    init_table(
+        spark,
+        _mk(spark, [(k, p, x) for k, (p, x) in model.items()])
+        .repartition(4)
+        .localCheckpoint(eager=True),
+        root,
+        "p",
+    )
+
+    for kind, seed, mode in steps:
+        def run():
+            if kind == "merge":
+                up = {800 + seed * 3 + i: (str(i % 3), seed) for i in range(3)}
+                merge_into_versioned(
+                    spark, root,
+                    _mk(spark, [(k, p, x) for k, (p, x) in up.items()]),
+                    ["k"], "p",
+                )
+                return up
+            if kind == "compact":
+                compact_versioned(spark, root, "p", "k")
+            else:
+                optimize_partitions(spark, root, "p", "k", min_files=2)
+            return {}
+
+        if mode != "clean":
+            before = read_manifest(root)
+            with mock.patch.object(pubmod, "_commit_checked", _boom):
+                try:
+                    run()
+                    committed = False  # op found no work, never reached CAS
+                except _Boom:
+                    committed = True
+            assert read_manifest(root) == before, f"crashed {kind} moved the manifest"
+            assert _state(spark, root) == model, f"crashed {kind} left a trace"
+            if not committed:
+                assert kind == "optimize", f"{kind} must always reach the CAS"
+            if mode == "crash_vacuum":
+                vacuum(root, retain_last=1, claim_ttl_seconds=0.0)
+                assert _state(spark, root) == model, "vacuum after crash drifted"
+        model.update(run())
+        assert _state(spark, root) == model, f"clean {kind} retry did not land"
+
+
+@settings(**_SETTINGS)
+@given(
+    n_commits=st.integers(1, 3),
+    target_idx=st.integers(0, 3),
+    seed=st.integers(1, 9),
+)
+def test_restore_crash_at_cas_then_retry(
+    spark, tmp_path_factory, n_commits, target_idx, seed
+):
+    """RESTORE crashes at the CAS: the head is untouched; the retried
+    restore publishes a NEW commit whose state equals the historical
+    model exactly (append-only history, never a pointer rewind)."""
+    root = str(tmp_path_factory.mktemp("rst") / "t")
+    model = {k: (str(k % 3), k * 10) for k in range(18)}
+    init_table(
+        spark, _mk(spark, [(k, p, x) for k, (p, x) in model.items()]), root, "p"
+    )
+    history = [(read_manifest(root)["version"], dict(model))]
+    for i in range(n_commits):
+        up = {900 + i * 5 + j: (str(j % 3), seed + i) for j in range(2)}
+        merge_into_versioned(
+            spark, root, _mk(spark, [(k, p, x) for k, (p, x) in up.items()]),
+            ["k"], "p",
+        )
+        model.update(up)
+        history.append((read_manifest(root)["version"], dict(model)))
+
+    t_version, t_model = history[min(target_idx, len(history) - 1)]
+    before = read_manifest(root)
+    with mock.patch.object(pubmod, "_commit_checked", _boom):
+        try:
+            restore_version(root, t_version)
+            raise AssertionError("crash did not propagate")
+        except _Boom:
+            pass
+    assert read_manifest(root) == before, "crashed restore moved the head"
+    assert _state(spark, root) == model
+
+    v_new = restore_version(root, t_version)
+    assert v_new > before["version"], "restore must append, not rewind"
+    assert _state(spark, root) == t_model, "retried restore wrong state"

@@ -365,7 +365,10 @@ def test_index_refresh_crash_mid_apply_converges(
                     if committed:
                         raise AssertionError("crash did not propagate")
                 except _Boom:
-                    pass
+                    if not committed:
+                        raise AssertionError(
+                            "caught-up refresh spuriously committed the cursor"
+                        )
         elif mode == "crash_pre_apply":
             import datalake2anomali_spark.io.index as idxmod
 
@@ -438,12 +441,12 @@ def test_maintenance_crash_leaves_state_and_retry_lands(
             with mock.patch.object(pubmod, "_commit_checked", _boom):
                 try:
                     run()
-                    committed = False  # op found no work, never reached CAS
+                    reached_cas = False  # op found no work
                 except _Boom:
-                    committed = True
+                    reached_cas = True
             assert read_manifest(root) == before, f"crashed {kind} moved the manifest"
             assert _state(spark, root) == model, f"crashed {kind} left a trace"
-            if not committed:
+            if not reached_cas:
                 assert kind == "optimize", f"{kind} must always reach the CAS"
             if mode == "crash_vacuum":
                 vacuum(root, retain_last=1, claim_ttl_seconds=0.0)

@@ -39,13 +39,15 @@ def main() -> int:
               "tests/test_entry_contract.py",
               "-q", "--no-header"]]
     changed = _changed_files()
-    # plans/ fixtures import io/ modules at call time, so a symbol
-    # rename anywhere under io/ breaks registered queries exactly like
-    # the round-11 NameError — the whole subpackage is hot.
+    # plan fixtures lazily import io/, operators/, llm/, ioc/,
+    # sources/, functions/ and streaming/ at call time, so a symbol
+    # rename ANYWHERE in the package breaks registered queries exactly
+    # like the round-11 NameError (the per-module hygiene gate cannot
+    # see a cross-module from-import of a deleted name) — the whole
+    # package is hot.
     hot = [
         f for f in changed
-        if f.startswith("datalake2anomali_spark/plans/")
-        or f.startswith("datalake2anomali_spark/io/")
+        if f.startswith("datalake2anomali_spark/")
         or f == "__spark_entry__.py"
     ]
     if hot:

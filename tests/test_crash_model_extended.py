@@ -17,6 +17,7 @@ tests/test_crash_model_extended.py``.
 
 from __future__ import annotations
 
+import os
 from unittest import mock
 
 from hypothesis import given, settings, strategies as st
@@ -496,3 +497,78 @@ def test_restore_crash_at_cas_then_retry(
     v_new = restore_version(root, t_version)
     assert v_new > before["version"], "restore must append, not rewind"
     assert _state(spark, root) == t_model, "retried restore wrong state"
+
+
+# ---------------------------------------------------------------------------
+# 6. hidden-table spec evolution: crash at the spec-file swap
+# ---------------------------------------------------------------------------
+
+def test_spec_evolution_crash_before_swap(spark, tmp_path_factory):
+    """evolve_partition_spec crashes at the instant before its atomic
+    spec-file replace (after the fsync'd tmp write): the recorded
+    generations are untouched, writes keep landing under the OLD
+    layout, the orphaned .tmp is harmless, and the retried evolve
+    lands — subsequent writes relocate to the new generation and
+    pruned reads stay exact across the mixed layout."""
+    from datalake2anomali_spark.io.hidden import (
+        SPEC_FILE,
+        _load_generations,
+        evolve_partition_spec,
+        init_hidden_table,
+        merge_into_hidden,
+        read_hidden,
+    )
+
+    root = str(tmp_path_factory.mktemp("spec") / "t")
+    model = {k: (k % 7, k * 10) for k in range(40)}
+    df = _mk(
+        spark, [(k, g, x) for k, (g, x) in model.items()], "k long, g long, x long"
+    )
+    init_hidden_table(spark, df, root, ["bucket", 4, "k"])
+    gens0 = _load_generations(root)
+    assert len(gens0) == 1
+
+    # the injection point is the ownership check between the tmp fsync
+    # and the os.replace — the worst instant of the spec commit
+    with mock.patch.object(pubmod, "_verify_lock_ownership", _boom):
+        try:
+            evolve_partition_spec(root, ["bucket", 8, "k"])
+            raise AssertionError("crash did not propagate")
+        except _Boom:
+            pass
+    assert _load_generations(root) == gens0, "crashed evolve changed the spec"
+    assert os.path.exists(os.path.join(root, SPEC_FILE + ".tmp"))
+
+    # writes still land under the OLD layout
+    up1 = {100 + i: (i % 7, 1) for i in range(3)}
+    merge_into_hidden(
+        spark, root,
+        _mk(spark, [(k, g, x) for k, (g, x) in up1.items()],
+            "k long, g long, x long"),
+        ["k"],
+    )
+    model.update(up1)
+
+    # the retried evolve lands (and overwrites the orphan tmp)
+    assert evolve_partition_spec(root, ["bucket", 8, "k"]) == 1
+    assert len(_load_generations(root)) == 2
+    up2 = {200 + i: (i % 7, 2) for i in range(3)}
+    merge_into_hidden(
+        spark, root,
+        _mk(spark, [(k, g, x) for k, (g, x) in up2.items()],
+            "k long, g long, x long"),
+        ["k"],
+    )
+    model.update(up2)
+
+    got = {
+        r["k"]: (r["g"], r["x"]) for r in read_hidden(spark, root).collect()
+    }
+    assert got == model
+    # pruned point lookups stay exact across the mixed g0/g1 layout
+    for probe in (1, 100, 201):
+        got_k = {
+            r["k"]
+            for r in read_hidden(spark, root, ("eq", "k", probe)).collect()
+        }
+        assert got_k == ({probe} if probe in model else set())

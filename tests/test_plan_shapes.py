@@ -72,13 +72,20 @@ def test_no_cartesian_products_in_registered_queries(spark, sf_dir):
     # CartesianProduct = the unbounded O(n^2) plan Spark falls back to for
     # non-equi self-joins.  Only brute-force *verification* twins may use a
     # broadcast nested loop; a CartesianProduct anywhere is a bug.
+    # Same loop also pins Python evaluation to the Arrow path:
+    # BatchEvalPython is the row-at-a-time pickle bridge (10-100x slower
+    # than ArrowEvalPython at 100 TB) and must never appear.
     import __spark_entry__ as entrymod
 
     for name, fn in entrymod.queries().items():
         if name.startswith("stream_") or name == "stateful_user_profiles":
             continue  # streaming plans materialize through their own runner
         df = fn(spark, sf_dir)
-        assert "CartesianProduct" not in _plan(df), name
+        p = _plan(df)
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, (
+            f"{name}: row-at-a-time Python UDF in the plan"
+        )
 
 
 def test_chunk_documents_is_map_only(spark, sf_dir):

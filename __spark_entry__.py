@@ -49,88 +49,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # L + staleness_bound, and a never-certified query is always in-window.
 # tests/test_entry_contract.py asserts the ledger, the bound, and the
 # window bookkeeping; no literal counts here (they drift — ADVICE r5).
-#  - _PRIORITY (the round-12 window): column_evolution first (its r11
-#    exposure errored on the NameError, so it is still never-certified —
-#    first exposure cannot be deferred), then the round-9-certified
-#    block in its standing rotation order (deadline round 13 under
-#    bound 4; certifying it on the original 3-round cadence anyway
-#    keeps the deferral cascade at size 1).
-#    The r9 block is 50 strong, so with column_evolution the mandatory
-#    set is 51 for a 50-row window: string_funcs (six green rows
-#    r1-r9, code untouched since r3 — the lowest-risk entry) defers to
-#    round 13, which is within the bound now that the bound is
-#    honestly 4 (see tools/rotation_ledger.py for the derivation: a
-#    150-query registry over a 50-row window has ZERO failure slack at
-#    bound 3, so one red row makes bound 3 permanently infeasible).
-#  - _TAIL holds exactly the overflow, stalest first: string_funcs
-#    (deadline round 13 — leads the next window), the
-#    round-10-certified block (deadline round 14) in CORRECTNESS_r10
-#    order, then the round-11-certified block (deadline round 15) in
-#    CORRECTNESS_r11 order.
+#  - _PRIORITY (the round-13 window): string_funcs first (last driver
+#    row round 9 — its bound-4 deadline is THIS round; it was the single
+#    entry deferred out of the round-12 window by column_evolution's
+#    mandatory re-exposure), then 49 of the 50 round-10-certified
+#    entries in their CORRECTNESS_r10 order (deadline round 14).
+#    The one deferred r10 entry is ioc_incremental_cursor — the
+#    lowest-risk member by the same criteria that picked string_funcs
+#    last round: seven all-time green rows (r1-r5, r8, r10) and code
+#    (ioc/upsert.py) untouched since its initial commit.  Its bound-4
+#    deadline is round 14, so it leads the next window and the deferral
+#    cascade stays size-1.
+#  - _TAIL holds exactly the overflow, stalest first:
+#    ioc_incremental_cursor (deadline round 14 — leads the next
+#    window), the round-11-certified block (deadline round 15) in
+#    CORRECTNESS_r11 order, then the round-12-certified block
+#    (deadline round 16) in CORRECTNESS_r12 order.
 _PRIORITY: tuple[str, ...] = (
-    # never certified — r11 exposure errored; must be in-window
-    "column_evolution",
-    # last driver row round 9 — deadline round 13 under bound 4; kept
-    # on the round-12 schedule anyway so the cascade stays size-1
-    "ioc_advisory_enrichment",
-    "stateful_user_profiles",
-    "dedup_substrings",
-    "docs_clean_pipeline",
-    "stream_interval_join",
-    "ann_topk_quantized",
-    "embedding_neardup_lsh",
-    "salted_skew_stats",
-    "dedup_minhash_lsh",
-    "dedup_clusters_star",
-    "embedding_kmeans",
-    "batch_windows",
-    "top_terms",
-    "ioc_upsert_routing",
-    "q1_pricing_summary",
-    "setsim_join",
-    "percentile_cont",
-    "snapshot_pruned_scan",
-    "attribution_credit",
-    "global_rank",
-    "cube_stats",
-    "khop_features",
-    "stream_interval_join_outer",
-    "table_changes",
-    "equi_depth_hist",
-    "window_rank_funcs",
-    "groupwise_quantiles",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "k_anonymity",
-    "stream_upsert_exactly_once",
-    "cdf_probe",
-    "pagerank_dangling",
-    "groupwise_percentile_cont",
-    "q9_product_profit",
-    "snapshot_bloom_scan",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "region_customer_stats",
-    "stream_dedup_events",
-    "ioc_payload_objects",
-    "topk_per_group",
-    "dedup_exact",
-    "chunk_documents",
-    "mixture_sample",
-    "jsonl_roundtrip",
-    "asof_join_tolerance",
-    "multimodal_ops",
-    "stream_burst_alerts",
-)
-
-#: Exactly the overflow past the gate window (asserted in
-#: tests/test_entry_contract.py), stalest first.
-_TAIL: tuple[str, ...] = (
-    # last driver row round 9, deferred one round (deadline round 13
-    # under bound 4) — the single entry squeezed out by
-    # column_evolution's mandatory re-exposure; leads the r13 window
+    # last driver row round 9 — bound-4 deadline is round 13 (now)
     "string_funcs",
-    # last driver row round 10 — deadline round 14 (CORRECTNESS_r10 order)
+    # last driver row round 10 — deadline round 14 (CORRECTNESS_r10
+    # order, minus the deferred ioc_incremental_cursor)
     "burst_alerts",
     "dedup_keep_best",
     "heavy_hitters",
@@ -180,6 +119,14 @@ _TAIL: tuple[str, ...] = (
     "robust_outliers",
     "item_similarity",
     "ioc_indicators_observed",
+)
+
+#: Exactly the overflow past the gate window (asserted in
+#: tests/test_entry_contract.py), stalest first.
+_TAIL: tuple[str, ...] = (
+    # last driver row round 10, deferred one round (deadline round 14
+    # under bound 4) — the single entry squeezed out by string_funcs's
+    # own deadline re-exposure; leads the r14 window
     "ioc_incremental_cursor",
     # last driver row round 11 — deadline round 15 (CORRECTNESS_r11 order)
     "dedup_ngram_jaccard",
@@ -231,6 +178,57 @@ _TAIL: tuple[str, ...] = (
     "shallow_clone_divergence",
     "branch_merge_disjoint",
     "stream_into_hidden",
+    # last driver row round 12 — deadline round 16 (CORRECTNESS_r12 order)
+    "column_evolution",
+    "ioc_advisory_enrichment",
+    "stateful_user_profiles",
+    "dedup_substrings",
+    "docs_clean_pipeline",
+    "stream_interval_join",
+    "ann_topk_quantized",
+    "embedding_neardup_lsh",
+    "salted_skew_stats",
+    "dedup_minhash_lsh",
+    "dedup_clusters_star",
+    "embedding_kmeans",
+    "batch_windows",
+    "top_terms",
+    "ioc_upsert_routing",
+    "q1_pricing_summary",
+    "setsim_join",
+    "percentile_cont",
+    "snapshot_pruned_scan",
+    "attribution_credit",
+    "global_rank",
+    "cube_stats",
+    "khop_features",
+    "stream_interval_join_outer",
+    "table_changes",
+    "equi_depth_hist",
+    "window_rank_funcs",
+    "groupwise_quantiles",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "k_anonymity",
+    "stream_upsert_exactly_once",
+    "cdf_probe",
+    "pagerank_dangling",
+    "groupwise_percentile_cont",
+    "q9_product_profit",
+    "snapshot_bloom_scan",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "region_customer_stats",
+    "stream_dedup_events",
+    "ioc_payload_objects",
+    "topk_per_group",
+    "dedup_exact",
+    "chunk_documents",
+    "mixture_sample",
+    "jsonl_roundtrip",
+    "asof_join_tolerance",
+    "multimodal_ops",
+    "stream_burst_alerts",
 )
 
 _MODULES = (

@@ -198,6 +198,7 @@ def main() -> None:
                 spark.sparkContext._jvm.System.gc()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    value_warm = round(sum(warm_timings.values()), 3)
     print(
         json.dumps(
             {
@@ -205,8 +206,24 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "value_warm": round(sum(warm_timings.values()), 3),
+                "value_warm": value_warm,
                 "queries_warm": warm_timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    # The per-query map above has outgrown the driver's 2,000-char tail
+    # capture (every BENCH_r*.json since r03 recorded parsed=null), so the
+    # LAST stdout line is a compact summary guaranteed to fit the tail;
+    # the full record is the line above / docs/bench_local_r*.json.
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "value_warm": value_warm,
+                "n_queries": len(timings),
                 "sf": float(sf) if sf else None,
             }
         )

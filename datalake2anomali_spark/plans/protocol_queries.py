@@ -51,6 +51,39 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: How long a displaced/crashed sibling tree survives before the next
+#: build sweeps it — long enough for any in-flight Spark scan that
+#: resolved files under the old path to finish.
+_DEBRIS_GRACE_SEC = 600.0
+
+
+def _sweep_debris(root: str, grace_sec: float = _DEBRIS_GRACE_SEC) -> None:
+    """Age-gated collection of ``<root>.build.*`` / ``<root>.stale.*``
+    sibling trees.  Runs at the start of each build so (a) the displaced
+    tree from a previous swap is deleted only after readers holding the
+    old path had a grace window to finish their lazy scans, and (b)
+    debris from builders that crashed between ``init_table`` and the
+    swap is collected whatever pid they ran under, instead of only when
+    the same pid recurs (ADVICE r12)."""
+    base, name = os.path.split(root)
+    try:
+        entries = os.listdir(base)
+    except OSError:
+        return
+    now = time.time()
+    prefixes = (name + ".build.", name + ".stale.")
+    for n in entries:
+        if not n.startswith(prefixes):
+            continue
+        p = os.path.join(base, n)
+        try:
+            age = now - os.stat(p).st_mtime
+        except OSError:
+            continue  # a concurrent sweep already took it
+        if age >= grace_sec:
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def _shared_events_root(spark: SparkSession, sf_dir: str) -> str:
     """A process-shared IMMUTABLE copy of the events table (event_date
     partitioned), built at most once per (sf_dir, source-file content).
@@ -83,9 +116,14 @@ def _shared_events_root(spark: SparkSession, sf_dir: str) -> str:
         pass
     # Build under a private name, then swap into place, so a concurrent
     # process (bench vs pytest) never observes a half-built or absent
-    # base: a stale root is renamed ASIDE (never rmtree'd in place —
-    # readers holding the old path keep a complete tree) before the
-    # build is renamed in, and only then is the displaced copy deleted.
+    # base: a stale root is renamed ASIDE (never rmtree'd in place) before
+    # the build is renamed in.  The displaced tree is NOT deleted
+    # synchronously — Spark plans resolve files lazily, so a reader that
+    # captured the old path can still be mid-scan after the swap; deletion
+    # is deferred to the age-gated sweep below, which also collects
+    # `.build.*`/`.stale.*` debris from builders that crashed between
+    # init_table and the swap under ANY pid (ADVICE r12).
+    _sweep_debris(root)
     tmp = f"{root}.build.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     init_table(spark, _events(spark, sf_dir), tmp, "event_date")
@@ -102,7 +140,13 @@ def _shared_events_root(spark: SparkSession, sf_dir: str) -> str:
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)  # raced: a winner installed
     if displaced is not None:
-        shutil.rmtree(displaced, ignore_errors=True)
+        # stamp displacement time: the tree's own mtime is its BUILD time,
+        # which would make a freshly displaced old tree sweep-eligible
+        # immediately — exactly the reader race the deferral exists to close
+        try:
+            os.utime(displaced)
+        except OSError:
+            pass
     # Re-verify rather than trusting the rename outcome: if the adopt
     # path swallowed a failure that was NOT the benign race (so root is
     # stale or absent), fail loudly instead of running fixtures against

@@ -397,6 +397,31 @@ def test_multimodal_resize_bounds_payload(spark, sf_dir):
     assert all(r.n_bytes == 128 and r.fake_width == 16 and r.fake_height == 8 for r in out)
 
 
+def test_codec_stub_unreachable_from_registered_queries():
+    """``resize_image_stub`` is the labeled compressed-codec seam (swap
+    for Pillow where it exists); every REGISTERED query must route
+    through the real decoder-backed ``resize_decoded_images`` instead.
+    Pin that no module under ``plans/`` (the entire registered-query
+    surface — ``__spark_entry__`` builds the registry from it alone) can
+    reach the stub or its ``resize_images`` plumbing wrapper, so the
+    certified surface contains zero stub code paths."""
+    import pathlib
+
+    import datalake2anomali_spark.plans as plans_pkg
+
+    plans_dir = pathlib.Path(plans_pkg.__file__).parent
+    hits = [
+        f"{p.name}:{i}:{line.strip()}"
+        for p in sorted(plans_dir.glob("*.py"))
+        for i, line in enumerate(p.read_text().splitlines(), 1)
+        if "resize_image_stub" in line or "resize_images" in line
+    ]
+    assert not hits, f"stub path reachable from registered queries: {hits}"
+    # and the real path IS the one the registered multimodal query uses
+    llm_q = (plans_dir / "llm_queries.py").read_text()
+    assert "resize_decoded_images" in llm_q
+
+
 def test_multimodal_frame_sampling_shape(spark, sf_dir):
     from datalake2anomali_spark.llm.multimodal import sample_frames, with_binary_payload
 

@@ -22,13 +22,40 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _base_ref() -> str | None:
+    """Base ref for the committed-but-unpublished span of the diff.
+
+    Working-tree-only diffs miss work that was already committed (an
+    accidental early commit, or running the gate before ``git commit
+    --amend``) — the gate would then see an empty diff and silently skip
+    the expensive plan-shape layer it exists for (ADVICE r12).  Default
+    to ``@{upstream}`` when one is configured; override with
+    ``PRECOMMIT_BASE=<ref>`` for repos (like this one) with no remote.
+    """
+    env = os.environ.get("PRECOMMIT_BASE")
+    if env:
+        return env
+    r = subprocess.run(
+        ["git", "rev-parse", "--abbrev-ref", "--symbolic-full-name", "@{upstream}"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    return r.stdout.strip() if r.returncode == 0 else None
+
+
 def _changed_files() -> set:
     out = set()
-    for args in (
+    cmds = [
         ["git", "diff", "--name-only"],
         ["git", "diff", "--name-only", "--cached"],
         ["git", "ls-files", "--others", "--exclude-standard"],
-    ):
+    ]
+    base = _base_ref()
+    if base:
+        cmds.append(["git", "diff", "--name-only", f"{base}..HEAD"])
+    else:
+        print("note: no @{upstream}/PRECOMMIT_BASE — hot-file scan covers the "
+              "working tree only (committed-but-unpublished work unseen)")
+    for args in cmds:
         r = subprocess.run(args, cwd=REPO, capture_output=True, text=True)
         out.update(line.strip() for line in r.stdout.splitlines() if line.strip())
     return out
@@ -59,6 +86,11 @@ def main() -> int:
             [sys.executable, "-m", "pytest", "tests/test_plan_shapes.py",
              "-q", "--no-header"]
         )
+    else:
+        # visible skip (ADVICE r12): an empty hot set must be a statement,
+        # not silence, so a gate run that missed committed work is auditable
+        print("no plan-affecting files in the diff -> SKIPPING the "
+              "plan-shape layer (set PRECOMMIT_BASE to widen the scan)")
     for args in steps:
         print("+", " ".join(args), flush=True)
         r = subprocess.run(args, cwd=REPO)

@@ -84,6 +84,16 @@ def _sweep_debris(root: str, grace_sec: float = _DEBRIS_GRACE_SEC) -> None:
             shutil.rmtree(p, ignore_errors=True)
 
 
+def _shared_base_dir() -> str:
+    """Directory holding the process-shared events base — tmpfs when
+    available (a per-test-module rebuild would otherwise pay disk I/O).
+    A seam so tests can exercise the swap/sweep protocol against a
+    private directory instead of the real shared root."""
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        return "/dev/shm"
+    return tempfile.gettempdir()
+
+
 def _shared_events_root(spark: SparkSession, sf_dir: str) -> str:
     """A process-shared IMMUTABLE copy of the events table (event_date
     partitioned), built at most once per (sf_dir, source-file content).
@@ -95,11 +105,7 @@ def _shared_events_root(spark: SparkSession, sf_dir: str) -> str:
     parquet — a regenerated sf_dir rebuilds the base)."""
     from ..io.publish import init_table, read_manifest
 
-    base = (
-        "/dev/shm"
-        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
-        else tempfile.gettempdir()
-    )
+    base = _shared_base_dir()
     root = os.path.join(
         base, "d2a_SHARED_events_" + sf_dir.strip("/").replace("/", "_")
     )
@@ -129,8 +135,12 @@ def _shared_events_root(spark: SparkSession, sf_dir: str) -> str:
     init_table(spark, _events(spark, sf_dir), tmp, "event_date")
     with open(os.path.join(tmp, "_SOURCE_STAMP"), "w", encoding="utf-8") as fh:
         fh.write(stamp)
-    displaced = f"{root}.stale.{os.getpid()}"
-    shutil.rmtree(displaced, ignore_errors=True)  # pid-reuse debris
+    # unique per build (pid + monotonic ns) so NO tree that could have
+    # readers is ever rmtree'd synchronously — pid reuse, or this same
+    # process rebuilding twice inside the grace window, would otherwise
+    # collide with a displaced tree a reader still holds.  The sweep
+    # above is the only deletion path for stale trees.
+    displaced = f"{root}.stale.{os.getpid()}.{time.monotonic_ns()}"
     try:
         os.rename(root, displaced)
     except OSError:

@@ -35,11 +35,7 @@ from ..io.tables import load_table
 def _scratch_root(prefix: str, sf_dir: str) -> str:
     """A per-(fixture, sf) scratch directory, recreated from scratch so the
     query stays a pure function of the source table."""
-    base = (
-        "/dev/shm"
-        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
-        else tempfile.gettempdir()
-    )
+    base = _shared_base_dir()
     root = os.path.join(base, prefix + "_" + sf_dir.strip("/").replace("/", "_"))
     shutil.rmtree(root, ignore_errors=True)
     return root
@@ -59,22 +55,34 @@ _DEBRIS_GRACE_SEC = 600.0
 
 def _sweep_debris(root: str, grace_sec: float = _DEBRIS_GRACE_SEC) -> None:
     """Age-gated collection of ``<root>.build.*`` / ``<root>.stale.*``
-    sibling trees.  Runs at the start of each build so (a) the displaced
-    tree from a previous swap is deleted only after readers holding the
-    old path had a grace window to finish their lazy scans, and (b)
-    debris from builders that crashed between ``init_table`` and the
-    swap is collected whatever pid they ran under, instead of only when
-    the same pid recurs (ADVICE r12)."""
+    sibling trees.  Runs on EVERY ``_shared_events_root`` call (not just
+    rebuilds — a displaced tree from the last source regeneration would
+    otherwise sit on tmpfs until the NEXT regeneration, indefinitely) so
+    (a) the displaced tree from a previous swap is deleted only after
+    open-fd holders had a grace window to drain, and (b) debris from
+    builders that crashed between ``init_table`` and the swap is
+    collected whatever pid they ran under (ADVICE r12).  A ``.build.``
+    tree whose embedded pid is still alive is NEVER swept, whatever its
+    age — a builder legitimately slower than the grace period must not
+    have its in-flight tree yanked."""
     base, name = os.path.split(root)
     try:
         entries = os.listdir(base)
     except OSError:
         return
     now = time.time()
-    prefixes = (name + ".build.", name + ".stale.")
+    build_pfx, stale_pfx = name + ".build.", name + ".stale."
     for n in entries:
-        if not n.startswith(prefixes):
+        if not n.startswith((build_pfx, stale_pfx)):
             continue
+        if n.startswith(build_pfx):
+            try:
+                os.kill(int(n[len(build_pfx):].split(".")[0]), 0)
+                continue  # builder alive: in-flight, not debris
+            except (ValueError, ProcessLookupError, OverflowError):
+                pass  # unparseable or dead owner: age-gate it
+            except PermissionError:
+                continue  # alive under another uid
         p = os.path.join(base, n)
         try:
             age = now - os.stat(p).st_mtime
@@ -113,6 +121,10 @@ def _shared_events_root(spark: SparkSession, sf_dir: str) -> str:
     st = os.stat(src)
     stamp = f"{st.st_mtime_ns}:{st.st_size}"
     stamp_file = os.path.join(root, "_SOURCE_STAMP")
+    # Sweep on the fast path too: with rebuilds happening only when the
+    # SOURCE is regenerated, a displaced tree deferred by the last
+    # rebuild would otherwise never be collected (code-review r13).
+    _sweep_debris(root)
     try:
         read_manifest(root)
         with open(stamp_file, encoding="utf-8") as fh:
@@ -122,41 +134,38 @@ def _shared_events_root(spark: SparkSession, sf_dir: str) -> str:
         pass
     # Build under a private name, then swap into place, so a concurrent
     # process (bench vs pytest) never observes a half-built or absent
-    # base: a stale root is renamed ASIDE (never rmtree'd in place) before
-    # the build is renamed in.  The displaced tree is NOT deleted
-    # synchronously — Spark plans resolve files lazily, so a reader that
-    # captured the old path can still be mid-scan after the swap; deletion
-    # is deferred to the age-gated sweep below, which also collects
-    # `.build.*`/`.stale.*` debris from builders that crashed between
-    # init_table and the swap under ANY pid (ADVICE r12).
-    _sweep_debris(root)
+    # base: a stale root is renamed ASIDE before the build is renamed
+    # in.  Honest scope of the deferral (code-review r13): a source
+    # regeneration mid-run invalidates any in-flight reader's RESULTS
+    # regardless — the rename itself breaks lazily-resolved paths under
+    # `root/`, and no machinery short of versioned-in-place publish
+    # restores them.  What the deferred, age-gated deletion DOES buy:
+    # already-open fds drain safely, nothing a reader could reference is
+    # ever rmtree'd synchronously (stale names are unique per build, so
+    # pid reuse or a same-process double rebuild cannot collide), and
+    # crashed-builder debris is collected under any pid (ADVICE r12).
     tmp = f"{root}.build.{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)  # own pid's crash leftover: no readers
     init_table(spark, _events(spark, sf_dir), tmp, "event_date")
     with open(os.path.join(tmp, "_SOURCE_STAMP"), "w", encoding="utf-8") as fh:
         fh.write(stamp)
-    # unique per build (pid + monotonic ns) so NO tree that could have
-    # readers is ever rmtree'd synchronously — pid reuse, or this same
-    # process rebuilding twice inside the grace window, would otherwise
-    # collide with a displaced tree a reader still holds.  The sweep
-    # above is the only deletion path for stale trees.
+    # Restamp the OLD root to displacement time BEFORE it is renamed
+    # aside (rename preserves mtime): restamping after the rename left a
+    # window where a concurrent process's sweep saw the displaced tree
+    # at its hours-old BUILD age and collected it instantly.
+    try:
+        os.utime(root)
+    except OSError:
+        pass  # no prior root
     displaced = f"{root}.stale.{os.getpid()}.{time.monotonic_ns()}"
     try:
         os.rename(root, displaced)
     except OSError:
-        displaced = None  # no prior root (or a racer already moved it)
+        pass  # no prior root (or a racer already moved it)
     try:
         os.rename(tmp, root)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)  # raced: a winner installed
-    if displaced is not None:
-        # stamp displacement time: the tree's own mtime is its BUILD time,
-        # which would make a freshly displaced old tree sweep-eligible
-        # immediately — exactly the reader race the deferral exists to close
-        try:
-            os.utime(displaced)
-        except OSError:
-            pass
     # Re-verify rather than trusting the rename outcome: if the adopt
     # path swallowed a failure that was NOT the benign race (so root is
     # stale or absent), fail loudly instead of running fixtures against

@@ -1,0 +1,48 @@
+"""Pins for the precommit gate's hot-file scan (ADVICE r12 +
+code-review r13): the committed-span widening must fail LOUDLY on a bad
+base ref — swallowing the git error reproduces the silent plan-shape
+skip the widening exists to prevent.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+
+_SPEC = importlib.util.spec_from_file_location(
+    "precommit_check",
+    os.path.join(os.path.dirname(__file__), "..", "tools", "precommit_check.py"),
+)
+pc = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(pc)
+
+
+def test_bad_base_ref_fails_the_gate(monkeypatch):
+    monkeypatch.setenv("PRECOMMIT_BASE", "no-such-ref-xyz")
+    with pytest.raises(SystemExit) as exc:
+        pc._changed_files()
+    assert "no-such-ref-xyz" in str(exc.value)
+
+
+def test_valid_base_ref_widens_the_scan(monkeypatch):
+    monkeypatch.setenv("PRECOMMIT_BASE", "HEAD~1")
+    files = pc._changed_files()  # must not raise
+    assert isinstance(files, set)
+    # the span diff contributed: HEAD~1...HEAD is nonempty in this repo
+    import subprocess
+
+    span = subprocess.run(
+        ["git", "diff", "--name-only", "HEAD~1...HEAD"],
+        cwd=pc.REPO, capture_output=True, text=True, check=True,
+    ).stdout.split()
+    assert set(span) <= files
+
+
+def test_no_base_is_a_visible_note_not_an_error(monkeypatch, capsys):
+    monkeypatch.delenv("PRECOMMIT_BASE", raising=False)
+    if pc._base_ref() is not None:
+        pytest.skip("repo has an upstream configured")
+    pc._changed_files()
+    assert "working tree only" in capsys.readouterr().out

@@ -30,9 +30,12 @@ def _mk_tree(path: str, age_sec: float) -> str:
     return path
 
 
+_DEAD_PID = 10**9  # beyond any real pid_max: os.kill raises, never alive
+
+
 def test_sweep_debris_is_age_gated_and_name_scoped(tmp_path):
     root = str(tmp_path / "base")
-    expired_build = _mk_tree(f"{root}.build.111", age_sec=120)
+    expired_build = _mk_tree(f"{root}.build.{_DEAD_PID}", age_sec=120)
     expired_stale = _mk_tree(f"{root}.stale.222.9", age_sec=120)
     fresh_stale = _mk_tree(f"{root}.stale.333.7", age_sec=1)
     # name-scoped: a sibling that merely shares the prefix string but is
@@ -45,6 +48,21 @@ def test_sweep_debris_is_age_gated_and_name_scoped(tmp_path):
     assert not os.path.exists(expired_stale), "expired displaced tree kept"
     assert os.path.exists(fresh_stale), "in-grace displaced tree deleted"
     assert os.path.exists(bystander), "unrelated sibling deleted"
+
+
+def test_sweep_never_takes_a_live_builders_tree(tmp_path):
+    """A builder legitimately slower than the grace period (big sf,
+    starved box) must not have its in-flight .build tree yanked by a
+    concurrent process's sweep — only trees whose owner pid is dead are
+    age-gated (code-review r13)."""
+    root = str(tmp_path / "base")
+    live = _mk_tree(f"{root}.build.{os.getpid()}", age_sec=9999)
+    dead = _mk_tree(f"{root}.build.{_DEAD_PID}", age_sec=9999)
+
+    pq._sweep_debris(root, grace_sec=60.0)
+
+    assert os.path.exists(live), "live builder's in-flight tree swept"
+    assert not os.path.exists(dead), "dead builder's debris kept"
 
 
 def test_sweep_debris_missing_base_is_noop(tmp_path):
@@ -68,6 +86,13 @@ def test_rebuild_defers_displaced_tree_and_restamps_it(
     # cached fast path: same stamp → same root, no stale sibling appears
     assert pq._shared_events_root(spark, sf_dir) == root
     assert not [n for n in os.listdir(tmp_path) if ".stale." in n]
+
+    # the fast path SWEEPS: an expired displaced tree from a long-past
+    # rebuild is collected even though no rebuild happens (the leak the
+    # rebuild-only sweep had — code-review r13)
+    leak = _mk_tree(f"{root}.stale.1.1", age_sec=2 * pq._DEBRIS_GRACE_SEC)
+    assert pq._shared_events_root(spark, sf_dir) == root
+    assert not os.path.exists(leak), "fast path left the displaced tree"
 
     # age the root so build-time mtime would be sweep-eligible, then
     # corrupt the stamp to force the rebuild+swap path

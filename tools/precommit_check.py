@@ -51,12 +51,22 @@ def _changed_files() -> set:
     ]
     base = _base_ref()
     if base:
-        cmds.append(["git", "diff", "--name-only", f"{base}..HEAD"])
+        # three-dot: merge-base..HEAD — two-dot would pull upstream-only
+        # files into the hot set when the remote is ahead
+        cmds.append(["git", "diff", "--name-only", f"{base}...HEAD"])
     else:
         print("note: no @{upstream}/PRECOMMIT_BASE — hot-file scan covers the "
               "working tree only (committed-but-unpublished work unseen)")
     for args in cmds:
         r = subprocess.run(args, cwd=REPO, capture_output=True, text=True)
+        if r.returncode != 0:
+            # a typo'd PRECOMMIT_BASE (or any git failure) must fail the
+            # gate loudly — swallowing it reproduces the silent skip this
+            # scan exists to prevent (code-review r13)
+            raise SystemExit(
+                f"precommit gate: `{' '.join(args)}` failed "
+                f"(rc={r.returncode}): {r.stderr.strip()}"
+            )
         out.update(line.strip() for line in r.stdout.splitlines() if line.strip())
     return out
 

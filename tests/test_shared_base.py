@@ -15,10 +15,18 @@ the new root serves the fresh stamp.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 
+from hypothesis import given, settings, strategies as st
+
+from datalake2anomali_spark.io import publish as pubmod
 from datalake2anomali_spark.plans import protocol_queries as pq
 from datalake2anomali_spark.io.publish import read_manifest
+
+from tests.conftest import hyp_settings
+
+_SETTINGS = hyp_settings()
 
 
 def _mk_tree(path: str, age_sec: float) -> str:
@@ -118,3 +126,136 @@ def test_rebuild_defers_displaced_tree_and_restamps_it(
     assert read_manifest(root)["version"] == v0
     # no crashed-build debris left behind by a clean swap
     assert not [n for n in os.listdir(tmp_path) if ".build." in n]
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis net over the swap/sweep protocol itself.  This round's code
+# review found FIVE defects in two passes of this ~60-line protocol (leak
+# on the fast path, utime-after-rename race, live-builder kill, swallowed
+# collision, duplicate seam) — exactly the defect density that marks code
+# for a property net.  The Spark seams (init_table/read_manifest/_events)
+# are faked at the same module boundaries the crash nets patch, so the
+# REAL swap/sweep code runs over a real filesystem; random op sequences
+# (normal call, crash inside the build, stamp corruption, time passing)
+# then check the protocol's four invariants after every step.
+# ---------------------------------------------------------------------------
+
+_op = st.one_of(
+    st.just(("call",)),
+    st.just(("crash_init",)),
+    st.just(("corrupt_stamp",)),
+    st.just(("age_all",)),
+)
+
+
+class _CrashInit(RuntimeError):
+    pass
+
+
+@settings(**_SETTINGS)
+@given(ops=st.lists(_op, min_size=1, max_size=8))
+def test_swap_sweep_protocol_net(tmp_path_factory, sf_dir, ops):
+    base = str(tmp_path_factory.mktemp("swapnet"))
+    root = os.path.join(base, "d2a_SHARED_events_" + sf_dir.strip("/").replace("/", "_"))
+    grace = pq._DEBRIS_GRACE_SEC
+
+    crash_next = [False]
+
+    def fake_init_table(spark, df, dest, part, **kw):
+        os.makedirs(os.path.join(dest, "v0"))
+        with open(os.path.join(dest, "v0", "part-0.parquet"), "w") as fh:
+            fh.write("data")
+        if crash_next[0]:
+            crash_next[0] = False
+            raise _CrashInit()  # crash AFTER partial write: worst debris
+        with open(os.path.join(dest, "_FAKE_MANIFEST"), "w") as fh:
+            fh.write("0")
+
+    def fake_read_manifest(dest):
+        if not os.path.exists(os.path.join(dest, "_FAKE_MANIFEST")):
+            raise FileNotFoundError(dest)
+        return {"version": 0}
+
+    saved = (pubmod.init_table, pubmod.read_manifest, pq._shared_base_dir, pq._events)
+    pubmod.init_table = fake_init_table
+    pubmod.read_manifest = fake_read_manifest
+    pq._shared_base_dir = lambda: base
+    pq._events = lambda spark, sf: None
+    try:
+        # a LIVE foreign builder (pid 1 = init, always alive): its
+        # in-flight tree must survive every sweep at any age
+        foreign = f"{root}.build.1"
+        os.makedirs(foreign)
+        _backdate(foreign, 10 * grace)
+
+        def siblings(kind):
+            return {
+                os.path.join(base, n)
+                for n in os.listdir(base)
+                if n.startswith(os.path.basename(root) + kind)
+            }
+
+        # the protocol's own tmp name: a rebuild legitimately reclaims
+        # its OWN pid's crashed .build tree at any age (it was never
+        # published, so no reader can hold it) — not covered by I2
+        own_tmp = f"{root}.build.{os.getpid()}"
+        expired: set = set()
+        for op in ops:
+            pre_fresh = (
+                (siblings(".stale.") | siblings(".build."))
+                - expired - {foreign, own_tmp}
+            )
+            if op[0] == "call":
+                got = pq._shared_events_root(None, sf_dir)
+                # I1: a successful call returns a root with the right
+                # stamp and a readable manifest
+                assert got == root
+                assert os.path.exists(os.path.join(root, "_FAKE_MANIFEST"))
+                st_src = os.stat(os.path.join(sf_dir, "events.parquet"))
+                with open(os.path.join(root, "_SOURCE_STAMP")) as fh:
+                    assert fh.read() == f"{st_src.st_mtime_ns}:{st_src.st_size}"
+            elif op[0] == "crash_init":
+                crash_next[0] = True
+                try:
+                    pq._shared_events_root(None, sf_dir)
+                except _CrashInit:
+                    pass
+                crash_next[0] = False
+            elif op[0] == "corrupt_stamp":
+                try:
+                    with open(os.path.join(root, "_SOURCE_STAMP"), "w") as fh:
+                        fh.write("corrupt")
+                except OSError:
+                    pass  # no root right now (after a crash): nothing to corrupt
+            elif op[0] == "age_all":
+                for p in siblings(".stale.") | siblings(".build."):
+                    if p != foreign:
+                        _backdate(p, 2 * grace)
+                        expired.add(p)
+            # I2: no in-grace (un-aged) tree is EVER deleted by any op —
+            # the sweep may only take what time has released
+            for p in pre_fresh - expired:
+                assert os.path.exists(p), f"in-grace tree swept: {p}"
+            # I3: the live foreign builder's tree survives everything
+            assert os.path.exists(foreign), "live builder's tree swept"
+
+        # I4: leak-freedom — once everything is expired, ONE ordinary call
+        # (even the cached fast path) collects all debris
+        for p in siblings(".stale.") | siblings(".build."):
+            if p != foreign:
+                _backdate(p, 2 * grace)
+        pq._shared_events_root(None, sf_dir)
+        leftovers = (siblings(".stale.") | siblings(".build.")) - {foreign, own_tmp}
+        # the call itself may have just displaced a corrupt root: that
+        # tree is fresh by I2, everything older must be gone
+        for p in leftovers:
+            assert time.time() - os.stat(p).st_mtime < grace, f"leaked: {p}"
+    finally:
+        (pubmod.init_table, pubmod.read_manifest,
+         pq._shared_base_dir, pq._events) = saved
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _backdate(path: str, by_sec: float) -> None:
+    old = time.time() - by_sec
+    os.utime(path, (old, old))

@@ -1,0 +1,40 @@
+"""Pin for bench.py's driver-facing stdout contract (VERDICT r12
+task 2).  Lives outside test_entry_contract.py so the precommit gate's
+always-on static layer stays millisecond-fast (this test runs a real
+one-query bench subprocess, ~30 s).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+def test_bench_tail_line_fits_the_driver_capture():
+    """The driver records only the last ~2,000 chars of bench stdout and
+    parses the tail for a JSON object; the per-query map outgrew that in
+    r03 and left every BENCH_r*.json parsed=null until r13.  Pin the
+    contract: bench.py's LAST stdout line is standalone-parseable JSON
+    with the summary keys, sized with generous headroom, even while the
+    full-record line above it stays for the committed bench docs."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    r = subprocess.run(
+        [sys.executable, "bench.py", "string_funcs"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    last = lines[-1]
+    assert len(last) < 1500, f"tail line too long ({len(last)} chars)"
+    rec = json.loads(last)
+    assert rec["metric"] == "total_query_wall_seconds"
+    for key in ("value", "value_warm", "n_queries", "sf", "unit"):
+        assert key in rec, f"missing {key}"
+    assert "queries" not in rec, "tail line must stay compact"
+    # the full record precedes it and agrees on the totals
+    full = json.loads(lines[-2])
+    assert full["value"] == rec["value"] and full["value_warm"] == rec["value_warm"]

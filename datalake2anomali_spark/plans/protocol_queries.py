@@ -53,18 +53,38 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEBRIS_GRACE_SEC = 600.0
 
 
+#: Absolute ceiling on any debris tree's lifetime: past this age a
+#: ``.build.`` tree is swept even if its embedded pid is alive, because
+#: pid REUSE (a recycled pid landing on a long-lived process) would
+#: otherwise make crashed-builder debris immortal (code-review r13) — a
+#: real build takes seconds-to-minutes, never an hour.
+_DEBRIS_HARD_CAP_SEC = 6 * _DEBRIS_GRACE_SEC
+
+#: Per-root monotonic timestamp of the last sweep: sweeping more than
+#: once per grace window can never collect anything the previous sweep
+#: could not, and the listdir of a busy shared /dev/shm //tmp would
+#: otherwise sit inside every timed protocol query (code-review r13).
+_LAST_SWEEP: dict = {}
+
+
 def _sweep_debris(root: str, grace_sec: float = _DEBRIS_GRACE_SEC) -> None:
     """Age-gated collection of ``<root>.build.*`` / ``<root>.stale.*``
-    sibling trees.  Runs on EVERY ``_shared_events_root`` call (not just
-    rebuilds — a displaced tree from the last source regeneration would
-    otherwise sit on tmpfs until the NEXT regeneration, indefinitely) so
-    (a) the displaced tree from a previous swap is deleted only after
-    open-fd holders had a grace window to drain, and (b) debris from
-    builders that crashed between ``init_table`` and the swap is
-    collected whatever pid they ran under (ADVICE r12).  A ``.build.``
-    tree whose embedded pid is still alive is NEVER swept, whatever its
-    age — a builder legitimately slower than the grace period must not
-    have its in-flight tree yanked."""
+    sibling trees, rate-limited to one scan per grace window per root.
+    Runs on EVERY ``_shared_events_root`` call (not just rebuilds — a
+    displaced tree from the last source regeneration would otherwise sit
+    on tmpfs until the NEXT regeneration, indefinitely) so (a) the
+    displaced tree from a previous swap is deleted only after open-fd
+    holders had a grace window to drain, and (b) debris from builders
+    that crashed between ``init_table`` and the swap is collected
+    whatever pid they ran under (ADVICE r12).  A ``.build.`` tree whose
+    embedded pid is still alive is left alone up to the hard cap — a
+    builder legitimately slower than the grace period must not have its
+    in-flight tree yanked, but pid reuse must not make debris immortal."""
+    mono = time.monotonic()
+    last = _LAST_SWEEP.get(root)
+    if last is not None and mono - last < grace_sec:
+        return
+    _LAST_SWEEP[root] = mono
     base, name = os.path.split(root)
     try:
         entries = os.listdir(base)
@@ -75,21 +95,24 @@ def _sweep_debris(root: str, grace_sec: float = _DEBRIS_GRACE_SEC) -> None:
     for n in entries:
         if not n.startswith((build_pfx, stale_pfx)):
             continue
-        if n.startswith(build_pfx):
-            try:
-                os.kill(int(n[len(build_pfx):].split(".")[0]), 0)
-                continue  # builder alive: in-flight, not debris
-            except (ValueError, ProcessLookupError, OverflowError):
-                pass  # unparseable or dead owner: age-gate it
-            except PermissionError:
-                continue  # alive under another uid
         p = os.path.join(base, n)
         try:
             age = now - os.stat(p).st_mtime
         except OSError:
             continue  # a concurrent sweep already took it
-        if age >= grace_sec:
-            shutil.rmtree(p, ignore_errors=True)
+        if age < grace_sec:
+            continue
+        if n.startswith(build_pfx) and age < _DEBRIS_HARD_CAP_SEC:
+            try:
+                pid = int(n[len(build_pfx):].split(".")[0])
+                if pid > 0:  # 0/negatives signal process GROUPS, not a pid
+                    os.kill(pid, 0)
+                    continue  # builder alive and under the cap: in-flight
+            except (ValueError, ProcessLookupError, OverflowError):
+                pass  # unparseable or dead owner: sweep
+            except PermissionError:
+                continue  # alive under another uid
+        shutil.rmtree(p, ignore_errors=True)
 
 
 def _shared_base_dir() -> str:
@@ -155,8 +178,11 @@ def _shared_events_root(spark: SparkSession, sf_dir: str) -> str:
     # at its hours-old BUILD age and collected it instantly.
     try:
         os.utime(root)
-    except OSError:
+    except FileNotFoundError:
         pass  # no prior root
+    # any OTHER utime failure (e.g. EPERM on a foreign-uid root) must
+    # propagate: swallowing it would silently reopen the instant-sweep
+    # race this restamp closes (code-review r13) — loud beats silent
     displaced = f"{root}.stale.{os.getpid()}.{time.monotonic_ns()}"
     try:
         os.rename(root, displaced)

@@ -114,4 +114,3 @@ def test_every_query_has_oracle_or_documented_exception():
     assert missing == [], f"queries without a DuckDB oracle twin: {missing}"
     extra = [n for n in oracles if n not in qs]
     assert extra == [], f"oracles without a registered query: {extra}"
-

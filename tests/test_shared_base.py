@@ -62,15 +62,52 @@ def test_sweep_never_takes_a_live_builders_tree(tmp_path):
     """A builder legitimately slower than the grace period (big sf,
     starved box) must not have its in-flight .build tree yanked by a
     concurrent process's sweep — only trees whose owner pid is dead are
-    age-gated (code-review r13)."""
+    age-gated, UP TO the hard cap (code-review r13)."""
     root = str(tmp_path / "base")
-    live = _mk_tree(f"{root}.build.{os.getpid()}", age_sec=9999)
-    dead = _mk_tree(f"{root}.build.{_DEAD_PID}", age_sec=9999)
+    live = _mk_tree(f"{root}.build.{os.getpid()}", age_sec=120)
+    dead = _mk_tree(f"{root}.build.{_DEAD_PID}", age_sec=120)
 
     pq._sweep_debris(root, grace_sec=60.0)
 
     assert os.path.exists(live), "live builder's in-flight tree swept"
     assert not os.path.exists(dead), "dead builder's debris kept"
+
+
+def test_hard_cap_beats_pid_reuse(tmp_path):
+    """Past the hard cap a .build tree is swept EVEN IF its embedded pid
+    is alive: pid reuse (a recycled pid landing on a long-lived process)
+    must not make crashed-builder debris immortal (code-review r13).
+    Also pins that pid 0 — os.kill(0, 0) signals the caller's own
+    process GROUP and always succeeds — gets no live-pid protection."""
+    root = str(tmp_path / "base")
+    recycled = _mk_tree(
+        f"{root}.build.{os.getpid()}", age_sec=pq._DEBRIS_HARD_CAP_SEC + 60
+    )
+    group = _mk_tree(f"{root}.build.0", age_sec=120)
+
+    pq._sweep_debris(root, grace_sec=60.0)
+
+    assert not os.path.exists(recycled), "over-cap tree kept alive by pid reuse"
+    assert not os.path.exists(group), "pid-0 tree wrongly protected"
+
+
+def test_sweep_is_rate_limited_per_root(tmp_path):
+    """Back-to-back sweeps of the same root skip the directory scan (one
+    listdir per grace window per root — the scan would otherwise sit
+    inside every timed protocol query); a new expired tree appearing
+    between them survives until the window elapses."""
+    root = str(tmp_path / "base")
+    first = _mk_tree(f"{root}.stale.1.1", age_sec=120)
+    pq._sweep_debris(root, grace_sec=60.0)
+    assert not os.path.exists(first)
+
+    second = _mk_tree(f"{root}.stale.2.2", age_sec=120)
+    pq._sweep_debris(root, grace_sec=60.0)  # within the window: skipped
+    assert os.path.exists(second), "rate limiter did not skip the rescan"
+
+    pq._LAST_SWEEP.pop(root, None)  # window elapsed (simulated)
+    pq._sweep_debris(root, grace_sec=60.0)
+    assert not os.path.exists(second)
 
 
 def test_sweep_debris_missing_base_is_noop(tmp_path):
@@ -99,6 +136,7 @@ def test_rebuild_defers_displaced_tree_and_restamps_it(
     # rebuild is collected even though no rebuild happens (the leak the
     # rebuild-only sweep had — code-review r13)
     leak = _mk_tree(f"{root}.stale.1.1", age_sec=2 * pq._DEBRIS_GRACE_SEC)
+    pq._LAST_SWEEP.pop(root, None)  # sweep window elapsed (simulated)
     assert pq._shared_events_root(spark, sf_dir) == root
     assert not os.path.exists(leak), "fast path left the displaced tree"
 
@@ -182,11 +220,13 @@ def test_swap_sweep_protocol_net(tmp_path_factory, sf_dir, ops):
     pq._shared_base_dir = lambda: base
     pq._events = lambda spark, sf: None
     try:
+        pq._LAST_SWEEP.clear()  # examples must not share sweep windows
         # a LIVE foreign builder (pid 1 = init, always alive): its
-        # in-flight tree must survive every sweep at any age
+        # in-flight tree must survive every sweep while under the hard
+        # cap (past the cap the pid-reuse rule rightly takes it)
         foreign = f"{root}.build.1"
         os.makedirs(foreign)
-        _backdate(foreign, 10 * grace)
+        _backdate(foreign, 2 * grace)  # expired, but under the hard cap
 
         def siblings(kind):
             return {
@@ -239,11 +279,13 @@ def test_swap_sweep_protocol_net(tmp_path_factory, sf_dir, ops):
             # I3: the live foreign builder's tree survives everything
             assert os.path.exists(foreign), "live builder's tree swept"
 
-        # I4: leak-freedom — once everything is expired, ONE ordinary call
-        # (even the cached fast path) collects all debris
+        # I4: leak-freedom — once everything is expired AND the sweep's
+        # rate-limit window has elapsed, ONE ordinary call (even the
+        # cached fast path) collects all debris
         for p in siblings(".stale.") | siblings(".build."):
             if p != foreign:
                 _backdate(p, 2 * grace)
+        pq._LAST_SWEEP.pop(root, None)  # window elapsed (simulated)
         pq._shared_events_root(None, sf_dir)
         leftovers = (siblings(".stale.") | siblings(".build.")) - {foreign, own_tmp}
         # the call itself may have just displaced a corrupt root: that

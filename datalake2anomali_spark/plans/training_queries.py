@@ -167,13 +167,17 @@ FROM embeddings
 
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ADC top-k vs the exact float path: recall@5 ≥ 0.5 at
-    m=16 subspaces × 64 centroids (isotropic embeddings are PQ's worst
-    case; the ``tests/test_llm.py`` bound, measured ~0.60)."""
+    m=32 subspaces × 64 centroids (isotropic embeddings are PQ's worst
+    case).  m=16 rode a 0.02 margin at sf0.01 (0.52) and FAILED at
+    sf0.1 (0.40) — recall on isotropic data degrades as the candidate
+    pool grows, so the registered config must hold its bound across
+    scales: m=32 measures 0.76 (sf0.01) / 0.72 (sf0.1), deterministic
+    under the seeded quantizer (r13 sf0.1 sweep)."""
     from ..llm.similarity import cosine_topk, cosine_topk_pq
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vectors(spark, sf_dir)
-    approx = cosine_topk_pq(emb, qv, m=16, k_codes=64, k=5)
+    approx = cosine_topk_pq(emb, qv, m=32, k_codes=64, k=5)
     return _recall_vs_exact(qv, approx, cosine_topk(emb, qv, k=5), 0.5)
 
 

@@ -49,86 +49,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # L + staleness_bound, and a never-certified query is always in-window.
 # tests/test_entry_contract.py asserts the ledger, the bound, and the
 # window bookkeeping; no literal counts here (they drift — ADVICE r5).
-#  - _PRIORITY (the round-13 window): string_funcs first (last driver
-#    row round 9 — its bound-4 deadline is THIS round; it was the single
-#    entry deferred out of the round-12 window by column_evolution's
-#    mandatory re-exposure), then 49 of the 50 round-10-certified
-#    entries in their CORRECTNESS_r10 order (deadline round 14).
-#    The one deferred r10 entry is ioc_incremental_cursor — the
-#    lowest-risk member by the same criteria that picked string_funcs
-#    last round: seven all-time green rows (r1-r5, r8, r10) and code
-#    (ioc/upsert.py) untouched since its initial commit.  Its bound-4
-#    deadline is round 14, so it leads the next window and the deferral
-#    cascade stays size-1.
+#  - _PRIORITY (the round-14 window): ioc_incremental_cursor first (last
+#    driver row round 10 — its bound-4 deadline is THIS round; it was the
+#    single r10 entry deferred out of the round-13 window by
+#    string_funcs's mandatory re-exposure), then ALL 49 entries whose
+#    last certification is round 11, in their CORRECTNESS_r11 order
+#    (deadline round 15; the 50th r11-file entry, column_evolution, was
+#    re-certified in round 12 and sits in the tail).  1 + 49 = 50 —
+#    cascade size 0, exactly as pre-staged in docs/R13_RESPONSE.md.
 #  - _TAIL holds exactly the overflow, stalest first:
-#    ioc_incremental_cursor (deadline round 14 — leads the next
-#    window), the round-11-certified block (deadline round 15) in
-#    CORRECTNESS_r11 order, then the round-12-certified block
-#    (deadline round 16) in CORRECTNESS_r12 order.
+#    the round-12-certified block (deadline round 16) in CORRECTNESS_r12
+#    order, then the round-13-certified block (deadline round 17) in
+#    CORRECTNESS_r13 order.
 _PRIORITY: tuple[str, ...] = (
-    # last driver row round 9 — bound-4 deadline is round 13 (now)
-    "string_funcs",
-    # last driver row round 10 — deadline round 14 (CORRECTNESS_r10
-    # order, minus the deferred ioc_incremental_cursor)
-    "burst_alerts",
-    "dedup_keep_best",
-    "heavy_hitters",
-    "zorder_key",
-    "schema_evolution",
-    "gap_fill_locf",
-    "scd2_history",
-    "funnel_analysis",
-    "cohort_retention",
-    "ewma_features",
-    "table_diff",
-    "fuzzy_match",
-    "compaction_roundtrip",
-    "stream_sessionize",
-    "pagerank",
-    "phrase_search",
-    "incremental_view",
-    "rolling_median",
-    "sync_versioned",
-    "branch_wap_publish",
-    "deletion_vectors",
-    "cdc_apply_mixed",
-    "spec_evolution",
-    "multi_field_spec",
-    "metadata_tables",
-    "optimize_zorder",
-    "check_constraints",
-    "negative_samples",
-    "weighted_sample_aes",
-    "pca_project",
-    "ann_pq_topk",
-    "k_core_decomposition",
-    "bpe_tokenize",
-    "asof_join_directions",
-    "bloom_semi_join",
-    "csv_orc_roundtrip",
-    "stream_enrich_snapshot",
-    "table_follower_rollup",
-    "ann_ivfpq_topk",
-    "multi_table_txn",
-    "merge_schema_widening",
-    "triangle_count",
-    "markov_transitions",
-    "stream_view_maintenance",
-    "json_flatten",
-    "time_travel",
-    "robust_outliers",
-    "item_similarity",
-    "ioc_indicators_observed",
-)
-
-#: Exactly the overflow past the gate window (asserted in
-#: tests/test_entry_contract.py), stalest first.
-_TAIL: tuple[str, ...] = (
-    # last driver row round 10, deferred one round (deadline round 14
-    # under bound 4) — the single entry squeezed out by string_funcs's
-    # own deadline re-exposure; leads the r14 window
+    # last driver row round 10 — bound-4 deadline is round 14 (now)
     "ioc_incremental_cursor",
-    # last driver row round 11 — deadline round 15 (CORRECTNESS_r11 order)
+    # last driver row round 11 — deadline round 15 (CORRECTNESS_r11
+    # order, minus column_evolution which re-certified in round 12)
     "dedup_ngram_jaccard",
     "corpus_stats",
     "text_profile",
@@ -178,6 +115,11 @@ _TAIL: tuple[str, ...] = (
     "shallow_clone_divergence",
     "branch_merge_disjoint",
     "stream_into_hidden",
+)
+
+#: Exactly the overflow past the gate window (asserted in
+#: tests/test_entry_contract.py), stalest first.
+_TAIL: tuple[str, ...] = (
     # last driver row round 12 — deadline round 16 (CORRECTNESS_r12 order)
     "column_evolution",
     "ioc_advisory_enrichment",
@@ -229,6 +171,57 @@ _TAIL: tuple[str, ...] = (
     "asof_join_tolerance",
     "multimodal_ops",
     "stream_burst_alerts",
+    # last driver row round 13 — deadline round 17 (CORRECTNESS_r13 order)
+    "string_funcs",
+    "burst_alerts",
+    "dedup_keep_best",
+    "heavy_hitters",
+    "zorder_key",
+    "schema_evolution",
+    "gap_fill_locf",
+    "scd2_history",
+    "funnel_analysis",
+    "cohort_retention",
+    "ewma_features",
+    "table_diff",
+    "fuzzy_match",
+    "compaction_roundtrip",
+    "stream_sessionize",
+    "pagerank",
+    "phrase_search",
+    "incremental_view",
+    "rolling_median",
+    "sync_versioned",
+    "branch_wap_publish",
+    "deletion_vectors",
+    "cdc_apply_mixed",
+    "spec_evolution",
+    "multi_field_spec",
+    "metadata_tables",
+    "optimize_zorder",
+    "check_constraints",
+    "negative_samples",
+    "weighted_sample_aes",
+    "pca_project",
+    "ann_pq_topk",
+    "k_core_decomposition",
+    "bpe_tokenize",
+    "asof_join_directions",
+    "bloom_semi_join",
+    "csv_orc_roundtrip",
+    "stream_enrich_snapshot",
+    "table_follower_rollup",
+    "ann_ivfpq_topk",
+    "multi_table_txn",
+    "merge_schema_widening",
+    "triangle_count",
+    "markov_transitions",
+    "stream_view_maintenance",
+    "json_flatten",
+    "time_travel",
+    "robust_outliers",
+    "item_similarity",
+    "ioc_indicators_observed",
 )
 
 _MODULES = (

@@ -176,14 +176,27 @@ def main() -> None:
     # is attributable.  "value" stays the cold total for cross-round
     # comparability.
     warm_timings: dict[str, float] = {}
+    # Per-query split (VERDICT r13 task 3): "build" is the time spent
+    # INSIDE the query callable — for the scripted protocol fixtures
+    # that is the multi-commit fixture scripting (clones, stacked
+    # commits, fingerprints), which runs eagerly before the DataFrame is
+    # returned; "exec" is the returned DataFrame's noop-write action,
+    # i.e. the measured operator plan.  For plain lazy queries build≈0.
+    # queries[name] stays build+exec so cross-round records compare.
+    build_timings: dict[str, dict[str, float]] = {"cold": {}, "warm": {}}
+    exec_timings: dict[str, dict[str, float]] = {"cold": {}, "warm": {}}
     run_idx = 0
     passes = [(timings, "cold")] + [(warm_timings, "warm")] * repeat
     for out, tag in passes:
         for name, fn in qs.items():
             t0 = time.time()
             df = fn(spark, sf_dir)
+            t1 = time.time()
             df.write.format("noop").mode("overwrite").save()
-            out[name] = round(time.time() - t0, 3)
+            t2 = time.time()
+            out[name] = round(t2 - t0, 3)
+            build_timings[tag][name] = round(t1 - t0, 3)
+            exec_timings[tag][name] = round(t2 - t1, 3)
             # queries persist intermediates (signature/index reuse within a
             # query); drop them between timings so later queries aren't taxed
             # by storage-memory pressure from earlier ones
@@ -208,6 +221,10 @@ def main() -> None:
                 "queries": timings,
                 "value_warm": value_warm,
                 "queries_warm": warm_timings,
+                "queries_build": build_timings["cold"],
+                "queries_exec": exec_timings["cold"],
+                "queries_warm_build": build_timings["warm"],
+                "queries_warm_exec": exec_timings["warm"],
                 "sf": float(sf) if sf else None,
             }
         )
@@ -223,6 +240,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "value_warm": value_warm,
+                "build_sec": round(sum(build_timings["cold"].values()), 3),
+                "exec_sec": round(sum(exec_timings["cold"].values()), 3),
                 "n_queries": len(timings),
                 "sf": float(sf) if sf else None,
             }

@@ -14,14 +14,22 @@ import argparse
 import json
 
 
-def _load(path: str, warm: bool) -> dict[str, float]:
+def _load(path: str, warm: bool) -> dict:
     with open(path, encoding="utf-8") as fh:
         rec = json.load(fh)
     key = "queries_warm" if warm else "queries"
     out = rec.get(key) or {}
     if not out:
         raise SystemExit(f"{path} has no {key!r}")
-    return out
+    return rec
+
+
+def _split(rec: dict, warm: bool) -> tuple[dict, dict] | None:
+    """(build, exec) per-query maps when the record carries the r14
+    fixture/operator split; None for pre-r14 records."""
+    pfx = "queries_warm" if warm else "queries"
+    b, e = rec.get(pfx + "_build"), rec.get(pfx + "_exec")
+    return (b, e) if b and e else None
 
 
 def main() -> None:
@@ -32,7 +40,9 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=10)
     ns = ap.parse_args()
     warm, top = ns.warm, ns.top
-    old, new = _load(ns.old_record, warm), _load(ns.new_record, warm)
+    rec_old, rec_new = _load(ns.old_record, warm), _load(ns.new_record, warm)
+    key = "queries_warm" if warm else "queries"
+    old, new = rec_old[key], rec_new[key]
     common = sorted(set(old) & set(new))
     if not common:
         raise SystemExit("no common queries")
@@ -43,13 +53,34 @@ def main() -> None:
         f"common {len(common)} queries ({tag}): {s_new:.1f}s vs {s_old:.1f}s "
         f"= {s_new / s_old:.3f}x"
     )
+    # When both records carry the r14 fixture/operator split, diff the
+    # two components separately: a drift whose delta sits entirely in the
+    # build bucket is fixture scripting, not operator throughput, and
+    # needs no standalone A/B adjudication (VERDICT r13 task 3).
+    sp_old, sp_new = _split(rec_old, warm), _split(rec_new, warm)
+    if sp_old and sp_new:
+        for label, o_map, n_map in (
+            ("build", sp_old[0], sp_new[0]),
+            ("exec", sp_old[1], sp_new[1]),
+        ):
+            both = [q for q in common if q in o_map and q in n_map]
+            so = sum(o_map[q] for q in both)
+            sn = sum(n_map[q] for q in both)
+            ratio = sn / so if so else float("inf")
+            print(f"  {label} component: {sn:.1f}s vs {so:.1f}s = {ratio:.3f}x")
     drifts = [
         (new[q] / old[q], q, old[q], new[q])
         for q in common
         if old[q] > 0 and (old[q] >= 0.5 or new[q] >= 0.5)
     ]
     for ratio, q, o, n in sorted(drifts, reverse=True)[:top]:
-        print(f"  {ratio:5.2f}x  {q}: {o:.2f}s -> {n:.2f}s")
+        extra = ""
+        if sp_old and sp_new and q in sp_old[0] and q in sp_new[0]:
+            extra = (
+                f"  [build {sp_old[0][q]:.2f}->{sp_new[0][q]:.2f}"
+                f" exec {sp_old[1][q]:.2f}->{sp_new[1][q]:.2f}]"
+            )
+        print(f"  {ratio:5.2f}x  {q}: {o:.2f}s -> {n:.2f}s{extra}")
     only_new = sorted(set(new) - set(old))
     if only_new:
         print(f"new-only ({len(only_new)}): " + ", ".join(only_new))

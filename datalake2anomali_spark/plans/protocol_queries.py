@@ -84,12 +84,15 @@ def _sweep_debris(root: str, grace_sec: float = _DEBRIS_GRACE_SEC) -> None:
     last = _LAST_SWEEP.get(root)
     if last is not None and mono - last < grace_sec:
         return
-    _LAST_SWEEP[root] = mono
     base, name = os.path.split(root)
     try:
         entries = os.listdir(base)
     except OSError:
-        return
+        return  # window NOT consumed: retry on the next call (ADVICE r13)
+    # Intentionally unbounded dict: one entry per distinct root ever
+    # swept (a handful of shared bases plus per-test tmp roots) — dozens
+    # in practice, never data-sized (ADVICE r13).
+    _LAST_SWEEP[root] = mono
     now = time.time()
     build_pfx, stale_pfx = name + ".build.", name + ".stale."
     for n in entries:
@@ -176,18 +179,25 @@ def _shared_events_root(spark: SparkSession, sf_dir: str) -> str:
     # aside (rename preserves mtime): restamping after the rename left a
     # window where a concurrent process's sweep saw the displaced tree
     # at its hours-old BUILD age and collected it instantly.
+    # Any non-ENOENT utime failure (e.g. EPERM on a foreign-uid root)
+    # must propagate: swallowing it would silently reopen the
+    # instant-sweep race this restamp closes (code-review r13).  But the
+    # just-built tmp tree was never published — no reader can hold it —
+    # so collect it before re-raising rather than stranding a full table
+    # copy in tmpfs behind the pid-liveness guard (ADVICE r13).
     try:
-        os.utime(root)
-    except FileNotFoundError:
-        pass  # no prior root
-    # any OTHER utime failure (e.g. EPERM on a foreign-uid root) must
-    # propagate: swallowing it would silently reopen the instant-sweep
-    # race this restamp closes (code-review r13) — loud beats silent
-    displaced = f"{root}.stale.{os.getpid()}.{time.monotonic_ns()}"
-    try:
-        os.rename(root, displaced)
-    except OSError:
-        pass  # no prior root (or a racer already moved it)
+        try:
+            os.utime(root)
+        except FileNotFoundError:
+            pass  # no prior root
+        displaced = f"{root}.stale.{os.getpid()}.{time.monotonic_ns()}"
+        try:
+            os.rename(root, displaced)
+        except OSError:
+            pass  # no prior root (or a racer already moved it)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     try:
         os.rename(tmp, root)
     except OSError:

@@ -20,7 +20,14 @@ def test_bench_tail_line_fits_the_driver_capture():
     import subprocess
     import sys
 
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    import pytest
+
+    # honor the repo's env convention instead of hardcoding the driver
+    # box's path; skip where no testdata exists at all (ADVICE r13)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"no testdata at {sf_dir}")
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     r = subprocess.run(
         [sys.executable, "bench.py", "string_funcs"],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -50,23 +50,33 @@ def _changed_files() -> set:
         ["git", "ls-files", "--others", "--exclude-standard"],
     ]
     base = _base_ref()
+    span_cmd = None
     if base:
         # three-dot: merge-base..HEAD — two-dot would pull upstream-only
         # files into the hot set when the remote is ahead
-        cmds.append(["git", "diff", "--name-only", f"{base}...HEAD"])
+        span_cmd = ["git", "diff", "--name-only", f"{base}...HEAD"]
+        cmds.append(span_cmd)
     else:
         print("note: no @{upstream}/PRECOMMIT_BASE — hot-file scan covers the "
               "working tree only (committed-but-unpublished work unseen)")
     for args in cmds:
         r = subprocess.run(args, cwd=REPO, capture_output=True, text=True)
         if r.returncode != 0:
-            # a typo'd PRECOMMIT_BASE (or any git failure) must fail the
-            # gate loudly — swallowing it reproduces the silent skip this
-            # scan exists to prevent (code-review r13)
-            raise SystemExit(
+            msg = (
                 f"precommit gate: `{' '.join(args)}` failed "
                 f"(rc={r.returncode}): {r.stderr.strip()}"
             )
+            # Only the base-ref SPAN command hard-exits: a typo'd
+            # PRECOMMIT_BASE silently reproduces the plan-shape skip the
+            # widening exists to prevent (code-review r13).  The three
+            # always-on commands can fail benignly (unborn HEAD in a
+            # fresh repo, shallow clones) — stay loud but keep going,
+            # since their failure modes never hide committed work
+            # (ADVICE r13).
+            if args is span_cmd:
+                raise SystemExit(msg)
+            print("warning:", msg, file=sys.stderr)
+            continue
         out.update(line.strip() for line in r.stdout.splitlines() if line.strip())
     return out
 

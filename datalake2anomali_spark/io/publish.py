@@ -727,13 +727,62 @@ def _partition_stats(
     }
 
 
-#: Bloom-filter geometry: bits per per-partition filter / hash functions.
-#: 1024 bits ≈ 256 hex chars per (partition, column) in the manifest; at
-#: k=3 the false-positive rate stays under ~1% up to ~100 distinct values
-#: per partition and degrades gracefully (a saturated filter only stops
-#: skipping — it can never drop a row).
+#: Bloom-filter geometry FLOOR: bits per per-partition filter / hash
+#: functions.  1024 bits ≈ 256 hex chars per (partition, column) in the
+#: manifest; at k=3 the false-positive rate stays under ~2% up to ~100
+#: distinct values per partition and degrades gracefully (a saturated
+#: filter only stops skipping — it can never drop a row).  Tables are
+#: no longer pinned to this floor: ``init_table`` sizes ``m`` from the
+#: observed max per-partition distinct count (~10 bits/key, next power
+#: of two, capped at :data:`_BLOOM_M_CAP`) and records the choice in the
+#: manifest (``bloom_geometry``), because the fixed 1024-bit filter
+#: measured 24% false positives at a mere 333 keys/partition and would
+#: saturate outright at one scale-up (margin audit r14) — the I/O
+#: advice must survive the scale the operator exists for.  Readers and
+#: every later write use the RECORDED geometry (filters merge by OR, so
+#: all filters of a table must share it); manifests without the record
+#: probe at this floor, keeping old tables readable.
 _BLOOM_M = 1024
 _BLOOM_K = 3
+#: Geometry ceiling: 2^18 bits = 64 Ki hex chars per (partition, column)
+#: in the JSON manifest — ~26k keys/partition at full quality.  Past it
+#: the filter degrades gracefully again; partition-granularity blooms on
+#: a near-unique key at that density belong in file-level index blobs
+#: (Iceberg puffin / Delta index files), not a JSON manifest.
+_BLOOM_M_CAP = 1 << 18
+#: Target density: ~10 bits per distinct key keeps FPR ≈ 1.7% at k=3.
+_BLOOM_BITS_PER_KEY = 10
+
+
+def _choose_bloom_geometry(
+    spark: SparkSession,
+    vdir: str,
+    partition_col: str,
+    bloom_cols: list[str],
+) -> tuple[int, int]:
+    """(m, k) sized for the just-written data: one aggregate scan for
+    the max per-partition distinct count over the bloom columns, then
+    ``m`` = next power of two ≥ 10 bits/key, clamped to
+    [``_BLOOM_M``, ``_BLOOM_M_CAP``]."""
+    df = spark.read.parquet(vdir)
+    row = (
+        df.groupBy(partition_col)
+        .agg(*[F.countDistinct(c).alias(f"_d_{c}") for c in bloom_cols])
+        .agg(*[F.max(f"_d_{c}").alias(c) for c in bloom_cols])
+        .collect()[0]
+    )
+    n_max = max(int(row[c] or 0) for c in bloom_cols)
+    m = _BLOOM_M
+    while m < min(_BLOOM_M_CAP, n_max * _BLOOM_BITS_PER_KEY):
+        m <<= 1
+    return m, _BLOOM_K
+
+
+def _manifest_bloom_geometry(manifest: dict) -> tuple[int, int]:
+    """The geometry every probe and every later write of this table must
+    use; pre-adaptive manifests carry no record and probe at the floor."""
+    geo = manifest.get("bloom_geometry") or {}
+    return int(geo.get("m", _BLOOM_M)), int(geo.get("k", _BLOOM_K))
 
 
 def bloom_probe_positions(
@@ -935,9 +984,11 @@ def init_table(
             spark, vdir, partition_col, stats_cols
         )
     if bloom_cols:
+        bm, bk = _choose_bloom_geometry(spark, vdir, partition_col, bloom_cols)
         manifest["bloom"] = _partition_blooms(
-            spark, vdir, partition_col, bloom_cols
+            spark, vdir, partition_col, bloom_cols, m=bm, k=bk
         )
+        manifest["bloom_geometry"] = {"m": bm, "k": bk}
     _commit_manifest(root, manifest)
 
 
@@ -983,6 +1034,7 @@ def read_snapshot(
     manifest = read_manifest(root, version, ref=ref)
     stats = manifest.get("stats", {})
     blooms = manifest.get("bloom", {})
+    bloom_m, bloom_k = _manifest_bloom_geometry(manifest)
     bloom_probe = None
     if eq_predicate is not None:
         # normalize the probe to the recorded column type so it hashes
@@ -1010,7 +1062,9 @@ def read_snapshot(
         if bloom_probe is not None:
             col, val = bloom_probe
             hx = blooms.get(pval, {}).get(col)
-            if hx is not None and not _bloom_may_contain(hx, val):
+            if hx is not None and not _bloom_may_contain(
+                hx, val, m=bloom_m, k=bloom_k
+            ):
                 continue  # bloom negative is definitive
         by_version.setdefault(int(v), []).append(pval)
     schema_rec = manifest.get("schema")
@@ -1486,10 +1540,17 @@ def optimize_partitions(
         new_manifest["stats"] = {p: kept[p] for p in parts if p in kept}
     old_blooms = manifest.get("bloom")
     if old_blooms:
+        # rebuilt filters must share the table's recorded geometry —
+        # kept and rebuilt bitmaps coexist in one manifest
+        g_m, g_k = _manifest_bloom_geometry(manifest)
         bloom_cols = sorted(next(iter(old_blooms.values())).keys())
         keptb = {p: bm for p, bm in old_blooms.items() if p not in chosen_set}
-        keptb.update(_partition_blooms(spark, vdir, partition_col, bloom_cols))
+        keptb.update(
+            _partition_blooms(spark, vdir, partition_col, bloom_cols, m=g_m, k=g_k)
+        )
         new_manifest["bloom"] = {p: keptb[p] for p in parts if p in keptb}
+        if manifest.get("bloom_geometry"):
+            new_manifest["bloom_geometry"] = dict(manifest["bloom_geometry"])
     carried_dv = _carry_dv(manifest, chosen_set)
     if carried_dv:
         new_manifest["dv"] = carried_dv
@@ -1899,9 +1960,13 @@ def _update_merge_on_read(
         }
     old_blooms = manifest.get("bloom")
     if old_blooms:
+        # the appended rows' filter ORs into the existing bitmaps, so it
+        # MUST be built at the table's recorded geometry
+        g_m, g_k = _manifest_bloom_geometry(manifest)
         addb = _partition_blooms(
             spark, adir, partition_col,
             sorted(next(iter(old_blooms.values())).keys()),
+            m=g_m, k=g_k,
         )
         # a column whose appended rows are all NULL has no entry in the
         # append bloom — NULL never matches an equality probe, so the
@@ -2172,10 +2237,13 @@ def compact_versioned(
         )
     old_blooms = manifest.get("bloom")
     if old_blooms:
+        g_m, g_k = _manifest_bloom_geometry(manifest)
         bloom_cols = sorted(next(iter(old_blooms.values())).keys())
         new_manifest["bloom"] = _partition_blooms(
-            spark, vdir, partition_col, bloom_cols
+            spark, vdir, partition_col, bloom_cols, m=g_m, k=g_k
         )
+        if manifest.get("bloom_geometry"):
+            new_manifest["bloom_geometry"] = dict(manifest["bloom_geometry"])
     _commit_checked(root, new_manifest, manifest["version"])
     return v
 
@@ -2422,11 +2490,20 @@ def _commit_ownership_rewrite(
         new_manifest["stats"] = {p: kept[p] for p in parts if p in kept}
     old_blooms = manifest.get("bloom")
     if old_blooms:
+        # same-geometry rule as optimize: rebuilt filters must merge
+        # cleanly with the kept ones
+        g_m, g_k = _manifest_bloom_geometry(manifest)
         bloom_cols = sorted(next(iter(old_blooms.values())).keys())
         keptb = {p: bm for p, bm in old_blooms.items() if p not in affected_vals}
         if written_vals:
-            keptb.update(_partition_blooms(spark, vdir, partition_col, bloom_cols))
+            keptb.update(
+                _partition_blooms(
+                    spark, vdir, partition_col, bloom_cols, m=g_m, k=g_k
+                )
+            )
         new_manifest["bloom"] = {p: keptb[p] for p in parts if p in keptb}
+        if manifest.get("bloom_geometry"):
+            new_manifest["bloom_geometry"] = dict(manifest["bloom_geometry"])
     carried_dv = _carry_dv(manifest, affected_vals)
     if carried_dv:
         new_manifest["dv"] = carried_dv
@@ -2589,8 +2666,8 @@ def restore_version(root: str, version: int) -> int:
         "operation": f"restore(v{version})",
     }
     for extra in (
-        "stats", "bloom", "schema", "rows", "constraints", "dv", "appends",
-        "fallback_roots", "renames", "adds",
+        "stats", "bloom", "bloom_geometry", "schema", "rows", "constraints",
+        "dv", "appends", "fallback_roots", "renames", "adds",
     ):
         if extra in target:
             manifest[extra] = target[extra]
@@ -2766,7 +2843,8 @@ def merge_branch(root: str, name: str) -> int:
         "operation": f"merge_branch({name}@v{head['version']})",
     }
     for field in (
-        "schema", "constraints", "fallback_roots", "renames", "adds"
+        "schema", "constraints", "bloom_geometry", "fallback_roots",
+        "renames", "adds"
     ):
         val = _pick_field(field)
         if val is not None:
@@ -2858,8 +2936,8 @@ def fast_forward(root: str, name: str) -> int:
         "operation": f"publish({name}@v{head['version']})",
     }
     for extra in (
-        "stats", "bloom", "schema", "rows", "constraints", "dv", "appends",
-        "fallback_roots", "renames", "adds",
+        "stats", "bloom", "bloom_geometry", "schema", "rows", "constraints",
+        "dv", "appends", "fallback_roots", "renames", "adds",
     ):
         if extra in head:
             manifest[extra] = head[extra]

@@ -1818,3 +1818,52 @@ def test_fully_emptied_table_stays_alive(spark, sf_dir, tmp_path):
         for r in read_snapshot(spark, root, "p").collect()
     )
     assert got == [(99, "z", 1), (100, "w", 2)]
+
+
+def test_bloom_geometry_adapts_to_key_density(spark, tmp_path):
+    """The fixed 1024-bit filter measured 24% false positives at 333
+    keys/partition (margin audit r14) — init_table must size ``m`` from
+    the observed per-partition distinct count (~10 bits/key, next power
+    of two), record the choice in the manifest, and every probe and
+    later write must use the RECORDED geometry so OR-merged filters stay
+    coherent."""
+    from datalake2anomali_spark.io.publish import (
+        _bloom_may_contain,
+        init_table as init,
+        merge_into_versioned as merge,
+    )
+
+    root = str(tmp_path / "bloom_geo")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("p"),
+    )
+    init(spark, df, root, "p", bloom_cols=["k"])
+    m = read_manifest(root)
+    # 500 distinct keys/partition × 10 bits/key → next pow2 = 8192
+    assert m["bloom_geometry"] == {"m": 8192, "k": 3}
+
+    # absent probes: the adapted filter holds ~1% FPR where the 1024-bit
+    # floor would sit near 80% at this density
+    geo = m["bloom_geometry"]
+    fp = sum(
+        _bloom_may_contain(m["bloom"][p]["k"], v, m=geo["m"], k=geo["k"])
+        for p in m["bloom"]
+        for v in range(2000, 2400)
+    ) / (2 * 400)
+    assert fp < 0.05, fp
+
+    # reader: an absent key skips every partition yet keeps the schema;
+    # a present key still returns its row (no false negative ever)
+    assert read_snapshot(spark, root, "p", eq_predicate=("k", 999_999)).count() == 0
+    assert read_snapshot(spark, root, "p", eq_predicate=("k", 123)).count() == 1
+
+    # a later write must build its filter at the recorded geometry: the
+    # merged-in key probes positive at m=8192 (it would hash elsewhere
+    # at the 1024-bit floor) and the read finds it
+    src = spark.createDataFrame([(5555, "0")], "k long, p string")
+    merge(spark, root, src, ["k"], "p")
+    after = read_manifest(root)
+    assert after["bloom_geometry"] == {"m": 8192, "k": 3}
+    assert _bloom_may_contain(after["bloom"]["0"]["k"], 5555, m=8192, k=3)
+    assert read_snapshot(spark, root, "p", eq_predicate=("k", 5555)).count() == 1

@@ -984,6 +984,10 @@ def init_table(
             spark, vdir, partition_col, stats_cols
         )
     if bloom_cols:
+        # one extra aggregate pass over the just-written (page-cached)
+        # version dir — create-only, metadata-scale output; folding it
+        # into _partition_blooms' per-column scan would couple the two
+        # for a marginal win (code-review r14, accepted cost)
         bm, bk = _choose_bloom_geometry(spark, vdir, partition_col, bloom_cols)
         manifest["bloom"] = _partition_blooms(
             spark, vdir, partition_col, bloom_cols, m=bm, k=bk
@@ -2237,13 +2241,17 @@ def compact_versioned(
         )
     old_blooms = manifest.get("bloom")
     if old_blooms:
-        g_m, g_k = _manifest_bloom_geometry(manifest)
+        # compaction rewrites the WHOLE snapshot with no old bitmaps to
+        # OR-merge against — the one point where re-sizing is free — so
+        # RE-CHOOSE the geometry instead of pinning the init-time choice:
+        # a table that grew past its initial key density escapes bloom
+        # saturation here (code-review r14)
         bloom_cols = sorted(next(iter(old_blooms.values())).keys())
+        g_m, g_k = _choose_bloom_geometry(spark, vdir, partition_col, bloom_cols)
         new_manifest["bloom"] = _partition_blooms(
             spark, vdir, partition_col, bloom_cols, m=g_m, k=g_k
         )
-        if manifest.get("bloom_geometry"):
-            new_manifest["bloom_geometry"] = dict(manifest["bloom_geometry"])
+        new_manifest["bloom_geometry"] = {"m": g_m, "k": g_k}
     _commit_checked(root, new_manifest, manifest["version"])
     return v
 

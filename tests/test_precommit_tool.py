@@ -55,3 +55,26 @@ def test_no_base_is_a_visible_note_not_an_error(monkeypatch, capsys):
         pytest.skip("repo has an upstream configured")
     pc._changed_files()
     assert "working tree only" in capsys.readouterr().out
+
+
+def test_scan_failure_means_unknown_coverage_not_empty(monkeypatch, capsys):
+    """If an always-on git command fails, _changed_files must return
+    None (coverage unknown) and main() must run the full plan-shape
+    layer — an empty set after a git failure is the silent skip the
+    gate exists to prevent (code-review r14)."""
+    import subprocess as sp
+
+    real_run = sp.run
+
+    def failing_run(args, **kw):
+        if args[:2] == ["git", "diff"] or args[:2] == ["git", "ls-files"]:
+            class R:
+                returncode = 128
+                stdout = ""
+                stderr = "fatal: simulated index failure"
+            return R()
+        return real_run(args, **kw)
+
+    monkeypatch.delenv("PRECOMMIT_BASE", raising=False)
+    monkeypatch.setattr(pc.subprocess, "run", failing_run)
+    assert pc._changed_files() is None

@@ -427,10 +427,14 @@ def test_bloom_filters_skip_and_stay_correct(spark, sf_dir, tmp_path):
     assert m["bloom"] and all("event_id" in b for b in m["bloom"].values())
 
     probe = int(e.agg(F.max("event_id")).collect()[0][0])
+    # probe at the RECORDED geometry — init_table sizes m from the data,
+    # so assuming the 1024-bit floor breaks on denser testdata
+    geo = m.get("bloom_geometry", {})
+    gm, gk = geo.get("m", 1024), geo.get("k", 3)
     scanned = [
         p
         for p in m["partitions"]
-        if _bloom_may_contain(m["bloom"][p]["event_id"], probe)
+        if _bloom_may_contain(m["bloom"][p]["event_id"], probe, m=gm, k=gk)
     ]
     assert len(scanned) < len(m["partitions"])  # skipping is real
 
@@ -476,9 +480,12 @@ def test_bloom_filters_follow_merge_ownership(spark, sf_dir, tmp_path):
         .withColumn("event_date", F.lit(d0))
     )
     merge_into_versioned(spark, root, src, ["event_id"], "event_date")
-    after = read_manifest(root)["bloom"]
+    after_manifest = read_manifest(root)
+    after = after_manifest["bloom"]
 
-    assert _bloom_may_contain(after[d0]["event_id"], new_id)
+    geo = after_manifest.get("bloom_geometry", {})
+    gm, gk = geo.get("m", 1024), geo.get("k", 3)
+    assert _bloom_may_contain(after[d0]["event_id"], new_id, m=gm, k=gk)
     untouched = [d for d in after if d != d0]
     assert untouched and all(after[d] == before[d] for d in untouched)
 
@@ -1867,3 +1874,38 @@ def test_bloom_geometry_adapts_to_key_density(spark, tmp_path):
     assert after["bloom_geometry"] == {"m": 8192, "k": 3}
     assert _bloom_may_contain(after["bloom"]["0"]["k"], 5555, m=8192, k=3)
     assert read_snapshot(spark, root, "p", eq_predicate=("k", 5555)).count() == 1
+
+
+def test_compact_rechooses_bloom_geometry(spark, tmp_path):
+    """Compaction rewrites the whole snapshot with no old bitmaps to
+    OR-merge against — the one free re-sizing point — so a table that
+    grew past its init-time key density must escape bloom saturation
+    there (code-review r14)."""
+    from datalake2anomali_spark.io.publish import (
+        compact_versioned,
+        init_table as init,
+        merge_into_versioned as merge,
+    )
+
+    root = str(tmp_path / "bloom_regrow")
+    small = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("p")
+    )
+    init(spark, small, root, "p", bloom_cols=["k"])
+    assert read_manifest(root)["bloom_geometry"] == {"m": 1024, "k": 3}
+
+    # grow two orders of magnitude: merges keep the (now undersized)
+    # recorded geometry, because their new bitmaps must OR with old ones
+    big = spark.range(1000, 11000).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("p")
+    )
+    merge(spark, root, big, ["k"], "p")
+    assert read_manifest(root)["bloom_geometry"] == {"m": 1024, "k": 3}
+
+    compact_versioned(spark, root, "p", order_col="k")
+    after = read_manifest(root)
+    # ~5020 keys/partition × 10 bits → next pow2 = 65536
+    assert after["bloom_geometry"]["m"] == 65536
+    # and the re-sized filters actually skip absent keys again
+    assert read_snapshot(spark, root, "p", eq_predicate=("k", 10_500)).count() == 1
+    assert read_snapshot(spark, root, "p", eq_predicate=("k", 99_999_999)).count() == 0

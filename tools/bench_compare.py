@@ -75,7 +75,11 @@ def main() -> None:
     ]
     for ratio, q, o, n in sorted(drifts, reverse=True)[:top]:
         extra = ""
-        if sp_old and sp_new and q in sp_old[0] and q in sp_new[0]:
+        if (
+            sp_old
+            and sp_new
+            and all(q in m for m in (*sp_old, *sp_new))
+        ):
             extra = (
                 f"  [build {sp_old[0][q]:.2f}->{sp_new[0][q]:.2f}"
                 f" exec {sp_old[1][q]:.2f}->{sp_new[1][q]:.2f}]"

@@ -125,6 +125,7 @@ def audit_snapshot_bloom(spark, sf_dir: str) -> dict:
 
     from datalake2anomali_spark.io.publish import (
         _bloom_may_contain,
+        _manifest_bloom_geometry,
         init_table,
         read_manifest,
     )
@@ -144,8 +145,7 @@ def audit_snapshot_bloom(spark, sf_dir: str) -> dict:
     init_table(spark, e, root, "event_date", bloom_cols=["event_id"])
     manifest = read_manifest(root)
     blooms = manifest["bloom"]
-    geo = manifest.get("bloom_geometry") or {}
-    m, k = geo.get("m", 1024), geo.get("k", 3)
+    m, k = _manifest_bloom_geometry(manifest)
     hi = e.agg(F.max("event_id")).collect()[0][0]
     keys_per_part = (
         e.groupBy("event_date").agg(F.countDistinct("event_id").alias("d"))

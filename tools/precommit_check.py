@@ -42,8 +42,13 @@ def _base_ref() -> str | None:
     return r.stdout.strip() if r.returncode == 0 else None
 
 
-def _changed_files() -> set:
+def _changed_files() -> set | None:
+    """Files the diff touches, or None when the scan itself failed and
+    coverage is unknown (the caller must then run the full gate — an
+    empty set after a git failure would silently skip the plan-shape
+    layer, the exact hole this scan exists to close)."""
     out = set()
+    scan_failed = False
     cmds = [
         ["git", "diff", "--name-only"],
         ["git", "diff", "--name-only", "--cached"],
@@ -70,15 +75,17 @@ def _changed_files() -> set:
             # PRECOMMIT_BASE silently reproduces the plan-shape skip the
             # widening exists to prevent (code-review r13).  The three
             # always-on commands can fail benignly (unborn HEAD in a
-            # fresh repo, shallow clones) — stay loud but keep going,
-            # since their failure modes never hide committed work
-            # (ADVICE r13).
+            # fresh repo, shallow clones) — stay loud, keep going, but
+            # mark coverage unknown so the caller runs the FULL gate
+            # rather than treating "saw nothing" as "nothing changed"
+            # (ADVICE r13 + code-review r14).
             if args is span_cmd:
                 raise SystemExit(msg)
             print("warning:", msg, file=sys.stderr)
+            scan_failed = True
             continue
         out.update(line.strip() for line in r.stdout.splitlines() if line.strip())
-    return out
+    return None if scan_failed else out
 
 
 def main() -> int:
@@ -92,11 +99,16 @@ def main() -> int:
     # like the round-11 NameError (the per-module hygiene gate cannot
     # see a cross-module from-import of a deleted name) — the whole
     # package is hot.
-    hot = [
-        f for f in changed
-        if f.startswith("datalake2anomali_spark/")
-        or f == "__spark_entry__.py"
-    ]
+    if changed is None:
+        print("hot-file scan FAILED -> coverage unknown; running the "
+              "full plan-shape layer conservatively")
+        hot = ["<scan failed>"]
+    else:
+        hot = [
+            f for f in changed
+            if f.startswith("datalake2anomali_spark/")
+            or f == "__spark_entry__.py"
+        ]
     if hot:
         print(
             f"plan-affecting diff ({len(hot)} files) -> running the "

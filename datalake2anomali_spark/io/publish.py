@@ -741,7 +741,10 @@ def _partition_stats(
 #: advice must survive the scale the operator exists for.  Readers and
 #: every later write use the RECORDED geometry (filters merge by OR, so
 #: all filters of a table must share it); manifests without the record
-#: probe at this floor, keeping old tables readable.
+#: probe at this floor, keeping old tables readable.  ONE sanctioned
+#: exception: ``compact_versioned`` rewrites the whole snapshot with no
+#: old bitmaps to OR-merge against, so it RE-CHOOSES the geometry — the
+#: escape hatch for a table that grew past its init-time key density.
 _BLOOM_M = 1024
 _BLOOM_K = 3
 #: Geometry ceiling: 2^18 bits = 64 Ki hex chars per (partition, column)
@@ -776,6 +779,18 @@ def _choose_bloom_geometry(
     while m < min(_BLOOM_M_CAP, n_max * _BLOOM_BITS_PER_KEY):
         m <<= 1
     return m, _BLOOM_K
+
+
+def _bloom_col_union(old_blooms: dict) -> list[str]:
+    """The table's full bloom-column set: the UNION across partition
+    entries, not an arbitrary first partition's keys — a partition whose
+    column was all-NULL at write time has no entry for it, and deriving
+    the set from that partition would silently drop the column's bloom
+    table-wide on the next rebuild (code-review r14)."""
+    cols: set[str] = set()
+    for bms in old_blooms.values():
+        cols.update(bms)
+    return sorted(cols)
 
 
 def _manifest_bloom_geometry(manifest: dict) -> tuple[int, int]:
@@ -1547,7 +1562,7 @@ def optimize_partitions(
         # rebuilt filters must share the table's recorded geometry —
         # kept and rebuilt bitmaps coexist in one manifest
         g_m, g_k = _manifest_bloom_geometry(manifest)
-        bloom_cols = sorted(next(iter(old_blooms.values())).keys())
+        bloom_cols = _bloom_col_union(old_blooms)
         keptb = {p: bm for p, bm in old_blooms.items() if p not in chosen_set}
         keptb.update(
             _partition_blooms(spark, vdir, partition_col, bloom_cols, m=g_m, k=g_k)
@@ -1969,7 +1984,7 @@ def _update_merge_on_read(
         g_m, g_k = _manifest_bloom_geometry(manifest)
         addb = _partition_blooms(
             spark, adir, partition_col,
-            sorted(next(iter(old_blooms.values())).keys()),
+            _bloom_col_union(old_blooms),
             m=g_m, k=g_k,
         )
         # a column whose appended rows are all NULL has no entry in the
@@ -2246,7 +2261,7 @@ def compact_versioned(
         # RE-CHOOSE the geometry instead of pinning the init-time choice:
         # a table that grew past its initial key density escapes bloom
         # saturation here (code-review r14)
-        bloom_cols = sorted(next(iter(old_blooms.values())).keys())
+        bloom_cols = _bloom_col_union(old_blooms)
         g_m, g_k = _choose_bloom_geometry(spark, vdir, partition_col, bloom_cols)
         new_manifest["bloom"] = _partition_blooms(
             spark, vdir, partition_col, bloom_cols, m=g_m, k=g_k
@@ -2501,7 +2516,7 @@ def _commit_ownership_rewrite(
         # same-geometry rule as optimize: rebuilt filters must merge
         # cleanly with the kept ones
         g_m, g_k = _manifest_bloom_geometry(manifest)
-        bloom_cols = sorted(next(iter(old_blooms.values())).keys())
+        bloom_cols = _bloom_col_union(old_blooms)
         keptb = {p: bm for p, bm in old_blooms.items() if p not in affected_vals}
         if written_vals:
             keptb.update(

@@ -57,9 +57,9 @@ def test_no_base_is_a_visible_note_not_an_error(monkeypatch, capsys):
     assert "working tree only" in capsys.readouterr().out
 
 
-def test_scan_failure_means_unknown_coverage_not_empty(monkeypatch, capsys):
+def test_scan_failure_means_unknown_coverage_not_empty(monkeypatch):
     """If an always-on git command fails, _changed_files must return
-    None (coverage unknown) and main() must run the full plan-shape
+    None (coverage unknown) and the gate must run the full plan-shape
     layer — an empty set after a git failure is the silent skip the
     gate exists to prevent (code-review r14)."""
     import subprocess as sp
@@ -75,6 +75,14 @@ def test_scan_failure_means_unknown_coverage_not_empty(monkeypatch, capsys):
             return R()
         return real_run(args, **kw)
 
-    monkeypatch.delenv("PRECOMMIT_BASE", raising=False)
+    # neutralize any configured upstream: with one, the span command
+    # would be appended and its simulated failure correctly raises
+    # SystemExit instead of returning None (code-review r14 re-review)
+    monkeypatch.setattr(pc, "_base_ref", lambda: None)
     monkeypatch.setattr(pc.subprocess, "run", failing_run)
     assert pc._changed_files() is None
+    # and the decision layer treats unknown coverage as "run everything"
+    assert pc._plan_layer_reason(None)
+    assert pc._plan_layer_reason(set()) is None
+    assert pc._plan_layer_reason({"docs/x.md"}) is None
+    assert pc._plan_layer_reason({"datalake2anomali_spark/io/publish.py"})

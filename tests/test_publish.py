@@ -429,8 +429,9 @@ def test_bloom_filters_skip_and_stay_correct(spark, sf_dir, tmp_path):
     probe = int(e.agg(F.max("event_id")).collect()[0][0])
     # probe at the RECORDED geometry — init_table sizes m from the data,
     # so assuming the 1024-bit floor breaks on denser testdata
-    geo = m.get("bloom_geometry", {})
-    gm, gk = geo.get("m", 1024), geo.get("k", 3)
+    from datalake2anomali_spark.io.publish import _manifest_bloom_geometry
+
+    gm, gk = _manifest_bloom_geometry(m)
     scanned = [
         p
         for p in m["partitions"]
@@ -483,8 +484,9 @@ def test_bloom_filters_follow_merge_ownership(spark, sf_dir, tmp_path):
     after_manifest = read_manifest(root)
     after = after_manifest["bloom"]
 
-    geo = after_manifest.get("bloom_geometry", {})
-    gm, gk = geo.get("m", 1024), geo.get("k", 3)
+    from datalake2anomali_spark.io.publish import _manifest_bloom_geometry
+
+    gm, gk = _manifest_bloom_geometry(after_manifest)
     assert _bloom_may_contain(after[d0]["event_id"], new_id, m=gm, k=gk)
     untouched = [d for d in after if d != d0]
     assert untouched and all(after[d] == before[d] for d in untouched)
@@ -1909,3 +1911,31 @@ def test_compact_rechooses_bloom_geometry(spark, tmp_path):
     # and the re-sized filters actually skip absent keys again
     assert read_snapshot(spark, root, "p", eq_predicate=("k", 10_500)).count() == 1
     assert read_snapshot(spark, root, "p", eq_predicate=("k", 99_999_999)).count() == 0
+
+
+def test_bloom_rebuild_keeps_all_null_columns(spark, tmp_path):
+    """Rebuild paths derive the bloom-column set as the UNION across
+    partition entries: a partition whose column was all-NULL at write
+    time has no bitmap for it, and deriving the set from that partition
+    would drop the column's bloom table-wide (code-review r14)."""
+    from datalake2anomali_spark.io.publish import (
+        compact_versioned,
+        init_table as init,
+    )
+
+    root = str(tmp_path / "bloom_nullcol")
+    # partition "0": b entirely NULL; partition "1": b populated
+    df = spark.range(200).select(
+        F.col("id").alias("a"),
+        F.when(F.col("id") % 2 == 1, F.col("id") + 10_000).alias("b"),
+        (F.col("id") % 2).cast("string").alias("p"),
+    )
+    init(spark, df, root, "p", bloom_cols=["a", "b"])
+    before = read_manifest(root)["bloom"]
+    assert "b" not in before["0"] and "b" in before["1"]
+
+    compact_versioned(spark, root, "p", order_col="a")
+    after = read_manifest(root)["bloom"]
+    assert "b" in after["1"], "all-NULL partition must not drop b table-wide"
+    # and the b-probe still finds its row through the rebuilt metadata
+    assert read_snapshot(spark, root, "p", eq_predicate=("b", 10_001)).count() == 1

@@ -88,32 +88,35 @@ def _changed_files() -> set | None:
     return None if scan_failed else out
 
 
+def _plan_layer_reason(changed: set | None) -> str | None:
+    """Why the expensive plan-shape layer must run, or None to skip it.
+
+    ``changed is None`` means the hot-file scan itself failed — coverage
+    is UNKNOWN, so the layer runs conservatively (treating it like an
+    empty set would restore the silent skip; code-review r14).  The
+    plan fixtures lazily import io/, operators/, llm/, ioc/, sources/,
+    functions/ and streaming/ at call time, so a symbol rename ANYWHERE
+    in the package breaks registered queries exactly like the round-11
+    NameError — the whole package is hot.
+    """
+    if changed is None:
+        return "hot-file scan FAILED (coverage unknown)"
+    hot = [
+        f for f in changed
+        if f.startswith("datalake2anomali_spark/")
+        or f == "__spark_entry__.py"
+    ]
+    return f"plan-affecting diff ({len(hot)} files)" if hot else None
+
+
 def main() -> int:
     steps = [[sys.executable, "-m", "pytest", "tests/test_import_hygiene.py",
               "tests/test_entry_contract.py",
               "-q", "--no-header"]]
-    changed = _changed_files()
-    # plan fixtures lazily import io/, operators/, llm/, ioc/,
-    # sources/, functions/ and streaming/ at call time, so a symbol
-    # rename ANYWHERE in the package breaks registered queries exactly
-    # like the round-11 NameError (the per-module hygiene gate cannot
-    # see a cross-module from-import of a deleted name) — the whole
-    # package is hot.
-    if changed is None:
-        print("hot-file scan FAILED -> coverage unknown; running the "
-              "full plan-shape layer conservatively")
-        hot = ["<scan failed>"]
-    else:
-        hot = [
-            f for f in changed
-            if f.startswith("datalake2anomali_spark/")
-            or f == "__spark_entry__.py"
-        ]
-    if hot:
-        print(
-            f"plan-affecting diff ({len(hot)} files) -> running the "
-            "plan-shape build of every registered query"
-        )
+    reason = _plan_layer_reason(_changed_files())
+    if reason:
+        print(f"{reason} -> running the plan-shape build of every "
+              "registered query")
         steps.append(
             [sys.executable, "-m", "pytest", "tests/test_plan_shapes.py",
              "-q", "--no-header"]

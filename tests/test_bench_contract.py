@@ -39,7 +39,10 @@ def test_bench_tail_line_fits_the_driver_capture():
     assert len(last) < 1500, f"tail line too long ({len(last)} chars)"
     rec = json.loads(last)
     assert rec["metric"] == "total_query_wall_seconds"
-    for key in ("value", "value_warm", "n_queries", "sf", "unit"):
+    for key in (
+        "value", "value_warm", "build_sec", "exec_sec", "n_queries",
+        "sf", "unit",
+    ):
         assert key in rec, f"missing {key}"
     assert "queries" not in rec, "tail line must stay compact"
     # the full record precedes it and agrees on the totals

@@ -1,5 +1,6 @@
-"""Measured-margin audit for the bounded-approximation gates that the
-ANN/LSH audit (docs/BENCH_NOTES.md §R13 addendum) did not cover:
+"""Measured-margin audit for EVERY bounded-approximation gate in the
+registry — one command per tier: the five ANN recall gates and the two
+LSH dedup gates (measured ad hoc in r13, unified here), plus
 ``sketch_stats`` (HLL++ relative error + quantile rank error),
 ``cms_counts`` (ε·N overcount), ``snapshot_bloom_scan`` (partition-bloom
 skip rate on absent probes), and ``bloom_semi_join`` (bitmap FPR on the
@@ -207,11 +208,134 @@ def audit_bloom_semi_join(spark, sf_dir: str) -> dict:
     }
 
 
+def _counts(approx, exact, keys) -> tuple[int, int, int]:
+    """(n_exact, n_caught, n_false) for a pair-recall gate."""
+    a = approx.select(*keys).persist()
+    e = exact.select(*keys).persist()
+    n_exact = e.count()
+    n_caught = a.join(e, keys, "left_semi").count()
+    n_false = a.join(e, keys, "left_anti").count()
+    a.unpersist()
+    e.unpersist()
+    return n_exact, n_caught, n_false
+
+
+def _ann_audit(name: str, bound: float, build_approx):
+    """Measured recall@5 for an ANN gate at its registered config —
+    the same comparison the registered derived check pins as a boolean,
+    surfaced as the float so the margin is committed, not implied."""
+
+    def run(spark, sf_dir: str) -> dict:
+        from datalake2anomali_spark.llm.similarity import cosine_topk
+        from datalake2anomali_spark.plans.llm_queries import _query_vectors
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qv = _query_vectors(spark, sf_dir)
+        n_exact, n_caught, _ = _counts(
+            build_approx(emb, qv),
+            cosine_topk(emb, qv, k=5),
+            ["query_id", "neighbor_id"],
+        )
+        return {
+            "gate": name,
+            "recall_at_5": round(n_caught / n_exact, 4) if n_exact else None,
+            "bound": bound,
+            "n_exact": n_exact,
+        }
+
+    return run
+
+
+def audit_dedup_minhash_lsh(spark, sf_dir: str) -> dict:
+    """Measured recall (bound 0.9) + precision (exact-verify, must be 1)
+    of the registered MinHash-LSH dedup gate on the capped corpus."""
+    from datalake2anomali_spark.llm.dedup import (
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+    )
+    from datalake2anomali_spark.plans.llm_queries import _capped_docs
+
+    docs = _capped_docs(spark, sf_dir)
+    n_exact, n_caught, n_false = _counts(
+        minhash_dedup_pairs(docs, threshold=0.8),
+        ngram_jaccard_pairs(docs, threshold=0.8),
+        ["d1", "d2"],
+    )
+    return {
+        "gate": "dedup_minhash_lsh",
+        "recall": round(n_caught / n_exact, 4) if n_exact else None,
+        "bound": 0.9,
+        "false_positives": n_false,
+        "n_exact_pairs": n_exact,
+    }
+
+
+def audit_embedding_neardup_lsh(spark, sf_dir: str) -> dict:
+    """Measured recall (bound 0.8) + precision of the sign-LSH near-dup
+    gate at the registered 16 tables x 4 bits, threshold 0.4."""
+    from datalake2anomali_spark.llm.similarity import (
+        embedding_neardup_exact,
+        embedding_neardup_lsh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_exact, n_caught, n_false = _counts(
+        embedding_neardup_lsh(emb, threshold=0.4, n_tables=16, bits_per_table=4),
+        embedding_neardup_exact(emb, threshold=0.4),
+        ["id1", "id2"],
+    )
+    return {
+        "gate": "embedding_neardup_lsh",
+        "recall": round(n_caught / n_exact, 4) if n_exact else None,
+        "bound": 0.8,
+        "false_positives": n_false,
+        "n_exact_pairs": n_exact,
+    }
+
+
+def _ann_builders():
+    from datalake2anomali_spark.llm.similarity import (
+        ann_hyperplane_topk,
+        ann_ivf_topk,
+        ann_ivfpq_topk,
+        cosine_topk_pq,
+        cosine_topk_quantized,
+    )
+
+    return {
+        "ann_lsh_topk": _ann_audit(
+            "ann_lsh_topk", 0.5,
+            lambda e, q: ann_hyperplane_topk(e, q, k=5, n_tables=8, bits_per_table=4),
+        ),
+        "ann_ivf_topk": _ann_audit(
+            "ann_ivf_topk", 0.5,
+            lambda e, q: ann_ivf_topk(e, q, k=5, n_cells=16, nprobe=6),
+        ),
+        "ann_topk_quantized": _ann_audit(
+            "ann_topk_quantized", 0.9,
+            lambda e, q: cosine_topk_quantized(e, q, k=5),
+        ),
+        "ann_pq_topk": _ann_audit(
+            "ann_pq_topk", 0.5,
+            lambda e, q: cosine_topk_pq(e, q, m=32, k_codes=64, k=5),
+        ),
+        "ann_ivfpq_topk": _ann_audit(
+            "ann_ivfpq_topk", 0.4,
+            lambda e, q: ann_ivfpq_topk(
+                e, q, k=5, n_cells=16, nprobe=6, m=32, k_codes=64
+            ),
+        ),
+    }
+
+
 AUDITS = {
     "sketch_stats": audit_sketch_stats,
     "cms_counts": audit_cms_counts,
     "snapshot_bloom_scan": audit_snapshot_bloom,
     "bloom_semi_join": audit_bloom_semi_join,
+    "dedup_minhash_lsh": audit_dedup_minhash_lsh,
+    "embedding_neardup_lsh": audit_embedding_neardup_lsh,
+    **_ann_builders(),
 }
 
 

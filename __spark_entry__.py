@@ -49,77 +49,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # L + staleness_bound, and a never-certified query is always in-window.
 # tests/test_entry_contract.py asserts the ledger, the bound, and the
 # window bookkeeping; no literal counts here (they drift — ADVICE r5).
-#  - _PRIORITY (the round-14 window): ioc_incremental_cursor first (last
-#    driver row round 10 — its bound-4 deadline is THIS round; it was the
-#    single r10 entry deferred out of the round-13 window by
-#    string_funcs's mandatory re-exposure), then ALL 49 entries whose
-#    last certification is round 11, in their CORRECTNESS_r11 order
-#    (deadline round 15; the 50th r11-file entry, column_evolution, was
-#    re-certified in round 12 and sits in the tail).  1 + 49 = 50 —
-#    cascade size 0, exactly as pre-staged in docs/R13_RESPONSE.md.
+#  - _PRIORITY (the round-15 window): ALL 50 entries whose last
+#    certification is round 12, in their CORRECTNESS_r12 order (bound-4
+#    deadline round 16; after the r14 window certified the r10/r11
+#    leftovers, the r12 block is exactly the stalest cohort — window =
+#    50, cascade 0, as pre-staged in docs/R14_RESPONSE.md).
 #  - _TAIL holds exactly the overflow, stalest first:
-#    the round-12-certified block (deadline round 16) in CORRECTNESS_r12
-#    order, then the round-13-certified block (deadline round 17) in
-#    CORRECTNESS_r13 order.
+#    the round-13-certified block (deadline round 17) in CORRECTNESS_r13
+#    order, then the round-14-certified block (deadline round 18) in
+#    CORRECTNESS_r14 order.
 _PRIORITY: tuple[str, ...] = (
-    # last driver row round 10 — bound-4 deadline is round 14 (now)
-    "ioc_incremental_cursor",
-    # last driver row round 11 — deadline round 15 (CORRECTNESS_r11
-    # order, minus column_evolution which re-certified in round 12)
-    "dedup_ngram_jaccard",
-    "corpus_stats",
-    "text_profile",
-    "ann_cosine_topk",
-    "ioc_rest_source_pipeline",
-    "stream_interval_join_full",
-    "cdc_view_maintenance",
-    "delete_restore_history",
-    "hidden_partition_pruning",
-    "merge_versioned",
-    "fuzzy_match2",
-    "stream_scd2",
-    "ioc_payload_expiration",
-    "merge_upsert",
-    "exact_quantiles",
-    "cms_counts",
-    "data_quality_audit",
-    "asof_join_click_error",
-    "stream_dedup_late",
-    "sessionize",
-    "grouped_rollup",
-    "running_window",
-    "ioc_payload_json",
-    "dedup_clusters",
-    "dedup_incremental",
-    "embedding_neardup",
-    "stratified_sample",
-    "pack_sequences",
-    "corpus_roundtrip",
-    "scalar_datetime_json",
-    "hypertable_rollup",
-    "status_priority_pivot",
-    "sketch_stats",
-    "range_join_error_clicks",
-    "distinct_set_ops",
-    "ann_lsh_topk",
-    "dedup_simhash",
-    "stream_tumbling_counts",
-    "ann_ivf_topk",
-    "decontaminate",
-    "bm25_scores",
-    "update_set",
-    "update_mor",
-    "multi_statement_txn",
-    "secondary_index_lookup",
-    "cross_table_txn",
-    "shallow_clone_divergence",
-    "branch_merge_disjoint",
-    "stream_into_hidden",
-)
-
-#: Exactly the overflow past the gate window (asserted in
-#: tests/test_entry_contract.py), stalest first.
-_TAIL: tuple[str, ...] = (
     # last driver row round 12 — deadline round 16 (CORRECTNESS_r12 order)
     "column_evolution",
     "ioc_advisory_enrichment",
@@ -171,6 +110,11 @@ _TAIL: tuple[str, ...] = (
     "asof_join_tolerance",
     "multimodal_ops",
     "stream_burst_alerts",
+)
+
+#: Exactly the overflow past the gate window (asserted in
+#: tests/test_entry_contract.py), stalest first.
+_TAIL: tuple[str, ...] = (
     # last driver row round 13 — deadline round 17 (CORRECTNESS_r13 order)
     "string_funcs",
     "burst_alerts",
@@ -222,6 +166,57 @@ _TAIL: tuple[str, ...] = (
     "robust_outliers",
     "item_similarity",
     "ioc_indicators_observed",
+    # last driver row round 14 — deadline round 18 (CORRECTNESS_r14 order)
+    "ioc_incremental_cursor",
+    "dedup_ngram_jaccard",
+    "corpus_stats",
+    "text_profile",
+    "ann_cosine_topk",
+    "ioc_rest_source_pipeline",
+    "stream_interval_join_full",
+    "cdc_view_maintenance",
+    "delete_restore_history",
+    "hidden_partition_pruning",
+    "merge_versioned",
+    "fuzzy_match2",
+    "stream_scd2",
+    "ioc_payload_expiration",
+    "merge_upsert",
+    "exact_quantiles",
+    "cms_counts",
+    "data_quality_audit",
+    "asof_join_click_error",
+    "stream_dedup_late",
+    "sessionize",
+    "grouped_rollup",
+    "running_window",
+    "ioc_payload_json",
+    "dedup_clusters",
+    "dedup_incremental",
+    "embedding_neardup",
+    "stratified_sample",
+    "pack_sequences",
+    "corpus_roundtrip",
+    "scalar_datetime_json",
+    "hypertable_rollup",
+    "status_priority_pivot",
+    "sketch_stats",
+    "range_join_error_clicks",
+    "distinct_set_ops",
+    "ann_lsh_topk",
+    "dedup_simhash",
+    "stream_tumbling_counts",
+    "ann_ivf_topk",
+    "decontaminate",
+    "bm25_scores",
+    "update_set",
+    "update_mor",
+    "multi_statement_txn",
+    "secondary_index_lookup",
+    "cross_table_txn",
+    "shallow_clone_divergence",
+    "branch_merge_disjoint",
+    "stream_into_hidden",
 )
 
 _MODULES = (

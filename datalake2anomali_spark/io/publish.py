@@ -2831,6 +2831,19 @@ def merge_branch(root: str, name: str) -> int:
     def _winner(p: str) -> dict:
         return head if p in b_touch else (cur if p in m_touch else base)
 
+    # Bloom bitmaps are only probe-able at the geometry they were built
+    # with, and compact_versioned (main-only) may have re-chosen the
+    # table geometry since the fork — so a branch partition's bitmap can
+    # be sized differently from the geometry this merge records.  Keep a
+    # side's per-partition bloom ONLY when that side's effective
+    # geometry equals the merged manifest's: a dropped bloom merely
+    # disables partition skipping, while a mismatched one probes to
+    # false NEGATIVES and read_snapshot would silently drop the
+    # partition's matching rows (ADVICE r14).
+    merged_geo = _manifest_bloom_geometry(
+        {"bloom_geometry": _pick_field("bloom_geometry")}
+    )
+
     all_pvals = (
         set(head["partitions"]) | set(cur["partitions"]) | set(base["partitions"])
     )
@@ -2850,7 +2863,7 @@ def merge_branch(root: str, name: str) -> int:
             rows[p] = w["rows"][p]
         if p in w.get("stats", {}):
             stats[p] = w["stats"][p]
-        if p in w.get("bloom", {}):
+        if p in w.get("bloom", {}) and _manifest_bloom_geometry(w) == merged_geo:
             blooms[p] = w["bloom"][p]
         wdv = w.get("dv", {})
         if p in wdv.get("files", {}):

@@ -254,3 +254,48 @@ def test_merge_branch_metadata_vs_data_conflict(spark, sf_dir, tmp_path):
     )
     with pytest.raises(MergeConflictError, match="metadata"):
         merge_branch(root, "ren")
+
+
+def test_merge_branch_drops_geometry_mismatched_blooms(spark, tmp_path):
+    """Canonical WAP flow that crosses a compaction: branch adds a new
+    partition at the fork-time bloom geometry while main compacts to a
+    larger m.  The disjoint merge must NOT carry the branch partition's
+    1024-bit bitmap into a manifest recording the larger geometry —
+    probing it there yields near-certain false negatives and
+    read_snapshot would silently drop the partition's rows (ADVICE r14).
+    A dropped bloom merely disables skipping, which is always safe."""
+    root = str(tmp_path / "mb_geo")
+    small = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("p")
+    )
+    init_table(spark, small, root, "p", bloom_cols=["k"])
+    assert read_manifest(root)["bloom_geometry"] == {"m": 1024, "k": 3}
+
+    create_branch(root, "work")
+    # branch: brand-new partition, bitmaps built at the fork geometry
+    branch_rows = spark.range(50_000, 50_040).select(
+        F.col("id").alias("k"), F.lit("9").alias("p")
+    )
+    merge_into_versioned(spark, root, branch_rows, ["k"], "p", ref="work")
+
+    # main: grow two orders of magnitude, then compact — the one
+    # sanctioned geometry re-choice point
+    big = spark.range(1000, 11000).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("p")
+    )
+    merge_into_versioned(spark, root, big, ["k"], "p")
+    compact_versioned(spark, root, "p", order_col="k")
+    assert read_manifest(root)["bloom_geometry"]["m"] == 65536
+
+    merge_branch(root, "work")
+    m = read_manifest(root)
+    assert m["bloom_geometry"]["m"] == 65536
+    # main partitions keep their (matching-geometry) bitmaps; the branch
+    # partition's fork-geometry bitmap is dropped, not carried
+    assert "0" in m["bloom"] and "1" in m["bloom"]
+    assert "9" not in m.get("bloom", {})
+    # and the branch partition's rows are actually findable via the
+    # bloom-consulting point-lookup path
+    hit = read_snapshot(spark, root, "p", eq_predicate=("k", 50_011))
+    assert hit.count() == 1
+    assert read_snapshot(spark, root, "p").filter(F.col("p") == "9").count() == 40

@@ -235,6 +235,114 @@ def _cloned_events(spark: SparkSession, prefix: str, sf_dir: str) -> str:
     return root
 
 
+#: Scripted-fixture build claim timeout: a claim directory without its
+#: completion marker older than this is a crashed builder's corpse (real
+#: builds finish in well under a minute at sf0.1).
+_FX_BUILD_TIMEOUT_SEC = 600.0
+
+
+def _sweep_fixture_siblings(base: str, name: str, keep: str) -> None:
+    """Collect stale-stamp fixture roots (``{name}.*`` except ``keep``).
+
+    Stamp-hashed names make an outdated root unreachable the moment the
+    source or the build recipe changes — nothing ever resolves it again —
+    so unlike ``_sweep_debris`` there is no displaced-rename window to
+    respect; the age gate only lets an in-flight reader of a PRIOR stamp
+    (a bench pass racing a source regeneration, whose results are
+    invalidated regardless) drain its open fds."""
+    try:
+        entries = os.listdir(base)
+    except FileNotFoundError:
+        return
+    now = time.time()
+    for n in entries:
+        if n == keep or not n.startswith(name + "."):
+            continue
+        p = os.path.join(base, n)
+        try:
+            if now - os.stat(p).st_mtime < _DEBRIS_GRACE_SEC:
+                continue
+        except OSError:
+            continue
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def shared_fixture_root(
+    spark: SparkSession,
+    tag: str,
+    sf_dir: str,
+    version: str,
+    build,
+    sources: tuple[str, ...] = ("events.parquet",),
+) -> str:
+    """A process-shared IMMUTABLE scripted fixture, built at most once per
+    (fixture-recipe ``version``, source-file content) — VERDICT r14 task 3.
+
+    For queries whose operator under test only READS the constructed
+    fixture (pruned/indexed reads, metadata views, change feeds), the
+    multi-commit fixture scripting is setup, not measured behavior, so it
+    is paid once per content stamp instead of per bench row / oracle run.
+    Queries whose operator IS the mutation protocol must keep per-call
+    isolation (``_cloned_events`` / ``_scratch_root``) — caching their
+    writes would cache the behavior under test.
+
+    Unlike ``_shared_events_root``'s displaced-rename protocol, fixtures
+    build IN PLACE at a stamp-hashed path: fixtures may record internal
+    ABSOLUTE paths (clone fallback roots, index→base references) that
+    would dangle across a rename.  The stamp in the NAME makes a stale
+    root unreachable instead of displaced; an atomic ``mkdir`` claims the
+    build, a ``_FIXTURE_COMPLETE`` marker written last publishes it, and
+    a crashed builder's claim is age-gated away.  ``version`` is part of
+    the stamp — bump it whenever the build recipe changes."""
+    import hashlib
+
+    parts = [f"v{version}"]
+    for s in sources:
+        st = os.stat(os.path.join(sf_dir, s))
+        parts.append(f"{st.st_mtime_ns}:{st.st_size}")
+    stamp = hashlib.md5(":".join(parts).encode()).hexdigest()[:12]
+    base = _shared_base_dir()
+    name = f"d2a_SHAREDFX_{tag}_" + sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(base, f"{name}.{stamp}")
+    done = os.path.join(root, "_FIXTURE_COMPLETE")
+    _sweep_fixture_siblings(base, name, keep=os.path.basename(root))
+    if os.path.exists(done):
+        return root
+    overall = time.monotonic() + 2 * _FX_BUILD_TIMEOUT_SEC
+    while True:
+        try:
+            os.mkdir(root)
+            break  # claimed: this process builds
+        except FileExistsError:
+            pass
+        # another builder owns the claim: wait for the marker; collect a
+        # corpse (claim older than the timeout with no marker) and retry
+        while True:
+            if os.path.exists(done):
+                return root
+            try:
+                age = time.time() - os.stat(root).st_mtime
+            except FileNotFoundError:
+                break  # collected (or builder failed and cleaned): re-claim
+            if age > _FX_BUILD_TIMEOUT_SEC:
+                shutil.rmtree(root, ignore_errors=True)
+                break
+            if time.monotonic() > overall:
+                raise RuntimeError(
+                    f"timed out waiting for fixture build at {root}"
+                )
+            time.sleep(0.1)
+    try:
+        build(root)
+        with open(done, "w", encoding="utf-8") as fh:
+            fh.write(stamp)
+    except BaseException:
+        # never published (no marker): no reader can hold it
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+    return root
+
+
 def _fingerprint(spark: SparkSession, root: str, **kw) -> tuple:
     from ..io.publish import read_snapshot
 
@@ -654,16 +762,24 @@ def q_multi_field_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io.publish import read_manifest
 
     e = load_table(spark, sf_dir, "events")
-    root = _scratch_root("d2a_multispec", sf_dir)
     n_buckets = 4
-    init_hidden_table(
-        spark, e, root, [["days", "ts"], ["bucket", n_buckets, "user_id"]]
-    )
-    upd = e.filter(F.col("event_type") == "purchase").withColumn(
-        "value", F.col("value") + 2.0
-    )
-    merge_into_hidden(spark, root, upd, ["event_id"])
 
+    def _build(fx: str) -> None:
+        root = os.path.join(fx, "table")
+        init_hidden_table(
+            spark, e, root, [["days", "ts"], ["bucket", n_buckets, "user_id"]]
+        )
+        upd = e.filter(F.col("event_type") == "purchase").withColumn(
+            "value", F.col("value") + 2.0
+        )
+        merge_into_hidden(spark, root, upd, ["event_id"])
+
+    # operator under test is the spec-pruned READ — the init+merge
+    # fixture is cacheable setup (VERDICT r14 task 3); the pruning
+    # assertions below stay per-call (metadata-only, cheap)
+    root = os.path.join(
+        shared_fixture_root(spark, "multispec", sf_dir, "1", _build), "table"
+    )
     m = read_manifest(root)
     parts = list(m["partitions"])
     if not all(p.count("|") == 1 for p in parts):
@@ -718,23 +834,31 @@ def q_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _events(spark, sf_dir)
-    root = _scratch_root("d2a_metatables", sf_dir)
-    init_table(spark, e, root, "event_date")
-    ins = e.filter(F.col("event_type") == "error").withColumn(
-        "event_id", F.col("event_id") + 21_000_000
+
+    def _build(fx: str) -> None:
+        root = os.path.join(fx, "table")
+        init_table(spark, e, root, "event_date")
+        ins = e.filter(F.col("event_type") == "error").withColumn(
+            "event_id", F.col("event_id") + 21_000_000
+        )
+        merge_into_versioned(spark, root, ins, ["event_id"], "event_date")
+        delete_from_versioned(
+            spark, root, "event_date", F.col("event_type") == "signup"
+        )
+        # files view: the live footprint reproduces the snapshot — the
+        # physical recount must match the READ PATH's count (manifest rows
+        # would be near-tautological: they were recorded by the same writer
+        # scans of the same files, and would miss a read_snapshot defect)
+        paths = [r["path"] for r in files_df(spark, root).collect()]
+        n_live = read_snapshot(spark, root, "event_date").count()
+        if spark.read.parquet(*paths).count() != n_live:
+            raise AssertionError("files_df paths do not reproduce the live snapshot")
+
+    # operator under test is the metadata READ — the scripted
+    # create→merge→delete fixture is cacheable setup (VERDICT r14 task 3)
+    root = os.path.join(
+        shared_fixture_root(spark, "metatables", sf_dir, "1", _build), "table"
     )
-    merge_into_versioned(spark, root, ins, ["event_id"], "event_date")
-    delete_from_versioned(spark, root, "event_date", F.col("event_type") == "signup")
-
-    # files view: the live footprint reproduces the snapshot — the
-    # physical recount must match the READ PATH's count (manifest rows
-    # would be near-tautological: they were recorded by the same writer
-    # scans of the same files, and would miss a read_snapshot defect)
-    paths = [r["path"] for r in files_df(spark, root).collect()]
-    n_live = read_snapshot(spark, root, "event_date").count()
-    if spark.read.parquet(*paths).count() != n_live:
-        raise AssertionError("files_df paths do not reproduce the live snapshot")
-
     hist = history_df(spark, root).select("version", "operation")
     per_version = []
     for v in [r["version"] for r in hist.collect()]:
@@ -1361,29 +1485,44 @@ def q_secondary_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io.transaction import Transaction
 
     e = _events(spark, sf_dir)
-    root = _cloned_events(spark, "d2a_sidx_base", sf_dir)
-    idx = _scratch_root("d2a_sidx_idx", sf_dir)
-    create_value_index(spark, root, "event_date", "user_id", ["event_id"], idx)
-
     syn_user = 999_999_999
-    syn = (
-        e.filter(F.col("event_id") % 97 == 0)
-        .withColumn("event_id", F.col("event_id") + 80_000_000)
-        .withColumn("user_id", F.lit(syn_user))
-        .withColumn("event_type", F.lit("synthetic"))
-        .withColumn("event_date", F.lit("2040-01-01"))
-    )
-    txn = Transaction(spark, root, "event_date")
-    txn.merge(syn, ["event_id"]).delete(
-        (F.col("event_type") == "error") & (F.col("event_date") < "2024-01-05")
-    )
-    txn.commit()
-    if refresh_value_index(spark, idx) != read_manifest(root)["version"]:
-        raise AssertionError("index did not catch up to the table version")
-    homes = index_lookup_partitions(spark, idx, syn_user)
-    if homes != {"2040-01-01"}:
-        raise AssertionError(f"index pruning is not exact: {sorted(homes)}")
 
+    def _build(fx: str) -> None:
+        from ..io.publish import clone_table
+
+        root = os.path.join(fx, "table")
+        idx = os.path.join(fx, "idx")
+        # clone INSIDE the fixture root (not _cloned_events' scratch
+        # path, which is recreated per call): the clone's fallback
+        # reference to the shared events base stays valid because this
+        # fixture's stamp covers the same source content
+        clone_table(_shared_events_root(spark, sf_dir), root)
+        create_value_index(spark, root, "event_date", "user_id", ["event_id"], idx)
+        syn = (
+            e.filter(F.col("event_id") % 97 == 0)
+            .withColumn("event_id", F.col("event_id") + 80_000_000)
+            .withColumn("user_id", F.lit(syn_user))
+            .withColumn("event_type", F.lit("synthetic"))
+            .withColumn("event_date", F.lit("2040-01-01"))
+        )
+        txn = Transaction(spark, root, "event_date")
+        txn.merge(syn, ["event_id"]).delete(
+            (F.col("event_type") == "error") & (F.col("event_date") < "2024-01-05")
+        )
+        txn.commit()
+        if refresh_value_index(spark, idx) != read_manifest(root)["version"]:
+            raise AssertionError("index did not catch up to the table version")
+        homes = index_lookup_partitions(spark, idx, syn_user)
+        if homes != {"2040-01-01"}:
+            raise AssertionError(f"index pruning is not exact: {sorted(homes)}")
+
+    # operator under test is the indexed point READ — the clone + txn +
+    # incremental-refresh script is cacheable setup (VERDICT r14 task 3);
+    # the maintenance path keeps its per-round teeth in the model/crash
+    # test nets, and in this build whenever the stamp rolls
+    idx = os.path.join(
+        shared_fixture_root(spark, "sidx", sf_dir, "1", _build), "idx"
+    )
     u_min = e.agg(F.min("user_id")).collect()[0][0]
     out = indexed_read(spark, idx, syn_user, refresh=False).unionByName(
         indexed_read(spark, idx, int(u_min), refresh=False)

@@ -19,6 +19,7 @@ from ..functions.exact import DSUM_SQL, dsum
 from ..functions.heavy import heavy_hitters
 from ..io.evolution import read_evolving, union_generations
 from ..io.tables import load_table
+from .protocol_queries import shared_fixture_root
 from ..operators.layout import (
     scale_to_bits,
     scale_to_bits_sql,
@@ -504,37 +505,44 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the null-safe diff directly over the source table, so a hash match
     certifies versioned reads, the diff classification, AND the
     changed-column attribution in one row set."""
-    import shutil
-
-    from ..io.publish import init_table, merge_into_versioned, table_changes
+    from ..io.publish import (
+        init_table,
+        merge_into_versioned,
+        read_manifest,
+        table_changes,
+    )
 
     e = load_table(spark, sf_dir, "events").withColumn(
         "event_date", F.date_format("ts", "yyyy-MM-dd")
     )
-    base = (
-        "/dev/shm"
-        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
-        else tempfile.gettempdir()
-    )
-    root = os.path.join(base, "d2a_cdf_" + sf_dir.strip("/").replace("/", "_"))
-    shutil.rmtree(root, ignore_errors=True)  # pure function of the source
-    init_table(spark, e, root, "event_date")
 
-    upd = e.filter(F.col("event_type") == "purchase").withColumn(
-        "value", F.col("value") + 100.0
+    def _build(fx: str) -> None:
+        root = os.path.join(fx, "table")
+        init_table(spark, e, root, "event_date")
+        upd = e.filter(F.col("event_type") == "purchase").withColumn(
+            "value", F.col("value") + 100.0
+        )
+        nul = e.filter(
+            (F.col("event_type") == "view") & (F.col("event_id") % 11 == 0)
+        ).withColumn("value", F.lit(None).cast("double"))
+        ins = (
+            e.filter(F.col("event_type") == "error")
+            .withColumn("event_id", F.col("event_id") + 30_000_000)
+            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+        )
+        ins = ins.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+        merge_into_versioned(
+            spark, root, upd.unionByName(nul).unionByName(ins),
+            ["event_id"], "event_date",
+        )
+
+    # operator under test is the change-feed READ between two committed
+    # versions — the init+merge fixture is cacheable setup (VERDICT r14
+    # task 3); v2 is the fixture head, re-read from its manifest
+    root = os.path.join(
+        shared_fixture_root(spark, "cdf", sf_dir, "1", _build), "table"
     )
-    nul = e.filter(
-        (F.col("event_type") == "view") & (F.col("event_id") % 11 == 0)
-    ).withColumn("value", F.lit(None).cast("double"))
-    ins = (
-        e.filter(F.col("event_type") == "error")
-        .withColumn("event_id", F.col("event_id") + 30_000_000)
-        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
-    )
-    ins = ins.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
-    v2 = merge_into_versioned(
-        spark, root, upd.unionByName(nul).unionByName(ins), ["event_id"], "event_date"
-    )
+    v2 = read_manifest(root)["version"]
     cdf = table_changes(spark, root, "event_date", ["event_id"], 1, v2)
     return (
         cdf.groupBy("change_type", "changed_cols")
@@ -815,22 +823,23 @@ def q_snapshot_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs an extra partition read, never a wrong row (skipping pinned in
     tests/test_publish.py).  The oracle applies the identical equality
     directly — bloom metadata is I/O advice, never semantics."""
-    import shutil
-
     from ..io.publish import init_table, read_snapshot
 
     e = load_table(spark, sf_dir, "events").withColumn(
         "event_date", F.date_format("ts", "yyyy-MM-dd")
     )
-    base = (
-        "/dev/shm"
-        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
-        else tempfile.gettempdir()
-    )
-    root = os.path.join(base, "d2a_bloom_" + sf_dir.strip("/").replace("/", "_"))
-    shutil.rmtree(root, ignore_errors=True)  # pure function of the source
-    init_table(spark, e, root, "event_date", bloom_cols=["event_id"])
 
+    def _build(fx: str) -> None:
+        init_table(
+            spark, e, os.path.join(fx, "table"), "event_date",
+            bloom_cols=["event_id"],
+        )
+
+    # operator under test is the bloom-advised point READ — the table
+    # publish is cacheable setup (VERDICT r14 task 3)
+    root = os.path.join(
+        shared_fixture_root(spark, "bloom", sf_dir, "1", _build), "table"
+    )
     b = e.agg(F.min("event_id"), F.max("event_id")).collect()[0]
     thr = int(b[0]) + (int(b[1]) - int(b[0])) * 7 // 10
     probe = int(
@@ -1087,8 +1096,6 @@ def q_hidden_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle filters the source column directly — pruning must be pure
     I/O advice, invisible in the result.
     """
-    import shutil
-
     from ..io.hidden import (
         init_hidden_table,
         may_match,
@@ -1099,20 +1106,21 @@ def q_hidden_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io.publish import read_manifest
 
     e = load_table(spark, sf_dir, "events")
-    base = (
-        "/dev/shm"
-        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
-        else tempfile.gettempdir()
-    )
-    root = os.path.join(base, "d2a_hidden_" + sf_dir.strip("/").replace("/", "_"))
-    shutil.rmtree(root, ignore_errors=True)  # pure function of the source
-    init_hidden_table(spark, e, root, ["days", "ts"])
 
-    upd = e.filter(F.col("event_type") == "purchase").withColumn(
-        "value", F.col("value") + 100.0
-    )
-    merge_into_hidden(spark, root, upd, ["event_id"])
+    def _build(fx: str) -> None:
+        root = os.path.join(fx, "table")
+        init_hidden_table(spark, e, root, ["days", "ts"])
+        upd = e.filter(F.col("event_type") == "purchase").withColumn(
+            "value", F.col("value") + 100.0
+        )
+        merge_into_hidden(spark, root, upd, ["event_id"])
 
+    # operator under test is the transform-pruned READ — the init+merge
+    # fixture is cacheable setup (VERDICT r14 task 3); the pruning
+    # assertion below stays per-call (metadata-only, cheap)
+    root = os.path.join(
+        shared_fixture_root(spark, "hidden", sf_dir, "1", _build), "table"
+    )
     pred = ("between", "ts", _HIDDEN_LO_US, _HIDDEN_HI_US)
     spec = read_spec(root)
     parts = list(read_manifest(root)["partitions"])

@@ -301,3 +301,83 @@ def test_swap_sweep_protocol_net(tmp_path_factory, sf_dir, ops):
 def _backdate(path: str, by_sec: float) -> None:
     old = time.time() - by_sec
     os.utime(path, (old, old))
+
+
+# -- shared_fixture_root: the scripted-fixture cache (VERDICT r14 task 3) ----
+
+
+def _fx_build_counter(calls):
+    def build(root):
+        calls.append(root)
+        with open(os.path.join(root, "payload.txt"), "w") as fh:
+            fh.write("built")
+    return build
+
+
+def test_shared_fixture_builds_once_per_stamp(tmp_path, monkeypatch):
+    monkeypatch.setattr(pq, "_shared_base_dir", lambda: str(tmp_path))
+    sf = "/root/testdata/sf0.001"
+    calls = []
+    r1 = pq.shared_fixture_root(None, "fxt", sf, "1", _fx_build_counter(calls))
+    r2 = pq.shared_fixture_root(None, "fxt", sf, "1", _fx_build_counter(calls))
+    assert r1 == r2 and len(calls) == 1
+    assert os.path.exists(os.path.join(r1, "_FIXTURE_COMPLETE"))
+    # a recipe-version bump rolls the stamp: new path, fresh build
+    r3 = pq.shared_fixture_root(None, "fxt", sf, "2", _fx_build_counter(calls))
+    assert r3 != r1 and len(calls) == 2
+
+
+def test_shared_fixture_sweeps_stale_siblings_age_gated(tmp_path, monkeypatch):
+    monkeypatch.setattr(pq, "_shared_base_dir", lambda: str(tmp_path))
+    sf = "/root/testdata/sf0.001"
+    calls = []
+    r1 = pq.shared_fixture_root(None, "fxs", sf, "1", _fx_build_counter(calls))
+    name = os.path.basename(r1).rsplit(".", 1)[0]
+    young = _mk_tree(str(tmp_path / f"{name}.deadbeef0001"), age_sec=10)
+    old = _mk_tree(
+        str(tmp_path / f"{name}.deadbeef0002"), age_sec=2 * pq._DEBRIS_GRACE_SEC
+    )
+    other = _mk_tree(str(tmp_path / "d2a_SHAREDFX_other_x.cafe"), age_sec=10**6)
+    assert pq.shared_fixture_root(None, "fxs", sf, "1", _fx_build_counter(calls)) == r1
+    assert os.path.exists(young)  # inside the grace window: kept
+    assert not os.path.exists(old)  # stale stamp past the gate: collected
+    assert os.path.exists(other)  # different fixture name: never touched
+    assert os.path.exists(r1) and len(calls) == 1
+
+
+def test_shared_fixture_collects_crashed_builder_claim(tmp_path, monkeypatch):
+    monkeypatch.setattr(pq, "_shared_base_dir", lambda: str(tmp_path))
+    sf = "/root/testdata/sf0.001"
+    calls = []
+    build = _fx_build_counter(calls)
+    r1 = pq.shared_fixture_root(None, "fxc", sf, "1", build)
+    # simulate a crashed builder: claim dir, no completion marker, old
+    shutil.rmtree(r1)
+    os.makedirs(r1)
+    old = time.time() - (pq._FX_BUILD_TIMEOUT_SEC + 60)
+    os.utime(r1, (old, old))
+    r2 = pq.shared_fixture_root(None, "fxc", sf, "1", build)
+    assert r2 == r1 and len(calls) == 2  # corpse collected, rebuilt
+    assert os.path.exists(os.path.join(r2, "_FIXTURE_COMPLETE"))
+
+
+def test_shared_fixture_failed_build_never_publishes(tmp_path, monkeypatch):
+    monkeypatch.setattr(pq, "_shared_base_dir", lambda: str(tmp_path))
+    sf = "/root/testdata/sf0.001"
+
+    def boom(root):
+        with open(os.path.join(root, "half.txt"), "w") as fh:
+            fh.write("partial")
+        raise RuntimeError("fixture build failed")
+
+    try:
+        pq.shared_fixture_root(None, "fxf", sf, "1", boom)
+        raise AssertionError("build failure must propagate")
+    except RuntimeError:
+        pass
+    leftovers = [n for n in os.listdir(tmp_path) if n.startswith("d2a_SHAREDFX_fxf")]
+    assert leftovers == []  # no marker, no half-built root stranded
+    # and the path recovers on the next (successful) attempt
+    calls = []
+    r = pq.shared_fixture_root(None, "fxf", sf, "1", _fx_build_counter(calls))
+    assert os.path.exists(os.path.join(r, "_FIXTURE_COMPLETE")) and len(calls) == 1

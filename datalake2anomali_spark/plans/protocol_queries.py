@@ -143,9 +143,7 @@ def _shared_events_root(spark: SparkSession, sf_dir: str) -> str:
     root = os.path.join(
         base, "d2a_SHARED_events_" + sf_dir.strip("/").replace("/", "_")
     )
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    stamp = _source_stamp(sf_dir)
     stamp_file = os.path.join(root, "_SOURCE_STAMP")
     # Sweep on the fast path too: with rebuilds happening only when the
     # SOURCE is regenerated, a displaced tree deferred by the last
@@ -235,40 +233,102 @@ def _cloned_events(spark: SparkSession, prefix: str, sf_dir: str) -> str:
     return root
 
 
-#: Scripted-fixture build claim timeout: a claim directory without its
-#: completion marker older than this is a crashed builder's corpse (real
-#: builds finish in well under a minute at sf0.1).
-_FX_BUILD_TIMEOUT_SEC = 600.0
+#: Settle window for a claim directory whose ``_BUILDER`` pid file has
+#: not appeared yet (the mkdir→write gap is microseconds; anything past
+#: this is a builder that died between the two calls).
+_FX_CLAIM_SETTLE_SEC = 10.0
+#: Hard cap past which even a LIVE builder's claim is treated as hung
+#: and collected (mirrors ``_DEBRIS_HARD_CAP_SEC``'s role); the lost-claim
+#: re-check below keeps a zombie builder from publishing over the
+#: re-claimed build.
+_FX_HARD_CAP_SEC = 3600.0
+
+#: Fixture roots retired by the r15 conversion to shared_fixture_root:
+#: the old per-call code recreated these fixed paths at call START, so
+#: the LAST tree of each survives an upgrade with nothing left in the
+#: code to recycle it — several multi-hundred-MB tmpfs trees per host
+#: (code-review r15).  Swept age-gated alongside stale-stamp siblings;
+#: drop entries once deployed hosts have cycled.
+_LEGACY_FIXTURE_PREFIXES = (
+    "d2a_hidden_",
+    "d2a_cdf_",
+    "d2a_bloom_",
+    "d2a_metatables_",
+    "d2a_multispec_",
+    "d2a_sidx_base_",
+    "d2a_sidx_idx_",
+)
+
+
+def _source_stamp(sf_dir: str, sources: tuple[str, ...] = ("events.parquet",)) -> str:
+    """``mtime_ns:size`` content stamp over the given source files — the
+    ONE staleness contract shared by the events base and the scripted
+    fixtures (code-review r15: previously duplicated inline)."""
+    parts = []
+    for s in sources:
+        st = os.stat(os.path.join(sf_dir, s))
+        parts.append(f"{st.st_mtime_ns}:{st.st_size}")
+    return ":".join(parts)
 
 
 def _sweep_fixture_siblings(base: str, name: str, keep: str) -> None:
-    """Collect stale-stamp fixture roots (``{name}.*`` except ``keep``).
+    """Collect stale-stamp fixture roots (``{name}.*`` except ``keep``)
+    plus the r15-retired legacy roots.
 
     Stamp-hashed names make an outdated root unreachable the moment the
-    source or the build recipe changes — nothing ever resolves it again —
-    so unlike ``_sweep_debris`` there is no displaced-rename window to
-    respect; the age gate only lets an in-flight reader of a PRIOR stamp
-    (a bench pass racing a source regeneration, whose results are
-    invalidated regardless) drain its open fds."""
+    source or the build recipe changes — nothing ever resolves it again.
+    The grace window counts from when the root was first OBSERVED stale
+    (a ``_DISPLACED`` marker dropped on first sight), NOT from its build
+    time: a fixture older than the grace would otherwise be collected
+    the instant its stamp rolls, under any concurrent reader — the same
+    instant-sweep race ``_shared_events_root`` closes with its
+    displacement-time restamp (code-review r15).  Rate-limited through
+    ``_LAST_SWEEP`` like ``_sweep_debris`` so cache-hit fast paths don't
+    pay a directory scan per call."""
+    key = os.path.join(base, name)
+    mono = time.monotonic()
+    last = _LAST_SWEEP.get(key)
+    if last is not None and mono - last < _DEBRIS_GRACE_SEC:
+        return
+    _LAST_SWEEP[key] = mono
     try:
         entries = os.listdir(base)
     except FileNotFoundError:
         return
     now = time.time()
     for n in entries:
-        if n == keep or not n.startswith(name + "."):
+        stale_sib = n.startswith(name + ".") and n != keep
+        legacy = n.startswith(_LEGACY_FIXTURE_PREFIXES)
+        if not (stale_sib or legacy):
             continue
         p = os.path.join(base, n)
+        marker = os.path.join(p, "_DISPLACED")
         try:
-            if now - os.stat(p).st_mtime < _DEBRIS_GRACE_SEC:
-                continue
+            st = os.stat(marker)
+        except FileNotFoundError:
+            try:  # first sight: record displacement time, collect later
+                with open(marker, "w", encoding="utf-8") as fh:
+                    fh.write(str(now))
+            except OSError:
+                pass  # p vanished or is not a directory: nothing to do
+            continue
         except OSError:
             continue
-        shutil.rmtree(p, ignore_errors=True)
+        if now - st.st_mtime >= _DEBRIS_GRACE_SEC:
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def _fx_claim_owner(root: str) -> int | None:
+    """The pid recorded in ``root``'s ``_BUILDER`` file, or None if the
+    file is missing/unreadable (claim not settled, or collected)."""
+    try:
+        with open(os.path.join(root, "_BUILDER"), encoding="utf-8") as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
 
 
 def shared_fixture_root(
-    spark: SparkSession,
     tag: str,
     sf_dir: str,
     version: str,
@@ -290,17 +350,23 @@ def shared_fixture_root(
     build IN PLACE at a stamp-hashed path: fixtures may record internal
     ABSOLUTE paths (clone fallback roots, index→base references) that
     would dangle across a rename.  The stamp in the NAME makes a stale
-    root unreachable instead of displaced; an atomic ``mkdir`` claims the
-    build, a ``_FIXTURE_COMPLETE`` marker written last publishes it, and
-    a crashed builder's claim is age-gated away.  ``version`` is part of
-    the stamp — bump it whenever the build recipe changes."""
+    root unreachable instead of displaced.  Claim protocol (code-review
+    r15 hardened it with the same pid-liveness + hard-cap + lost-claim
+    guards ``_sweep_debris`` grew in r13): an atomic ``mkdir`` claims the
+    build and a ``_BUILDER`` pid file marks the owner; waiters poll for
+    the ``_FIXTURE_COMPLETE`` marker and collect the claim only when the
+    owner is DEAD (or the claim is past the hard cap — a hung builder),
+    never on wall-age alone, since root mtime reflects claim time, not
+    build progress.  The builder re-checks claim ownership before
+    publishing and before cleanup, so a collected-and-re-claimed build is
+    never published over or deleted by the original owner — it retries
+    instead.  ``version`` is part of the stamp — bump it whenever the
+    build recipe changes."""
     import hashlib
 
-    parts = [f"v{version}"]
-    for s in sources:
-        st = os.stat(os.path.join(sf_dir, s))
-        parts.append(f"{st.st_mtime_ns}:{st.st_size}")
-    stamp = hashlib.md5(":".join(parts).encode()).hexdigest()[:12]
+    stamp = hashlib.md5(
+        f"v{version}:{_source_stamp(sf_dir, sources)}".encode()
+    ).hexdigest()[:12]
     base = _shared_base_dir()
     name = f"d2a_SHAREDFX_{tag}_" + sf_dir.strip("/").replace("/", "_")
     root = os.path.join(base, f"{name}.{stamp}")
@@ -308,39 +374,73 @@ def shared_fixture_root(
     _sweep_fixture_siblings(base, name, keep=os.path.basename(root))
     if os.path.exists(done):
         return root
-    overall = time.monotonic() + 2 * _FX_BUILD_TIMEOUT_SEC
+    overall = time.monotonic() + 2 * _FX_HARD_CAP_SEC
     while True:
+        claimed = False
         try:
             os.mkdir(root)
-            break  # claimed: this process builds
+            claimed = True
         except FileExistsError:
             pass
-        # another builder owns the claim: wait for the marker; collect a
-        # corpse (claim older than the timeout with no marker) and retry
-        while True:
-            if os.path.exists(done):
-                return root
+        if claimed:
+            with open(os.path.join(root, "_BUILDER"), "w", encoding="utf-8") as fh:
+                fh.write(str(os.getpid()))
             try:
-                age = time.time() - os.stat(root).st_mtime
-            except FileNotFoundError:
-                break  # collected (or builder failed and cleaned): re-claim
-            if age > _FX_BUILD_TIMEOUT_SEC:
-                shutil.rmtree(root, ignore_errors=True)
-                break
-            if time.monotonic() > overall:
-                raise RuntimeError(
-                    f"timed out waiting for fixture build at {root}"
+                build(root)
+            except BaseException:
+                # only the still-standing owner may clean up: if the claim
+                # was collected and re-claimed mid-build, the tree now
+                # belongs to another builder
+                if _fx_claim_owner(root) == os.getpid():
+                    shutil.rmtree(root, ignore_errors=True)
+                raise
+            if _fx_claim_owner(root) == os.getpid():
+                with open(done, "w", encoding="utf-8") as fh:
+                    fh.write(stamp)
+                return root
+            # lost the claim (collected as hung, re-claimed): never publish
+            # a marker over someone else's half-built tree — retry; the new
+            # owner's marker will serve us
+        else:
+            # another builder owns the claim: wait for the marker; collect
+            # the claim only if its owner died (or it is past the hard cap)
+            while True:
+                if os.path.exists(done):
+                    return root
+                owner = _fx_claim_owner(root)
+                try:
+                    age = time.time() - os.stat(root).st_mtime
+                except FileNotFoundError:
+                    break  # collected (or builder cleaned up): re-claim
+                alive = False
+                if owner is not None:
+                    try:
+                        os.kill(owner, 0)
+                        alive = True
+                    except (ProcessLookupError, OverflowError):
+                        alive = False
+                    except PermissionError:
+                        alive = True  # alive under another uid
+                corpse = (
+                    (owner is None and age > _FX_CLAIM_SETTLE_SEC)
+                    or (owner is not None and not alive)
+                    or age > _FX_HARD_CAP_SEC
                 )
-            time.sleep(0.1)
-    try:
-        build(root)
-        with open(done, "w", encoding="utf-8") as fh:
-            fh.write(stamp)
-    except BaseException:
-        # never published (no marker): no reader can hold it
-        shutil.rmtree(root, ignore_errors=True)
-        raise
-    return root
+                if corpse:
+                    # a dead owner cannot have published between the check
+                    # above and here; re-check once to close the window on
+                    # the hung-but-finishing case
+                    if os.path.exists(done):
+                        return root
+                    shutil.rmtree(root, ignore_errors=True)
+                    break
+                if time.monotonic() > overall:
+                    raise RuntimeError(
+                        f"timed out waiting for fixture build at {root}"
+                    )
+                time.sleep(0.1)
+        if time.monotonic() > overall:
+            raise RuntimeError(f"timed out building fixture at {root}")
 
 
 def _fingerprint(spark: SparkSession, root: str, **kw) -> tuple:
@@ -778,7 +878,7 @@ def q_multi_field_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture is cacheable setup (VERDICT r14 task 3); the pruning
     # assertions below stay per-call (metadata-only, cheap)
     root = os.path.join(
-        shared_fixture_root(spark, "multispec", sf_dir, "1", _build), "table"
+        shared_fixture_root("multispec", sf_dir, "1", _build), "table"
     )
     m = read_manifest(root)
     parts = list(m["partitions"])
@@ -857,7 +957,7 @@ def q_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operator under test is the metadata READ — the scripted
     # create→merge→delete fixture is cacheable setup (VERDICT r14 task 3)
     root = os.path.join(
-        shared_fixture_root(spark, "metatables", sf_dir, "1", _build), "table"
+        shared_fixture_root("metatables", sf_dir, "1", _build), "table"
     )
     hist = history_df(spark, root).select("version", "operation")
     per_version = []
@@ -1521,7 +1621,7 @@ def q_secondary_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the maintenance path keeps its per-round teeth in the model/crash
     # test nets, and in this build whenever the stamp rolls
     idx = os.path.join(
-        shared_fixture_root(spark, "sidx", sf_dir, "1", _build), "idx"
+        shared_fixture_root("sidx", sf_dir, "1", _build), "idx"
     )
     u_min = e.agg(F.min("user_id")).collect()[0][0]
     out = indexed_read(spark, idx, syn_user, refresh=False).unionByName(

@@ -540,7 +540,7 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # versions — the init+merge fixture is cacheable setup (VERDICT r14
     # task 3); v2 is the fixture head, re-read from its manifest
     root = os.path.join(
-        shared_fixture_root(spark, "cdf", sf_dir, "1", _build), "table"
+        shared_fixture_root("cdf", sf_dir, "1", _build), "table"
     )
     v2 = read_manifest(root)["version"]
     cdf = table_changes(spark, root, "event_date", ["event_id"], 1, v2)
@@ -838,7 +838,7 @@ def q_snapshot_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operator under test is the bloom-advised point READ — the table
     # publish is cacheable setup (VERDICT r14 task 3)
     root = os.path.join(
-        shared_fixture_root(spark, "bloom", sf_dir, "1", _build), "table"
+        shared_fixture_root("bloom", sf_dir, "1", _build), "table"
     )
     b = e.agg(F.min("event_id"), F.max("event_id")).collect()[0]
     thr = int(b[0]) + (int(b[1]) - int(b[0])) * 7 // 10
@@ -1119,7 +1119,7 @@ def q_hidden_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture is cacheable setup (VERDICT r14 task 3); the pruning
     # assertion below stays per-call (metadata-only, cheap)
     root = os.path.join(
-        shared_fixture_root(spark, "hidden", sf_dir, "1", _build), "table"
+        shared_fixture_root("hidden", sf_dir, "1", _build), "table"
     )
     pred = ("between", "ts", _HIDDEN_LO_US, _HIDDEN_HI_US)
     spec = read_spec(root)

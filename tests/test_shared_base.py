@@ -318,47 +318,91 @@ def test_shared_fixture_builds_once_per_stamp(tmp_path, monkeypatch):
     monkeypatch.setattr(pq, "_shared_base_dir", lambda: str(tmp_path))
     sf = "/root/testdata/sf0.001"
     calls = []
-    r1 = pq.shared_fixture_root(None, "fxt", sf, "1", _fx_build_counter(calls))
-    r2 = pq.shared_fixture_root(None, "fxt", sf, "1", _fx_build_counter(calls))
+    r1 = pq.shared_fixture_root("fxt", sf, "1", _fx_build_counter(calls))
+    r2 = pq.shared_fixture_root("fxt", sf, "1", _fx_build_counter(calls))
     assert r1 == r2 and len(calls) == 1
     assert os.path.exists(os.path.join(r1, "_FIXTURE_COMPLETE"))
     # a recipe-version bump rolls the stamp: new path, fresh build
-    r3 = pq.shared_fixture_root(None, "fxt", sf, "2", _fx_build_counter(calls))
+    r3 = pq.shared_fixture_root("fxt", sf, "2", _fx_build_counter(calls))
     assert r3 != r1 and len(calls) == 2
 
 
-def test_shared_fixture_sweeps_stale_siblings_age_gated(tmp_path, monkeypatch):
+def test_shared_fixture_sweep_marks_then_collects(tmp_path, monkeypatch):
+    """Stale-stamp siblings and retired legacy roots are collected a full
+    grace window after they are first OBSERVED stale (the _DISPLACED
+    marker records displacement time) — never on build age alone, which
+    would instant-sweep an old fixture under a concurrent reader the
+    moment its stamp rolls (code-review r15)."""
     monkeypatch.setattr(pq, "_shared_base_dir", lambda: str(tmp_path))
     sf = "/root/testdata/sf0.001"
     calls = []
-    r1 = pq.shared_fixture_root(None, "fxs", sf, "1", _fx_build_counter(calls))
+    r1 = pq.shared_fixture_root("fxs", sf, "1", _fx_build_counter(calls))
     name = os.path.basename(r1).rsplit(".", 1)[0]
-    young = _mk_tree(str(tmp_path / f"{name}.deadbeef0001"), age_sec=10)
-    old = _mk_tree(
+    stale = _mk_tree(
         str(tmp_path / f"{name}.deadbeef0002"), age_sec=2 * pq._DEBRIS_GRACE_SEC
     )
+    legacy = _mk_tree(
+        str(tmp_path / "d2a_cdf_root_testdata_sf0.001"),
+        age_sec=2 * pq._DEBRIS_GRACE_SEC,
+    )
     other = _mk_tree(str(tmp_path / "d2a_SHAREDFX_other_x.cafe"), age_sec=10**6)
-    assert pq.shared_fixture_root(None, "fxs", sf, "1", _fx_build_counter(calls)) == r1
-    assert os.path.exists(young)  # inside the grace window: kept
-    assert not os.path.exists(old)  # stale stamp past the gate: collected
+
+    # first observation: marked displaced, NOT collected (old build age)
+    pq._LAST_SWEEP.pop(os.path.join(str(tmp_path), name), None)
+    assert pq.shared_fixture_root("fxs", sf, "1", _fx_build_counter(calls)) == r1
+    assert os.path.exists(os.path.join(stale, "_DISPLACED"))
+    assert os.path.exists(os.path.join(legacy, "_DISPLACED"))
+    assert os.path.exists(stale) and os.path.exists(legacy)
+
+    # marker still inside the grace window: kept (and the sweep is
+    # rate-limited — without the pop it would not even scan)
+    pq._LAST_SWEEP.pop(os.path.join(str(tmp_path), name), None)
+    pq.shared_fixture_root("fxs", sf, "1", _fx_build_counter(calls))
+    assert os.path.exists(stale) and os.path.exists(legacy)
+
+    # age the markers past the grace: collected
+    old = time.time() - 2 * pq._DEBRIS_GRACE_SEC
+    for p in (stale, legacy):
+        os.utime(os.path.join(p, "_DISPLACED"), (old, old))
+    pq._LAST_SWEEP.pop(os.path.join(str(tmp_path), name), None)
+    pq.shared_fixture_root("fxs", sf, "1", _fx_build_counter(calls))
+    assert not os.path.exists(stale) and not os.path.exists(legacy)
     assert os.path.exists(other)  # different fixture name: never touched
     assert os.path.exists(r1) and len(calls) == 1
 
 
-def test_shared_fixture_collects_crashed_builder_claim(tmp_path, monkeypatch):
+def test_shared_fixture_collects_dead_builder_claim(tmp_path, monkeypatch):
+    """A claim whose _BUILDER pid is dead is collected immediately (a
+    dead builder can never publish); a claim with a LIVE builder is
+    waited on, never collected on wall age below the hard cap."""
     monkeypatch.setattr(pq, "_shared_base_dir", lambda: str(tmp_path))
     sf = "/root/testdata/sf0.001"
     calls = []
     build = _fx_build_counter(calls)
-    r1 = pq.shared_fixture_root(None, "fxc", sf, "1", build)
-    # simulate a crashed builder: claim dir, no completion marker, old
+    r1 = pq.shared_fixture_root("fxc", sf, "1", build)
+    # simulate a crashed builder: claim dir + dead-pid _BUILDER, no marker
     shutil.rmtree(r1)
     os.makedirs(r1)
-    old = time.time() - (pq._FX_BUILD_TIMEOUT_SEC + 60)
+    with open(os.path.join(r1, "_BUILDER"), "w") as fh:
+        fh.write(str(_DEAD_PID))
+    old = time.time() - 30
     os.utime(r1, (old, old))
-    r2 = pq.shared_fixture_root(None, "fxc", sf, "1", build)
+    r2 = pq.shared_fixture_root("fxc", sf, "1", build)
     assert r2 == r1 and len(calls) == 2  # corpse collected, rebuilt
     assert os.path.exists(os.path.join(r2, "_FIXTURE_COMPLETE"))
+    # a claim with no _BUILDER yet and age under the settle window is a
+    # builder mid-claim: wait (bounded here by patching the deadline)
+    shutil.rmtree(r2)
+    os.makedirs(r2)
+    monkeypatch.setattr(pq, "_FX_CLAIM_SETTLE_SEC", 3600.0)
+    monkeypatch.setattr(pq, "_FX_HARD_CAP_SEC", 0.5)
+    # live-pid claim past the (tiny) hard cap: collected as hung
+    with open(os.path.join(r2, "_BUILDER"), "w") as fh:
+        fh.write(str(os.getpid()))
+    old = time.time() - 30
+    os.utime(r2, (old, old))
+    r3 = pq.shared_fixture_root("fxc", sf, "1", build)
+    assert r3 == r2 and len(calls) == 3
 
 
 def test_shared_fixture_failed_build_never_publishes(tmp_path, monkeypatch):
@@ -371,7 +415,7 @@ def test_shared_fixture_failed_build_never_publishes(tmp_path, monkeypatch):
         raise RuntimeError("fixture build failed")
 
     try:
-        pq.shared_fixture_root(None, "fxf", sf, "1", boom)
+        pq.shared_fixture_root("fxf", sf, "1", boom)
         raise AssertionError("build failure must propagate")
     except RuntimeError:
         pass
@@ -379,5 +423,5 @@ def test_shared_fixture_failed_build_never_publishes(tmp_path, monkeypatch):
     assert leftovers == []  # no marker, no half-built root stranded
     # and the path recovers on the next (successful) attempt
     calls = []
-    r = pq.shared_fixture_root(None, "fxf", sf, "1", _fx_build_counter(calls))
+    r = pq.shared_fixture_root("fxf", sf, "1", _fx_build_counter(calls))
     assert os.path.exists(os.path.join(r, "_FIXTURE_COMPLETE")) and len(calls) == 1

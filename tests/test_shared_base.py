@@ -425,3 +425,45 @@ def test_shared_fixture_failed_build_never_publishes(tmp_path, monkeypatch):
     calls = []
     r = pq.shared_fixture_root("fxf", sf, "1", _fx_build_counter(calls))
     assert os.path.exists(os.path.join(r, "_FIXTURE_COMPLETE")) and len(calls) == 1
+
+
+def _fx_race_worker(args):
+    """Module-level for pickling: one racing builder process."""
+    base, sidedir, delay = args
+    import os as _os
+    import time as _time
+
+    from datalake2anomali_spark.plans import protocol_queries as _pq
+
+    _pq._shared_base_dir = lambda: base
+
+    def build(root):
+        # record which process built; slow build widens the race window
+        with open(_os.path.join(sidedir, f"built.{_os.getpid()}"), "w") as fh:
+            fh.write("x")
+        _time.sleep(delay)
+        with open(_os.path.join(root, "payload.txt"), "w") as fh:
+            fh.write(f"by {_os.getpid()}")
+
+    return _pq.shared_fixture_root("race", "/root/testdata/sf0.001", "1", build)
+
+
+def test_shared_fixture_race_builds_exactly_once(tmp_path):
+    """Eight real processes race the claim: exactly one builds, everyone
+    returns the same published root, and the payload is intact — the
+    property the code-review r15 hardening exists to protect."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    base = str(tmp_path / "base")
+    sidedir = str(tmp_path / "side")
+    os.makedirs(base)
+    os.makedirs(sidedir)
+    with ProcessPoolExecutor(max_workers=8) as ex:
+        roots = list(ex.map(_fx_race_worker, [(base, sidedir, 0.5)] * 8))
+    assert len(set(roots)) == 1
+    root = roots[0]
+    assert os.path.exists(os.path.join(root, "_FIXTURE_COMPLETE"))
+    built = [n for n in os.listdir(sidedir) if n.startswith("built.")]
+    assert len(built) == 1  # exactly one process ran the build
+    with open(os.path.join(root, "payload.txt")) as fh:
+        assert fh.read() == f"by {built[0].split('.')[1]}"

@@ -253,6 +253,7 @@ _LEGACY_FIXTURE_PREFIXES = (
     "d2a_hidden_",
     "d2a_cdf_",
     "d2a_bloom_",
+    "d2a_zone_",
     "d2a_metatables_",
     "d2a_multispec_",
     "d2a_sidx_base_",

@@ -443,22 +443,23 @@ def q_snapshot_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical BETWEEN directly, so a hash match proves skipping
     never changes results — zone maps are I/O advice, not semantics.
     """
-    import shutil
-
     from ..io.publish import init_table, read_snapshot
 
     e = load_table(spark, sf_dir, "events").withColumn(
         "event_date", F.date_format("ts", "yyyy-MM-dd")
     )
-    base = (
-        "/dev/shm"
-        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
-        else tempfile.gettempdir()
-    )
-    root = os.path.join(base, "d2a_zone_" + sf_dir.strip("/").replace("/", "_"))
-    shutil.rmtree(root, ignore_errors=True)  # pure function of the source
-    init_table(spark, e, root, "event_date", stats_cols=["event_id"])
 
+    def _build(fx: str) -> None:
+        init_table(
+            spark, e, os.path.join(fx, "table"), "event_date",
+            stats_cols=["event_id"],
+        )
+
+    # operator under test is the zone-map pruned READ — the table
+    # publish is cacheable setup (VERDICT r14 task 3)
+    root = os.path.join(
+        shared_fixture_root("zone", sf_dir, "1", _build), "table"
+    )
     b = e.agg(F.min("event_id"), F.max("event_id")).collect()[0]
     span = int(b[1]) - int(b[0])
     lo, hi = int(b[0]) + span * 2 // 5, int(b[0]) + span * 3 // 5

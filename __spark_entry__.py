@@ -49,72 +49,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # L + staleness_bound, and a never-certified query is always in-window.
 # tests/test_entry_contract.py asserts the ledger, the bound, and the
 # window bookkeeping; no literal counts here (they drift — ADVICE r5).
-#  - _PRIORITY (the round-15 window): ALL 50 entries whose last
-#    certification is round 12, in their CORRECTNESS_r12 order (bound-4
-#    deadline round 16; after the r14 window certified the r10/r11
-#    leftovers, the r12 block is exactly the stalest cohort — window =
-#    50, cascade 0, as pre-staged in docs/R14_RESPONSE.md).
+#  - _PRIORITY (the round-16 window): ALL 50 entries whose last
+#    certification is round 13, in their CORRECTNESS_r13 order (bound-4
+#    deadline round 17; after the r15 window certified the r12 block,
+#    the r13 block is exactly the stalest cohort — window = 50,
+#    cascade 0, as pre-staged in docs/R15_RESPONSE.md).
 #  - _TAIL holds exactly the overflow, stalest first:
-#    the round-13-certified block (deadline round 17) in CORRECTNESS_r13
-#    order, then the round-14-certified block (deadline round 18) in
-#    CORRECTNESS_r14 order.
+#    the round-14-certified block (deadline round 18) in CORRECTNESS_r14
+#    order, then the round-15-certified block (deadline round 19) in
+#    CORRECTNESS_r15 order.
 _PRIORITY: tuple[str, ...] = (
-    # last driver row round 12 — deadline round 16 (CORRECTNESS_r12 order)
-    "column_evolution",
-    "ioc_advisory_enrichment",
-    "stateful_user_profiles",
-    "dedup_substrings",
-    "docs_clean_pipeline",
-    "stream_interval_join",
-    "ann_topk_quantized",
-    "embedding_neardup_lsh",
-    "salted_skew_stats",
-    "dedup_minhash_lsh",
-    "dedup_clusters_star",
-    "embedding_kmeans",
-    "batch_windows",
-    "top_terms",
-    "ioc_upsert_routing",
-    "q1_pricing_summary",
-    "setsim_join",
-    "percentile_cont",
-    "snapshot_pruned_scan",
-    "attribution_credit",
-    "global_rank",
-    "cube_stats",
-    "khop_features",
-    "stream_interval_join_outer",
-    "table_changes",
-    "equi_depth_hist",
-    "window_rank_funcs",
-    "groupwise_quantiles",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "k_anonymity",
-    "stream_upsert_exactly_once",
-    "cdf_probe",
-    "pagerank_dangling",
-    "groupwise_percentile_cont",
-    "q9_product_profit",
-    "snapshot_bloom_scan",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "region_customer_stats",
-    "stream_dedup_events",
-    "ioc_payload_objects",
-    "topk_per_group",
-    "dedup_exact",
-    "chunk_documents",
-    "mixture_sample",
-    "jsonl_roundtrip",
-    "asof_join_tolerance",
-    "multimodal_ops",
-    "stream_burst_alerts",
-)
-
-#: Exactly the overflow past the gate window (asserted in
-#: tests/test_entry_contract.py), stalest first.
-_TAIL: tuple[str, ...] = (
     # last driver row round 13 — deadline round 17 (CORRECTNESS_r13 order)
     "string_funcs",
     "burst_alerts",
@@ -166,6 +110,11 @@ _TAIL: tuple[str, ...] = (
     "robust_outliers",
     "item_similarity",
     "ioc_indicators_observed",
+)
+
+#: Exactly the overflow past the gate window (asserted in
+#: tests/test_entry_contract.py), stalest first.
+_TAIL: tuple[str, ...] = (
     # last driver row round 14 — deadline round 18 (CORRECTNESS_r14 order)
     "ioc_incremental_cursor",
     "dedup_ngram_jaccard",
@@ -217,6 +166,57 @@ _TAIL: tuple[str, ...] = (
     "shallow_clone_divergence",
     "branch_merge_disjoint",
     "stream_into_hidden",
+    # last driver row round 15 — deadline round 19 (CORRECTNESS_r15 order)
+    "column_evolution",
+    "ioc_advisory_enrichment",
+    "stateful_user_profiles",
+    "dedup_substrings",
+    "docs_clean_pipeline",
+    "stream_interval_join",
+    "ann_topk_quantized",
+    "embedding_neardup_lsh",
+    "salted_skew_stats",
+    "dedup_minhash_lsh",
+    "dedup_clusters_star",
+    "embedding_kmeans",
+    "batch_windows",
+    "top_terms",
+    "ioc_upsert_routing",
+    "q1_pricing_summary",
+    "setsim_join",
+    "percentile_cont",
+    "snapshot_pruned_scan",
+    "attribution_credit",
+    "global_rank",
+    "cube_stats",
+    "khop_features",
+    "stream_interval_join_outer",
+    "table_changes",
+    "equi_depth_hist",
+    "window_rank_funcs",
+    "groupwise_quantiles",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "k_anonymity",
+    "stream_upsert_exactly_once",
+    "cdf_probe",
+    "pagerank_dangling",
+    "groupwise_percentile_cont",
+    "q9_product_profit",
+    "snapshot_bloom_scan",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "region_customer_stats",
+    "stream_dedup_events",
+    "ioc_payload_objects",
+    "topk_per_group",
+    "dedup_exact",
+    "chunk_documents",
+    "mixture_sample",
+    "jsonl_roundtrip",
+    "asof_join_tolerance",
+    "multimodal_ops",
+    "stream_burst_alerts",
 )
 
 _MODULES = (

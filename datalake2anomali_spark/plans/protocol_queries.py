@@ -21,6 +21,7 @@ upsert/cursor state machine (``/root/reference/src/Datalake2Anomali.py:
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import tempfile
 import time
@@ -272,9 +273,59 @@ def _source_stamp(sf_dir: str, sources: tuple[str, ...] = ("events.parquet",)) -
     return ":".join(parts)
 
 
+#: Per-recipe-file cache of the code-derived stamp component: one
+#: source-hash pass per (process, recipe module), never per call.
+_CODE_STAMP_CACHE: dict = {}
+
+
+def _code_stamp(recipe_file: str) -> str:
+    """Code-derived stamp component: a hash of the ``io`` package's
+    sources (the on-disk table/index/catalog formats), the Spark
+    version, and the module that defines the build recipe.  Folded into
+    every fixture stamp so a change to ``init_table``/``merge``/index
+    layout — or to the recipe itself — rolls fixtures automatically
+    instead of relying on someone remembering to bump each call site's
+    manual ``version`` string (ADVICE r15).  This also means the
+    in-build correctness assertions re-run on exactly the events that
+    could change their outcome: nothing covered by the stamp can drift
+    under a cache hit (ADVICE r15 on cache-hit certification)."""
+    got = _CODE_STAMP_CACHE.get(recipe_file)
+    if got is not None:
+        return got
+    import hashlib
+
+    import pyspark
+
+    h = hashlib.md5()
+    h.update(pyspark.__version__.encode())
+    io_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "io"
+    )
+    files = sorted(
+        os.path.join(io_dir, f)
+        for f in os.listdir(io_dir)
+        if f.endswith(".py")
+    )
+    if recipe_file and os.path.isfile(recipe_file):
+        files.append(recipe_file)
+    for f in files:
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+        h.update(b"\x00")
+    got = h.hexdigest()[:12]
+    _CODE_STAMP_CACHE[recipe_file] = got
+    return got
+
+
+#: Generation-dir shape inside a fixture claim root (``g`` + 12-hex
+#: claim token — see :func:`shared_fixture_root`'s zombie isolation).
+_FX_GEN_RE = re.compile(r"g[0-9a-f]{12}")
+
+
 def _sweep_fixture_siblings(base: str, name: str, keep: str) -> None:
-    """Collect stale-stamp fixture roots (``{name}.*`` except ``keep``)
-    plus the r15-retired legacy roots.
+    """Collect stale-stamp fixture roots (exactly ``{name}.<12-hex>``
+    except ``keep``) plus the r15-retired legacy roots, plus dead
+    generation dirs inside the live ``keep`` root.
 
     Stamp-hashed names make an outdated root unreachable the moment the
     source or the build recipe changes — nothing ever resolves it again.
@@ -283,9 +334,21 @@ def _sweep_fixture_siblings(base: str, name: str, keep: str) -> None:
     time: a fixture older than the grace would otherwise be collected
     the instant its stamp rolls, under any concurrent reader — the same
     instant-sweep race ``_shared_events_root`` closes with its
-    displacement-time restamp (code-review r15).  Rate-limited through
-    ``_LAST_SWEEP`` like ``_sweep_debris`` so cache-hit fast paths don't
-    pay a directory scan per call."""
+    displacement-time restamp (code-review r15).  Three guards past the
+    grace (ADVICE r15):
+
+    - the sibling shape is matched EXACTLY (``name + "." + 12 hex``),
+      never by bare prefix — a different sf_dir whose sanitized path
+      dot-extends this one must not be marked or collected;
+    - a sibling whose ``_BUILDER`` pid is still ALIVE is an in-flight
+      build under another stamp epoch (mixed-version concurrency) and
+      is left alone up to the hard cap, mirroring ``_sweep_debris``;
+    - a COMPLETE sibling (``_FIXTURE_COMPLETE`` present) may still be
+      mid-scan by a mixed-version reader that resolved it under old
+      code, so it gets the hard-cap lifetime, not the grace.
+
+    Rate-limited through ``_LAST_SWEEP`` like ``_sweep_debris`` so
+    cache-hit fast paths don't pay a directory scan per call."""
     key = os.path.join(base, name)
     mono = time.monotonic()
     last = _LAST_SWEEP.get(key)
@@ -297,8 +360,9 @@ def _sweep_fixture_siblings(base: str, name: str, keep: str) -> None:
     except FileNotFoundError:
         return
     now = time.time()
+    sib_re = re.compile(re.escape(name) + r"\.[0-9a-f]{12}")
     for n in entries:
-        stale_sib = n.startswith(name + ".") and n != keep
+        stale_sib = bool(sib_re.fullmatch(n)) and n != keep
         legacy = n.startswith(_LEGACY_FIXTURE_PREFIXES)
         if not (stale_sib or legacy):
             continue
@@ -315,18 +379,83 @@ def _sweep_fixture_siblings(base: str, name: str, keep: str) -> None:
             continue
         except OSError:
             continue
-        if now - st.st_mtime >= _DEBRIS_GRACE_SEC:
-            shutil.rmtree(p, ignore_errors=True)
+        age = now - st.st_mtime
+        if age < _DEBRIS_GRACE_SEC:
+            continue
+        if stale_sib and age < _FX_HARD_CAP_SEC:
+            claim = _fx_claim_read(p)
+            if claim is not None and _pid_alive(claim[0]):
+                continue  # live builder under another stamp epoch
+            if os.path.exists(os.path.join(p, "_FIXTURE_COMPLETE")):
+                continue  # possibly mid-scan by a mixed-version reader
+        shutil.rmtree(p, ignore_errors=True)
+    _sweep_dead_generations(os.path.join(base, keep), now)
 
 
-def _fx_claim_owner(root: str) -> int | None:
-    """The pid recorded in ``root``'s ``_BUILDER`` file, or None if the
-    file is missing/unreadable (claim not settled, or collected)."""
+def _sweep_dead_generations(root: str, now: float) -> None:
+    """Collect generation dirs inside a PUBLISHED fixture root other
+    than the published one.  A non-published generation exists only when
+    a hard-capped zombie builder's claim was collected and re-claimed
+    (its writes land in its own ``g<token>`` dir, never the published
+    one — that is the point of the generation isolation, ADVICE r15);
+    age-gate on the gen dir's mtime so a zombie actively writing is not
+    yanked mid-write for nothing (its output is unpublishable either
+    way, but an idle sweep should not create pointless write errors)."""
+    try:
+        with open(os.path.join(root, "_FIXTURE_COMPLETE"), encoding="utf-8") as fh:
+            published = "g" + fh.read().strip()
+    except OSError:
+        return  # unpublished (mid-build) root: nothing safe to judge
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    for n in entries:
+        if n == published or not _FX_GEN_RE.fullmatch(n):
+            continue
+        p = os.path.join(root, n)
+        try:
+            if now - os.stat(p).st_mtime < _DEBRIS_GRACE_SEC:
+                continue
+        except OSError:
+            continue
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def _fx_claim_read(root: str) -> tuple[int, str] | None:
+    """The ``(pid, claim-token)`` recorded in ``root``'s ``_BUILDER``
+    file, or None if the file is missing/unreadable (claim not settled,
+    or collected).  Tokenless legacy content parses as ``(pid, "")`` —
+    live for the pid-liveness checks, never equal to a real claim."""
     try:
         with open(os.path.join(root, "_BUILDER"), encoding="utf-8") as fh:
-            return int(fh.read().strip())
+            raw = fh.read().strip()
+        pid_s, _, token = raw.partition(":")
+        return int(pid_s), token
     except (OSError, ValueError):
         return None
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except (ProcessLookupError, OverflowError):
+        return False
+    except PermissionError:
+        return True  # alive under another uid
+
+
+def _fx_published(root: str) -> str | None:
+    """The published generation dir of ``root``, or None if the fixture
+    is unpublished or its marker does not resolve to a generation."""
+    try:
+        with open(os.path.join(root, "_FIXTURE_COMPLETE"), encoding="utf-8") as fh:
+            token = fh.read().strip()
+    except OSError:
+        return None
+    gen = os.path.join(root, "g" + token)
+    return gen if os.path.isdir(gen) else None
 
 
 def shared_fixture_root(
@@ -351,30 +480,43 @@ def shared_fixture_root(
     build IN PLACE at a stamp-hashed path: fixtures may record internal
     ABSOLUTE paths (clone fallback roots, index→base references) that
     would dangle across a rename.  The stamp in the NAME makes a stale
-    root unreachable instead of displaced.  Claim protocol (code-review
-    r15 hardened it with the same pid-liveness + hard-cap + lost-claim
-    guards ``_sweep_debris`` grew in r13): an atomic ``mkdir`` claims the
-    build and a ``_BUILDER`` pid file marks the owner; waiters poll for
-    the ``_FIXTURE_COMPLETE`` marker and collect the claim only when the
-    owner is DEAD (or the claim is past the hard cap — a hung builder),
-    never on wall-age alone, since root mtime reflects claim time, not
-    build progress.  The builder re-checks claim ownership before
-    publishing and before cleanup, so a collected-and-re-claimed build is
-    never published over or deleted by the original owner — it retries
-    instead.  ``version`` is part of the stamp — bump it whenever the
-    build recipe changes."""
+    root unreachable instead of displaced, and folds in a code-derived
+    component (:func:`_code_stamp`: the ``io`` package's sources, the
+    Spark version, and the recipe's own module) so an on-disk-format or
+    recipe change rolls fixtures without a manual ``version`` bump
+    (ADVICE r15).  Claim protocol (code-review r15 hardened it with the
+    same pid-liveness + hard-cap + lost-claim guards ``_sweep_debris``
+    grew in r13; ADVICE r15 added per-claim generation isolation): an
+    atomic ``mkdir`` claims the build and a ``_BUILDER`` ``pid:token``
+    file marks the owner; the build lands in a token-named GENERATION
+    subdir (``g<token>``), so a hung builder whose claim is collected at
+    the hard cap and re-claimed can never write into the re-claimant's
+    tree — its still-running Spark writes target its own generation,
+    which the next sweep collects.  Waiters poll for the
+    ``_FIXTURE_COMPLETE`` marker (written atomically via rename; its
+    content names the published generation) and collect the claim only
+    when the owner is DEAD (or the claim is past the hard cap — a hung
+    builder), never on wall-age alone, since root mtime reflects claim
+    time, not build progress.  The builder re-checks claim ownership
+    (pid AND token) before publishing and before cleanup, so a
+    collected-and-re-claimed build is never published over or deleted
+    by the original owner — it retries instead.  ``version`` is part of
+    the stamp — bump it to force a roll without a code change."""
     import hashlib
 
+    recipe_file = getattr(getattr(build, "__code__", None), "co_filename", "")
     stamp = hashlib.md5(
-        f"v{version}:{_source_stamp(sf_dir, sources)}".encode()
+        f"v{version}:c{_code_stamp(recipe_file)}:{_source_stamp(sf_dir, sources)}"
+        .encode()
     ).hexdigest()[:12]
     base = _shared_base_dir()
     name = f"d2a_SHAREDFX_{tag}_" + sf_dir.strip("/").replace("/", "_")
     root = os.path.join(base, f"{name}.{stamp}")
     done = os.path.join(root, "_FIXTURE_COMPLETE")
     _sweep_fixture_siblings(base, name, keep=os.path.basename(root))
-    if os.path.exists(done):
-        return root
+    pub = _fx_published(root)
+    if pub is not None:
+        return pub
     overall = time.monotonic() + 2 * _FX_HARD_CAP_SEC
     while True:
         claimed = False
@@ -384,55 +526,60 @@ def shared_fixture_root(
         except FileExistsError:
             pass
         if claimed:
+            token = os.urandom(6).hex()
+            me = (os.getpid(), token)
             with open(os.path.join(root, "_BUILDER"), "w", encoding="utf-8") as fh:
-                fh.write(str(os.getpid()))
+                fh.write(f"{os.getpid()}:{token}")
+            gen = os.path.join(root, "g" + token)
+            os.mkdir(gen)
             try:
-                build(root)
+                build(gen)
             except BaseException:
                 # only the still-standing owner may clean up: if the claim
                 # was collected and re-claimed mid-build, the tree now
                 # belongs to another builder
-                if _fx_claim_owner(root) == os.getpid():
+                if _fx_claim_read(root) == me:
                     shutil.rmtree(root, ignore_errors=True)
                 raise
-            if _fx_claim_owner(root) == os.getpid():
-                with open(done, "w", encoding="utf-8") as fh:
-                    fh.write(stamp)
-                return root
+            if _fx_claim_read(root) == me:
+                try:
+                    tmp = f"{done}.tmp.{os.getpid()}"
+                    with open(tmp, "w", encoding="utf-8") as fh:
+                        fh.write(token)
+                    os.rename(tmp, done)  # readers never see a partial marker
+                    return gen
+                except OSError:
+                    pass  # claim collected between check and publish: retry
             # lost the claim (collected as hung, re-claimed): never publish
-            # a marker over someone else's half-built tree — retry; the new
-            # owner's marker will serve us
+            # a marker over someone else's build — retry; the new owner's
+            # marker will serve us
         else:
             # another builder owns the claim: wait for the marker; collect
             # the claim only if its owner died (or it is past the hard cap)
             while True:
-                if os.path.exists(done):
-                    return root
-                owner = _fx_claim_owner(root)
+                pub = _fx_published(root)
+                if pub is not None:
+                    return pub
+                claim = _fx_claim_read(root)
                 try:
                     age = time.time() - os.stat(root).st_mtime
                 except FileNotFoundError:
                     break  # collected (or builder cleaned up): re-claim
-                alive = False
-                if owner is not None:
-                    try:
-                        os.kill(owner, 0)
-                        alive = True
-                    except (ProcessLookupError, OverflowError):
-                        alive = False
-                    except PermissionError:
-                        alive = True  # alive under another uid
                 corpse = (
-                    (owner is None and age > _FX_CLAIM_SETTLE_SEC)
-                    or (owner is not None and not alive)
+                    (claim is None and age > _FX_CLAIM_SETTLE_SEC)
+                    or (claim is not None and not _pid_alive(claim[0]))
                     or age > _FX_HARD_CAP_SEC
+                    # marker present but unresolvable past the settle
+                    # window: corrupt or legacy-layout root
+                    or (os.path.exists(done) and age > _FX_CLAIM_SETTLE_SEC)
                 )
                 if corpse:
                     # a dead owner cannot have published between the check
                     # above and here; re-check once to close the window on
                     # the hung-but-finishing case
-                    if os.path.exists(done):
-                        return root
+                    pub = _fx_published(root)
+                    if pub is not None:
+                        return pub
                     shutil.rmtree(root, ignore_errors=True)
                     break
                 if time.monotonic() > overall:
@@ -956,10 +1103,19 @@ def q_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError("files_df paths do not reproduce the live snapshot")
 
     # operator under test is the metadata READ — the scripted
-    # create→merge→delete fixture is cacheable setup (VERDICT r14 task 3)
+    # create→merge→delete fixture is cacheable setup (VERDICT r14 task 3).
+    # The full files↔snapshot recount stays in _build: the stamp covers
+    # everything that could change its outcome (io sources, Spark
+    # version, recipe, source data — _code_stamp), so a cache hit cannot
+    # hide drift the recount would catch (ADVICE r15).  What a hit CAN
+    # hide is fixture decay on disk, so re-pin the cheap metadata-only
+    # invariant every call: every live path the files view names exists.
     root = os.path.join(
         shared_fixture_root("metatables", sf_dir, "1", _build), "table"
     )
+    for r in files_df(spark, root).collect():  # manifest-sized, no data scan
+        if not os.path.exists(r["path"]):
+            raise AssertionError(f"files_df names a missing file: {r['path']}")
     hist = history_df(spark, root).select("version", "operation")
     per_version = []
     for v in [r["version"] for r in hist.collect()]:
@@ -1620,10 +1776,21 @@ def q_secondary_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operator under test is the indexed point READ — the clone + txn +
     # incremental-refresh script is cacheable setup (VERDICT r14 task 3);
     # the maintenance path keeps its per-round teeth in the model/crash
-    # test nets, and in this build whenever the stamp rolls
-    idx = os.path.join(
-        shared_fixture_root("sidx", sf_dir, "1", _build), "idx"
-    )
+    # test nets, and in this build whenever the stamp rolls (which the
+    # _code_stamp component now ties to any io/recipe/Spark change, so a
+    # cache hit cannot hide code drift — ADVICE r15).  Re-pin the cheap
+    # metadata-only invariants every call: index version == table
+    # version, and the synthetic user still prunes to its one partition.
+    from ..io.index import _follower as _idx_follower
+    from ..io.index import _meta as _idx_meta
+
+    fx = shared_fixture_root("sidx", sf_dir, "1", _build)
+    idx = os.path.join(fx, "idx")
+    pos = _idx_follower(idx, _idx_meta(idx)).position()
+    if pos != read_manifest(os.path.join(fx, "table"))["version"]:
+        raise AssertionError("cached index is behind its cached table")
+    if index_lookup_partitions(spark, idx, syn_user) != {"2040-01-01"}:
+        raise AssertionError("cached index pruning is not exact")
     u_min = e.agg(F.min("user_id")).collect()[0][0]
     out = indexed_read(spark, idx, syn_user, refresh=False).unionByName(
         indexed_read(spark, idx, int(u_min), refresh=False)

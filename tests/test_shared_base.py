@@ -321,10 +321,40 @@ def test_shared_fixture_builds_once_per_stamp(tmp_path, monkeypatch):
     r1 = pq.shared_fixture_root("fxt", sf, "1", _fx_build_counter(calls))
     r2 = pq.shared_fixture_root("fxt", sf, "1", _fx_build_counter(calls))
     assert r1 == r2 and len(calls) == 1
-    assert os.path.exists(os.path.join(r1, "_FIXTURE_COMPLETE"))
+    # the returned path is the published GENERATION inside the claim root
+    assert os.path.exists(os.path.join(os.path.dirname(r1), "_FIXTURE_COMPLETE"))
+    assert pq._FX_GEN_RE.fullmatch(os.path.basename(r1))
     # a recipe-version bump rolls the stamp: new path, fresh build
     r3 = pq.shared_fixture_root("fxt", sf, "2", _fx_build_counter(calls))
     assert r3 != r1 and len(calls) == 2
+
+
+def test_shared_fixture_code_stamp_rolls_fixture(tmp_path, monkeypatch):
+    """A change in the code-derived stamp component (io sources / Spark
+    version / recipe module — ADVICE r15) rolls the fixture path without
+    any manual version bump."""
+    monkeypatch.setattr(pq, "_shared_base_dir", lambda: str(tmp_path))
+    sf = "/root/testdata/sf0.001"
+    calls = []
+    monkeypatch.setattr(pq, "_code_stamp", lambda rf: "aaaaaaaaaaaa")
+    r1 = pq.shared_fixture_root("fxv", sf, "1", _fx_build_counter(calls))
+    monkeypatch.setattr(pq, "_code_stamp", lambda rf: "bbbbbbbbbbbb")
+    r2 = pq.shared_fixture_root("fxv", sf, "1", _fx_build_counter(calls))
+    assert r1 != r2 and len(calls) == 2
+
+
+def test_code_stamp_tracks_recipe_file_content(tmp_path):
+    """_code_stamp changes when the recipe module's bytes change, and is
+    cached per path (second read hits the cache, not the disk)."""
+    f = tmp_path / "recipe.py"
+    f.write_text("A = 1\n")
+    pq._CODE_STAMP_CACHE.clear()
+    s1 = pq._code_stamp(str(f))
+    f.write_text("A = 2\n")
+    assert pq._code_stamp(str(f)) == s1  # cached: same process, same key
+    pq._CODE_STAMP_CACHE.clear()
+    s2 = pq._code_stamp(str(f))
+    assert s2 != s1
 
 
 def test_shared_fixture_sweep_marks_then_collects(tmp_path, monkeypatch):
@@ -337,7 +367,8 @@ def test_shared_fixture_sweep_marks_then_collects(tmp_path, monkeypatch):
     sf = "/root/testdata/sf0.001"
     calls = []
     r1 = pq.shared_fixture_root("fxs", sf, "1", _fx_build_counter(calls))
-    name = os.path.basename(r1).rsplit(".", 1)[0]
+    claim_root = os.path.dirname(r1)
+    name = os.path.basename(claim_root).rsplit(".", 1)[0]
     stale = _mk_tree(
         str(tmp_path / f"{name}.deadbeef0002"), age_sec=2 * pq._DEBRIS_GRACE_SEC
     )
@@ -380,29 +411,31 @@ def test_shared_fixture_collects_dead_builder_claim(tmp_path, monkeypatch):
     calls = []
     build = _fx_build_counter(calls)
     r1 = pq.shared_fixture_root("fxc", sf, "1", build)
+    claim = os.path.dirname(r1)
     # simulate a crashed builder: claim dir + dead-pid _BUILDER, no marker
-    shutil.rmtree(r1)
-    os.makedirs(r1)
-    with open(os.path.join(r1, "_BUILDER"), "w") as fh:
+    shutil.rmtree(claim)
+    os.makedirs(claim)
+    with open(os.path.join(claim, "_BUILDER"), "w") as fh:
         fh.write(str(_DEAD_PID))
     old = time.time() - 30
-    os.utime(r1, (old, old))
+    os.utime(claim, (old, old))
     r2 = pq.shared_fixture_root("fxc", sf, "1", build)
-    assert r2 == r1 and len(calls) == 2  # corpse collected, rebuilt
-    assert os.path.exists(os.path.join(r2, "_FIXTURE_COMPLETE"))
+    # corpse collected, rebuilt at the same claim root (new generation)
+    assert os.path.dirname(r2) == claim and len(calls) == 2
+    assert os.path.exists(os.path.join(claim, "_FIXTURE_COMPLETE"))
     # a claim with no _BUILDER yet and age under the settle window is a
     # builder mid-claim: wait (bounded here by patching the deadline)
-    shutil.rmtree(r2)
-    os.makedirs(r2)
+    shutil.rmtree(claim)
+    os.makedirs(claim)
     monkeypatch.setattr(pq, "_FX_CLAIM_SETTLE_SEC", 3600.0)
     monkeypatch.setattr(pq, "_FX_HARD_CAP_SEC", 0.5)
     # live-pid claim past the (tiny) hard cap: collected as hung
-    with open(os.path.join(r2, "_BUILDER"), "w") as fh:
+    with open(os.path.join(claim, "_BUILDER"), "w") as fh:
         fh.write(str(os.getpid()))
     old = time.time() - 30
-    os.utime(r2, (old, old))
+    os.utime(claim, (old, old))
     r3 = pq.shared_fixture_root("fxc", sf, "1", build)
-    assert r3 == r2 and len(calls) == 3
+    assert os.path.dirname(r3) == claim and len(calls) == 3
 
 
 def test_shared_fixture_failed_build_never_publishes(tmp_path, monkeypatch):
@@ -424,7 +457,8 @@ def test_shared_fixture_failed_build_never_publishes(tmp_path, monkeypatch):
     # and the path recovers on the next (successful) attempt
     calls = []
     r = pq.shared_fixture_root("fxf", sf, "1", _fx_build_counter(calls))
-    assert os.path.exists(os.path.join(r, "_FIXTURE_COMPLETE")) and len(calls) == 1
+    assert os.path.exists(os.path.join(os.path.dirname(r), "_FIXTURE_COMPLETE"))
+    assert len(calls) == 1
 
 
 def _fx_race_worker(args):
@@ -462,8 +496,124 @@ def test_shared_fixture_race_builds_exactly_once(tmp_path):
         roots = list(ex.map(_fx_race_worker, [(base, sidedir, 0.5)] * 8))
     assert len(set(roots)) == 1
     root = roots[0]
-    assert os.path.exists(os.path.join(root, "_FIXTURE_COMPLETE"))
+    assert os.path.exists(os.path.join(os.path.dirname(root), "_FIXTURE_COMPLETE"))
     built = [n for n in os.listdir(sidedir) if n.startswith("built.")]
     assert len(built) == 1  # exactly one process ran the build
     with open(os.path.join(root, "payload.txt")) as fh:
         assert fh.read() == f"by {built[0].split('.')[1]}"
+
+
+# -- r16 hardening: the ADVICE-r15 sweep and zombie-isolation guards ---------
+
+
+def test_sweep_spares_live_builder_and_complete_siblings(tmp_path, monkeypatch):
+    """Past the displacement grace, a stale-stamp sibling is still kept
+    when (a) its _BUILDER pid is alive (in-flight build under another
+    stamp epoch — mixed-version concurrency) or (b) it is a COMPLETE
+    fixture below the hard cap (a mixed-version reader may be mid-scan);
+    a dead-builder incomplete sibling is collected (ADVICE r15)."""
+    monkeypatch.setattr(pq, "_shared_base_dir", lambda: str(tmp_path))
+    sf = "/root/testdata/sf0.001"
+    calls = []
+    r1 = pq.shared_fixture_root("fxg", sf, "1", _fx_build_counter(calls))
+    name = os.path.basename(os.path.dirname(r1)).rsplit(".", 1)[0]
+    aged = 2 * pq._DEBRIS_GRACE_SEC
+
+    live = _mk_tree(str(tmp_path / f"{name}.aaaaaaaaaaa1"), age_sec=aged)
+    with open(os.path.join(live, "_BUILDER"), "w") as fh:
+        fh.write(f"{os.getpid()}:feedfacefeed")
+    complete = _mk_tree(str(tmp_path / f"{name}.aaaaaaaaaaa2"), age_sec=aged)
+    with open(os.path.join(complete, "_FIXTURE_COMPLETE"), "w") as fh:
+        fh.write("feedfacefeed")
+    dead = _mk_tree(str(tmp_path / f"{name}.aaaaaaaaaaa3"), age_sec=aged)
+    with open(os.path.join(dead, "_BUILDER"), "w") as fh:
+        fh.write(f"{_DEAD_PID}:feedfacefeed")
+    old = time.time() - aged
+    for p in (live, complete, dead):
+        with open(os.path.join(p, "_DISPLACED"), "w") as fh:
+            fh.write(str(old))
+        os.utime(os.path.join(p, "_DISPLACED"), (old, old))
+
+    pq._LAST_SWEEP.pop(os.path.join(str(tmp_path), name), None)
+    pq.shared_fixture_root("fxg", sf, "1", _fx_build_counter(calls))
+    assert os.path.exists(live), "live-builder sibling must survive"
+    assert os.path.exists(complete), "complete sibling must get hard-cap life"
+    assert not os.path.exists(dead), "dead incomplete sibling must be swept"
+
+    # past the hard cap both guards yield: everything goes
+    monkeypatch.setattr(pq, "_FX_HARD_CAP_SEC", 0.5)
+    pq._LAST_SWEEP.pop(os.path.join(str(tmp_path), name), None)
+    pq.shared_fixture_root("fxg", sf, "1", _fx_build_counter(calls))
+    assert not os.path.exists(live) and not os.path.exists(complete)
+    assert len(calls) == 1
+
+
+def test_sweep_matches_exact_sibling_shape(tmp_path, monkeypatch):
+    """Only ``name + "." + 12-hex`` is a sibling: a DIFFERENT fixture
+    whose sanitized sf_dir path dot-extends this one (sf0.001 vs a
+    hypothetical sf0.001.bak) must never be marked or collected
+    (ADVICE r15)."""
+    monkeypatch.setattr(pq, "_shared_base_dir", lambda: str(tmp_path))
+    sf = "/root/testdata/sf0.001"
+    calls = []
+    r1 = pq.shared_fixture_root("fxe", sf, "1", _fx_build_counter(calls))
+    name = os.path.basename(os.path.dirname(r1)).rsplit(".", 1)[0]
+    aged = 10**6
+    # live fixture of a dot-extended sf_dir: name + ".bak." + 12-hex
+    foreign = _mk_tree(str(tmp_path / f"{name}.bak.deadbeef0001"), age_sec=aged)
+    # and a non-hex suffix of the right length
+    nothex = _mk_tree(str(tmp_path / f"{name}.notahexstamp"), age_sec=aged)
+    for _ in range(2):  # two sweeps: would mark then collect a match
+        pq._LAST_SWEEP.pop(os.path.join(str(tmp_path), name), None)
+        pq.shared_fixture_root("fxe", sf, "1", _fx_build_counter(calls))
+    assert os.path.exists(foreign) and not os.path.exists(
+        os.path.join(foreign, "_DISPLACED")
+    )
+    assert os.path.exists(nothex) and not os.path.exists(
+        os.path.join(nothex, "_DISPLACED")
+    )
+    assert len(calls) == 1
+
+
+def test_zombie_generation_is_isolated_and_collected(tmp_path, monkeypatch):
+    """Hard-cap re-claim never shares paths with the zombie's writes: the
+    re-claimed build lands in a NEW generation dir, the zombie's
+    late-arriving files stay in its own generation (published tree
+    unpolluted), its ownership re-check fails, and the dead generation
+    is swept a grace window later (ADVICE r15)."""
+    monkeypatch.setattr(pq, "_shared_base_dir", lambda: str(tmp_path))
+    sf = "/root/testdata/sf0.001"
+    calls = []
+    build = _fx_build_counter(calls)
+    r1 = pq.shared_fixture_root("fxz", sf, "1", build)
+    claim = os.path.dirname(r1)
+    name = os.path.basename(claim).rsplit(".", 1)[0]
+    # simulate a hung builder's claim that got collected and re-claimed:
+    # wipe, plant a zombie claim with a half-built generation, age past
+    # the hard cap
+    shutil.rmtree(claim)
+    os.makedirs(os.path.join(claim, "gdeadbeef0001"))
+    with open(os.path.join(claim, "gdeadbeef0001", "half.txt"), "w") as fh:
+        fh.write("zombie partial")
+    with open(os.path.join(claim, "_BUILDER"), "w") as fh:
+        fh.write(f"{os.getpid()}:deadbeef0001")  # live pid: hung, not dead
+    monkeypatch.setattr(pq, "_FX_HARD_CAP_SEC", 0.5)
+    old = time.time() - 30
+    os.utime(claim, (old, old))
+    r2 = pq.shared_fixture_root("fxz", sf, "1", build)
+    assert os.path.dirname(r2) == claim and len(calls) == 2
+    # the zombie now wakes and writes into ITS generation path — the
+    # published generation is a different dir, so nothing lands in it
+    zgen = os.path.join(claim, "gdeadbeef0001")
+    os.makedirs(zgen, exist_ok=True)
+    with open(os.path.join(zgen, "late-write.txt"), "w") as fh:
+        fh.write("zombie late")
+    assert not os.path.exists(os.path.join(r2, "late-write.txt"))
+    # the zombie's ownership re-check fails: it may not publish or clean
+    assert pq._fx_claim_read(claim) != (os.getpid(), "deadbeef0001")
+    # and the dead generation is collected once it ages past the grace
+    aged = time.time() - 2 * pq._DEBRIS_GRACE_SEC
+    os.utime(zgen, (aged, aged))
+    pq._LAST_SWEEP.pop(os.path.join(str(tmp_path), name), None)
+    r3 = pq.shared_fixture_root("fxz", sf, "1", build)
+    assert r3 == r2 and not os.path.exists(zgen) and os.path.exists(r2)

@@ -48,3 +48,21 @@ def test_bench_tail_line_fits_the_driver_capture():
     # the full record precedes it and agrees on the totals
     full = json.loads(lines[-2])
     assert full["value"] == rec["value"] and full["value_warm"] == rec["value_warm"]
+    # the operator-loop tag rides the full record (VERDICT r15 task 3):
+    # names listed there must be run queries, and a run that includes an
+    # iterative operator must tag it
+    assert "operator_loop" in full
+    assert set(full["operator_loop"]) <= set(full["queries"])
+
+
+def test_operator_loop_names_are_registered():
+    """Every OPERATOR_LOOP tag names a registered query — a rename in
+    the registry must not silently detach the exec-gate fold."""
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import bench
+    import __spark_entry__ as entrymod
+
+    assert set(bench.OPERATOR_LOOP) <= set(entrymod.queries())

@@ -24,12 +24,23 @@ def _load(path: str, warm: bool) -> dict:
     return rec
 
 
-def _split(rec: dict, warm: bool) -> tuple[dict, dict] | None:
+def _split(rec: dict, warm: bool, loop: set) -> tuple[dict, dict] | None:
     """(build, exec) per-query maps when the record carries the r14
-    fixture/operator split; None for pre-r14 records."""
+    fixture/operator split; None for pre-r14 records.  Rows named in
+    ``loop`` (the r16 ``operator_loop`` tag: iterative operators whose
+    driver loop runs inside the query callable) have their build bucket
+    folded into exec, so the exec drift gate covers the operator work
+    instead of mislabeling it fixture scripting (VERDICT r15 task 3)."""
     pfx = "queries_warm" if warm else "queries"
     b, e = rec.get(pfx + "_build"), rec.get(pfx + "_exec")
-    return (b, e) if b and e else None
+    if not (b and e):
+        return None
+    b, e = dict(b), dict(e)
+    for q in loop:
+        if q in b and q in e:
+            e[q] = round(e[q] + b[q], 3)
+            b[q] = 0.0
+    return (b, e)
 
 
 def main() -> None:
@@ -56,8 +67,15 @@ def main() -> None:
     # When both records carry the r14 fixture/operator split, diff the
     # two components separately: a drift whose delta sits entirely in the
     # build bucket is fixture scripting, not operator throughput, and
-    # needs no standalone A/B adjudication (VERDICT r13 task 3).
-    sp_old, sp_new = _split(rec_old, warm), _split(rec_new, warm)
+    # needs no standalone A/B adjudication (VERDICT r13 task 3).  The
+    # operator_loop tag is taken from EITHER record (a pre-r16 old record
+    # lacks it) and applied to both, so the components stay comparable.
+    loop = set(rec_old.get("operator_loop") or []) | set(
+        rec_new.get("operator_loop") or []
+    )
+    if loop:
+        print(f"operator-loop rows folded into exec: {len(loop)}")
+    sp_old, sp_new = _split(rec_old, warm, loop), _split(rec_new, warm, loop)
     if sp_old and sp_new:
         for label, o_map, n_map in (
             ("build", sp_old[0], sp_new[0]),

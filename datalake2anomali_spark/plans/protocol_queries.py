@@ -591,6 +591,25 @@ def shared_fixture_root(
             raise RuntimeError(f"timed out building fixture at {root}")
 
 
+def hardlink_clone(src: str, dst: str) -> str:
+    """A per-call MUTABLE copy of a cached fixture directory at hardlink
+    cost (VERDICT r15 task 5 — cacheable setup PREFIXES for queries
+    whose operator is the mutation itself).  Safe because every writer
+    in this engine — plain parquet overwrite included — replaces files
+    (write new + unlink old), never opens an existing file for write,
+    so mutations on the clone can never reach back into the cached
+    fixture's inodes.  ``dst`` is recreated from scratch, keeping the
+    caller a pure function of the source across repeated runs."""
+    shutil.rmtree(dst, ignore_errors=True)
+    for dirpath, _dirnames, filenames in os.walk(src):
+        rel = os.path.relpath(dirpath, src)
+        target = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(target, exist_ok=True)
+        for fn in filenames:
+            os.link(os.path.join(dirpath, fn), os.path.join(target, fn))
+    return dst
+
+
 def _fingerprint(spark: SparkSession, root: str, **kw) -> tuple:
     from ..io.publish import read_snapshot
 
@@ -1289,13 +1308,30 @@ def q_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         vacuum,
     )
 
+    from ..io.publish import clone_table
+
     e = _events(spark, sf_dir)
-    root = _scratch_root("d2a_constraints", sf_dir)
     cons = {
         "positive_id": "event_id >= 0",
         "known_type": "event_type IN ('view','click','purchase','signup','error')",
     }
-    init_table(spark, e, root, "event_date", constraints=cons)
+
+    # The operator under test is the constraint ENFORCEMENT on the
+    # mutations (refusal atomicity, satisfying merge, compaction
+    # survival) — the constrained base table is a cacheable setup
+    # prefix (VERDICT r15 task 5).  clone_table copies the manifest
+    # wholesale, constraints included, so the per-call clone enforces
+    # identically while every mutation stays call-local.
+    def _build(fx: str) -> None:
+        init_table(
+            spark, e, os.path.join(fx, "table"), "event_date", constraints=cons
+        )
+
+    base_tbl = os.path.join(
+        shared_fixture_root("consbase", sf_dir, "1", _build), "table"
+    )
+    root = _scratch_root("d2a_constraints", sf_dir)
+    clone_table(base_tbl, root)
 
     ok = e.filter(F.col("event_type") == "purchase").withColumn(
         "value", F.col("value") + 50.0

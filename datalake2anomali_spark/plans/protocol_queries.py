@@ -20,6 +20,7 @@ upsert/cursor state machine (``/root/reference/src/Datalake2Anomali.py:
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import shutil
@@ -528,28 +529,131 @@ def shared_fixture_root(
         if claimed:
             token = os.urandom(6).hex()
             me = (os.getpid(), token)
-            with open(os.path.join(root, "_BUILDER"), "w", encoding="utf-8") as fh:
-                fh.write(f"{os.getpid()}:{token}")
             gen = os.path.join(root, "g" + token)
-            os.mkdir(gen)
+            builder_landed = False
             try:
+                # claim SETUP sits inside the cleanup scope too: an
+                # ENOSPC between the mkdir(root) claim and these lines
+                # would otherwise leak a live-pid claim that stalls
+                # every consumer for the full hard cap (code-review r16)
+                with open(
+                    os.path.join(root, "_BUILDER"), "w", encoding="utf-8"
+                ) as fh:
+                    fh.write(f"{os.getpid()}:{token}")
+                builder_landed = True
+                os.mkdir(gen)
                 build(gen)
             except BaseException:
                 # only the still-standing owner may clean up: if the claim
                 # was collected and re-claimed mid-build, the tree now
-                # belongs to another builder
-                if _fx_claim_read(root) == me:
+                # belongs to another builder.  Before our _BUILDER landed
+                # whole, the claim is ours when the file is absent (None)
+                # OR carries our pid from a torn partial write; after it
+                # landed, None means the root was collected — an innocent
+                # re-claimant may be mid-settle there, so leave it alone
+                # (code-review r16, second + third pass)
+                owner = _fx_claim_read(root)
+                if owner == me or (
+                    not builder_landed
+                    and (owner is None or owner[0] == os.getpid())
+                ):
                     shutil.rmtree(root, ignore_errors=True)
                 raise
             if _fx_claim_read(root) == me:
+                published = self_destruct = False
+                tmp = f"{done}.tmp.{os.getpid()}"
+                # EXCLUSIVE publish (os.link, never rename): a rename
+                # could atomically clobber a re-claimant's already-valid
+                # marker, which no un-publish can recover (code-review
+                # r16, third pass).  Bounded retry: each EEXIST iteration
+                # either removes one bogus zombie marker or exits.
+                for _ in range(16):
+                    try:
+                        with open(tmp, "w", encoding="utf-8") as fh:
+                            fh.write(token)
+                        os.link(tmp, done)
+                        published = True
+                    except FileExistsError:
+                        if _fx_claim_read(root) != me:
+                            break  # lost claim: the new owner's marker serves
+                        # a marker inside a root we own that we did not
+                        # write: a zombie's bogus publish.  Remove it via
+                        # rename-aside, restoring it only if it resolves
+                        # to a live generation (then something is deeply
+                        # inconsistent — bail to the outer retry rather
+                        # than destroy a resolvable marker).
+                        trash = f"{done}.unpub.{os.getpid()}"
+                        try:
+                            os.rename(done, trash)
+                        except OSError:
+                            continue  # marker vanished: retry the link
+                        t2 = ""
+                        try:
+                            with open(trash, encoding="utf-8") as fh:
+                                t2 = fh.read().strip()
+                        except OSError:
+                            pass
+                        if t2 and os.path.isdir(os.path.join(root, "g" + t2)):
+                            try:
+                                os.rename(trash, done)
+                            except OSError:
+                                pass
+                            break
+                        try:
+                            os.unlink(trash)
+                        except OSError:
+                            pass
+                        continue
+                    except OSError:
+                        # publish failure while we may still own the claim
+                        # (e.g. ENOSPC): retrying the outer loop would
+                        # route us into the waiter branch to wait on our
+                        # own live pid until the hard cap — clean up and
+                        # propagate instead (code-review r16, second pass)
+                        self_destruct = _fx_claim_read(root) == me
+                        if self_destruct:
+                            shutil.rmtree(root, ignore_errors=True)
+                        break
+                    break
                 try:
-                    tmp = f"{done}.tmp.{os.getpid()}"
-                    with open(tmp, "w", encoding="utf-8") as fh:
-                        fh.write(token)
-                    os.rename(tmp, done)  # readers never see a partial marker
-                    return gen
+                    os.unlink(tmp)
                 except OSError:
-                    pass  # claim collected between check and publish: retry
+                    pass
+                if self_destruct:
+                    raise OSError(
+                        f"could not publish fixture marker at {done}"
+                    )
+                if published:
+                    # post-publish ownership re-check: a hard-cap
+                    # collection + re-claim landing between the pre-publish
+                    # check and the link would make the marker name OUR
+                    # (deleted) generation inside the re-claimant's root —
+                    # un-publish it and retry rather than returning a dead
+                    # path or leaving a bogus marker that waiters resolve
+                    # (code-review r16)
+                    if _fx_claim_read(root) == me:
+                        return gen
+                    # un-publish via rename-aside + content check: a bare
+                    # unlink could race another owner's replacement
+                    trash = f"{done}.unpub.{os.getpid()}"
+                    try:
+                        os.rename(done, trash)
+                    except OSError:
+                        pass  # marker already replaced/collected
+                    else:
+                        ours = False
+                        try:
+                            with open(trash, encoding="utf-8") as fh:
+                                ours = fh.read().strip() == token
+                        except OSError:
+                            pass
+                        try:
+                            if ours:
+                                os.unlink(trash)
+                            else:
+                                os.rename(trash, done)  # restore foreign marker
+                        except OSError:
+                            pass
             # lost the claim (collected as hung, re-claimed): never publish
             # a marker over someone else's build — retry; the new owner's
             # marker will serve us
@@ -1116,10 +1220,18 @@ def q_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         # physical recount must match the READ PATH's count (manifest rows
         # would be near-tautological: they were recorded by the same writer
         # scans of the same files, and would miss a read_snapshot defect)
-        paths = [r["path"] for r in files_df(spark, root).collect()]
+        rows = files_df(spark, root).collect()
         n_live = read_snapshot(spark, root, "event_date").count()
-        if spark.read.parquet(*paths).count() != n_live:
+        if spark.read.parquet(*[r["path"] for r in rows]).count() != n_live:
             raise AssertionError("files_df paths do not reproduce the live snapshot")
+        # record the verified footprint so cache-hit calls can re-pin
+        # against BUILD-TIME state: files_df re-derives its list from a
+        # live filesystem walk, so any per-call check built from its own
+        # output would tautologically pass under decay (code-review r16)
+        with open(os.path.join(fx, "files_pin.json"), "w", encoding="utf-8") as fh:
+            json.dump(
+                {"n": len(rows), "bytes": sum(r["size_bytes"] for r in rows)}, fh
+            )
 
     # operator under test is the metadata READ — the scripted
     # create→merge→delete fixture is cacheable setup (VERDICT r14 task 3).
@@ -1127,14 +1239,25 @@ def q_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     # everything that could change its outcome (io sources, Spark
     # version, recipe, source data — _code_stamp), so a cache hit cannot
     # hide drift the recount would catch (ADVICE r15).  What a hit CAN
-    # hide is fixture decay on disk, so re-pin the cheap metadata-only
-    # invariant every call: every live path the files view names exists.
-    root = os.path.join(
-        shared_fixture_root("metatables", sf_dir, "1", _build), "table"
-    )
-    for r in files_df(spark, root).collect():  # manifest-sized, no data scan
-        if not os.path.exists(r["path"]):
-            raise AssertionError(f"files_df names a missing file: {r['path']}")
+    # hide is fixture decay on disk, so every call re-pins the current
+    # files view against the footprint RECORDED at build time — a live
+    # walk compared to itself would tautologically pass (code-review r16).
+    fx = shared_fixture_root("metatables", sf_dir, "1", _build)
+    root = os.path.join(fx, "table")
+    with open(os.path.join(fx, "files_pin.json"), encoding="utf-8") as fh:
+        pin = json.load(fh)
+    rows = files_df(spark, root).collect()  # manifest+dir walk, no data scan
+    now_pin = {"n": len(rows), "bytes": sum(r["size_bytes"] for r in rows)}
+    if now_pin != pin:
+        # self-heal: a decayed fixture would otherwise stay published and
+        # wedge every subsequent call — collect it so the next call
+        # rebuilds, and name the path for the operator (code-review r16)
+        claim_root = os.path.dirname(fx)
+        shutil.rmtree(claim_root, ignore_errors=True)
+        raise AssertionError(
+            f"cached fixture at {claim_root} decayed and was collected "
+            f"(files view {now_pin} != built {pin}); rerun to rebuild"
+        )
     hist = history_df(spark, root).select("version", "operation")
     per_version = []
     for v in [r["version"] for r in hist.collect()]:

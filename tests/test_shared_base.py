@@ -575,6 +575,67 @@ def test_sweep_matches_exact_sibling_shape(tmp_path, monkeypatch):
     assert len(calls) == 1
 
 
+def test_claim_setup_failure_releases_the_claim(tmp_path, monkeypatch):
+    """An OSError in claim SETUP (the _BUILDER write or the generation
+    mkdir, e.g. tmpfs ENOSPC) must release the claim immediately — a
+    leaked live-pid claim would stall every consumer for the full hard
+    cap (code-review r16)."""
+    monkeypatch.setattr(pq, "_shared_base_dir", lambda: str(tmp_path))
+    sf = "/root/testdata/sf0.001"
+    real_mkdir = os.mkdir
+
+    def failing_mkdir(path, *a, **kw):
+        if os.path.basename(path).startswith("g") and "d2a_SHAREDFX_fxh" in path:
+            raise OSError(28, "No space left on device", path)
+        return real_mkdir(path, *a, **kw)
+
+    monkeypatch.setattr(os, "mkdir", failing_mkdir)
+    calls = []
+    try:
+        pq.shared_fixture_root("fxh", sf, "1", _fx_build_counter(calls))
+        raise AssertionError("setup failure must propagate")
+    except OSError:
+        pass
+    # the claim root is gone: nothing for another process to wait on
+    assert [n for n in os.listdir(tmp_path) if n.startswith("d2a_SHAREDFX_fxh")] == []
+    # and the next call self-heals instantly (no hard-cap stall)
+    monkeypatch.setattr(os, "mkdir", real_mkdir)
+    r = pq.shared_fixture_root("fxh", sf, "1", _fx_build_counter(calls))
+    assert os.path.exists(os.path.join(os.path.dirname(r), "_FIXTURE_COMPLETE"))
+    assert len(calls) == 1
+
+
+def test_claim_setup_failure_in_builder_write_releases_the_claim(
+    tmp_path, monkeypatch
+):
+    """Same self-heal contract for the OTHER setup step: the _BUILDER
+    write itself failing (builder_landed=False, owner None) must release
+    the claim too (code-review r16, third pass)."""
+    import builtins
+
+    monkeypatch.setattr(pq, "_shared_base_dir", lambda: str(tmp_path))
+    sf = "/root/testdata/sf0.001"
+    real_open = builtins.open
+
+    def failing_open(path, *a, **kw):
+        if isinstance(path, str) and path.endswith("_BUILDER") and "fxw" in path:
+            raise OSError(28, "No space left on device", path)
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", failing_open)
+    calls = []
+    try:
+        pq.shared_fixture_root("fxw", sf, "1", _fx_build_counter(calls))
+        raise AssertionError("setup failure must propagate")
+    except OSError:
+        pass
+    monkeypatch.setattr(builtins, "open", real_open)
+    assert [n for n in os.listdir(tmp_path) if n.startswith("d2a_SHAREDFX_fxw")] == []
+    r = pq.shared_fixture_root("fxw", sf, "1", _fx_build_counter(calls))
+    assert os.path.exists(os.path.join(os.path.dirname(r), "_FIXTURE_COMPLETE"))
+    assert len(calls) == 1
+
+
 def test_zombie_generation_is_isolated_and_collected(tmp_path, monkeypatch):
     """Hard-cap re-claim never shares paths with the zombie's writes: the
     re-claimed build lands in a NEW generation dir, the zombie's

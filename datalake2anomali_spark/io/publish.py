@@ -513,13 +513,102 @@ def _schema_record(df: DataFrame) -> list[list[str]]:
     return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
 
 
+#: Characters Spark's hive partition-value inference can interpret as a
+#: numeric / date / timestamp rendering.  A raw directory value containing
+#: anything OUTSIDE this set is inferred StringType, whose ``str()`` is the
+#: raw value itself — so the footer fast path may key it verbatim.
+_PARTITION_AMBIGUOUS_CHARS = frozenset("0123456789+-.:eET /")
+
+_CANONICAL_LONG_RE = re.compile(r"-?(0|[1-9][0-9]*)")
+
+
+def _partition_value_renders_verbatim(raw: str) -> bool:
+    """True when Spark's partition-type inference of ``raw`` is guaranteed
+    to stringify back to ``raw`` — the exactness contract that lets the
+    footer fast path key manifests by the directory value directly.
+
+    Cases accepted: canonical longs (no leading zeros / plus sign — Java's
+    ``parseInt`` would re-render those differently), strict ISO dates
+    (``DateType`` stringifies to the same ISO form), and values containing
+    a character no numeric/date/timestamp rendering can contain (inferred
+    StringType verbatim).  Anything ambiguous ("0123", "1.50", "1e3",
+    timestamp-shaped strings) returns False and the caller falls back to
+    the Spark scan whose semantics are the historical contract."""
+    if _CANONICAL_LONG_RE.fullmatch(raw):
+        return -(2**63) <= int(raw) < 2**63
+    if len(raw) == 10:
+        import datetime as _dt
+
+        try:
+            _dt.date.fromisoformat(raw)
+            return True
+        except ValueError:
+            pass
+    return any(ch not in _PARTITION_AMBIGUOUS_CHARS for ch in raw)
+
+
+def _footer_partition_files(
+    vdir: str, partition_col: str
+) -> dict[str, list[str]] | None:
+    """{raw_partition_value: [parquet paths]} for a freshly written
+    single-level hive layout, or None when the layout (or any value's
+    rendering) is not provably equivalent to the Spark-scan contract.
+    Skips underscore/dot-prefixed entries exactly as Spark's file index
+    does (``_SUCCESS``, ``_dv``, ``_append``, checksums)."""
+    from urllib.parse import unquote
+
+    prefix = partition_col + "="
+    out: dict[str, list[str]] = {}
+    try:
+        entries = sorted(os.listdir(vdir))
+    except OSError:
+        return None
+    for d in entries:
+        if d.startswith(("_", ".")):
+            continue
+        pdir = os.path.join(vdir, d)
+        if not os.path.isdir(pdir) or not d.startswith(prefix):
+            return None  # unrecognized layout: let the scan decide
+        raw = unquote(d[len(prefix):])
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            return None  # null partition: historical path raises/renders
+        if not _partition_value_renders_verbatim(raw):
+            return None
+        files = [
+            os.path.join(pdir, f)
+            for f in sorted(os.listdir(pdir))
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        if files:
+            out[raw] = files
+    return out
+
+
 def _written_partition_counts(
     spark: SparkSession, vdir: str, partition_col: str
 ) -> dict:
-    """{raw_pval: row_count} over a freshly written version directory —
-    the same single scan that used to fetch distinct partition values,
-    upgraded to carry per-partition row counts for free (one groupBy on
-    the partition column; collect bounded by partition count)."""
+    """{raw_pval: row_count} over a freshly written version directory.
+
+    Fast path: parquet FOOTER metadata (``num_rows`` per file summed per
+    hive directory) — exactly what every table format derives at commit
+    time from the files it just wrote, metadata-scale I/O instead of a
+    data rescan (at 100 TB the commit must not re-read its own write; the
+    footer list is bounded by the commit's file count).  Falls back to
+    the historical one-job Spark scan whenever the layout or a partition
+    value's rendering is not provably identical (guard:
+    :func:`_partition_value_renders_verbatim`)."""
+    by_part = _footer_partition_files(vdir, partition_col)
+    if by_part:  # empty dict falls through: the scan raises the
+        # historical no-files-to-infer-schema error
+        import pyarrow.parquet as pq
+
+        try:
+            return {
+                p: sum(pq.read_metadata(f).num_rows for f in files)
+                for p, files in by_part.items()
+            }
+        except Exception:
+            pass  # unreadable footer: the scan will surface the real error
     return {
         r[0]: r[1]
         for r in spark.read.parquet(vdir)
@@ -713,6 +802,9 @@ def _partition_stats(
     count.  This is the zone-map half of a table format's metadata:
     min/max per partition for NON-partition columns, so readers can skip
     partitions on predicates the directory layout can't prune."""
+    footer = _footer_partition_stats(vdir, partition_col, stats_cols)
+    if footer is not None:
+        return footer
     aggs = []
     for c in stats_cols:
         aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
@@ -725,6 +817,78 @@ def _partition_stats(
         }
         for r in rows
     }
+
+
+#: Arrow type ids whose parquet chunk statistics are exact and whose
+#: Python renderings match Spark's collect() values: signed/unsigned
+#: integers (pyarrow type ids 2-9 → int) and float32/float64 (10-12 →
+#: float).  Strings are excluded (writers may truncate binary stats) and
+#: so is everything temporal/nested — those fall back to the Spark scan.
+_FOOTER_STATS_EXACT_KINDS = ("int", "float", "double")
+
+
+def _footer_partition_stats(
+    vdir: str, partition_col: str, stats_cols: list[str]
+) -> dict[str, dict[str, list]] | None:
+    """Zone maps from parquet FOOTER statistics — the metadata-only twin
+    of the Spark-scan aggregate (guide §1/§6: the commit should not
+    re-read the data it just wrote; chunk min/max for integral and
+    floating columns is exact, and parquet-mr omits the stats entirely
+    for NaN-polluted double chunks, which routes those to the fallback).
+
+    Returns None whenever ANY condition needed for bit-identical results
+    is not provable: unrecognized layout, ambiguous partition rendering,
+    a missing/none statistics object on a chunk holding non-null values,
+    a non-numeric column type, or a column absent from a file's schema.
+    All-null chunks (null_count == num rows) legitimately carry no
+    min/max and contribute nothing; a partition whose every chunk is
+    all-null yields [None, None], exactly like the scan's min/max."""
+    by_part = _footer_partition_files(vdir, partition_col)
+    if not by_part:
+        return None
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    try:
+        for p, files in by_part.items():
+            lo: dict[str, object] = {c: None for c in stats_cols}
+            hi: dict[str, object] = {c: None for c in stats_cols}
+            for fpath in files:
+                md = pq.read_metadata(fpath)
+                schema = md.schema.to_arrow_schema()
+                idx = {}
+                for c in stats_cols:
+                    i = schema.get_field_index(c)
+                    if i < 0:
+                        return None
+                    kind = str(schema.field(i).type)
+                    if not kind.startswith(_FOOTER_STATS_EXACT_KINDS):
+                        return None
+                    idx[c] = i
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    for c, i in idx.items():
+                        col = row_group.column(i)
+                        st = col.statistics
+                        if st is None:
+                            return None
+                        if not st.has_min_max:
+                            if st.num_values == 0:
+                                continue  # all-null chunk: nothing to fold
+                            return None  # stats withheld (e.g. NaN): scan
+                        mn, mx = st.min, st.max
+                        if not isinstance(mn, (int, float)) or isinstance(
+                            mn, bool
+                        ):
+                            return None
+                        if lo[c] is None or mn < lo[c]:
+                            lo[c] = mn
+                        if hi[c] is None or mx > hi[c]:
+                            hi[c] = mx
+            out[p] = {c: [lo[c], hi[c]] for c in stats_cols}
+    except Exception:
+        return None
+    return out
 
 
 #: Bloom-filter geometry FLOOR: bits per per-partition filter / hash

@@ -714,6 +714,31 @@ def hardlink_clone(src: str, dst: str) -> str:
     return dst
 
 
+def _pristine_versioned_events(
+    spark: SparkSession, prefix: str, sf_dir: str
+) -> str:
+    """A per-call MUTABLE versioned events table (``init_table`` over the
+    full events frame, event_date-partitioned) seeded by hardlink clone
+    from a stamp-cached pristine publish — the shared "plain init" setup
+    prefix of the mutation-protocol fixtures (VERDICT r15 task 5 second
+    tranche).  The mutation under test stays per-call: every later commit
+    writes NEW version directories on the clone, vacuum unlinks only the
+    clone's links, and the per-call reset keeps each caller a pure
+    function of the source table."""
+    from ..io.publish import init_table
+
+    def _build(fx: str) -> None:
+        init_table(
+            spark, _events(spark, sf_dir), os.path.join(fx, "table"),
+            "event_date",
+        )
+
+    pristine = os.path.join(
+        shared_fixture_root("vinit", sf_dir, "1", _build), "table"
+    )
+    return hardlink_clone(pristine, _scratch_root(prefix, sf_dir))
+
+
 def _fingerprint(spark: SparkSession, root: str, **kw) -> tuple:
     from ..io.publish import read_snapshot
 
@@ -725,6 +750,38 @@ def _fingerprint(spark: SparkSession, root: str, **kw) -> tuple:
         F.sum(F.hash(*sorted(df.columns))).alias("h"),
     ).collect()[0]
     return (row["n"], row["h"])
+
+
+def _fingerprint_pair(
+    spark: SparkSession, root_a: str, root_b: str, **kw
+) -> tuple[tuple, tuple]:
+    """Both tables' ``(n, row-hash sum)`` fingerprints in ONE action.
+    The MoR/CoW parity fixtures fingerprint two tables after every
+    commit; the two snapshot scans are independent, so a tagged union
+    computes both in a single job (guide §1.2: fewer driver round-trips,
+    same bytes scanned) with each side's value bit-identical to
+    :func:`_fingerprint` — including the empty-snapshot ``(0, None)``
+    (an empty group simply yields no row)."""
+    from ..io.publish import read_snapshot
+
+    frames = []
+    for tag, root in ((0, root_a), (1, root_b)):
+        df = read_snapshot(spark, root, "event_date", **kw)
+        frames.append(
+            df.select(
+                F.lit(tag).alias("_t"),
+                F.hash(*sorted(df.columns)).alias("_h"),
+            )
+        )
+    rows = (
+        frames[0]
+        .unionByName(frames[1])
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_h").alias("h"))
+        .collect()
+    )
+    by = {r["_t"]: (r["n"], r["h"]) for r in rows}
+    return by.get(0, (0, None)), by.get(1, (0, None))
 
 
 def _type_rollup(snap: DataFrame) -> DataFrame:
@@ -957,7 +1014,8 @@ def q_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             key_cols=["event_id"],
         )
         delete_from_versioned(spark, cow, "event_date", cond)
-        if _fingerprint(spark, mor) != _fingerprint(spark, cow):
+        fp_mor, fp_cow = _fingerprint_pair(spark, mor, cow)
+        if fp_mor != fp_cow:
             raise AssertionError("merge-on-read result diverged from copy-on-write")
 
     m = read_manifest(mor)
@@ -1329,13 +1387,25 @@ def q_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _events(spark, sf_dir)
-    root = _scratch_root("d2a_zorder", sf_dir)
+
     # fragment the way real pipelines do: an 8-task write scatters every
     # hive partition across small files (localCheckpoint pins the task
-    # count so AQE can't coalesce it back)
-    init_table(
-        spark, e.repartition(8).localCheckpoint(eager=True), root, "event_date"
+    # count so AQE can't coalesce it back).  The OPTIMIZE/ZORDER/vacuum
+    # sequence is the operator under test; the fragmented ingest is a
+    # cacheable setup prefix (VERDICT r15 task 5 second tranche) — the
+    # hardlink clone preserves the exact file layout the assertions need.
+    def _build(fx: str) -> None:
+        init_table(
+            spark,
+            _events(spark, sf_dir).repartition(8).localCheckpoint(eager=True),
+            os.path.join(fx, "table"),
+            "event_date",
+        )
+
+    pristine = os.path.join(
+        shared_fixture_root("zfrag8", sf_dir, "1", _build), "table"
     )
+    root = hardlink_clone(pristine, _scratch_root("d2a_zorder", sf_dir))
     before = read_manifest(root)
 
     v_opt, done = optimize_partitions(
@@ -1370,18 +1440,34 @@ def q_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # per-file spans: both dims bounded wherever the byte target forced
     # intra-partition splits (at tiny scale each partition is one file and
-    # covers its full range — only assert when splitting actually engaged)
+    # covers its full range — only assert when splitting actually engaged).
+    # Footer row-group statistics give the exact per-file min/max for
+    # integral columns without reading a single data page (guide §6 —
+    # metadata-only verification of a layout claim).
     import pyarrow.parquet as pq
 
     spans = []
     for fpath in _glob.glob(
         os.path.join(version_dir(root, v_z), "**", "*.parquet"), recursive=True
     ):
-        t = pq.read_table(fpath, columns=["user_id", "event_id"])
-        u = t.column("user_id").to_pylist()
-        i = t.column("event_id").to_pylist()
-        if u and i:
-            spans.append((max(u) - min(u), max(i) - min(i)))
+        md = pq.read_metadata(fpath)
+        names = md.schema.names
+        iu, ii = names.index("user_id"), names.index("event_id")
+        u_lo = u_hi = i_lo = i_hi = None
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci, acc in ((iu, "u"), (ii, "i")):
+                st = row_group.column(ci).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                if acc == "u":
+                    u_lo = st.min if u_lo is None else min(u_lo, st.min)
+                    u_hi = st.max if u_hi is None else max(u_hi, st.max)
+                else:
+                    i_lo = st.min if i_lo is None else min(i_lo, st.min)
+                    i_hi = st.max if i_hi is None else max(i_hi, st.max)
+        if u_lo is not None and i_lo is not None:
+            spans.append((u_hi - u_lo, i_hi - i_lo))
     if len(spans) > len(m_z["partitions"]):
         b = e.agg(
             F.max("user_id") - F.min("user_id"),
@@ -1771,7 +1857,8 @@ def q_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
             mode="merge_on_read", key_cols=["event_id"],
         )
         update_versioned(spark, cow, "event_date", cond, sets)
-        if _fingerprint(spark, mor) != _fingerprint(spark, cow):
+        fp_mor, fp_cow = _fingerprint_pair(spark, mor, cow)
+        if fp_mor != fp_cow:
             raise AssertionError(
                 "merge-on-read UPDATE diverged from copy-on-write"
             )
@@ -2024,9 +2111,23 @@ def q_cross_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _events(spark, sf_dir)
     a_root = _cloned_events(spark, "d2a_cat_events", sf_dir)
-    b_root = _scratch_root("d2a_cat_totals", sf_dir)
     croot = _scratch_root("d2a_cat", sf_dir)
-    init_table(spark, totals_of(e), b_root, "bucket")
+
+    # the cross-table transaction is the operator under test; the totals
+    # publish is a cacheable setup prefix (VERDICT r15 task 5 second
+    # tranche), cloned per call at hardlink cost
+    def _build(fx: str) -> None:
+        init_table(
+            spark, totals_of(_events(spark, sf_dir)),
+            os.path.join(fx, "table"), "bucket",
+        )
+
+    b_root = hardlink_clone(
+        os.path.join(
+            shared_fixture_root("cattotals", sf_dir, "1", _build), "table"
+        ),
+        _scratch_root("d2a_cat_totals", sf_dir),
+    )
     create_catalog(croot)
     catalog_register(croot, "events", a_root)
     catalog_register(croot, "user_totals", b_root)
@@ -2148,12 +2249,31 @@ def q_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "value", "event_date"
     )
-    a_root = _scratch_root("d2a_mtxn_events", sf_dir)
-    b_root = _scratch_root("d2a_mtxn_totals", sf_dir)
     croot = _scratch_root("d2a_mtxn_cat", sf_dir)
-    init_table(spark, e, a_root, "event_date")
-    init_table(
-        spark, totals_of(e), b_root, "bucket", constraints={"n_pos": "n > 0"}
+
+    # the staged multi-table transaction is the operator under test; the
+    # two initial publishes are cacheable setup prefixes (VERDICT r15
+    # task 5 second tranche), cloned per call at hardlink cost — the
+    # transaction's commits write new version dirs on the clones, and
+    # clone_table-style manifest copies carry the totals constraints
+    def _build(fx: str) -> None:
+        src = _events(spark, sf_dir).select(
+            "event_id", "user_id", "event_type", "value", "event_date"
+        )
+        init_table(spark, src, os.path.join(fx, "events"), "event_date")
+        init_table(
+            spark, totals_of(src), os.path.join(fx, "totals"), "bucket",
+            constraints={"n_pos": "n > 0"},
+        )
+
+    pristine = shared_fixture_root("mtxnbase", sf_dir, "1", _build)
+    a_root = hardlink_clone(
+        os.path.join(pristine, "events"),
+        _scratch_root("d2a_mtxn_events", sf_dir),
+    )
+    b_root = hardlink_clone(
+        os.path.join(pristine, "totals"),
+        _scratch_root("d2a_mtxn_totals", sf_dir),
     )
     create_catalog(croot)
     catalog_register(croot, "events", a_root)
@@ -2293,8 +2413,26 @@ def q_merge_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "value", "event_date"
     )
-    root = _scratch_root("d2a_widen", sf_dir)
-    init_table(spark, e, root, "event_date")
+
+    # the widen→drop→re-add sequence is the operator under test; the
+    # 5-column initial publish is a cacheable setup prefix (VERDICT r15
+    # task 5 second tranche), cloned per call at hardlink cost
+    def _build(fx: str) -> None:
+        init_table(
+            spark,
+            _events(spark, sf_dir).select(
+                "event_id", "user_id", "event_type", "value", "event_date"
+            ),
+            os.path.join(fx, "table"),
+            "event_date",
+        )
+
+    root = hardlink_clone(
+        os.path.join(
+            shared_fixture_root("widenbase", sf_dir, "1", _build), "table"
+        ),
+        _scratch_root("d2a_widen", sf_dir),
+    )
 
     src1 = e.filter(F.col("event_type") == "purchase").withColumn(
         "score", F.col("value") / 10
@@ -2554,8 +2692,20 @@ def q_column_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _events(spark, sf_dir)
-    root = _scratch_root("d2a_colevo", sf_dir)
-    init_table(spark, e, root, "event_date", stats_cols=["value"])
+
+    # the ALTER + post-alter MERGE are the operators under test; the
+    # zone-mapped initial publish is a cacheable setup prefix (VERDICT
+    # r15 task 5 second tranche), cloned per call at hardlink cost
+    def _build(fx: str) -> None:
+        init_table(
+            spark, _events(spark, sf_dir), os.path.join(fx, "table"),
+            "event_date", stats_cols=["value"],
+        )
+
+    pristine = os.path.join(
+        shared_fixture_root("colevo", sf_dir, "1", _build), "table"
+    )
+    root = hardlink_clone(pristine, _scratch_root("d2a_colevo", sf_dir))
 
     def n_parquet() -> int:
         return sum(

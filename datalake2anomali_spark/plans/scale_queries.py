@@ -316,8 +316,6 @@ def q_merge_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     Crash-injection (old-or-new, never mixed) is pinned in
     tests/test_publish.py.
     """
-    import shutil
-
     from ..io.publish import (
         compact_versioned,
         init_table,
@@ -325,18 +323,18 @@ def q_merge_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_snapshot,
         vacuum,
     )
+    from .protocol_queries import _pristine_versioned_events
 
     e = load_table(spark, sf_dir, "events").withColumn(
         "event_date", F.date_format("ts", "yyyy-MM-dd")
     )
-    base = (
-        "/dev/shm"
-        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
-        else tempfile.gettempdir()
-    )
-    root = os.path.join(base, "d2a_vtable_" + sf_dir.strip("/").replace("/", "_"))
-    shutil.rmtree(root, ignore_errors=True)  # pure function of the source
-    init_table(spark, e, root, "event_date")
+    # The operator under test is the MERGE→OPTIMIZE→VACUUM protocol; the
+    # initial `init_table` publish is a cacheable setup prefix (VERDICT
+    # r15 task 5 second tranche): built once per content stamp, cloned
+    # per call at hardlink cost — every later commit writes NEW version
+    # dirs and vacuum only unlinks the clone's links, so the cached
+    # pristine table is never reachable from the mutations.
+    root = _pristine_versioned_events(spark, "d2a_vtable", sf_dir)
 
     nul = e.filter(F.col("event_type") == "purchase").withColumn(
         "value", F.lit(None).cast("double")
@@ -905,28 +903,23 @@ def q_cdc_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to a full recompute.  At 100 TB this is the difference
     between rescanning the table and reading one delta.
     """
-    import shutil
-
     from ..io.publish import (
         delete_from_versioned,
-        init_table,
         merge_into_versioned,
         read_snapshot,
         table_changes,
     )
     from ..operators.views import apply_changes, rollup_state
+    from .protocol_queries import _pristine_versioned_events
 
     e = load_table(spark, sf_dir, "events").withColumn(
         "event_date", F.date_format("ts", "yyyy-MM-dd")
     )
-    base = (
-        "/dev/shm"
-        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
-        else tempfile.gettempdir()
-    )
-    root = os.path.join(base, "d2a_cdcview_" + sf_dir.strip("/").replace("/", "_"))
-    shutil.rmtree(root, ignore_errors=True)  # pure function of the source
-    init_table(spark, e, root, "event_date")
+    # The operator under test is the CDC feed + incremental view refresh;
+    # the initial publish is a cacheable setup prefix (VERDICT r15 task 5
+    # second tranche) — the merge/delete under test write new version
+    # dirs on the per-call hardlink clone.
+    root = _pristine_versioned_events(spark, "d2a_cdcview", sf_dir)
 
     keys = ["event_date", "event_type"]
     view = rollup_state(
@@ -1019,27 +1012,22 @@ def q_delete_restore_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-count metadata that serves ``SELECT COUNT(*)`` at 100 TB without
     touching a single parquet footer.
     """
-    import shutil
-
     from ..io.publish import (
         delete_from_versioned,
-        init_table,
         merge_into_versioned,
         restore_version,
         table_history,
     )
+    from .protocol_queries import _pristine_versioned_events
 
     e = load_table(spark, sf_dir, "events").withColumn(
         "event_date", F.date_format("ts", "yyyy-MM-dd")
     )
-    base = (
-        "/dev/shm"
-        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
-        else tempfile.gettempdir()
-    )
-    root = os.path.join(base, "d2a_history_" + sf_dir.strip("/").replace("/", "_"))
-    shutil.rmtree(root, ignore_errors=True)  # pure function of the source
-    init_table(spark, e, root, "event_date")
+    # The operator under test is the DML + RESTORE + history surface; the
+    # initial publish is a cacheable setup prefix (VERDICT r15 task 5
+    # second tranche) — history files are hardlinked into the per-call
+    # clone, and every later commit appends new manifests on the clone.
+    root = _pristine_versioned_events(spark, "d2a_history", sf_dir)
 
     ins = (
         e.filter(F.col("event_type") == "error")

@@ -57,15 +57,19 @@ def connected_components(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # Checkpoint the edge set once: every propagation round joins it, and
     # without this the upstream plan that PRODUCED the edges (e.g. the full
-    # n-gram Jaccard pipeline) would re-execute per round.
+    # n-gram Jaccard pipeline) would re-execute per round.  LAZY checkpoints
+    # throughout the iterative operators (guide §1.2: fewer driver
+    # round-trips): the 1-row convergence aggregate that follows each
+    # checkpoint materializes it inside ITS job, so every round costs one
+    # driver action instead of two, with identical lineage truncation.
     sym = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Convergence probe: per-node labels are monotone non-increasing under
     # min-propagation, so the label SUM (exact long arithmetic) is strictly
@@ -82,7 +86,7 @@ def connected_components(
             labels.union(nbr)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         changed = new_sum != label_sum
@@ -220,14 +224,17 @@ def connected_components_star(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    # lazy throughout (see connected_components): the fingerprint/agg that
+    # follows each checkpoint materializes it in the same job; ``nodes`` is
+    # only consumed by the final labeling join and materializes there
     nodes = (
         e.select("a")
         .union(e.select("b"))
         .distinct()
         .withColumnRenamed("a", "node")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def fingerprint(df: DataFrame):
@@ -267,7 +274,7 @@ def connected_components_star(
             .union(mins2.select("a", F.col("_m").alias("b")))
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_fp = fingerprint(e)
         converged = new_fp == fp
@@ -337,12 +344,15 @@ def pagerank(
     # connected_components above.
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
-    e2 = e.join(deg, "_s").localCheckpoint(eager=True)
+    # lazy checkpoints (see connected_components): the first action that
+    # touches each frame materializes it in that job; truncation and
+    # once-only upstream execution are identical to the eager form
+    e2 = e.join(deg, "_s").localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("_s").alias("node"))
         .union(e.select(F.col("_d").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank_scaled"))
     base = round(scale * (100 - damping_pct) / 100)
@@ -350,7 +360,7 @@ def pagerank(
         n_nodes = nodes.count()
         dang = nodes.join(
             deg.select(F.col("_s").alias("node")), "node", "left_anti"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     for _ in range(iters):
         msgs = (
             e2.join(ranks.withColumnRenamed("node", "_s"), "_s")
@@ -385,8 +395,9 @@ def pagerank(
             # materialization each reuse re-executes the whole preceding
             # chain and the plan grows multiplicatively (36 exchanges vs
             # 10 for 3 iterations, measured in docs/PLANS.md) — the same
-            # iterative-plan hygiene as connected_components
-            ranks = ranks.localCheckpoint(eager=True)
+            # iterative-plan hygiene as connected_components (lazy: the
+            # next round's share aggregate materializes it in-job)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -597,11 +608,15 @@ def k_core(
     if k < 1:
         raise ValueError("k must be >= 1")
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # lazy checkpoints (see connected_components): each round's 1-row
+    # min/count aggregate materializes that round's ``deg`` AND the
+    # previous round's ``und`` in one job — one driver action per round
+    # instead of three, identical truncation
     und = (
         fwd.filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # +1: convergence (or emptiness) is detected at the TOP of the round
     # after the peel that caused it, so a peel finishing exactly on round
@@ -612,7 +627,7 @@ def k_core(
             .union(und.select(F.col("v").alias("node")))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("degree"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         row = deg.agg(
             F.min("degree").alias("mind"), F.count(F.lit(1)).alias("n")
@@ -625,7 +640,7 @@ def k_core(
         und = (
             und.join(victims.withColumnRenamed("node", "u"), "u", "left_anti")
             .join(victims.withColumnRenamed("node", "v"), "v", "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     raise RuntimeError(f"k_core did not converge in {max_iter} peeling rounds")
 
@@ -676,14 +691,16 @@ def coreness_hindex(
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
     )
+    # lazy checkpoints (see connected_components): round 1's change-count
+    # aggregate materializes sym and vals in its own job
     sym = und.union(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     vals = (
         sym.groupBy("u")
         .agg(F.count(F.lit(1)).alias("est"))
         .withColumnRenamed("u", "node")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         nb = sym.join(
@@ -701,7 +718,7 @@ def coreness_hindex(
                 F.least("est", "h").alias("est"),
                 (F.col("h") < F.col("est")).cast("int").alias("chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = newvals.agg(F.sum("chg")).collect()[0][0]
         vals = newvals.select("node", "est")
@@ -742,11 +759,13 @@ def coreness(
     broadcasts the genuinely small rounds on its own (VERDICT r7 #3).
     """
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # lazy checkpoints (see connected_components / k_core): one driver
+    # action per peel round instead of three
     und = (
         fwd.filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     spark = edges.sparkSession
     out_parts: list[DataFrame] = []
@@ -760,7 +779,7 @@ def coreness(
             .union(und.select(F.col("v").alias("node")))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("degree"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         row = deg.agg(
             F.min("degree").alias("mind"), F.count(F.lit(1)).alias("n")
@@ -775,7 +794,7 @@ def coreness(
         und = (
             und.join(victims.withColumnRenamed("node", "u"), "u", "left_anti")
             .join(victims.withColumnRenamed("node", "v"), "v", "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # nodes ORPHANED by this peel — every incident edge was removed
         # because its other endpoint was a victim, without the node itself

@@ -293,6 +293,34 @@ def ann_hyperplane_topk(
 # -- IVF (inverted-file) ANN --------------------------------------------------
 
 
+def _collect_train_matrix(
+    embeddings: DataFrame,
+    seed: int = 42,
+    train_pct: int = 25,
+    max_train: int = 100_000,
+) -> np.ndarray:
+    """The shared training sample of the quantizer trainers: a
+    deterministic ``train_pct``% hash-sample capped at ``max_train`` rows
+    (the cap keeps the collect bounded at any corpus size; 100k × 64
+    doubles ≈ 50 MB), stacked float64.  Rows arrive in
+    ``xxhash64(vec_id, seed)`` order — a seeded draw reproducible across
+    partitionings, unlike ``rand()`` — which doubles as the k-means init
+    order downstream.  Factored out so composed indexes (IVF-PQ) collect
+    the sample ONCE and train every stage from it (guide §1.2: don't
+    compute things twice; the residual trainer used to replay a
+    full-corpus UDF chain to re-collect these exact rows)."""
+    rows = (
+        embeddings.filter(
+            F.pmod(F.xxhash64(F.col("vec_id"), F.lit(seed + 1)), 100) < train_pct
+        )
+        .select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)), F.col("vec_id"))
+        .limit(max_train)
+        .collect()
+    )
+    return np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+
+
 def ivf_train_centroids(
     embeddings: DataFrame,
     n_cells: int = 16,
@@ -304,27 +332,21 @@ def ivf_train_centroids(
     """Spherical k-means centroids from a bounded sample, trained driver-side.
 
     The FAISS norm: a coarse quantizer needs a *representative* sample, not
-    the corpus — training set = deterministic ``train_pct``% hash-sample
-    capped at ``max_train`` rows (the cap keeps the collect bounded at any
-    corpus size; 100k × 64 doubles ≈ 50 MB).  One cluster job collects the
-    sample; init (the ``n_cells`` vectors with smallest
-    ``xxhash64(vec_id, seed)`` — a seeded draw reproducible across
-    partitionings, unlike ``rand()``) and the Lloyd iterations are pure
+    the corpus — one cluster job collects the deterministic hash-sample
+    (:func:`_collect_train_matrix`); init (the ``n_cells`` vectors with
+    smallest ``xxhash64(vec_id, seed)``) and the Lloyd iterations are pure
     numpy.  The earlier distributed-Lloyd variant cost 2 cluster jobs per
     round in driver-roundtrip latency to move n_cells×dim partials — the
     corpus-sized work (cell *assignment*) stays on the cluster either way,
     so centralizing the tiny training step is strictly better.
     """
-    rows = (
-        embeddings.filter(
-            F.pmod(F.xxhash64(F.col("vec_id"), F.lit(seed + 1)), 100) < train_pct
-        )
-        .select("vec_id", "embedding")
-        .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)), F.col("vec_id"))
-        .limit(max_train)
-        .collect()
-    )
-    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    X = _collect_train_matrix(embeddings, seed, train_pct, max_train)
+    return _ivf_lloyd(X, n_cells, n_iters)
+
+
+def _ivf_lloyd(X: np.ndarray, n_cells: int, n_iters: int) -> np.ndarray:
+    """The pure-numpy spherical-Lloyd half of :func:`ivf_train_centroids`
+    (hash-order init, means over raw vectors, re-normalize per round)."""
     # A sample smaller than n_cells cannot seed that many centroids — clamp,
     # or the bincount-length/init-length mismatch below raises IndexError.
     n_cells = min(n_cells, len(X))
@@ -479,20 +501,18 @@ def pq_train_codebooks(
     trainer shape).
 
     Training mirrors :func:`ivf_train_centroids`: a deterministic
-    hash-sample bounded by ``max_train`` collects once, then pure-numpy
-    Lloyd per subspace (seeded hash-order init, so codebooks are
-    identical across partitionings and reruns).
+    hash-sample bounded by ``max_train`` collects once
+    (:func:`_collect_train_matrix`), then pure-numpy Lloyd per subspace
+    (seeded hash-order init, so codebooks are identical across
+    partitionings and reruns).
     """
-    rows = (
-        embeddings.filter(
-            F.pmod(F.xxhash64(F.col("vec_id"), F.lit(seed + 1)), 100) < train_pct
-        )
-        .select("vec_id", "embedding")
-        .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)), F.col("vec_id"))
-        .limit(max_train)
-        .collect()
-    )
-    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    X = _collect_train_matrix(embeddings, seed, train_pct, max_train)
+    return _pq_lloyd(X, m, k, n_iters)
+
+
+def _pq_lloyd(X: np.ndarray, m: int, k: int, n_iters: int) -> np.ndarray:
+    """The pure-numpy per-subspace-Lloyd half of
+    :func:`pq_train_codebooks` (hash-order init per subspace)."""
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m} subspaces")
@@ -654,22 +674,19 @@ def ann_ivfpq_topk(
     sums are fixed-order numpy reductions per row and the final ranking
     rounds before ordering, same contract as every ANN path here.
     """
-    C = ivf_train_centroids(embeddings, n_cells, n_iters=2)
-    # train PQ on residuals against each vector's own cell centroid
-    cell_assign = _spread(embeddings).select(
-        "vec_id", "embedding", ivf_cell_col(F.col("embedding"), C).alias("cell")
-    )
-
-    @F.pandas_udf("array<double>")
-    def resid(v: pd.Series, c: pd.Series) -> pd.Series:
-        X = np.stack(v.to_numpy()).astype(np.float64)
-        R = X - C[c.to_numpy().astype(np.int64)]
-        return pd.Series(list(R))
-
-    residuals = cell_assign.select(
-        "vec_id", resid(F.col("embedding"), F.col("cell")).alias("embedding")
-    )
-    books = pq_train_codebooks(residuals, m=m, k=k_codes)
+    # ONE sample collect trains both quantizers (guide §1.2): the PQ
+    # residual trainer needs exactly the rows the IVF trainer sampled
+    # (same seed/pct/cap/order), so assigning the sample to cells and
+    # subtracting centroids driver-side — the same arithmetic as
+    # ``ivf_cell_col``/the old residual UDF, over ~100k×64 doubles —
+    # replaces a full-corpus cell-assign UDF pass, a full-corpus residual
+    # UDF pass, and a second sample-collect job.
+    X = _collect_train_matrix(embeddings)
+    C = _ivf_lloyd(X, n_cells, n_iters=2)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    R = X - C[(Xn @ Cn.T).argmax(axis=1)]
+    books = _pq_lloyd(R, m=m, k=k_codes, n_iters=3)
 
     index = ivfpq_encode(embeddings, C, books)
     probes = queries.select(

@@ -49,72 +49,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # L + staleness_bound, and a never-certified query is always in-window.
 # tests/test_entry_contract.py asserts the ledger, the bound, and the
 # window bookkeeping; no literal counts here (they drift — ADVICE r5).
-#  - _PRIORITY (the round-16 window): ALL 50 entries whose last
-#    certification is round 13, in their CORRECTNESS_r13 order (bound-4
-#    deadline round 17; after the r15 window certified the r12 block,
-#    the r13 block is exactly the stalest cohort — window = 50,
-#    cascade 0, as pre-staged in docs/R15_RESPONSE.md).
+#  - _PRIORITY (the round-17 window): ALL 50 entries whose last
+#    certification is round 14, in their CORRECTNESS_r14 order (bound-4
+#    deadline round 18; after the r16 window certified the r13 block,
+#    the r14 block is exactly the stalest cohort — window = 50,
+#    cascade 0).
 #  - _TAIL holds exactly the overflow, stalest first:
-#    the round-14-certified block (deadline round 18) in CORRECTNESS_r14
-#    order, then the round-15-certified block (deadline round 19) in
-#    CORRECTNESS_r15 order.
+#    the round-15-certified block (deadline round 19) in CORRECTNESS_r15
+#    order, then the round-16-certified block (deadline round 20) in
+#    CORRECTNESS_r16 order.
 _PRIORITY: tuple[str, ...] = (
-    # last driver row round 13 — deadline round 17 (CORRECTNESS_r13 order)
-    "string_funcs",
-    "burst_alerts",
-    "dedup_keep_best",
-    "heavy_hitters",
-    "zorder_key",
-    "schema_evolution",
-    "gap_fill_locf",
-    "scd2_history",
-    "funnel_analysis",
-    "cohort_retention",
-    "ewma_features",
-    "table_diff",
-    "fuzzy_match",
-    "compaction_roundtrip",
-    "stream_sessionize",
-    "pagerank",
-    "phrase_search",
-    "incremental_view",
-    "rolling_median",
-    "sync_versioned",
-    "branch_wap_publish",
-    "deletion_vectors",
-    "cdc_apply_mixed",
-    "spec_evolution",
-    "multi_field_spec",
-    "metadata_tables",
-    "optimize_zorder",
-    "check_constraints",
-    "negative_samples",
-    "weighted_sample_aes",
-    "pca_project",
-    "ann_pq_topk",
-    "k_core_decomposition",
-    "bpe_tokenize",
-    "asof_join_directions",
-    "bloom_semi_join",
-    "csv_orc_roundtrip",
-    "stream_enrich_snapshot",
-    "table_follower_rollup",
-    "ann_ivfpq_topk",
-    "multi_table_txn",
-    "merge_schema_widening",
-    "triangle_count",
-    "markov_transitions",
-    "stream_view_maintenance",
-    "json_flatten",
-    "time_travel",
-    "robust_outliers",
-    "item_similarity",
-    "ioc_indicators_observed",
-)
-
-#: Exactly the overflow past the gate window (asserted in
-#: tests/test_entry_contract.py), stalest first.
-_TAIL: tuple[str, ...] = (
     # last driver row round 14 — deadline round 18 (CORRECTNESS_r14 order)
     "ioc_incremental_cursor",
     "dedup_ngram_jaccard",
@@ -166,6 +110,11 @@ _TAIL: tuple[str, ...] = (
     "shallow_clone_divergence",
     "branch_merge_disjoint",
     "stream_into_hidden",
+)
+
+#: Exactly the overflow past the gate window (asserted in
+#: tests/test_entry_contract.py), stalest first.
+_TAIL: tuple[str, ...] = (
     # last driver row round 15 — deadline round 19 (CORRECTNESS_r15 order)
     "column_evolution",
     "ioc_advisory_enrichment",
@@ -216,7 +165,57 @@ _TAIL: tuple[str, ...] = (
     "jsonl_roundtrip",
     "asof_join_tolerance",
     "multimodal_ops",
-    "stream_burst_alerts",
+    "stream_burst_alerts",    # last driver row round 16 — deadline round 20 (CORRECTNESS_r16 order)
+    "string_funcs",
+    "burst_alerts",
+    "dedup_keep_best",
+    "heavy_hitters",
+    "zorder_key",
+    "schema_evolution",
+    "gap_fill_locf",
+    "scd2_history",
+    "funnel_analysis",
+    "cohort_retention",
+    "ewma_features",
+    "table_diff",
+    "fuzzy_match",
+    "compaction_roundtrip",
+    "stream_sessionize",
+    "pagerank",
+    "phrase_search",
+    "incremental_view",
+    "rolling_median",
+    "sync_versioned",
+    "branch_wap_publish",
+    "deletion_vectors",
+    "cdc_apply_mixed",
+    "spec_evolution",
+    "multi_field_spec",
+    "metadata_tables",
+    "optimize_zorder",
+    "check_constraints",
+    "negative_samples",
+    "weighted_sample_aes",
+    "pca_project",
+    "ann_pq_topk",
+    "k_core_decomposition",
+    "bpe_tokenize",
+    "asof_join_directions",
+    "bloom_semi_join",
+    "csv_orc_roundtrip",
+    "stream_enrich_snapshot",
+    "table_follower_rollup",
+    "ann_ivfpq_topk",
+    "multi_table_txn",
+    "merge_schema_widening",
+    "triangle_count",
+    "markov_transitions",
+    "stream_view_maintenance",
+    "json_flatten",
+    "time_travel",
+    "robust_outliers",
+    "item_similarity",
+    "ioc_indicators_observed",
 )
 
 _MODULES = (

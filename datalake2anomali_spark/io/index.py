@@ -217,7 +217,9 @@ def refresh_value_index(spark: SparkSession, index_root: str) -> int:
         _side("pre", ["removed", "changed"])
         .union(_side("post", ["added", "changed"]))
         .distinct()
-        .localCheckpoint(eager=True)  # bounded by the span's churn
+        # lazy checkpoint, bounded by the span's churn: the partition
+        # collect right below materializes it in its own job (guide §5)
+        .localCheckpoint(eager=False)
     )
     parts = {r["partition"] for r in touched.select("partition").distinct().collect()}
     if not parts:
@@ -245,7 +247,7 @@ def refresh_value_index(spark: SparkSession, index_root: str) -> int:
         F.when(F.col("n").isNull(), F.lit("delete"))
         .otherwise(F.lit("upsert"))
         .alias("_op"),
-    ).localCheckpoint(eager=True)  # CDC apply takes several actions over
+    ).localCheckpoint(eager=False)  # CDC apply takes several actions over
     # this frame (op validation, affected-partition collect, the write,
     # commit stats); without the checkpoint each one re-executes the
     # base-table read + groupBy lineage behind `truth`.  Bounded by the

@@ -1492,22 +1492,34 @@ def merge_into_versioned(
         data_cols = data_cols + new_cols
 
     affected = _affected_partitions(target, source, key_cols, partition_col)
-    hit = target.join(F.broadcast(affected), [partition_col], "leftsemi")
-    merged = _merge_resolved(hit, source, key_cols, data_cols)
-    # CHECK constraints validate the rows being written (batch-bounded;
-    # untouched partitions were validated by the write that produced them).
-    # The constraint aggregate and the write are two consumers of the
-    # merge join — materialize once instead of computing it twice.
-    if manifest.get("constraints"):
-        merged = merged.localCheckpoint(eager=True)
-        _check_constraints(merged, manifest["constraints"])
-
     # validate partition values BEFORE claiming a version (ADVICE r7):
     # raising after the write would orphan a _v{N} directory whose live
     # _CLAIM marker blocks vacuum for claim_ttl_seconds — a rejected
     # write must leave no garbage, same contract as CHECK constraints
     raw_affected = [r[0] for r in affected.collect()]
     _require_non_null_partitions(raw_affected)
+
+    # the affected values are already on the driver, so select the hit
+    # partitions with a literal isin (planning-time pruning) instead of a
+    # broadcast semi-join — the join would recompute the whole affected
+    # subtree (a target×source join) a second time inside the write job
+    # (guide §1.2; same string-valued selection as the UPDATE/DELETE
+    # paths, equality-identical because NULL partitions were rejected)
+    hit = target.filter(
+        F.col(partition_col)
+        .cast("string")
+        .isin(sorted(str(x) for x in raw_affected))
+    )
+    merged = _merge_resolved(hit, source, key_cols, data_cols)
+    # CHECK constraints validate the rows being written (batch-bounded;
+    # untouched partitions were validated by the write that produced them).
+    # The constraint aggregate and the write are two consumers of the
+    # merge join — checkpoint lazily: the constraint aggregate that
+    # immediately follows materializes it inside its own job (one driver
+    # action instead of two, guide §5), and the write reuses the rows.
+    if manifest.get("constraints"):
+        merged = merged.localCheckpoint(eager=False)
+        _check_constraints(merged, manifest["constraints"])
 
     v = _claim_version(root)
     vdir = version_dir(root, v)
@@ -1582,10 +1594,19 @@ def sync_versioned(
         .union(doomed.select(partition_col).distinct())
         .distinct()
     )
-    hit = target.join(
-        F.broadcast(affected.withColumnRenamed(partition_col, "_ap")),
-        F.col(partition_col).eqNullSafe(F.col("_ap")),
-        "leftsemi",
+    raw_affected = [r[0] for r in affected.collect()]
+    _require_non_null_partitions(raw_affected)
+
+    # literal isin instead of re-deriving the affected set via a second
+    # broadcast semi-join inside the write job (see merge_into_versioned;
+    # NULL partitions were just rejected, so the eqNullSafe arm of the
+    # old join is unreachable and plain string-valued selection is
+    # equality-identical).  The affected list is driver-bounded by the
+    # partition count — the same bound the collect above already imposes.
+    hit = target.filter(
+        F.col(partition_col)
+        .cast("string")
+        .isin(sorted(str(x) for x in raw_affected))
     )
     upserted = _merge_resolved(hit, source, key_cols, data_cols)
     # subtract the doomed keys: they are target-only, so removing them
@@ -1593,11 +1614,8 @@ def sync_versioned(
     merged = upserted.join(doomed.select(*key_cols), key_cols, "left_anti")
 
     if manifest.get("constraints"):
-        merged = merged.localCheckpoint(eager=True)
+        merged = merged.localCheckpoint(eager=False)
         _check_constraints(merged, manifest["constraints"])
-
-    raw_affected = [r[0] for r in affected.collect()]
-    _require_non_null_partitions(raw_affected)
 
     v = _claim_version(root)
     vdir = version_dir(root, v)
@@ -1774,11 +1792,6 @@ def cdc_apply_versioned(
     """
     from ..operators.merge import _affected_partitions, _merge_resolved
 
-    ops = changes.select(op_col).distinct()
-    bad_ops = [r[0] for r in ops.collect() if r[0] not in ("upsert", "delete")]
-    if bad_ops:
-        raise ValueError(f"unknown CDC op values: {bad_ops}")
-
     manifest = read_manifest(root)
     target = read_snapshot(spark, root, partition_col)
     data_cols = list(target.columns)
@@ -1804,17 +1817,38 @@ def cdc_apply_versioned(
         .distinct()
     ).distinct()
 
-    hit = target.join(F.broadcast(affected), [partition_col], "leftsemi")
+    # ONE validation+discovery job: the distinct op values ride along the
+    # affected-partition collect as a tagged union (guide §1.2 — the op
+    # scan and the affected scan were two driver round-trips over the
+    # same batch).  Both checks still run before any version claim, so a
+    # refused CDC batch leaves no orphan directory / claim marker
+    # (ADVICE r7).
+    tagged = affected.select(
+        F.lit(0).alias("_t"), F.col(partition_col).cast("string").alias("_val")
+    ).union(
+        changes.select(
+            F.lit(1).alias("_t"), F.col(op_col).cast("string").alias("_val")
+        ).distinct()
+    )
+    rows = tagged.collect()
+    bad_ops = sorted(
+        r["_val"] for r in rows if r["_t"] == 1 and r["_val"] not in ("upsert", "delete")
+    )
+    if bad_ops:
+        raise ValueError(f"unknown CDC op values: {bad_ops}")
+    raw_affected = [r["_val"] for r in rows if r["_t"] == 0]
+    _require_non_null_partitions(raw_affected)
+
+    hit = target.filter(
+        F.col(partition_col)
+        .cast("string")
+        .isin(sorted(str(x) for x in raw_affected))
+    )
     merged = _merge_resolved(hit, ups.select(*data_cols), key_cols, data_cols)
     merged = merged.join(F.broadcast(dels), key_cols, "left_anti")
     if manifest.get("constraints"):
-        merged = merged.localCheckpoint(eager=True)
+        merged = merged.localCheckpoint(eager=False)
         _check_constraints(merged, manifest["constraints"])
-
-    # NULL partitions are rejected before any version claim so a refused
-    # CDC batch leaves no orphan directory / claim marker (ADVICE r7)
-    raw_affected = [r[0] for r in affected.collect()]
-    _require_non_null_partitions(raw_affected)
 
     v = _claim_version(root)
     vdir = version_dir(root, v)
@@ -2029,7 +2063,7 @@ def update_versioned(
         ]
     )
     if manifest.get("constraints"):
-        content = content.localCheckpoint(eager=True)
+        content = content.localCheckpoint(eager=False)
         _check_constraints(content, manifest["constraints"])
 
     v = _claim_version(root)
@@ -2078,8 +2112,10 @@ def _update_merge_on_read(
     # the replacement write below would otherwise each re-run the
     # snapshot scan + predicate (and diverge under a nondeterministic
     # predicate); the checkpoint is O(updated rows) — exactly what this
-    # commit writes anyway
-    matched = matched.localCheckpoint(eager=True)
+    # commit writes anyway.  Lazy: the count aggregate that immediately
+    # follows materializes it inside its own job — one driver action per
+    # commit instead of two (guide §5)
+    matched = matched.localCheckpoint(eager=False)
     counts_raw = matched.groupBy(partition_col).count().collect()
     if not counts_raw:
         return manifest["version"]  # nothing matched: no empty commit
@@ -2095,7 +2131,7 @@ def _update_merge_on_read(
         ]
     )
     if manifest.get("constraints"):
-        replacement = replacement.localCheckpoint(eager=True)
+        replacement = replacement.localCheckpoint(eager=False)
         _check_constraints(replacement, manifest["constraints"])
 
     v = _claim_version(root)

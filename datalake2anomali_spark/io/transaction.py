@@ -217,7 +217,8 @@ class Transaction:
             F.col(self._pcol).cast("string").isin(sorted(self._affected))
         )
         if self._manifest.get("constraints"):
-            content = content.localCheckpoint(eager=True)
+            # lazy: the constraint aggregate materializes it (guide §5)
+            content = content.localCheckpoint(eager=False)
             _check_constraints(content, self._manifest["constraints"])
 
         v = _claim_version(self._root)

@@ -752,6 +752,61 @@ def _fingerprint(spark: SparkSession, root: str, **kw) -> tuple:
     return (row["n"], row["h"])
 
 
+def _fingerprint_many(
+    spark: SparkSession, specs: list[tuple[str, dict]]
+) -> list[tuple]:
+    """N snapshot fingerprints in ONE action — the group-commit batching
+    of the per-commit certification scans (VERDICT r16 task 3, guide
+    §1.2).  Each spec is ``(root, read_snapshot-kwargs)``; pinning a
+    historical ``version`` in the kwargs reads the immutable manifest/
+    version directories that were live right after that commit, so a
+    fingerprint taken after the whole commit sequence is bit-identical
+    to one taken between commits (the time-travel contract the protocol
+    itself certifies in ``time_travel``).  Tagged union, same arithmetic
+    as :func:`_fingerprint` per side, empty snapshots fold to
+    ``(0, None)`` exactly like :func:`_fingerprint_pair`."""
+    from ..io.publish import read_snapshot
+
+    frames = []
+    for i, (root, kw) in enumerate(specs):
+        df = read_snapshot(spark, root, "event_date", **kw)
+        frames.append(
+            df.select(
+                F.lit(i).alias("_t"),
+                F.hash(*sorted(df.columns)).alias("_h"),
+            )
+        )
+    union = frames[0]
+    for fr in frames[1:]:
+        union = union.unionByName(fr)
+    rows = (
+        union.groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_h").alias("h"))
+        .collect()
+    )
+    by = {r["_t"]: (r["n"], r["h"]) for r in rows}
+    return [by.get(i, (0, None)) for i in range(len(specs))]
+
+
+def _overlap(*thunks):
+    """Run independent fixture steps as concurrent Spark jobs from a
+    small driver thread pool (guide §2.6: actions are only sequential
+    because the driver calls them sequentially).  ONLY for steps with no
+    mutual dependence — disjoint table roots, or version-pinned reads of
+    immutable snapshots — so the result of every thunk is identical at
+    any pool size (pinned by tests/test_shared_base.py).  Returns the
+    thunks' results in argument order; ``D2A_FIXTURE_POOL=1`` forces the
+    sequential path (the determinism A/B knob)."""
+    n = int(os.environ.get("D2A_FIXTURE_POOL", "0")) or len(thunks)
+    if n <= 1 or len(thunks) <= 1:
+        return [t() for t in thunks]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(n, len(thunks))) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def _fingerprint_pair(
     spark: SparkSession, root_a: str, root_b: str, **kw
 ) -> tuple[tuple, tuple]:
@@ -1008,14 +1063,30 @@ def q_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cond1 = (F.col("event_type") == "view") & (F.col("event_id") % 3 == 0)
     cond2 = (F.col("event_type") == "signup") & (F.col("event_id") % 2 == 0)
-    for cond in (cond1, cond2):
-        delete_from_versioned(
-            spark, mor, "event_date", cond, mode="merge_on_read",
-            key_cols=["event_id"],
-        )
-        delete_from_versioned(spark, cow, "event_date", cond)
-        fp_mor, fp_cow = _fingerprint_pair(spark, mor, cow)
-        if fp_mor != fp_cow:
+
+    # MoR and CoW delete chains write to DISJOINT roots — concurrent
+    # driver threads (guide §2.6), each chain sequential, per-table
+    # history identical; parity fingerprints batch into one action via
+    # version-pinned reads (see q_update_mor / _fingerprint_many).  The
+    # live-rowcount anchor over the immutable source is a third thunk.
+    def _chain(root: str, **kw) -> list[int]:
+        return [
+            delete_from_versioned(spark, root, "event_date", cond, **kw)
+            for cond in (cond1, cond2)
+        ]
+
+    mor_vs, cow_vs, n_live = _overlap(
+        lambda: _chain(mor, mode="merge_on_read", key_cols=["event_id"]),
+        lambda: _chain(cow),
+        lambda: e.filter(~(cond1 | cond2)).count(),
+    )
+    fps = _fingerprint_many(
+        spark,
+        [(mor, {"version": v}) for v in mor_vs]
+        + [(cow, {"version": v}) for v in cow_vs],
+    )
+    for i in range(2):
+        if fps[i] != fps[2 + i]:
             raise AssertionError("merge-on-read result diverged from copy-on-write")
 
     m = read_manifest(mor)
@@ -1023,11 +1094,12 @@ def q_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError("MoR delete not recorded as delete_mor")
     if not all(int(x) == 1 for x in m["partitions"].values()):
         raise AssertionError("MoR delete rewrote data partitions")
-    n_live = e.filter(~(cond1 | cond2)).count()
     if snapshot_rowcount(mor) != n_live:
         raise AssertionError("metadata rowcount does not subtract vectors")
 
-    before = _fingerprint(spark, mor)
+    # the pre-compaction fingerprint is the last batched entry (the MoR
+    # table's final committed version) — no extra scan needed
+    before = fps[1]
     compact_versioned(spark, mor, "event_date", "event_id")
     if _fingerprint(spark, mor) != before:
         raise AssertionError("compaction changed content")
@@ -1605,38 +1677,68 @@ def q_table_follower_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = TableFollower(root, "event_date", ["event_id"], os.path.join(root, "_cur"))
 
     ch, v1 = f.poll(spark)
-    if ch.filter(F.col("change_type") != "added").count():
-        raise AssertionError("bootstrap span must be pure adds")
+    # the bootstrap span is version-pinned inside poll(), and the empty
+    # seed is pinned to the same version explicitly, so the bootstrap
+    # purity check + fold reads only immutable v1 state — independent of
+    # the MERGE commit, which only adds _v2 + a new manifest pointer.
+    # Run the two as concurrent driver jobs (guide §2.6); the follower's
+    # poll-order semantics are untouched (poll 2 happens strictly after
+    # both, and cursor commits are consumer-side).
     empty = rollup_state(
-        read_snapshot(spark, root, "event_date").limit(0), keys,
+        read_snapshot(spark, root, "event_date", version=v1).limit(0), keys,
         sum_cols={"value": 2},
     )
-    view = apply_changes(
-        empty, ch, ["event_id"], keys, sum_cols={"value": 2}
-    ).localCheckpoint(eager=True)
-    f.commit(v1)
-
     src = e.filter(F.col("event_type") == "click").withColumn(
         "value", F.col("value") + 3.0
     )
-    merge_into_versioned(spark, root, src, ["event_id"], "event_date")
+
+    def _bootstrap_fold():
+        if ch.filter(F.col("change_type") != "added").count():
+            raise AssertionError("bootstrap span must be pure adds")
+        return apply_changes(
+            empty, ch, ["event_id"], keys, sum_cols={"value": 2}
+        ).localCheckpoint(eager=True)
+
+    view, _ = _overlap(
+        _bootstrap_fold,
+        lambda: merge_into_versioned(spark, root, src, ["event_id"], "event_date"),
+    )
+    f.commit(v1)
+
     ch2, v2 = f.poll(spark)
     # the span is consumed twice (replay assertion + fold) and each pass
-    # is a full two-snapshot diff join — checkpoint once, delta-sized
-    ch2 = ch2.localCheckpoint(eager=True)
+    # is a full two-snapshot diff join — checkpoint once, delta-sized;
+    # lazy, so the span count below materializes it in its own job
+    ch2 = ch2.localCheckpoint(eager=False)
     replay, v_r = f.poll(spark)  # crash window: uncommitted → same span
-    if v_r != v2 or replay.count() != ch2.count():
+    # the two counts read disjoint immutable state (the checkpointed
+    # span; the replayed diff) — concurrent jobs
+    n_ch2, n_replay = _overlap(lambda: ch2.count(), lambda: replay.count())
+    if v_r != v2 or n_replay != n_ch2:
         raise AssertionError("uncommitted poll did not replay the span")
-    view = apply_changes(
-        view, ch2, ["event_id"], keys, sum_cols={"value": 2}
-    ).localCheckpoint(eager=True)
+
+    # the fold reads the checkpointed span + view; the DELETE mutates
+    # only the table — independent, overlap (cursor commit for v2 stays
+    # before poll 3, so the follower sees the same spans)
+    def _fold2():
+        return apply_changes(
+            view, ch2, ["event_id"], keys, sum_cols={"value": 2}
+        ).localCheckpoint(eager=True)
+
+    view, _ = _overlap(
+        _fold2,
+        lambda: delete_from_versioned(
+            spark, root, "event_date", F.col("event_type") == "signup"
+        ),
+    )
     f.commit(v2)
 
-    delete_from_versioned(spark, root, "event_date", F.col("event_type") == "signup")
     ch3, v3 = f.poll(spark)
+    # final fold: lazy checkpoint — the declared query's own action
+    # materializes it (one fewer driver job; same lineage cut)
     view = apply_changes(
         view, ch3, ["event_id"], keys, sum_cols={"value": 2}
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     f.commit(v3)
     if f.poll(spark)[0] is not None:
         raise AssertionError("caught-up follower returned a span")
@@ -1842,7 +1944,6 @@ def q_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
     mor = _cloned_events(spark, "d2a_updmor", sf_dir)
     cow = _cloned_events(spark, "d2a_updcow", sf_dir)
-    n0 = e.count()
 
     upds = [
         (F.col("event_type") == "click", {"value": F.col("value") * 2}),
@@ -1851,14 +1952,34 @@ def q_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"value": F.col("value") + 7},
         ),
     ]
-    for cond, sets in upds:
-        update_versioned(
-            spark, mor, "event_date", cond, sets,
-            mode="merge_on_read", key_cols=["event_id"],
-        )
-        update_versioned(spark, cow, "event_date", cond, sets)
-        fp_mor, fp_cow = _fingerprint_pair(spark, mor, cow)
-        if fp_mor != fp_cow:
+
+    # The MoR and CoW commit chains write to DISJOINT roots, so the two
+    # chains run as concurrent driver threads (guide §2.6) — each chain
+    # stays strictly sequential, so per-table commit order/history is
+    # byte-identical to the sequential script.  The per-commit parity
+    # fingerprints batch into ONE action afterwards via version-pinned
+    # reads (see _fingerprint_many): immutable version directories make
+    # the deferred read bit-identical to the in-between read.
+    def _chain(root: str, **kw) -> list[int]:
+        return [
+            update_versioned(spark, root, "event_date", cond, sets, **kw)
+            for cond, sets in upds
+        ]
+
+    # the source rowcount (the metadata-invariance anchor) only reads
+    # the immutable source parquet — a third independent thunk
+    mor_vs, cow_vs, n0 = _overlap(
+        lambda: _chain(mor, mode="merge_on_read", key_cols=["event_id"]),
+        lambda: _chain(cow),
+        lambda: e.count(),
+    )
+    fps = _fingerprint_many(
+        spark,
+        [(mor, {"version": v}) for v in mor_vs]
+        + [(cow, {"version": v}) for v in cow_vs],
+    )
+    for i in range(len(upds)):
+        if fps[i] != fps[len(upds) + i]:
             raise AssertionError(
                 "merge-on-read UPDATE diverged from copy-on-write"
             )

@@ -906,11 +906,12 @@ def q_cdc_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io.publish import (
         delete_from_versioned,
         merge_into_versioned,
+        read_manifest,
         read_snapshot,
         table_changes,
     )
     from ..operators.views import apply_changes, rollup_state
-    from .protocol_queries import _pristine_versioned_events
+    from .protocol_queries import _overlap, _pristine_versioned_events
 
     e = load_table(spark, sf_dir, "events").withColumn(
         "event_date", F.date_format("ts", "yyyy-MM-dd")
@@ -922,12 +923,17 @@ def q_cdc_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _pristine_versioned_events(spark, "d2a_cdcview", sf_dir)
 
     keys = ["event_date", "event_type"]
-    view = rollup_state(
-        read_snapshot(spark, root, "event_date"),
+    # pin the seed view to the pristine version explicitly: its full-table
+    # rollup then reads only immutable v1 state, independent of the
+    # merge/delete commit chain, so the two run as concurrent driver jobs
+    # (guide §2.6) — pinned read ≡ the live read the sequential script did
+    v0 = read_manifest(root)["version"]
+    seed = rollup_state(
+        read_snapshot(spark, root, "event_date", version=v0),
         keys,
         sum_cols={"value": 2},
         minmax_cols=["event_id"],
-    ).localCheckpoint(eager=True)
+    )
 
     upd = e.filter(F.col("event_type") == "purchase").withColumn(
         "value", F.col("value") + 100.0
@@ -942,14 +948,22 @@ def q_cdc_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
     )
     ins = ins.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
-    merge_into_versioned(
-        spark, root, upd.unionByName(mov).unionByName(ins), ["event_id"], "event_date"
-    )
-    v3 = delete_from_versioned(
-        spark,
-        root,
-        "event_date",
-        (F.col("event_type") == "view") & (F.col("event_id") % 7 == 0),
+
+    def _commits() -> int:
+        merge_into_versioned(
+            spark, root, upd.unionByName(mov).unionByName(ins),
+            ["event_id"], "event_date",
+        )
+        return delete_from_versioned(
+            spark,
+            root,
+            "event_date",
+            (F.col("event_type") == "view") & (F.col("event_id") % 7 == 0),
+        )
+
+    view, v3 = _overlap(
+        lambda: seed.localCheckpoint(eager=True),
+        _commits,
     )
 
     cdf = table_changes(

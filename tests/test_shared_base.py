@@ -678,3 +678,100 @@ def test_zombie_generation_is_isolated_and_collected(tmp_path, monkeypatch):
     pq._LAST_SWEEP.pop(os.path.join(str(tmp_path), name), None)
     r3 = pq.shared_fixture_root("fxz", sf, "1", build)
     assert r3 == r2 and not os.path.exists(zgen) and os.path.exists(r2)
+
+
+# -- hardlink-clone purity + overlap determinism (VERDICT r16 tasks 4/5) ------
+
+
+def _tree_digest(root: str) -> dict[str, str]:
+    """Byte-level checksum walk: relpath -> md5 of file contents."""
+    import hashlib
+
+    out: dict[str, str] = {}
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for fn in filenames:
+            p = os.path.join(dirpath, fn)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, root)] = hashlib.md5(fh.read()).hexdigest()
+    return out
+
+
+def test_hardlink_clone_mutations_never_touch_pristine(spark, sf_dir, tmp_path):
+    """The shared-fixture cache's safety invariant, pinned as a test
+    (VERDICT r16 "what's wrong" #3): every writer replaces files — new
+    inode + unlink — and never opens a published file for write, so a
+    hardlink clone's mutations cannot reach the cached pristine tree.
+    Runs every mutation family the protocol fixtures exercise on a clone
+    (CoW update, MoR delete+update, MERGE, compact, vacuum — vacuum is
+    the scary one: it must unlink only the clone's links) and asserts
+    the pristine tree's bytes are unchanged.  If any future writer
+    mutates an inode in place, this fails before the cache can poison
+    every later caller."""
+    from pyspark.sql import functions as F
+
+    from datalake2anomali_spark.io.publish import (
+        compact_versioned,
+        delete_from_versioned,
+        init_table,
+        merge_into_versioned,
+        update_versioned,
+        vacuum,
+    )
+    from datalake2anomali_spark.plans.protocol_queries import (
+        _events,
+        hardlink_clone,
+    )
+
+    pristine = str(tmp_path / "pristine")
+    e = _events(spark, sf_dir)
+    init_table(spark, e, pristine, "event_date")
+    before = _tree_digest(pristine)
+
+    clone = hardlink_clone(pristine, str(tmp_path / "clone"))
+    update_versioned(
+        spark, clone, "event_date",
+        F.col("event_type") == "click", {"value": F.col("value") + 1.0},
+    )
+    update_versioned(
+        spark, clone, "event_date",
+        F.col("event_type") == "purchase", {"value": F.col("value") * 2.0},
+        mode="merge_on_read", key_cols=["event_id"],
+    )
+    delete_from_versioned(
+        spark, clone, "event_date", F.col("event_type") == "signup",
+        mode="merge_on_read", key_cols=["event_id"],
+    )
+    src = e.filter(F.col("event_type") == "error").withColumn(
+        "value", F.col("value") + 9.0
+    )
+    merge_into_versioned(spark, clone, src, ["event_id"], "event_date")
+    compact_versioned(spark, clone, "event_date", "event_id")
+    vacuum(clone, retain_last=1, claim_ttl_seconds=0.0)
+
+    assert _tree_digest(pristine) == before, (
+        "a writer mutated a cached inode in place — the hardlink-clone "
+        "safety invariant is broken"
+    )
+
+
+def test_fixture_overlap_is_pool_size_invariant(spark, sf_dir, monkeypatch):
+    """The overlapped fixtures (driver-thread concurrency, guide §2.6)
+    must return identical results at any pool size: every overlapped
+    step is either on a disjoint table root or a version-pinned read of
+    immutable snapshots, so D2A_FIXTURE_POOL=1 (fully sequential) and
+    the default pool must agree row-for-row (VERDICT r16 task 4's
+    determinism pin)."""
+    from datalake2anomali_spark.plans.protocol_queries import (
+        q_table_follower_rollup,
+        q_update_mor,
+    )
+    from datalake2anomali_spark.plans.scale_queries import (
+        q_cdc_view_maintenance,
+    )
+
+    for fn in (q_update_mor, q_table_follower_rollup, q_cdc_view_maintenance):
+        monkeypatch.setenv("D2A_FIXTURE_POOL", "1")
+        seq = [tuple(r) for r in fn(spark, sf_dir).collect()]
+        monkeypatch.setenv("D2A_FIXTURE_POOL", "4")
+        par = [tuple(r) for r in fn(spark, sf_dir).collect()]
+        assert seq == par, f"{fn.__name__} diverged across pool sizes"

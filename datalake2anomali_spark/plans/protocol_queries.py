@@ -155,6 +155,7 @@ def _shared_events_root(spark: SparkSession, sf_dir: str) -> str:
         read_manifest(root)
         with open(stamp_file, encoding="utf-8") as fh:
             if fh.read() == stamp:
+                CACHE_COUNTERS["hits"] += 1
                 return root
     except (FileNotFoundError, OSError):
         pass
@@ -173,6 +174,7 @@ def _shared_events_root(spark: SparkSession, sf_dir: str) -> str:
     tmp = f"{root}.build.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)  # own pid's crash leftover: no readers
     init_table(spark, _events(spark, sf_dir), tmp, "event_date")
+    CACHE_COUNTERS["builds"] += 1
     with open(os.path.join(tmp, "_SOURCE_STAMP"), "w", encoding="utf-8") as fh:
         fh.write(stamp)
     # Restamp the OLD root to displacement time BEFORE it is renamed
@@ -459,6 +461,17 @@ def _fx_published(root: str) -> str | None:
     return gen if os.path.isdir(gen) else None
 
 
+#: Process-lifetime fixture-cache telemetry (VERDICT r16 "what's wrong"
+#: #2): the /dev/shm cache persists across bench invocations on one
+#: host, so a "cold" pass on a pre-warmed sandbox is otherwise
+#: indistinguishable from a real improvement.  bench.py snapshots these
+#: around each pass and discloses hits/builds in both record lines —
+#: a pre-warmed run is then self-identifying.  ``hits`` counts published
+#: fixtures found (shared_fixture_root + _shared_events_root fast
+#: paths); ``builds`` counts fixtures constructed by this process.
+CACHE_COUNTERS = {"hits": 0, "builds": 0}
+
+
 def shared_fixture_root(
     tag: str,
     sf_dir: str,
@@ -517,6 +530,7 @@ def shared_fixture_root(
     _sweep_fixture_siblings(base, name, keep=os.path.basename(root))
     pub = _fx_published(root)
     if pub is not None:
+        CACHE_COUNTERS["hits"] += 1
         return pub
     overall = time.monotonic() + 2 * _FX_HARD_CAP_SEC
     while True:
@@ -632,6 +646,7 @@ def shared_fixture_root(
                     # path or leaving a bogus marker that waiters resolve
                     # (code-review r16)
                     if _fx_claim_read(root) == me:
+                        CACHE_COUNTERS["builds"] += 1
                         return gen
                     # un-publish via rename-aside + content check: a bare
                     # unlink could race another owner's replacement
@@ -663,6 +678,7 @@ def shared_fixture_root(
             while True:
                 pub = _fx_published(root)
                 if pub is not None:
+                    CACHE_COUNTERS["hits"] += 1
                     return pub
                 claim = _fx_claim_read(root)
                 try:
@@ -683,6 +699,7 @@ def shared_fixture_root(
                     # the hung-but-finishing case
                     pub = _fx_published(root)
                     if pub is not None:
+                        CACHE_COUNTERS["hits"] += 1
                         return pub
                     shutil.rmtree(root, ignore_errors=True)
                     break

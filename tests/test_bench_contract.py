@@ -36,18 +36,28 @@ def test_bench_tail_line_fits_the_driver_capture():
     assert r.returncode == 0, r.stderr[-800:]
     lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
     last = lines[-1]
-    assert len(last) < 1500, f"tail line too long ({len(last)} chars)"
+    assert len(last) < 1900, f"tail line too long ({len(last)} chars)"
     rec = json.loads(last)
     assert rec["metric"] == "total_query_wall_seconds"
     for key in (
         "value", "value_warm", "build_sec", "exec_sec", "n_queries",
-        "sf", "unit",
+        "sf", "unit", "queries", "queries_warm",
+        "fixture_cache_hits", "fixture_cache_builds",
     ):
         assert key in rec, f"missing {key}"
-    assert "queries" not in rec, "tail line must stay compact"
-    # the full record precedes it and agrees on the totals
+    # the full record precedes it and agrees on the totals; the tail's
+    # per-query digest (VERDICT r16 task 2: bounded top-N by cold total)
+    # must be a value-identical subset of the full map
     full = json.loads(lines[-2])
     assert full["value"] == rec["value"] and full["value_warm"] == rec["value_warm"]
+    assert rec["queries"], "tail digest must carry at least one row"
+    for n, v in rec["queries"].items():
+        assert full["queries"][n] == v
+    for n, v in rec["queries_warm"].items():
+        assert full["queries_warm"][n] == v
+    # cache disclosure rides both lines (VERDICT r16 what's-wrong #2)
+    assert full["fixture_cache"]["cold"]["hits"] == rec["fixture_cache_hits"]
+    assert full["fixture_cache"]["cold"]["builds"] == rec["fixture_cache_builds"]
     # the operator-loop tag rides the full record (VERDICT r15 task 3):
     # names listed there must be run queries, and a run that includes an
     # iterative operator must tag it

@@ -350,11 +350,37 @@ class MultiTableTransaction:
         transaction to retry, against the then-current pins."""
         self._check_open()
         self._closed = True
-        for txn in self._txns.values():
+        # members are DISTINCT physical tables (enforced at BEGIN), so
+        # both phases run their per-member Spark jobs from a small driver
+        # thread pool (guide §2.6) — phase ORDER is unchanged: every
+        # precheck still completes before any member commits (the
+        # zero-orphans guarantee), and the catalog CAS stays single and
+        # last.  Member commit results are applied to the catalog staging
+        # sequentially in member order, as before.
+        from concurrent.futures import ThreadPoolExecutor
+
+        names = list(self._txns)
+        if len(names) == 1:
+            txn = self._txns[names[0]]
             txn.precheck()
-        for name, txn in self._txns.items():
-            base_v = txn._manifest["version"]
-            v = txn.commit()
+            results = {names[0]: (txn._manifest["version"], txn.commit())}
+        else:
+            with ThreadPoolExecutor(max_workers=min(4, len(names))) as pool:
+                # materialize the map: every precheck must FINISH (or the
+                # first failure propagate) before any commit starts
+                list(pool.map(lambda n: self._txns[n].precheck(), names))
+                committed = list(
+                    pool.map(
+                        lambda n: (
+                            self._txns[n]._manifest["version"],
+                            self._txns[n].commit(),
+                        ),
+                        names,
+                    )
+                )
+            results = dict(zip(names, committed))
+        for name in names:
+            base_v, v = results[name]
             if v != base_v:
                 self._ctx.advance(name, v)
         return self._ctx.commit()

@@ -973,16 +973,37 @@ def q_branch_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _events(spark, sf_dir)
     root = _cloned_events(spark, "d2a_wap", sf_dir)
-    n_total = e.count()
-    main_before = _fingerprint(spark, root)
     v_main = read_manifest(root)["version"]
 
+    # create_branch is metadata-only (main untouched), so taking main's
+    # fingerprint after it is identical to before it; the four source
+    # anchor counts the audit needs fuse into ONE aggregate over the
+    # source (count-if ≡ filter().count()), and that aggregate, the main
+    # fingerprint, and the bootstrap-span count are three independent
+    # reads of immutable state — concurrent driver jobs (guide §2.6)
     create_branch(root, "audit")
     follower = TableFollower(
         root, "event_date", ["event_id"], os.path.join(root, "_cursor"), ref="audit"
     )
     boot, v0 = follower.poll(spark)
-    if boot.count() != n_total:
+    anchors, main_before, n_boot = _overlap(
+        lambda: e.agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(
+                F.when(F.col("event_type") == "purchase", F.lit(1))
+            ).alias("n_purch"),
+            F.count(
+                F.when(F.col("event_type") == "error", F.lit(1))
+            ).alias("n_err"),
+            F.count(
+                F.when(F.col("event_type") == "view", F.lit(1))
+            ).alias("n_view"),
+        ).collect()[0],
+        lambda: _fingerprint(spark, root),
+        lambda: boot.count(),
+    )
+    n_total = anchors["n_total"]
+    if n_boot != n_total:
         raise AssertionError("follower bootstrap != fork snapshot")
     follower.commit(v0)
 
@@ -1002,8 +1023,17 @@ def q_branch_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # audit: main byte-identical; branch head is the newest stamp but
-    # invisible to main's timestamp resolution
-    if _fingerprint(spark, root) != main_before:
+    # invisible to main's timestamp resolution.  The leak-check
+    # fingerprint and the follower's span rollup both read immutable
+    # post-commit state — concurrent driver jobs.
+    ch, v_span = follower.poll(spark)
+    main_after, kind_rows = _overlap(
+        lambda: _fingerprint(spark, root),
+        lambda: ch.groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect(),
+    )
+    if main_after != main_before:
         raise AssertionError("branch writes leaked into main before publish")
     now = _time.time() + 5.0
     if version_as_of_timestamp(root, now) != v_main:
@@ -1012,14 +1042,10 @@ def q_branch_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError("branch AS OF TIMESTAMP missed the branch head")
 
     # the follower sees exactly the branch delta (both commits, one span)
-    ch, v_span = follower.poll(spark)
-    by_kind = {
-        r["change_type"]: r["n"]
-        for r in ch.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    n_purch = upd.count()
-    n_err = ins.count()
-    n_view = e.filter(F.col("event_type") == "view").count()
+    by_kind = {r["change_type"]: r["n"] for r in kind_rows}
+    n_purch = anchors["n_purch"]
+    n_err = anchors["n_err"]
+    n_view = anchors["n_view"]
     if by_kind.get("changed", 0) != n_purch or by_kind.get("added", 0) != n_err:
         raise AssertionError(f"follower span upserts wrong: {by_kind}")
     if by_kind.get("removed", 0) != n_view:

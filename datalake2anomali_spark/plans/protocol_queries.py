@@ -1537,13 +1537,19 @@ def q_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not untouched_kept:
         raise AssertionError("partial OPTIMIZE moved untouched partitions")
 
-    fp = _fingerprint(spark, root)
-    v_z = compact_versioned(
-        spark,
-        root,
-        "event_date",
-        zorder_cols=("user_id", "event_id"),
-        target_file_bytes=8 * 1024,
+    # the pre-compaction fingerprint reads the version-pinned immutable
+    # snapshot, so it runs concurrently with the ZORDER rewrite itself
+    # (guide §2.6; the pin makes the read identical at any pool size —
+    # compaction only adds a new version dir and swaps the pointer)
+    fp, v_z = _overlap(
+        lambda: _fingerprint(spark, root, version=m_opt["version"]),
+        lambda: compact_versioned(
+            spark,
+            root,
+            "event_date",
+            zorder_cols=("user_id", "event_id"),
+            target_file_bytes=8 * 1024,
+        ),
     )
     if _fingerprint(spark, root) != fp:
         raise AssertionError("ZORDER compaction changed content")
@@ -1670,16 +1676,24 @@ def q_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError("violating merge was accepted")
     except ConstraintViolationError:
         pass
-    if read_snapshot(spark, root, "event_date").filter(
-        F.col("event_type") == "zzz"
-    ).count():
-        raise AssertionError("refused merge leaked rows")
     if [f for f in os.listdir(root) if f.startswith("_CLAIM.")]:
         raise AssertionError("refused merge left a stale claim")
     if vacuum(root, claim_ttl_seconds=0.0, retain_last=2) != []:
         raise AssertionError("refused merge left an orphan directory")
 
-    compact_versioned(spark, root, "event_date", "event_id")
+    # the leak check reads the version-pinned post-merge snapshot (the
+    # refused merge moved nothing), so it runs concurrently with the
+    # compaction (guide §2.6); the orphan/claim checks above stay BEFORE
+    # the compaction, which would otherwise create fresh reclaimables
+    v_ok = read_manifest(root)["version"]
+    leaked, _ = _overlap(
+        lambda: read_snapshot(spark, root, "event_date", version=v_ok)
+        .filter(F.col("event_type") == "zzz")
+        .count(),
+        lambda: compact_versioned(spark, root, "event_date", "event_id"),
+    )
+    if leaked:
+        raise AssertionError("refused merge leaked rows")
     if read_manifest(root)["constraints"] != cons:
         raise AssertionError("constraints lost across compaction")
     return _type_rollup(read_snapshot(spark, root, "event_date"))

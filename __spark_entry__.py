@@ -165,7 +165,8 @@ _TAIL: tuple[str, ...] = (
     "jsonl_roundtrip",
     "asof_join_tolerance",
     "multimodal_ops",
-    "stream_burst_alerts",    # last driver row round 16 — deadline round 20 (CORRECTNESS_r16 order)
+    "stream_burst_alerts",
+    # last driver row round 16 — deadline round 20 (CORRECTNESS_r16 order)
     "string_funcs",
     "burst_alerts",
     "dedup_keep_best",

@@ -260,9 +260,11 @@ def main() -> None:
             run_idx += 1
             if run_idx % 10 == 0:
                 spark.sparkContext._jvm.System.gc()
-        cache_stats[tag] = {
-            k: CACHE_COUNTERS[k] - c0[k] for k in CACHE_COUNTERS
-        }
+        # accumulate across same-tag passes (--repeat runs several warm
+        # passes; a plain assignment would record only the last one)
+        delta = {k: CACHE_COUNTERS[k] - c0[k] for k in CACHE_COUNTERS}
+        prev = cache_stats.get(tag, {k: 0 for k in CACHE_COUNTERS})
+        cache_stats[tag] = {k: prev[k] + delta[k] for k in CACHE_COUNTERS}
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     value_warm = round(sum(warm_timings.values()), 3)

@@ -354,31 +354,56 @@ class MultiTableTransaction:
         # both phases run their per-member Spark jobs from a small driver
         # thread pool (guide §2.6) — phase ORDER is unchanged: every
         # precheck still completes before any member commits (the
-        # zero-orphans guarantee), and the catalog CAS stays single and
-        # last.  Member commit results are applied to the catalog staging
-        # sequentially in member order, as before.
+        # zero-orphans guarantee for deterministic failures), and the
+        # catalog CAS stays single and last.  Member commit results are
+        # applied to the catalog staging sequentially in member order.
+        # Failure surface under concurrency, stated honestly: if one
+        # member's COMMIT fails (a concurrent-writer race — constraint
+        # violations were already caught by the precheck barrier),
+        # members whose commits were in flight may complete where the
+        # sequential loop would have stopped; not-yet-started commits
+        # are cancelled to bound that.  Either way the catalog CAS never
+        # runs, the catalog view stays consistent, and recovery is the
+        # documented restore-or-re-pin-everything path above.
         from concurrent.futures import ThreadPoolExecutor
 
         names = list(self._txns)
+        if not names:
+            return self._ctx.commit()
         if len(names) == 1:
             txn = self._txns[names[0]]
             txn.precheck()
             results = {names[0]: (txn._manifest["version"], txn.commit())}
         else:
             with ThreadPoolExecutor(max_workers=min(4, len(names))) as pool:
-                # materialize the map: every precheck must FINISH (or the
-                # first failure propagate) before any commit starts
-                list(pool.map(lambda n: self._txns[n].precheck(), names))
-                committed = list(
-                    pool.map(
-                        lambda n: (
-                            self._txns[n]._manifest["version"],
-                            self._txns[n].commit(),
-                        ),
-                        names,
+                # every precheck must FINISH (or its failure propagate)
+                # before any commit starts
+                precheck_futs = [
+                    pool.submit(self._txns[n].precheck) for n in names
+                ]
+                for fut in precheck_futs:
+                    fut.result()
+                commit_futs = [
+                    pool.submit(
+                        lambda t=self._txns[n]: (
+                            t._manifest["version"],
+                            t.commit(),
+                        )
                     )
-                )
-            results = dict(zip(names, committed))
+                    for n in names
+                ]
+                results = {}
+                failure: BaseException | None = None
+                for name, fut in zip(names, commit_futs):
+                    try:
+                        results[name] = fut.result()
+                    except BaseException as exc:  # first failure wins
+                        if failure is None:
+                            failure = exc
+                            for later in commit_futs:
+                                later.cancel()
+                if failure is not None:
+                    raise failure
         for name in names:
             base_v, v = results[name]
             if v != base_v:

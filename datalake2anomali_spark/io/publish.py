@@ -1496,20 +1496,9 @@ def merge_into_versioned(
     # raising after the write would orphan a _v{N} directory whose live
     # _CLAIM marker blocks vacuum for claim_ttl_seconds — a rejected
     # write must leave no garbage, same contract as CHECK constraints
-    raw_affected = [r[0] for r in affected.collect()]
+    raw_affected = _collect_partition_strings(affected, partition_col)
     _require_non_null_partitions(raw_affected)
-
-    # the affected values are already on the driver, so select the hit
-    # partitions with a literal isin (planning-time pruning) instead of a
-    # broadcast semi-join — the join would recompute the whole affected
-    # subtree (a target×source join) a second time inside the write job
-    # (guide §1.2; same string-valued selection as the UPDATE/DELETE
-    # paths, equality-identical because NULL partitions were rejected)
-    hit = target.filter(
-        F.col(partition_col)
-        .cast("string")
-        .isin(sorted(str(x) for x in raw_affected))
-    )
+    hit = _hit_partitions(target, partition_col, raw_affected)
     merged = _merge_resolved(hit, source, key_cols, data_cols)
     # CHECK constraints validate the rows being written (batch-bounded;
     # untouched partitions were validated by the write that produced them).
@@ -1530,7 +1519,7 @@ def merge_into_versioned(
 
     _commit_ownership_rewrite(
         spark, root, manifest, v, vdir, partition_col,
-        {str(x) for x in raw_affected}, "merge", merged, commit_hook,
+        set(raw_affected), "merge", merged, commit_hook,
         ref=ref,
     )
     return v
@@ -1594,20 +1583,14 @@ def sync_versioned(
         .union(doomed.select(partition_col).distinct())
         .distinct()
     )
-    raw_affected = [r[0] for r in affected.collect()]
+    # NULL partitions are rejected here, so the eqNullSafe arm of the
+    # old broadcast join is unreachable and the shared literal-isin
+    # selection is equality-identical; the affected list is
+    # driver-bounded by the partition count — the same bound the collect
+    # already imposes.
+    raw_affected = _collect_partition_strings(affected, partition_col)
     _require_non_null_partitions(raw_affected)
-
-    # literal isin instead of re-deriving the affected set via a second
-    # broadcast semi-join inside the write job (see merge_into_versioned;
-    # NULL partitions were just rejected, so the eqNullSafe arm of the
-    # old join is unreachable and plain string-valued selection is
-    # equality-identical).  The affected list is driver-bounded by the
-    # partition count — the same bound the collect above already imposes.
-    hit = target.filter(
-        F.col(partition_col)
-        .cast("string")
-        .isin(sorted(str(x) for x in raw_affected))
-    )
+    hit = _hit_partitions(target, partition_col, raw_affected)
     upserted = _merge_resolved(hit, source, key_cols, data_cols)
     # subtract the doomed keys: they are target-only, so removing them
     # from the merged output can never touch an upserted source row
@@ -1623,7 +1606,7 @@ def sync_versioned(
     spark.catalog.refreshByPath(vdir)
     _commit_ownership_rewrite(
         spark, root, manifest, v, vdir, partition_col,
-        {str(x) for x in raw_affected}, "sync", merged, ref=ref,
+        set(raw_affected), "sync", merged, ref=ref,
     )
     return v
 
@@ -1832,18 +1815,19 @@ def cdc_apply_versioned(
     )
     rows = tagged.collect()
     bad_ops = sorted(
-        r["_val"] for r in rows if r["_t"] == 1 and r["_val"] not in ("upsert", "delete")
+        (
+            r["_val"]
+            for r in rows
+            if r["_t"] == 1 and r["_val"] not in ("upsert", "delete")
+        ),
+        key=lambda v: (v is None, v or ""),
     )
     if bad_ops:
         raise ValueError(f"unknown CDC op values: {bad_ops}")
     raw_affected = [r["_val"] for r in rows if r["_t"] == 0]
     _require_non_null_partitions(raw_affected)
 
-    hit = target.filter(
-        F.col(partition_col)
-        .cast("string")
-        .isin(sorted(str(x) for x in raw_affected))
-    )
+    hit = _hit_partitions(target, partition_col, raw_affected)
     merged = _merge_resolved(hit, ups.select(*data_cols), key_cols, data_cols)
     merged = merged.join(F.broadcast(dels), key_cols, "left_anti")
     if manifest.get("constraints"):
@@ -1857,7 +1841,7 @@ def cdc_apply_versioned(
 
     _commit_ownership_rewrite(
         spark, root, manifest, v, vdir, partition_col,
-        {str(x) for x in raw_affected}, "cdc_apply", merged,
+        set(raw_affected), "cdc_apply", merged,
     )
     return v
 
@@ -1939,16 +1923,18 @@ def delete_from_versioned(
         _commit_checked(root, new_manifest, manifest["version"], ref=ref)
         return v
 
-    affected = (
-        target.filter(condition).select(partition_col).distinct().collect()
-    )
-    affected_vals = {str(r[0]) for r in affected}
+    affected_vals = {
+        v
+        for v in _collect_partition_strings(
+            target.filter(condition).select(partition_col).distinct(),
+            partition_col,
+        )
+        if v is not None  # NULL partitions never match the hive keys
+    }
     if not affected_vals:
         return manifest["version"]  # nothing to delete: no empty commit
 
-    hit = target.filter(
-        F.col(partition_col).cast("string").isin(sorted(affected_vals))
-    )
+    hit = _hit_partitions(target, partition_col, affected_vals)
     # NULL-condition rows survive (ANSI DELETE), hence coalesce not ~cond
     survivors = hit.filter(F.coalesce(~condition, F.lit(True)))
 
@@ -2040,16 +2026,12 @@ def update_versioned(
         affected = old_homes.union(new_homes).distinct()
     else:
         affected = old_homes
-    raw_affected = [r[0] for r in affected.collect()]
+    raw_affected = _collect_partition_strings(affected, partition_col)
     if not raw_affected:
         return manifest["version"]  # nothing matched: no empty commit
     _require_non_null_partitions(raw_affected)
 
-    hit = target.filter(
-        F.col(partition_col)
-        .cast("string")
-        .isin(sorted(str(x) for x in raw_affected))
-    )
+    hit = _hit_partitions(target, partition_col, raw_affected)
     # one projection does both halves: matched rows take the SET exprs,
     # survivors pass through — no union, no second scan
     content = hit.select(
@@ -2072,7 +2054,7 @@ def update_versioned(
     spark.catalog.refreshByPath(vdir)
     _commit_ownership_rewrite(
         spark, root, manifest, v, vdir, partition_col,
-        {str(x) for x in raw_affected}, "update", content, commit_hook,
+        set(raw_affected), "update", content, commit_hook,
         ref=ref,
     )
     return v
@@ -2639,6 +2621,39 @@ def _require_non_null_partitions(vals) -> None:
             "manifest is string-keyed and the pruned read cannot express "
             "the __HIVE_DEFAULT_PARTITION__ sentinel"
         )
+
+
+def _collect_partition_strings(affected: DataFrame, partition_col: str) -> list:
+    """The affected partition values as SPARK-rendered strings, in one
+    collect.  Rendering with ``cast('string')`` on the cluster — not
+    Python ``str()`` on the driver — keeps the hit-selection filter and
+    the ownership comparison in :func:`_commit_ownership_rewrite`
+    consistent with each other and with the hive string encoding the
+    write itself produces (Python and Spark renderings diverge for
+    boolean/float partition values: ``str(True)`` is ``'True'`` but the
+    cast renders ``'true'``).  NULLs survive as ``None`` so
+    :func:`_require_non_null_partitions` still sees them."""
+    rows = affected.select(
+        F.col(partition_col).cast("string").alias("_p")
+    ).collect()
+    return [r["_p"] for r in rows]
+
+
+def _hit_partitions(target: DataFrame, partition_col: str, vals) -> DataFrame:
+    """Planning-time selection of the affected partitions by literal
+    ``isin`` over the already-collected, Spark-rendered values — shared
+    by every copy-on-write DML path so the selection semantics cannot
+    drift between them (guide §1.2: the values are already on the
+    driver; a broadcast semi-join would recompute the whole affected
+    subtree a second time inside the write job).  NULLs never match an
+    ``isin`` and are dropped from the literal list (callers either
+    rejected them already or deliberately leave NULL partitions
+    untouched)."""
+    return target.filter(
+        F.col(partition_col)
+        .cast("string")
+        .isin(sorted(v for v in vals if v is not None))
+    )
 
 
 def _commit_ownership_rewrite(

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from datalake2anomali_spark.io.catalog import (
     CatalogTransaction,
+    MultiTableTransaction,
     catalog_manifest,
     catalog_read,
     catalog_register,
@@ -461,3 +462,15 @@ def test_catalog_transactions_race_exactly_one_wins(spark, sf_dir, tmp_path):
     cat = catalog_manifest(croot)
     assert cat["version"] == winner_v == base_v + 1
     assert cat["tables"]["events"]["version"] == 1
+
+
+def test_empty_multi_table_txn_commits_nothing(spark, tmp_path):
+    """A MultiTableTransaction covering zero tables is a no-op commit —
+    it returns the catalog base version and moves nothing (regression:
+    the thread-pooled commit path must not choke on an empty member
+    list)."""
+    croot = str(tmp_path / "cat")
+    create_catalog(croot)
+    base = catalog_manifest(croot)["version"]
+    assert MultiTableTransaction(spark, croot, {}).commit() == base
+    assert catalog_manifest(croot)["version"] == base

@@ -3,8 +3,11 @@
 Runs each named query (build = the callable, exec = noop write) and reports
 how many Spark jobs the driver submitted for each phase plus wall seconds —
 the driver-gap diagnostic the r16/r17 optimization rounds steer by.  Job
-ids are read from the status tracker under a per-query job group, so the
-count is exact regardless of AQE stage-job fan-out.
+ids are read from the status tracker under a per-query job group set on the
+MAIN driver thread, so the count covers AQE stage-job fan-out exactly BUT
+undercounts fixtures that submit jobs from `_overlap`'s worker threads
+(thread-local job groups don't inherit across plain pool threads) — for
+those rows the wall-clock columns are the signal, not the job counts.
 
 Usage:  python tools/profile_jobs.py <query> [query ...] [--warm N]
 """

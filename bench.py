@@ -261,10 +261,13 @@ def main() -> None:
             if run_idx % 10 == 0:
                 spark.sparkContext._jvm.System.gc()
         # accumulate across same-tag passes (--repeat runs several warm
-        # passes; a plain assignment would record only the last one)
+        # passes; a plain assignment would record only the last one) and
+        # record the pass count so hit-rate consumers can normalize —
+        # queries_warm holds only the LAST warm pass's timings
         delta = {k: CACHE_COUNTERS[k] - c0[k] for k in CACHE_COUNTERS}
-        prev = cache_stats.get(tag, {k: 0 for k in CACHE_COUNTERS})
+        prev = cache_stats.get(tag, dict.fromkeys(CACHE_COUNTERS, 0))
         cache_stats[tag] = {k: prev[k] + delta[k] for k in CACHE_COUNTERS}
+        cache_stats[tag]["passes"] = prev.get("passes", 0) + 1
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     value_warm = round(sum(warm_timings.values()), 3)

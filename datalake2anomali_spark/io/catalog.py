@@ -393,15 +393,25 @@ class MultiTableTransaction:
                     for n in names
                 ]
                 results = {}
-                failure: BaseException | None = None
+                failure: Exception | None = None
                 for name, fut in zip(names, commit_futs):
                     try:
                         results[name] = fut.result()
-                    except BaseException as exc:  # first failure wins
-                        if failure is None:
+                    # Exception, not BaseException: a KeyboardInterrupt/
+                    # SystemExit on the waiting main thread must propagate
+                    # immediately, not wait for every in-flight member
+                    except Exception as exc:
+                        if failure is None:  # first failure wins...
                             failure = exc
                             for later in commit_futs:
                                 later.cancel()
+                        elif hasattr(failure, "add_note"):
+                            # ...but later members' failures are recorded
+                            # on it, so the documented recovery path sees
+                            # every member whose head moved
+                            failure.add_note(
+                                f"member {name!r} also failed: {exc!r}"
+                            )
                 if failure is not None:
                     raise failure
         for name in names:

@@ -609,10 +609,13 @@ def _written_partition_counts(
             }
         except Exception:
             pass  # unreadable footer: the scan will surface the real error
+    # scan fallback groups by the SPARK string rendering so its keys
+    # match the footer path's raw hive-dir strings and the manifest keys
+    # for every partition type (Python str() diverges for bool/float)
     return {
         r[0]: r[1]
         for r in spark.read.parquet(vdir)
-        .groupBy(partition_col)
+        .groupBy(F.col(partition_col).cast("string").alias(partition_col))
         .agg(F.count(F.lit(1)))
         .collect()
     }
@@ -809,7 +812,10 @@ def _partition_stats(
     for c in stats_cols:
         aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
     rows = (
-        spark.read.parquet(vdir).groupBy(partition_col).agg(*aggs).collect()
+        spark.read.parquet(vdir)
+        .groupBy(F.col(partition_col).cast("string").alias(partition_col))
+        .agg(*aggs)
+        .collect()
     )
     return {
         str(r[partition_col]): {
@@ -1021,7 +1027,9 @@ def _partition_blooms(
         pos = F.explode(F.array(*_bloom_position_exprs(c, m, k))).alias("_pos")
         rows = (
             df.filter(F.col(c).isNotNull())
-            .select(F.col(partition_col), pos)
+            .select(
+                F.col(partition_col).cast("string").alias(partition_col), pos
+            )
             .groupBy(partition_col)
             .agg(F.collect_set("_pos").alias("_ps"))
             .collect()
@@ -1893,11 +1901,21 @@ def delete_from_versioned(
                 f"got {list(key_cols)}"
             )
         doomed = target.filter(condition)
-        counts_raw = doomed.groupBy(partition_col).count().collect()
+        # group by the Spark string rendering: these keys become the
+        # manifest's dv/appends/deleted keys and must match the hive
+        # encoding the read path compares against (see
+        # _collect_partition_strings)
+        counts_raw = (
+            doomed.groupBy(
+                F.col(partition_col).cast("string").alias(partition_col)
+            )
+            .count()
+            .collect()
+        )
         if not counts_raw:
             return manifest["version"]  # nothing to delete: no commit
         _require_non_null_partitions([r[0] for r in counts_raw])
-        counts = {str(r[0]): int(r[1]) for r in counts_raw}
+        counts = {r[0]: int(r[1]) for r in counts_raw}
 
         v = _claim_version(root)
         doomed.select(partition_col, *key_cols).write.mode("overwrite").parquet(
@@ -2098,11 +2116,19 @@ def _update_merge_on_read(
     # follows materializes it inside its own job — one driver action per
     # commit instead of two (guide §5)
     matched = matched.localCheckpoint(eager=False)
-    counts_raw = matched.groupBy(partition_col).count().collect()
+    # Spark-rendered keys, for the same manifest-key consistency as the
+    # MoR delete arm (see _collect_partition_strings)
+    counts_raw = (
+        matched.groupBy(
+            F.col(partition_col).cast("string").alias(partition_col)
+        )
+        .count()
+        .collect()
+    )
     if not counts_raw:
         return manifest["version"]  # nothing matched: no empty commit
     _require_non_null_partitions([r[0] for r in counts_raw])
-    counts = {str(r[0]): int(r[1]) for r in counts_raw}
+    counts = {r[0]: int(r[1]) for r in counts_raw}
 
     replacement = matched.select(
         *[

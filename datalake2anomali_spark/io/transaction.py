@@ -93,9 +93,20 @@ class Transaction:
             )
 
     def _collect_homes(self, homes_df: DataFrame) -> None:
-        vals = [r[0] for r in homes_df.distinct().collect()]
+        # SPARK-rendered strings (cast, not Python str()): these values
+        # feed the commit's cast('string').isin selection and the
+        # manifest ownership keys, and the two renderings diverge for
+        # boolean/float partition values (see
+        # publish._collect_partition_strings)
+        col = homes_df.columns[0]
+        vals = [
+            r[0]
+            for r in homes_df.select(F.col(col).cast("string"))
+            .distinct()
+            .collect()
+        ]
         _require_non_null_partitions(vals)
-        self._affected.update(str(v) for v in vals)
+        self._affected.update(vals)
 
     def update(self, condition, set_exprs: dict) -> "Transaction":
         """Stage UPDATE ... SET: TRUE rows take the (type-cast) SET
@@ -160,16 +171,21 @@ class Transaction:
             raise ValueError(f"merge source adds columns {extra}")
         src = source.select(*self._data_cols)
         homes_df = _affected_partitions(self._df, src, key_cols, self._pcol)
-        homes = [r[0] for r in homes_df.distinct().collect()]
+        homes = [
+            r[0]
+            for r in homes_df.select(
+                F.col(self._pcol).cast("string")
+            )
+            .distinct()
+            .collect()
+        ]
         _require_non_null_partitions(homes)
-        self._affected.update(str(v) for v in homes)
+        self._affected.update(homes)
         # restrict the full-outer resolution to the merge's own
         # partitions — bystander rows pass through untouched, so a
         # one-partition merge joins one partition, not the whole staged
         # table (and the plain isin filters stay Catalyst-prunable)
-        in_homes = F.col(self._pcol).cast("string").isin(
-            sorted(str(v) for v in homes)
-        )
+        in_homes = F.col(self._pcol).cast("string").isin(sorted(homes))
         hit = self._df.filter(in_homes)
         rest = self._df.filter(~in_homes)
         self._df = rest.unionByName(
